@@ -1,13 +1,281 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.catalog.Catalog
+import graft.find.Finder
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY.md §2 via
+  * the engine's public API; `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver hash-compares against. Aggregates run on explicit DECIMAL casts so
+  * both engines produce bit-identical exact sums (double summation order
+  * differs between engines; decimal addition is exact).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // testdata events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    // by default; read it as bigint nanos (runtime-settable legacy conf)
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => () }
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  // ---- canonical deletion-queue fixtures used by the find/forget queries
+  private val simpleQueue = Seq(
+    DeletionQueueItem("s1", MatchId.Simple("7")),
+    DeletionQueueItem("s2", MatchId.Simple("23")),
+    DeletionQueueItem("s3", MatchId.Simple("99")))
+  private val compositeQueue = Seq(
+    DeletionQueueItem("c1", MatchId.Composite(
+      Map("c_mktsegment" -> "FURNITURE", "c_nationkey" -> "2"))),
+    DeletionQueueItem("c2", MatchId.Composite(
+      Map("c_mktsegment" -> "MACHINERY", "c_nationkey" -> "16"))))
+
+  private def customerGroups(spark: SparkSession, dir: String,
+                             queue: Seq[DeletionQueueItem],
+                             cols: Seq[String]) = {
+    val cat = new Catalog(spark, dir)
+    val table = cat.table("customer")
+    val mapper = DataMapper("customer_mapper", "customer", cols)
+    Catalog.validateMapper(mapper, table)
+    Finder.plan(mapper, table, queue)
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the Find semi-join (matched rows) over the customer table. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_find_simple")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 J1/J2/J5 — simple-match Find: broadcast semi-join, string-cast
+    // keys, value fanned across every identifier column of the mapper
+    "q01_find_simple" -> ((s, dir) => {
+      val groups = customerGroups(s, dir, simpleQueue,
+        Seq("c_custkey", "c_name"))
+      Finder.matchedRows(s, t(s, dir, "customer"), groups)
+    }),
+    // §2.3 J3/J4 — composite (tuple) match with canonical sorted columns
+    "q02_find_composite" -> ((s, dir) => {
+      val groups = customerGroups(s, dir, compositeQueue,
+        Seq("c_mktsegment", "c_nationkey"))
+      Finder.matchedRows(s, t(s, dir, "customer"), groups)
+    }),
+    // §2.2 P5 — Forget anti-filter: surviving rows (left_anti, native types)
+    "q03_forget_anti" -> ((s, dir) => {
+      val groups = customerGroups(s, dir, simpleQueue,
+        Seq("c_custkey", "c_name"))
+      Finder.survivors(s, t(s, dir, "customer"), groups)
+    }),
+    // §2.2 P1/P2 — DISTINCT matched file paths (input_file_name). No SQL
+    // oracle (paths are engine-specific) ⇒ rows-only check.
+    "q04_find_files" -> ((s, dir) => {
+      val cat = new Catalog(s, dir)
+      val table = cat.table("lineitem")
+      val mapper = DataMapper("li", "lineitem", Seq("l_orderkey"))
+      val groups = Finder.plan(mapper, table, simpleQueue)
+      Finder.matchedFiles(s, t(s, dir, "lineitem"), groups)
+    }),
+    // §2.4 A1-A4 — grouped aggregation (TPC-H Q1 shape), exact decimals
+    "q05_agg_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)"))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(12,2)") *
+               (lit(1).cast("decimal(12,2)") -
+                col("l_discount").cast("decimal(12,2)"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+    // §2.7 U1 — union + distinct across branches
+    "q06_union_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey").as("key"))
+        .union(t(s, dir, "orders").select(col("o_custkey").as("key")))
+        .distinct()
+    }),
+    // §2.6 O2 — order-by + limit (deterministic tiebreak)
+    "q07_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    // §2.6 O5 — keyset pagination: filter key > cursor, order, page
+    "q08_keyset_page" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") > 1000)
+        .orderBy(col("o_orderkey"))
+        .limit(50)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    }),
+    // §2.3 — multi-way broadcast star join + grouped decimal agg
+    "q09_join_star" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(12,2)") *
+               (lit(1).cast("decimal(12,2)") -
+                col("l_discount").cast("decimal(12,2)"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    // §2.3 J1 — left-semi as EXISTS
+    "q10_semi_exists" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    // §2.7 U3 — set difference via left_anti (queue-cleanup semantics)
+    "q11_anti_cleanup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    // §2.4 A4 — job-stats fold shape over the events table
+    "q12_events_stats" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)"))
+            .cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    // §2.4 A6 — group events by key with deterministic reduction
+    "q13_events_by_user" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("event_id")).as("max_event_id"))
+    }),
+    // §2.8 F10 — JSON field extraction from a string column
+    "q14_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("bigint"))
+          .cast("bigint").as("sum_k"))
+    }),
+    // §2.5-analog — windowed top-k per group (rank with tiebreak)
+    "q15_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+    }),
+    // dedup §exact — hash-groupBy exact dedup over documents
+    "q16_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+    }),
+    // text analysis — portable char/token stats
+    "q17_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("text_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", "")))
+          .as("n_spaces"))
+    }))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops (the
+    * driver records a weaker rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_find_simple" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        | FROM customer
+        | WHERE CAST(c_custkey AS VARCHAR) IN ('7','23','99')
+        |    OR c_name IN ('7','23','99')""".stripMargin.replace("\n", " "),
+    "q02_find_composite" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        | FROM customer
+        | WHERE (c_mktsegment = 'FURNITURE' AND c_nationkey = 2)
+        |    OR (c_mktsegment = 'MACHINERY' AND c_nationkey = 16)"""
+        .stripMargin.replace("\n", " "),
+    "q03_forget_anti" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        | FROM customer
+        | WHERE NOT (CAST(c_custkey AS VARCHAR) IN ('7','23','99')
+        |         OR c_name IN ('7','23','99'))""".stripMargin.replace("\n", " "),
+    "q05_agg_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        | FROM lineitem
+        | WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+    "q06_union_distinct" ->
+      "SELECT c_custkey AS key FROM customer UNION SELECT o_custkey AS key FROM orders",
+    "q07_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+        .stripMargin.replace("\n", " "),
+    "q08_keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        | WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 50"""
+        .stripMargin.replace("\n", " "),
+    "q09_join_star" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        | FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey  = c_custkey
+        | JOIN nation   ON c_nationkey = n_nationkey
+        | GROUP BY n_name""".stripMargin.replace("\n", " "),
+    "q10_semi_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders)"""
+        .stripMargin.replace("\n", " "),
+    "q11_anti_cleanup" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"""
+        .stripMargin.replace("\n", " "),
+    "q12_events_stats" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        | FROM events GROUP BY event_type""".stripMargin.replace("\n", " "),
+    "q13_events_by_user" ->
+      """SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS max_event_id
+        | FROM events GROUP BY user_id""".stripMargin.replace("\n", " "),
+    "q14_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        | FROM events GROUP BY event_type""".stripMargin.replace("\n", " "),
+    "q15_window_rank" ->
+      """SELECT user_id, event_id, rn FROM (
+        | SELECT user_id, event_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        | FROM events) WHERE rn <= 3""".stripMargin.replace("\n", " "),
+    "q16_dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+        | FROM documents GROUP BY md5(text)""".stripMargin.replace("\n", " "),
+    "q17_text_stats" ->
+      """SELECT doc_id, LENGTH(text) AS text_chars,
+        | LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+        | FROM documents""".stripMargin.replace("\n", " "))
 }

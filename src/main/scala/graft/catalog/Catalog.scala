@@ -1,0 +1,114 @@
+package graft.catalog
+
+import graft.model._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** A catalogued table: name, physical location, format, schema, partition
+  * keys. The Spark analog of a Glue table entry (SURVEY.md §1.1; reference:
+  * generate_queries.py:264-285, data_mappers/handlers.py:159-178).
+  */
+final case class TableDef(
+    name: String,
+    location: String,
+    format: DataFormat,
+    schema: StructType,
+    partitionKeys: Seq[String] = Nil)
+
+object Catalog {
+
+  /** Identifier-column type allow-list (reference:
+    * generate_queries.py:39-50 — bigint, char, decimal, double, float, int,
+    * smallint, string, tinyint, varchar + decimal(p,s)).
+    */
+  def isAllowedIdentifierType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case FloatType | DoubleType                        => true
+    case StringType | CharType(_) | VarcharType(_)     => true
+    case _: DecimalType                                => true
+    case _                                             => false
+  }
+
+  /** Resolve a dot-path identifier against a schema, enforcing the
+    * reference's nesting rules (generate_queries.py:376-400,477-478):
+    * struct children CAN be identifiers; anything under array/map can NOT.
+    * Resolution is case-insensitive at every level (the reference's Glue
+    * catalog lowercases names; parquet_handler.py:24-33).
+    *
+    * @return the leaf DataType
+    * @throws IllegalArgumentException if the path is missing, crosses an
+    *         array/map, or the leaf type is not on the allow-list
+    */
+  def resolveIdentifier(schema: StructType, dotPath: String): DataType = {
+    val parts = dotPath.split('.')
+    var current: DataType = schema
+    parts.zipWithIndex.foreach { case (p, i) =>
+      current match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(p)) match {
+            case Some(f) => current = f.dataType
+            case None =>
+              throw new IllegalArgumentException(
+                s"Column '$dotPath' not found (missing segment '$p')")
+          }
+        case _: ArrayType | _: MapType =>
+          throw new IllegalArgumentException(
+            s"Column '$dotPath' crosses an array/map at segment ${i - 1}: " +
+              "identifiers must nest through structs only")
+        case other =>
+          throw new IllegalArgumentException(
+            s"Column '$dotPath' descends into non-struct type $other")
+      }
+    }
+    current match {
+      case _: ArrayType | _: MapType | _: StructType =>
+        throw new IllegalArgumentException(
+          s"Column '$dotPath' is not a scalar identifier ($current)")
+      case leaf if !isAllowedIdentifierType(leaf) =>
+        throw new IllegalArgumentException(
+          s"Column '$dotPath' has unsupported identifier type $leaf")
+      case leaf => leaf
+    }
+  }
+
+  /** Validate a mapper against its table (reference:
+    * data_mappers/handlers.py:109-146): partition keys must exist, every
+    * identifier column must resolve, formats on the allow-list (enforced by
+    * the DataFormat ADT).
+    */
+  def validateMapper(mapper: DataMapper, table: TableDef): Unit = {
+    val missingPk = mapper.partitionKeys.filterNot(table.partitionKeys.contains)
+    require(missingPk.isEmpty, s"Unknown partition keys: $missingPk")
+    require(mapper.columns.nonEmpty, "Mapper needs at least one column")
+    mapper.columns.foreach(c => resolveIdentifier(table.schema, c))
+  }
+
+  /** No two mappers may cover nested/equal locations (reference:
+    * data_mappers/handlers.py:118-121,148-156). */
+  def checkNoOverlap(mappers: Seq[(DataMapper, TableDef)]): Unit = {
+    def norm(l: String) = if (l.endsWith("/")) l else l + "/"
+    for {
+      (m1, t1) <- mappers; (m2, t2) <- mappers if m1.id < m2.id
+    } {
+      val (a, b) = (norm(t1.location), norm(t2.location))
+      require(!a.startsWith(b) && !b.startsWith(a),
+        s"Mappers ${m1.id} and ${m2.id} cover overlapping locations")
+    }
+  }
+}
+
+/** Directory-backed catalog over the driver testdata layout
+  * (`<root>/<table>.parquet`), with schemas read from the files themselves.
+  */
+final class Catalog(spark: SparkSession, root: String) {
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, TableDef]
+
+  def table(name: String): TableDef = cache.getOrElseUpdate(name, {
+    val loc = s"$root/$name.parquet"
+    val schema = spark.read.parquet(loc).schema
+    TableDef(name, loc, DataFormat.Parquet, schema)
+  })
+
+  /** Register an explicit table definition (e.g. a JSON-lines export). */
+  def register(t: TableDef): Unit = cache.put(t.name, t)
+}

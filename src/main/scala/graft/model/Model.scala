@@ -1,0 +1,180 @@
+package graft.model
+
+/** Core domain model of the engine.
+  *
+  * Re-expresses the reference's data model (SURVEY.md §1.1; reference:
+  * backend/lambdas/data_mappers/handlers.py:74-93,
+  * backend/lambdas/queue/handlers.py:144-180) as pure Scala case classes.
+  * No Spark dependency in this package.
+  */
+
+/** Storage format of a mapped table. */
+sealed trait DataFormat
+object DataFormat {
+  case object Parquet extends DataFormat
+  case object JsonLines extends DataFormat
+}
+
+/** A pointer to a data-lake table plus the identifier columns to search.
+  *
+  * Mirrors the reference "Data Mapper"
+  * (backend/lambdas/data_mappers/handlers.py:74-93). `columns` are
+  * dot-paths into the table schema (`user_info.email`); validation of the
+  * paths against the schema happens in [[graft.catalog.Catalog]].
+  *
+  * @param id                unique mapper id
+  * @param table             logical table name resolved via the catalog
+  * @param columns           identifier (queryable) column dot-paths
+  * @param format            Parquet or JSON-lines
+  * @param partitionKeys     subset of the table's partition keys to fan out on
+  * @param deleteOldVersions whether the rewrite may drop superseded file
+  *                          versions (reference: DeleteOldVersions flag)
+  */
+final case class DataMapper(
+    id: String,
+    table: String,
+    columns: Seq[String],
+    format: DataFormat = DataFormat.Parquet,
+    partitionKeys: Seq[String] = Nil,
+    deleteOldVersions: Boolean = true,
+    ignoreObjectNotFound: Boolean = false)
+
+/** A Match ID — the value(s) identifying rows to erase.
+  *
+  * Reference: "Simple" matches are scalar values searched across every
+  * identifier column of every applicable mapper; "Composite" matches are
+  * (column, value) conjunctions scoped to exactly one mapper
+  * (backend/lambdas/queue/handlers.py:144-162,
+  * backend/lambdas/tasks/generate_queries.py:176-215).
+  */
+sealed trait MatchId
+object MatchId {
+  final case class Simple(value: String) extends MatchId
+  /** Conjunction over columns; `pairs` maps column dot-path -> value. */
+  final case class Composite(pairs: Map[String, String]) extends MatchId
+}
+
+/** One entry in the deletion queue (reference: queue/handlers.py:164-180).
+  *
+  * @param dataMappers mapper ids this match is scoped to; empty = all
+  *                    mappers (Simple only — Composite requires exactly one).
+  */
+final case class DeletionQueueItem(
+    id: String,
+    matchId: MatchId,
+    dataMappers: Seq[String] = Nil,
+    createdAt: Long = 0L,
+    createdBy: String = "")
+
+/** Job lifecycle states (reference: backend/lambdas/jobs/status_updater.py).
+  * Terminal states lock — once reached, no further transition applies.
+  */
+object JobStatus extends Enumeration {
+  type JobStatus = Value
+  val Queued, Running, QueryPlanningComplete, FindPhaseFailed,
+      ForgetPhaseFailed, ForgetPartiallyFailed, CleanupInProgress,
+      CleanupFailed, Completed, Failed = Value
+
+  /** States from which no event may move the job (status lock). */
+  val terminal: Set[JobStatus] =
+    Set(FindPhaseFailed, ForgetPhaseFailed, ForgetPartiallyFailed,
+        CleanupFailed, Completed, Failed)
+}
+
+/** Event-sourced job log entry (reference: jobs table JobEvent rows,
+  * backend/lambda_layers/boto_utils/python/boto_utils.py:106-123).
+  * `sk` is the total-order key `"<epoch_ms>#<seq>"` used to fold events
+  * deterministically.
+  */
+final case class JobEvent(
+    jobId: String,
+    sk: String,
+    eventName: String,
+    createdAt: Long,
+    // flattened event payload fields (0 when absent)
+    statsProcessed: Long = 0L,
+    statsDeleted: Long = 0L,
+    bytesScanned: Long = 0L,
+    timeTakenMs: Long = 0L,
+    path: String = "",
+    error: String = "")
+
+/** Event names emitted by the engine (reference events taxonomy:
+  * backend/ecs_tasks/delete_files/events.py:20-47 and the state machines).
+  */
+object JobEventName {
+  val JobStarted = "JobStarted"
+  val FindPhaseStarted = "FindPhaseStarted"
+  val QueryPlanningComplete = "QueryPlanningComplete"
+  val QuerySucceeded = "QuerySucceeded"
+  val QueryFailed = "QueryFailed"
+  val FindPhaseEnded = "FindPhaseEnded"
+  val FindPhaseFailed = "FindPhaseFailed"
+  val ForgetPhaseStarted = "ForgetPhaseStarted"
+  val ObjectUpdated = "ObjectUpdated"
+  val ObjectUpdateFailed = "ObjectUpdateFailed"
+  val ObjectRollbackFailed = "ObjectRollbackFailed"
+  val ForgetPhaseEnded = "ForgetPhaseEnded"
+  val ForgetPhaseFailed = "ForgetPhaseFailed"
+  val CleanupSucceeded = "CleanupSucceeded"
+  val CleanupFailed = "CleanupFailed"
+  val Exception = "Exception"
+}
+
+/** Aggregated job statistics (reference:
+  * backend/lambdas/jobs/stats_updater.py:27-121 field list).
+  */
+final case class JobStats(
+    totalQueryCount: Long = 0L,
+    totalQuerySucceededCount: Long = 0L,
+    totalQueryFailedCount: Long = 0L,
+    totalQueryScannedInBytes: Long = 0L,
+    totalQueryTimeInMillis: Long = 0L,
+    totalObjectUpdatedCount: Long = 0L,
+    totalObjectUpdateSkippedCount: Long = 0L,
+    totalObjectUpdateFailedCount: Long = 0L,
+    totalObjectRollbackFailedCount: Long = 0L,
+    totalRowsProcessedCount: Long = 0L,
+    totalRowsDeletedCount: Long = 0L) {
+  def merge(o: JobStats): JobStats = JobStats(
+    totalQueryCount + o.totalQueryCount,
+    totalQuerySucceededCount + o.totalQuerySucceededCount,
+    totalQueryFailedCount + o.totalQueryFailedCount,
+    totalQueryScannedInBytes + o.totalQueryScannedInBytes,
+    totalQueryTimeInMillis + o.totalQueryTimeInMillis,
+    totalObjectUpdatedCount + o.totalObjectUpdatedCount,
+    totalObjectUpdateSkippedCount + o.totalObjectUpdateSkippedCount,
+    totalObjectUpdateFailedCount + o.totalObjectUpdateFailedCount,
+    totalObjectRollbackFailedCount + o.totalObjectRollbackFailedCount,
+    totalRowsProcessedCount + o.totalRowsProcessedCount,
+    totalRowsDeletedCount + o.totalRowsDeletedCount)
+}
+
+/** One Forget work unit: a single object to rewrite (reference: the
+  * object-deletion SQS message, submit_query_results.py:41-55).
+  */
+final case class ObjectWorkUnit(
+    jobId: String,
+    path: String,
+    mapperId: String,
+    format: DataFormat,
+    deleteOldVersions: Boolean)
+
+/** Result of rewriting one object. */
+final case class RewriteResult(
+    path: String,
+    processedRows: Long,
+    deletedRows: Long,
+    newPath: String)
+
+/** Raised when a match id cannot be cast to its column's type
+  * (reference: generate_queries.py:516-519 MatchIdCastingError). */
+final class MatchIdCastingError(msg: String) extends RuntimeException(msg)
+
+/** Raised when a found object produces zero deletions in Forget —
+  * a Find/Forget consistency violation (reference: main.py:182-187). */
+final class ZeroDeletionError(msg: String) extends RuntimeException(msg)
+
+/** Raised when the integrity check detects a conflicting concurrent write
+  * (reference: s3.py:301-341). */
+final class IntegrityCheckError(msg: String) extends RuntimeException(msg)

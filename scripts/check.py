@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify at a
+given SF, then execute each oracle_sql.json entry in DuckDB over the same
+parquet tables and compare rows/schema/hash. Usage:
+    python3 scripts/check.py [sfdir] [outdir] [--skip-verify]
+"""
+import json, subprocess, sys, hashlib
+from pathlib import Path
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-verify")
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
+    for line in r.stdout.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+import duckdb, pyarrow.parquet as pq
+import pyarrow as pa
+
+con = duckdb.connect()
+for t in Path(sfdir).glob("*.parquet"):
+    con.execute(f"CREATE VIEW {t.stem} AS SELECT * FROM parquet_scan('{t}')")
+
+oracle = json.loads((outdir / "oracle_sql.json").read_text())
+fails = []
+for name in sorted(p.name for p in outdir.iterdir() if p.is_dir()):
+    spark_tbl = pq.read_table(str(outdir / name))
+    if name not in oracle:
+        print(f"{name}: NO_ORACLE rows={spark_tbl.num_rows}")
+        continue
+    try:
+        duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+    except Exception as e:
+        fails.append(name); print(f"{name}: ORACLE_ERR {e}"); continue
+
+    def canon(tbl):
+        cols = sorted(tbl.column_names)
+        tbl = tbl.select(cols)
+        rows = []
+        for row in zip(*[tbl.column(c).to_pylist() for c in cols]):
+            rows.append(tuple(round(v, 6) if isinstance(v, float) else
+                              (str(v) if v is not None else None) for v in row))
+        return sorted(rows, key=lambda r: str(r))
+
+    s, d = canon(spark_tbl), canon(duck_tbl)
+    ok_rows = len(s) == len(d)
+    ok_schema = sorted(spark_tbl.column_names) == sorted(duck_tbl.column_names)
+    ok_hash = s == d
+    status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+    if status == "FAIL":
+        fails.append(name)
+        print(f"{name}: FAIL rows={len(s)}/{len(d)} schema={ok_schema} "
+              f"cols={sorted(spark_tbl.column_names)}|{sorted(duck_tbl.column_names)}")
+        if ok_rows and ok_schema:
+            diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
+            print("  first diffs:", diff)
+    else:
+        print(f"{name}: OK rows={len(s)}")
+print("FAILS:", fails if fails else "none")
+sys.exit(1 if fails else 0)

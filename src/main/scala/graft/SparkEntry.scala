@@ -29,11 +29,15 @@ object SparkEntry {
     DeletionQueueItem("s1", MatchId.Simple("7")),
     DeletionQueueItem("s2", MatchId.Simple("23")),
     DeletionQueueItem("s3", MatchId.Simple("99")))
+  // Composite matches must be scoped to exactly one mapper
+  // (reference: queue/handlers.py:149-161)
   private val compositeQueue = Seq(
     DeletionQueueItem("c1", MatchId.Composite(
-      Map("c_mktsegment" -> "FURNITURE", "c_nationkey" -> "2"))),
+      Map("c_mktsegment" -> "FURNITURE", "c_nationkey" -> "2")),
+      dataMappers = Seq("customer_mapper")),
     DeletionQueueItem("c2", MatchId.Composite(
-      Map("c_mktsegment" -> "MACHINERY", "c_nationkey" -> "16"))))
+      Map("c_mktsegment" -> "MACHINERY", "c_nationkey" -> "16")),
+      dataMappers = Seq("customer_mapper")))
 
   private def customerGroups(spark: SparkSession, dir: String,
                              queue: Seq[DeletionQueueItem],
@@ -71,14 +75,17 @@ object SparkEntry {
         Seq("c_custkey", "c_name"))
       Finder.survivors(s, t(s, dir, "customer"), groups)
     }),
-    // §2.2 P1/P2 — DISTINCT matched file paths (input_file_name). No SQL
-    // oracle (paths are engine-specific) ⇒ rows-only check.
+    // §2.2 P1/P2 — DISTINCT matched file paths (input_file_name),
+    // normalized to the basename so the DuckDB filename= oracle compares.
     "q04_find_files" -> ((s, dir) => {
       val cat = new Catalog(s, dir)
       val table = cat.table("lineitem")
       val mapper = DataMapper("li", "lineitem", Seq("l_orderkey"))
       val groups = Finder.plan(mapper, table, simpleQueue)
       Finder.matchedFiles(s, t(s, dir, "lineitem"), groups)
+        .select(regexp_extract(col(Finder.PathCol), "[^/]+$", 0)
+          .as("file_name"))
+        .distinct()
     }),
     // §2.4 A1-A4 — grouped aggregation (TPC-H Q1 shape), exact decimals
     "q05_agg_stats" -> ((s, dir) => {
@@ -196,6 +203,29 @@ object SparkEntry {
         (length(col("text")) -
           length(regexp_replace(col("text"), " ", "")))
           .as("n_spaces"))
+    }),
+    // §2.3 — duplicate-row preservation: the Find predicate is a single
+    // scan (WHERE a OR b), so genuinely duplicate source rows are KEPT
+    // (VERDICT r1 "What's wrong" #1 regression guard)
+    "q18_find_dup" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+      val groups = customerGroups(s, dir, simpleQueue,
+        Seq("c_custkey", "c_name"))
+      Finder.matchedRows(s, base.union(base), groups)
+    }),
+    // §2.8 F9 — decimal identifier columns with scale coercion of match
+    // ids ('2547.4' → 2547.40; reference parquet_handler.py:102-130)
+    "q19_find_decimal" -> ((s, dir) => {
+      import graft.catalog.TableDef
+      val df = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("decimal(12,2)").as("c_acctbal_dec"))
+      val table = TableDef("customer_dec", "", DataFormat.Parquet, df.schema)
+      val mapper = DataMapper("cd", "customer_dec", Seq("c_acctbal_dec"))
+      val queue = Seq(
+        DeletionQueueItem("d1", MatchId.Simple("1863.84")),
+        DeletionQueueItem("d2", MatchId.Simple("2547.4")),
+        DeletionQueueItem("d3", MatchId.Simple("9234.22")))
+      Finder.matchedRows(s, df, Finder.plan(mapper, table, queue))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -277,5 +307,21 @@ object SparkEntry {
     "q17_text_stats" ->
       """SELECT doc_id, LENGTH(text) AS text_chars,
         | LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
-        | FROM documents""".stripMargin.replace("\n", " "))
+        | FROM documents""".stripMargin.replace("\n", " "),
+    "q04_find_files" ->
+      """SELECT DISTINCT regexp_extract(filename, '[^/]+$', 0) AS file_name
+        | FROM parquet_scan('/root/testdata/sf0.01/lineitem.parquet', filename=true)
+        | WHERE CAST(l_orderkey AS VARCHAR) IN ('7','23','99')"""
+        .stripMargin.replace("\n", " "),
+    "q18_find_dup" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        | FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer)
+        | WHERE CAST(c_custkey AS VARCHAR) IN ('7','23','99')
+        |    OR c_name IN ('7','23','99')""".stripMargin.replace("\n", " "),
+    "q19_find_decimal" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal_dec
+        | FROM customer
+        | WHERE CAST(c_acctbal AS DECIMAL(12,2)) IN
+        |  (CAST('1863.84' AS DECIMAL(12,2)), CAST('2547.4' AS DECIMAL(12,2)),
+        |   CAST('9234.22' AS DECIMAL(12,2)))""".stripMargin.replace("\n", " "))
 }

@@ -2,37 +2,47 @@ package graft.find
 
 import graft.catalog.TableDef
 import graft.model._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Find-phase planner: turns (mapper, deletion queue) into
-  *   1. a per-column-group match "manifest" DataFrame, and
-  *   2. the find plan — a broadcast left-semi join per column group over a
-  *      pruned projection, unioned, yielding the DISTINCT set of file paths
-  *      containing at least one match.
+/** Find-phase planner: turns (mapper, deletion queue) into the Find plan —
+  * the rows / DISTINCT file paths containing at least one match — and the
+  * Forget-phase anti-predicate over the same match groups.
   *
   * Re-expresses the reference's generated Athena SQL (SURVEY.md §2.3;
   * reference: backend/lambdas/tasks/generate_queries.py and
-  * execute_query.py:30-137) as a Catalyst plan:
+  * execute_query.py:30-137) as a Catalyst plan. Two strategies:
   *
-  *   - data side key: `cast(col as string)` — single-column groups — or
-  *     `concat(cast(c1 as string), TOKEN, cast(c2 as string), …)` over the
-  *     lexicographically sorted columns for composite groups
-  *     (execute_query.py:90-122). `concat` (null-propagating) is used, not
-  *     `concat_ws`, to mirror Athena's null semantics: a null in any
-  *     composite column means the row cannot match.
-  *   - manifest side: match values cast to the column type then back to
-  *     string *by Spark itself*, so both join sides use identical cast
-  *     rendering (the reference pre-stringifies in Python,
-  *     generate_queries.py:93-113 — same contract, one cast engine).
-  *   - the manifest is tiny (queue-sized): always `broadcast()`.
+  *   1. '''Predicate strategy (default).''' The deletion queue is small
+  *      (thousands of matches — it is broadcast in the reference too), so
+  *      each column group becomes an `InSet` predicate over the group's
+  *      columns and the whole Find is ONE scan with the OR of all group
+  *      predicates:
+  *      {{{ data.filter(g1 || g2 || …) }}}
+  *      This keeps genuinely duplicate source rows (an Athena `WHERE a OR b`
+  *      keeps them), needs no shuffle at all for matchedRows, and — because
+  *      the predicates are native-typed wherever the string-cast contract
+  *      allows it — pushes down to the parquet row-group stats. At 100 TB
+  *      this is the plan you want: a single pruned-projection scan whose
+  *      bytes are bounded by the identifier columns (BASELINE.md's 1.3-7%
+  *      column-scan ratio).
   *
-  * Scale notes (100 TB target): each column-group branch projects ONLY its
-  * identifier columns + the file path, so the parquet scan reads ~1-7% of
-  * the table bytes (BASELINE.md "column-scan ratio"); the semi-join is a
-  * BroadcastHashJoin with no shuffle of the probe side; `.distinct()` on
-  * the surviving paths shuffles only (paths × matched-files) rows.
+  *   2. '''Semi-join strategy (huge queues).''' Above [[Finder.InSetMaxKeys]]
+  *      match keys per group the literal set stops being sensible and we
+  *      fall back to the reference's own shape: a broadcast left-semi join
+  *      per column group against the stringified manifest
+  *      (execute_query.py:90-122), unioned, DISTINCT over paths only.
+  *
+  * Casting contract (generate_queries.py:495-519, execute_query.py:90):
+  * match values are cast to the column's type by Spark itself at plan time
+  * ([[Finder.typedGroups]]); a value that does not cast raises
+  * [[graft.model.MatchIdCastingError]] before anything runs. The data-side
+  * comparison is native-typed for int/string/decimal columns — provably
+  * equivalent to the reference's varchar-equality because the string
+  * rendering of those types is injective — and string-rendered for
+  * float/double (where NaN/-0.0 make native equality diverge from the
+  * reference's varchar contract).
   */
 object Finder {
 
@@ -42,6 +52,15 @@ object Finder {
 
   /** Output column holding the source file path. */
   val PathCol = "_file_path"
+
+  /** Above this many match keys in a group, the predicate strategy yields
+    * to the broadcast semi-join strategy. */
+  val InSetMaxKeys = 100000
+
+  /** Composite groups with at most this many tuples use an OR-of-ANDs
+    * native predicate (row-group-stats friendly); larger ones use a single
+    * token-joined string `InSet`. */
+  val CompositeOrMaxTuples = 256
 
   /** A canonical column group: lexicographically sorted identifier
     * column dot-paths + their resolved leaf types. */
@@ -55,15 +74,24 @@ object Finder {
   final case class GroupMatches(
       group: ColumnGroup, rows: Seq[(String, Seq[String])])
 
+  /** A column group with its match values cast-validated and rendered by
+    * Spark: `native(i)(j)` is the j-th column's value of tuple i with the
+    * column's type applied; `stringKeys` is the token-joined string form
+    * (the reference's manifest `queryablematchid`). */
+  final case class TypedGroup(
+      group: ColumnGroup, native: Seq[Seq[Any]], stringKeys: Seq[String])
+
   /** Scope queue items to a mapper and group them by canonical column
     * group (reference: generate_queries.py:167-215). Simple matches fan
     * out to every identifier column of the mapper; Composite matches use
     * their own (sorted) column set, which must be a subset of the mapper's
-    * identifier columns.
+    * identifier columns and must be scoped to exactly one mapper
+    * (queue/handlers.py:149-161).
     */
   def plan(mapper: DataMapper, table: TableDef,
            queue: Seq[DeletionQueueItem]): Seq[GroupMatches] = {
     import graft.catalog.Catalog.resolveIdentifier
+    queue.foreach(validateQueueItem)
     val applicable = queue.filter(i =>
       i.dataMappers.isEmpty || i.dataMappers.contains(mapper.id))
 
@@ -100,70 +128,205 @@ object Finder {
     (simpleGroups ++ compositeGroups).filter(_.rows.nonEmpty)
   }
 
-  /** Build the manifest DataFrame for one column group:
-    * `(item_id, columns_key, match_key)` with `match_key` computed by
-    * casting each raw value to the column's type and back to string —
-    * Spark-rendered, so it agrees byte-for-byte with the data-side key.
-    *
-    * Fails with [[MatchIdCastingError]] when a value does not cast
-    * (reference: generate_queries.py:495-519).
-    */
-  def manifest(spark: SparkSession, gm: GroupMatches): DataFrame = {
-    import spark.implicits._
-    val g = gm.group
-    val raw = gm.rows.toDF("item_id", "vals")
-    val castParts: Seq[Column] = g.types.zipWithIndex.map { case (t, i) =>
-      try_cast(element_at($"vals", i + 1), t)
-    }
-    // validation pass: any non-null raw value whose cast is null ⇒ error
-    val bad = raw
-      .filter(castParts.zipWithIndex
-        .map { case (c, i) =>
-          element_at($"vals", i + 1).isNotNull && c.isNull }
-        .reduce(_ || _))
-      .select($"item_id", $"vals")
-      .take(1)
-    if (bad.nonEmpty) {
-      val r = bad.head
-      throw new MatchIdCastingError(
-        s"Match id ${r.getSeq[String](1).mkString(",")} (item " +
-          s"${r.getString(0)}) cannot be cast to types ${g.types.mkString(",")}")
-    }
-    val keyParts = castParts.map(_.cast(StringType))
-    val key =
-      if (keyParts.size == 1) keyParts.head
-      else concat(interleave(keyParts, lit(CompositeToken)): _*)
-    raw.select($"item_id", lit(g.key).as("columns_key"), key.as("match_key"))
+  /** Enqueue-time validation (reference: queue/handlers.py:144-162):
+    * a Composite match needs ≥1 column and exactly one data mapper. */
+  def validateQueueItem(item: DeletionQueueItem): Unit = item.matchId match {
+    case MatchId.Composite(pairs) =>
+      require(pairs.nonEmpty,
+        s"Composite match ${item.id} needs a value for at least one column")
+      require(item.dataMappers.size == 1,
+        s"Composite match ${item.id} must be associated to exactly one " +
+          s"data mapper (got ${item.dataMappers.size})")
+    case MatchId.Simple(_) => ()
   }
 
-  /** try_cast wrapper: Spark 4 runs ANSI mode by default, where `cast`
-    * throws mid-query; planning-time validation wants null-on-failure. */
-  private def try_cast(c: Column, t: DataType): Column =
-    c.try_cast(t.sql)
+  /** Cast-validate every group's match values and render both the native
+    * and the string form, using Spark's own cast engine so the rendering
+    * agrees byte-for-byte with the data side (one cast engine — the
+    * reference pre-stringifies in Python, generate_queries.py:93-113).
+    *
+    * The projection runs over a `LocalRelation`, which Catalyst collapses
+    * driver-side (`ConvertToLocalRelation`) — no cluster job is launched.
+    *
+    * @throws MatchIdCastingError when a value does not cast to its
+    *         column's type (generate_queries.py:516-519)
+    */
+  def typedGroups(spark: SparkSession,
+                  groups: Seq[GroupMatches]): Seq[TypedGroup] = {
+    import spark.implicits._
+    groups.map { gm =>
+      val g = gm.group
+      val raw = gm.rows.toDF("item_id", "vals")
+      val native = g.types.zipWithIndex.map { case (t, i) =>
+        element_at($"vals", i + 1).try_cast(t.sql).as(s"_n$i")
+      }
+      val strings = g.types.indices.map(i => col(s"_n$i").cast(StringType))
+      val key =
+        if (strings.size == 1) strings.head
+        else concat(interleave(strings, lit(CompositeToken)): _*)
+      val rows: Array[Row] = raw
+        .select((col("item_id") +: col("vals") +: native): _*)
+        .withColumn("_key", key)
+        .collect()
+      rows.foreach { r =>
+        val rawVals = r.getSeq[String](1)
+        g.types.indices.foreach { i =>
+          if (rawVals(i) != null && r.isNullAt(2 + i))
+            throw new MatchIdCastingError(
+              s"Match id ${rawVals.mkString(",")} (item ${r.getString(0)}) " +
+                s"cannot be cast to types ${g.types.mkString(",")}")
+        }
+      }
+      TypedGroup(g,
+        rows.toSeq.map(r => g.types.indices.map(i => r.get(2 + i))),
+        rows.toSeq.map(_.getAs[String]("_key")))
+    }
+  }
 
-  private def interleave(parts: Seq[Column], sep: Column): Seq[Column] =
-    parts.flatMap(p => Seq(p, sep)).dropRight(1)
+  /** The Find predicate for one cast-validated group — see class doc for
+    * the native-vs-string contract. */
+  def findPredicate(tg: TypedGroup): Column = {
+    val g = tg.group
+    if (g.columns.size == 1) {
+      val c = col(g.columns.head)
+      g.types.head match {
+        case FloatType | DoubleType =>
+          // string-rendered: mirrors the reference varchar equality (NaN
+          // matches 'NaN'; native == would not)
+          stringIn(c.cast(StringType), tg.stringKeys.filter(_ != null))
+        case t =>
+          nativeIn(c, t, tg.native.map(_.head).filter(_ != null))
+      }
+    } else if (tg.native.size <= CompositeOrMaxTuples &&
+               !g.types.exists(t => t == FloatType || t == DoubleType)) {
+      // OR of per-tuple conjunctions, native-typed (pushdown-friendly)
+      tg.native.map { tuple =>
+        g.columns.lazyZip(g.types).lazyZip(tuple).map { (c, t, v) =>
+          col(c) === typedLit(v, t)
+        }.reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+    } else {
+      // token-joined string key InSet (the reference's own join key shape,
+      // execute_query.py:91)
+      stringIn(dataKey(g), tg.stringKeys.filter(_ != null))
+    }
+  }
 
-  /** Data-side join key for a group over `df`'s columns
-    * (execute_query.py:90-122 semantics — see class doc). */
-  def dataKey(g: ColumnGroup): Column = {
-    val parts = g.columns.map(c => col(c).cast(StringType))
-    if (parts.size == 1) parts.head
-    else concat(interleave(parts, lit(CompositeToken)): _*)
+  /** The Forget predicate for one group: NATIVE-typed for every column —
+    * the reference's Forget phase compares native values, not strings
+    * (generate_queries.py:102-109, main.py:97-129). */
+  def forgetPredicate(tg: TypedGroup): Column = {
+    val g = tg.group
+    if (g.columns.size == 1)
+      nativeIn(col(g.columns.head), g.types.head,
+        tg.native.map(_.head).filter(_ != null))
+    else
+      tg.native.map { tuple =>
+        g.columns.lazyZip(g.types).lazyZip(tuple).map { (c, t, v) =>
+          col(c) === typedLit(v, t)
+        }.reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  private def typedLit(v: Any, t: DataType): Column = lit(v).cast(t.sql)
+
+  private def nativeIn(c: Column, t: DataType, vals: Seq[Any]): Column =
+    if (vals.isEmpty) lit(false)
+    else c.cast(t.sql).isin(vals: _*) // cast is a no-op when types align
+
+  private def stringIn(key: Column, keys: Seq[String]): Column =
+    if (keys.isEmpty) lit(false) else key.isin(keys: _*)
+
+  /** OR of all groups' Find predicates (null ⇒ no match, like the
+    * reference's SQL equality). */
+  def matchPredicate(spark: SparkSession, groups: Seq[GroupMatches]): Column =
+    typedGroups(spark, groups).map(findPredicate)
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Matched ROWS — ONE scan, OR of group predicates; genuinely duplicate
+    * source rows are preserved (Athena's `WHERE a OR b` keeps them). Falls
+    * back to the semi-join strategy above [[InSetMaxKeys]]. */
+  def matchedRows(spark: SparkSession, data: DataFrame,
+                  groups: Seq[GroupMatches]): DataFrame = {
+    require(groups.nonEmpty, "no match groups — nothing to find")
+    if (totalKeys(groups) > InSetMaxKeys)
+      matchedRowsViaJoin(spark, data, groups)
+    else data.filter(matchPredicate(spark, groups))
   }
 
   /** The Find query for one mapper: DISTINCT file paths containing ≥1
-    * matching row. One pruned-projection broadcast semi-join per column
-    * group, unioned (the Spark form of the reference's UNION ALL of
-    * per-group subqueries, execute_query.py:105-137).
+    * matching row. ONE pruned-projection scan (identifier columns only) +
+    * a distinct over the surviving paths — the Spark form of the
+    * reference's UNION ALL of per-group subqueries
+    * (execute_query.py:105-137), minus the per-group rescans.
     *
     * @param data the mapper's table as a DataFrame (already
     *             partition-filtered if the mapper scopes partitions)
     */
   def matchedFiles(spark: SparkSession, data: DataFrame,
                    groups: Seq[GroupMatches]): DataFrame = {
-    import spark.implicits._
     require(groups.nonEmpty, "no match groups — nothing to find")
+    if (totalKeys(groups) > InSetMaxKeys)
+      matchedFilesViaJoin(spark, data, groups)
+    else
+      data.filter(matchPredicate(spark, groups))
+        .select(input_file_name().as(PathCol))
+        .distinct()
+  }
+
+  /** Surviving rows of `fileDf` after removing every row matching any
+    * group — the Forget anti-filter (parquet_handler.py:133-152). A row
+    * whose identifier is null never matches and therefore SURVIVES
+    * (reference null tolerance, json_handler.py:26-38), hence the
+    * `coalesce(…, false)` before negation. Single scan, no join. */
+  def survivors(spark: SparkSession, fileDf: DataFrame,
+                groups: Seq[GroupMatches]): DataFrame = {
+    val pred = typedGroups(spark, groups).map(forgetPredicate)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    fileDf.filter(!coalesce(pred, lit(false)))
+  }
+
+  private def totalKeys(groups: Seq[GroupMatches]): Long =
+    groups.map(_.rows.size.toLong).sum
+
+  // --------------------------------------------------------------------
+  // Semi-join strategy — the reference's own plan shape, used when the
+  // match set is too large for literal predicates. Kept broadcast: the
+  // manifest is still tiny relative to the data (millions of matches ≪
+  // 100 TB probe side).
+  // --------------------------------------------------------------------
+
+  /** Build the manifest DataFrame for one column group:
+    * `(item_id, columns_key, match_key)` with `match_key` computed by
+    * casting each raw value to the column's type and back to string —
+    * Spark-rendered, so it agrees byte-for-byte with the data-side key.
+    * Fails with [[MatchIdCastingError]] when a value does not cast
+    * (reference: generate_queries.py:495-519). */
+  def manifest(spark: SparkSession, gm: GroupMatches): DataFrame = {
+    import spark.implicits._
+    val tg = typedGroups(spark, Seq(gm)).head // cast validation included
+    tg.stringKeys.zip(gm.rows.map(_._1))
+      .map { case (k, id) => (id, gm.group.key, k) }
+      .toDF("item_id", "columns_key", "match_key")
+  }
+
+  /** Data-side join key for a group over `df`'s columns
+    * (execute_query.py:90-122 semantics). */
+  def dataKey(g: ColumnGroup): Column = {
+    val parts = g.columns.map(c => col(c).cast(StringType))
+    if (parts.size == 1) parts.head
+    else concat(interleave(parts, lit(CompositeToken)): _*)
+  }
+
+  private def interleave(parts: Seq[Column], sep: Column): Seq[Column] =
+    parts.flatMap(p => Seq(p, sep)).dropRight(1)
+
+  /** Semi-join form of [[matchedFiles]]: one branch per column group over
+    * a two-column projection (path + key), broadcast left-semi, unioned,
+    * DISTINCT over paths only. */
+  def matchedFilesViaJoin(spark: SparkSession, data: DataFrame,
+                          groups: Seq[GroupMatches]): DataFrame = {
+    import spark.implicits._
     val branches = groups.map { gm =>
       val keyed = data.select(
         input_file_name().as(PathCol), dataKey(gm.group).as("_key"))
@@ -175,44 +338,21 @@ object Finder {
     branches.reduce(_ union _).distinct()
   }
 
-  /** The matched ROWS (not just files) — used by oracle-checked queries
-    * and as the probe side of row-level reporting. Same plan shape as
-    * [[matchedFiles]] but keeps the data columns. */
-  def matchedRows(spark: SparkSession, data: DataFrame,
-                  groups: Seq[GroupMatches]): DataFrame = {
+  /** Semi-join form of [[matchedRows]]: duplicate-safe via a stable
+    * per-row id — branch unions are deduped on the row id, never on the
+    * full row, so genuinely duplicate source rows survive. */
+  def matchedRowsViaJoin(spark: SparkSession, data: DataFrame,
+                         groups: Seq[GroupMatches]): DataFrame = {
     import spark.implicits._
+    val withId = data.withColumn("_rid", monotonically_increasing_id())
+      .persist()
     val branches = groups.map { gm =>
       val m = manifest(spark, gm).select($"match_key")
-      data.join(broadcast(m),
+      withId.join(broadcast(m),
         dataKey(gm.group) === $"match_key", "left_semi")
     }
-    branches.reduce(_ union _).distinct()
+    branches.reduce(_ union _)
+      .dropDuplicates("_rid")
+      .drop("_rid")
   }
-
-  /** Typed matches DataFrame for the Forget phase: group values cast to
-    * native column types (reference compares native types in Forget, NOT
-    * strings — generate_queries.py:102-109, main.py:97-129). Columns are
-    * named `_m0.._mk` aligned with group.columns. */
-  def typedMatches(spark: SparkSession, gm: GroupMatches): DataFrame = {
-    import spark.implicits._
-    val raw = gm.rows.map(_._2).toDF("vals")
-    val cols = gm.group.types.zipWithIndex.map { case (t, i) =>
-      try_cast(element_at($"vals", i + 1), t).as(s"_m$i")
-    }
-    raw.select(cols: _*).distinct()
-  }
-
-  /** Row-match predicate for Forget, as an anti-join chain: returns the
-    * surviving rows of `fileDf` after removing every row matching any
-    * group (left_anti per group — null-safe: a null column never equals,
-    * so null rows survive, matching reference semantics). */
-  def survivors(spark: SparkSession, fileDf: DataFrame,
-                groups: Seq[GroupMatches]): DataFrame =
-    groups.foldLeft(fileDf) { (df, gm) =>
-      val m = typedMatches(spark, gm)
-      val cond = gm.group.columns.zipWithIndex
-        .map { case (c, i) => df(c) === m(s"_m$i") }
-        .reduce(_ && _)
-      df.join(broadcast(m), cond, "left_anti")
-    }
 }

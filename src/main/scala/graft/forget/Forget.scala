@@ -56,8 +56,7 @@ object Forget {
     val processed = df.count()
     val surviving = Finder.survivors(spark, df, groups)
 
-    val stagingDir = Files.createTempDirectory("graft-forget-")
-    try {
+    withStaging { stagingDir =>
       // one output file: the object is the unit of rewrite
       surviving.coalesce(1).write
         .mode(SaveMode.Overwrite)
@@ -72,7 +71,28 @@ object Forget {
             "deleted 0 rows — Find/Forget are inconsistent")
       commit(src, dest, part, sourceVersion, samePath = src == dest)
       RewriteResult(path, processed, deleted, dest.toString)
-    } finally deleteRecursively(stagingDir)
+    }
+  }
+
+  /** Run `body` with a staging dir; always clean up. When `body` has
+    * already failed and the CLEANUP (= the rollback: destination untouched,
+    * staging discarded) also fails, escalate to [[RollbackFailedError]] —
+    * the only path that emits ObjectRollbackFailed. A cleanup failure after
+    * a successful rewrite is just a temp leak and is ignored. */
+  private def withStaging[A](body: Path => A): A = {
+    val stagingDir = Files.createTempDirectory("graft-forget-")
+    var failure: Throwable = null
+    try body(stagingDir)
+    catch { case NonFatal(e) => failure = e; throw e }
+    finally {
+      try deleteRecursively(stagingDir)
+      catch {
+        case NonFatal(c) if failure != null =>
+          throw new RollbackFailedError(
+            s"rollback (staging cleanup) failed after: ${failure.getMessage}", c)
+        case NonFatal(_) => () // successful rewrite; staging leak only
+      }
+    }
   }
 
   /** Rewrite one JSON-lines object (optionally gzip, by extension —
@@ -94,8 +114,7 @@ object Forget {
     val pred = JsonMatch.predicate(groups)
     val surviving = lines.filter(not(pred(col("value"))))
 
-    val stagingDir = Files.createTempDirectory("graft-forget-")
-    try {
+    withStaging { stagingDir =>
       val w = surviving.coalesce(1).write.mode(SaveMode.Overwrite)
       (if (gzip) w.option("compression", "gzip") else w)
         .text(stagingDir.resolve("out").toString)
@@ -108,7 +127,7 @@ object Forget {
           s"$path found but 0 rows deleted — Find/Forget inconsistent")
       commit(src, dest, part, sourceVersion, samePath = src == dest)
       RewriteResult(path, processed, deleted, dest.toString)
-    } finally deleteRecursively(stagingDir)
+    }
   }
 
   /** Steps 4-5 of the commit protocol. */
@@ -130,6 +149,11 @@ object Forget {
       Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
+    // the replaced object may carry a Hadoop LocalFileSystem checksum
+    // sidecar (.<name>.crc) from its original writer; it no longer matches
+    // the new bytes and would fail every subsequent read
+    Files.deleteIfExists(
+      dest.resolveSibling("." + dest.getFileName.toString + ".crc"))
   }
 
   /** Run Forget over a set of work units with bounded parallelism.
@@ -147,7 +171,9 @@ object Forget {
       math.max(1, math.min(units.size, maxParallel)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val seq = new java.util.concurrent.atomic.AtomicLong(0L)
-    def sk(): String = s"${System.currentTimeMillis()}#${seq.incrementAndGet()}"
+    // zero-padded so lexicographic sk order == numeric (ms, seq) order
+    def sk(): String =
+      f"${System.currentTimeMillis()}%013d#${seq.incrementAndGet()}%06d"
     try {
       val futures = units.map { u => Future {
         val t0 = System.currentTimeMillis()
@@ -163,7 +189,12 @@ object Forget {
             statsProcessed = r.processedRows, statsDeleted = r.deletedRows,
             timeTakenMs = System.currentTimeMillis() - t0, path = u.path)
         } catch {
-          case e: IntegrityCheckError =>
+          // a successful rollback after a failed integrity check is an
+          // UPDATE failure; RollbackFailed is reserved for failures during
+          // the rollback itself (reference main.py IntegrityCheckFailedError
+          // handler → ObjectUpdateFailed; rollback_version failure →
+          // ObjectRollbackFailed)
+          case e: RollbackFailedError =>
             JobEvent(jobId, sk(), JobEventName.ObjectRollbackFailed,
               System.currentTimeMillis(), path = u.path,
               error = e.getMessage)
@@ -177,21 +208,32 @@ object Forget {
     } finally pool.shutdown()
   }
 
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+  /** `input_file_name()` yields a percent-encoded `file:` URI; decode it
+    * to a real filesystem path (spaces, '%', unicode) — raw strings that
+    * aren't URIs pass through unchanged. */
+  private[graft] def stripScheme(p: String): String =
+    if (p.startsWith("file:"))
+      try new java.net.URI(p).getPath
+      catch { case _: java.net.URISyntaxException => p.stripPrefix("file:") }
+    else p
 
   private def firstPartFile(dir: Path, suffix: String): Path = {
-    val found = Files.list(dir).filter(f =>
-      f.getFileName.toString.startsWith("part-") &&
-        f.getFileName.toString.endsWith(suffix)).findFirst()
-    if (!found.isPresent)
-      throw new IllegalStateException(s"no part file under $dir")
-    found.get()
+    val s = Files.list(dir)
+    try {
+      val found = s.filter(f =>
+        f.getFileName.toString.startsWith("part-") &&
+          f.getFileName.toString.endsWith(suffix)).findFirst()
+      if (!found.isPresent)
+        throw new IllegalStateException(s"no part file under $dir")
+      found.get()
+    } finally s.close()
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively) finally s.close()
+    }
     Files.deleteIfExists(p)
   }
 }

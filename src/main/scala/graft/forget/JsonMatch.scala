@@ -35,13 +35,21 @@ object JsonMatch {
   final case class DecimalVal(v: BigDecimal) extends TypedVal
   final case class StringVal(v: String) extends TypedVal
 
-  def cast(raw: String, t: DataType): TypedVal = t match {
-    case ByteType | ShortType | IntegerType | LongType => LongVal(raw.toLong)
-    case FloatType | DoubleType                        => DoubleVal(raw.toDouble)
-    case d: DecimalType =>
-      DecimalVal(BigDecimal(raw).setScale(d.scale, BigDecimal.RoundingMode.HALF_UP))
-    case _                                             => StringVal(raw)
-  }
+  /** @throws graft.model.MatchIdCastingError on unparseable values —
+    *         unified with the planner contract
+    *         (generate_queries.py:495-519). */
+  def cast(raw: String, t: DataType): TypedVal =
+    try t match {
+      case ByteType | ShortType | IntegerType | LongType => LongVal(raw.toLong)
+      case FloatType | DoubleType                        => DoubleVal(raw.toDouble)
+      case d: DecimalType =>
+        DecimalVal(BigDecimal(raw).setScale(d.scale, BigDecimal.RoundingMode.HALF_UP))
+      case _                                             => StringVal(raw)
+    } catch {
+      case e: NumberFormatException =>
+        throw new graft.model.MatchIdCastingError(
+          s"Match id '$raw' cannot be cast to $t: ${e.getMessage}")
+    }
 
   /** One group's data, fully serializable for executor-side evaluation. */
   final case class GroupSpec(paths: Seq[Seq[String]],

@@ -178,3 +178,9 @@ final class ZeroDeletionError(msg: String) extends RuntimeException(msg)
 /** Raised when the integrity check detects a conflicting concurrent write
   * (reference: s3.py:301-341). */
 final class IntegrityCheckError(msg: String) extends RuntimeException(msg)
+
+/** Raised when the rollback after a failed rewrite ITSELF fails — the only
+  * condition that emits ObjectRollbackFailed (reference: s3.py:344-357
+  * rollback handler; main.py rollback_version failure path). */
+final class RollbackFailedError(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)

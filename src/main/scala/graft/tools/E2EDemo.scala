@@ -44,7 +44,8 @@ object E2EDemo {
       DeletionQueueItem("s1", MatchId.Simple("7")),
       DeletionQueueItem("s2", MatchId.Simple("23")),
       DeletionQueueItem("c1", MatchId.Composite(
-        Map("c_mktsegment" -> "FURNITURE", "c_nationkey" -> "2"))))
+        Map("c_mktsegment" -> "FURNITURE", "c_nationkey" -> "2")),
+        dataMappers = Seq("m1")))
 
     val table = TableDef("customer", s"$lake/customer_pq",
       DataFormat.Parquet, src.schema)

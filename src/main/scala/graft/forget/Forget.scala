@@ -88,8 +88,14 @@ object Forget {
       try deleteRecursively(stagingDir)
       catch {
         case NonFatal(c) if failure != null =>
-          throw new RollbackFailedError(
-            s"rollback (staging cleanup) failed after: ${failure.getMessage}", c)
+          // keep BOTH failures: the original as `original` (and suppressed)
+          // so run() can emit ObjectUpdateFailed for it, the cleanup
+          // failure as the cause (reference main.py:248-262 emits both)
+          val e = new RollbackFailedError(
+            s"rollback (staging cleanup) failed after: ${failure.getMessage}",
+            c, failure)
+          e.addSuppressed(failure)
+          throw e
         case NonFatal(_) => () // successful rewrite; staging leak only
       }
     }
@@ -184,27 +190,33 @@ object Forget {
             case DataFormat.JsonLines =>
               rewriteJsonLines(spark, u.path, groups, outPathFor(u.path))
           }
-          JobEvent(jobId, sk(), JobEventName.ObjectUpdated,
+          Seq(JobEvent(jobId, sk(), JobEventName.ObjectUpdated,
             System.currentTimeMillis(),
             statsProcessed = r.processedRows, statsDeleted = r.deletedRows,
-            timeTakenMs = System.currentTimeMillis() - t0, path = u.path)
+            timeTakenMs = System.currentTimeMillis() - t0, path = u.path))
         } catch {
           // a successful rollback after a failed integrity check is an
           // UPDATE failure; RollbackFailed is reserved for failures during
-          // the rollback itself (reference main.py IntegrityCheckFailedError
-          // handler → ObjectUpdateFailed; rollback_version failure →
-          // ObjectRollbackFailed)
+          // the rollback itself. When the rollback failure FOLLOWED an
+          // update failure, emit BOTH events (reference main.py:248-262:
+          // ObjectUpdateFailed for the original + ObjectRollbackFailed).
           case e: RollbackFailedError =>
-            JobEvent(jobId, sk(), JobEventName.ObjectRollbackFailed,
-              System.currentTimeMillis(), path = u.path,
-              error = e.getMessage)
+            val updateFailed = Option(e.original).map(o =>
+              JobEvent(jobId, sk(), JobEventName.ObjectUpdateFailed,
+                System.currentTimeMillis(), path = u.path,
+                error = String.valueOf(o.getMessage)))
+            updateFailed.toSeq :+
+              JobEvent(jobId, sk(), JobEventName.ObjectRollbackFailed,
+                System.currentTimeMillis(), path = u.path,
+                error = e.getMessage)
           case NonFatal(e) =>
-            JobEvent(jobId, sk(), JobEventName.ObjectUpdateFailed,
+            Seq(JobEvent(jobId, sk(), JobEventName.ObjectUpdateFailed,
               System.currentTimeMillis(), path = u.path,
-              error = String.valueOf(e.getMessage))
+              error = String.valueOf(e.getMessage)))
         }
       }}
-      Await.result(Future.sequence(futures), Duration.Inf).sortBy(_.sk)
+      Await.result(Future.sequence(futures), Duration.Inf)
+        .flatten.sortBy(_.sk)
     } finally pool.shutdown()
   }
 

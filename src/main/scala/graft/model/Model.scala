@@ -181,6 +181,13 @@ final class IntegrityCheckError(msg: String) extends RuntimeException(msg)
 
 /** Raised when the rollback after a failed rewrite ITSELF fails — the only
   * condition that emits ObjectRollbackFailed (reference: s3.py:344-357
-  * rollback handler; main.py rollback_version failure path). */
-final class RollbackFailedError(msg: String, cause: Throwable = null)
+  * rollback handler; main.py rollback_version failure path).
+  *
+  * @param original the failure that triggered the rollback, when there was
+  *                 one — the reference emits ObjectUpdateFailed for it AND
+  *                 ObjectRollbackFailed for the rollback failure
+  *                 (main.py:248-262), so it must not be swallowed.
+  */
+final class RollbackFailedError(msg: String, cause: Throwable = null,
+    val original: Throwable = null)
     extends RuntimeException(msg, cause)

@@ -232,6 +232,32 @@ object SparkEntry {
       Finder.matchedRows(s, df, Finder.plan(mapper, table, queue))
         .select(col("c_custkey"),
           col("c_acctbal_dec").cast("double").as("c_acctbal_dbl"))
+    }),
+    // §2.9 T2/T3 — event-sourced job fold: status transition map with
+    // terminal lock + stats sums (status_updater.py:19-104,
+    // stats_updater.py:27-72), run distributed via graft.jobs.Jobs.report
+    // over a synthetic job log derived deterministically from the events
+    // table (event_id is the total-order sk).
+    "q20_jobs_fold" -> ((s, dir) => {
+      import graft.jobs.Jobs
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("string").as("jobId"),
+        format_string("%012d", col("event_id")).as("sk"),
+        when(col("event_type") === "signup", JobEventName.JobStarted)
+          .when(col("event_type") === "view", JobEventName.QuerySucceeded)
+          .when(col("event_type") === "click", JobEventName.ObjectUpdated)
+          .when(col("event_type") === "error", JobEventName.ObjectUpdateFailed)
+          .otherwise(JobEventName.ForgetPhaseEnded).as("eventName"),
+        col("event_id").as("createdAt"),
+        lit(0L).as("statsProcessed"), lit(0L).as("statsDeleted"),
+        lit(0L).as("bytesScanned"), lit(0L).as("timeTakenMs"))
+      Jobs.report(ev).select(
+        col("job_id").cast("bigint").as("job_id"),
+        col("job_status"),
+        col("job_start_time"), col("job_finish_time"),
+        col("total_query_succeeded_count").as("n_query_succeeded"),
+        col("total_object_updated_count").as("n_object_updated"),
+        col("total_object_update_failed_count").as("n_object_failed"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -330,5 +356,51 @@ object SparkEntry {
         | FROM customer
         | WHERE CAST(c_acctbal AS DECIMAL(12,2)) IN
         |  (CAST('1863.84' AS DECIMAL(12,2)), CAST('2547.4' AS DECIMAL(12,2)),
-        |   CAST('9234.22' AS DECIMAL(12,2)))""".stripMargin.replace("\n", " "))
+        |   CAST('9234.22' AS DECIMAL(12,2)))""".stripMargin.replace("\n", " "),
+    "q20_jobs_fold" ->
+      """WITH ev AS (
+        |  SELECT user_id AS job_id, event_id,
+        |    CASE event_type
+        |      WHEN 'signup' THEN 'JobStarted'
+        |      WHEN 'view' THEN 'QuerySucceeded'
+        |      WHEN 'click' THEN 'ObjectUpdated'
+        |      WHEN 'error' THEN 'ObjectUpdateFailed'
+        |      ELSE 'ForgetPhaseEnded' END AS name
+        |  FROM events),
+        | m AS (
+        |  SELECT *, COALESCE(SUM(CASE WHEN name IN ('QueryFailed','ObjectUpdateFailed')
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY job_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS errs
+        |  FROM ev),
+        | st AS (
+        |  SELECT *, CASE name
+        |      WHEN 'JobStarted' THEN 'RUNNING'
+        |      WHEN 'ForgetPhaseEnded' THEN
+        |        CASE WHEN errs > 0 THEN 'FORGET_PARTIALLY_FAILED'
+        |             ELSE 'FORGET_COMPLETED_CLEANUP_IN_PROGRESS' END
+        |      ELSE NULL END AS stv
+        |  FROM m),
+        | lk AS (
+        |  SELECT *,
+        |    (stv IS NOT NULL AND stv NOT IN
+        |      ('RUNNING','QUEUED','FORGET_COMPLETED_CLEANUP_IN_PROGRESS')) AS locked,
+        |    MIN(CASE WHEN stv IS NOT NULL AND stv NOT IN
+        |      ('RUNNING','QUEUED','FORGET_COMPLETED_CLEANUP_IN_PROGRESS')
+        |      THEN event_id END) OVER (PARTITION BY job_id) AS first_locked
+        |  FROM st)
+        | SELECT job_id,
+        |  COALESCE(arg_min(stv, event_id) FILTER (WHERE locked),
+        |           arg_max(stv, event_id) FILTER (WHERE stv IS NOT NULL),
+        |           'QUEUED') AS job_status,
+        |  MIN(CASE WHEN stv = 'RUNNING' AND (first_locked IS NULL OR
+        |    event_id < first_locked) THEN event_id END) AS job_start_time,
+        |  MIN(CASE WHEN locked AND event_id = first_locked THEN event_id END)
+        |    AS job_finish_time,
+        |  CAST(SUM(CASE WHEN name = 'QuerySucceeded' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_query_succeeded,
+        |  CAST(SUM(CASE WHEN name = 'ObjectUpdated' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_object_updated,
+        |  CAST(SUM(CASE WHEN name = 'ObjectUpdateFailed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_object_failed
+        | FROM lk GROUP BY job_id""".stripMargin.replace("\n", " "))
 }

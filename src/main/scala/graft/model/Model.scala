@@ -66,19 +66,36 @@ final case class DeletionQueueItem(
     createdAt: Long = 0L,
     createdBy: String = "")
 
-/** Job lifecycle states (reference: backend/lambdas/jobs/status_updater.py).
-  * Terminal states lock — once reached, no further transition applies.
+/** Job lifecycle states, with the reference's exact names
+  * (backend/lambdas/jobs/status_updater.py:19-36). A status outside
+  * [[JobStatus.unlocked]] locks the job — no later event may move it
+  * (status_updater.py:66-72,118-121).
   */
-object JobStatus extends Enumeration {
-  type JobStatus = Value
-  val Queued, Running, QueryPlanningComplete, FindPhaseFailed,
-      ForgetPhaseFailed, ForgetPartiallyFailed, CleanupInProgress,
-      CleanupFailed, Completed, Failed = Value
+object JobStatus {
+  val Queued = "QUEUED"
+  val Running = "RUNNING"
+  val FindFailed = "FIND_FAILED"
+  val ForgetFailed = "FORGET_FAILED"
+  val Failed = "FAILED"
+  val ForgetCompletedCleanupInProgress = "FORGET_COMPLETED_CLEANUP_IN_PROGRESS"
+  val ForgetPartiallyFailed = "FORGET_PARTIALLY_FAILED"
+  val CompletedCleanupFailed = "COMPLETED_CLEANUP_FAILED"
+  val Completed = "COMPLETED"
 
-  /** States from which no event may move the job (status lock). */
-  val terminal: Set[JobStatus] =
-    Set(FindPhaseFailed, ForgetPhaseFailed, ForgetPartiallyFailed,
-        CleanupFailed, Completed, Failed)
+  /** States a status event may still transition OUT of
+    * (status_updater.py:30). */
+  val unlocked: Set[String] =
+    Set(Running, Queued, ForgetCompletedCleanupInProgress)
+
+  /** States that skip the deletion-queue cleanup trigger
+    * (status_updater.py:31-36; stream_processor.py:54-72). */
+  val skipCleanup: Set[String] =
+    Set(FindFailed, ForgetFailed, Failed, ForgetPartiallyFailed)
+
+  /** States that stamp JobFinishTime (status_updater.py:40-48). */
+  val finished: Set[String] =
+    Set(CompletedCleanupFailed, Completed, Failed, FindFailed,
+        ForgetFailed, ForgetPartiallyFailed)
 }
 
 /** Event-sourced job log entry (reference: jobs table JobEvent rows,
@@ -112,6 +129,7 @@ object JobEventName {
   val FindPhaseFailed = "FindPhaseFailed"
   val ForgetPhaseStarted = "ForgetPhaseStarted"
   val ObjectUpdated = "ObjectUpdated"
+  val ObjectUpdateSkipped = "ObjectUpdateSkipped"
   val ObjectUpdateFailed = "ObjectUpdateFailed"
   val ObjectRollbackFailed = "ObjectRollbackFailed"
   val ForgetPhaseEnded = "ForgetPhaseEnded"

@@ -1,0 +1,157 @@
+package graft.driver
+
+import graft.catalog.{Catalog, TableDef}
+import graft.find.Finder
+import graft.forget.{DistributedRewrite, Forget, JsonMatch}
+import graft.jobs.Jobs
+import graft.model._
+import graft.tools.ParquetStats
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** The deletion-job orchestration loop — the Spark driver program that
+  * replaces the reference's three Step Functions state machines
+  * (SURVEY.md §3.1; reference: templates/state_machine.yaml:124-726):
+  *
+  *   JobStarted → FindPhaseStarted → per-mapper Find query
+  *   (QuerySucceeded/QueryFailed, fail-fast like work_query_queue.py:37-46)
+  *   → FindPhaseEnded → ForgetPhaseStarted → one distributed rewrite job
+  *   over all found objects → ForgetPhaseEnded → deletion-queue cleanup
+  *   (stream_processor.py:129-139) → CleanupSucceeded/CleanupFailed,
+  *
+  * with every phase emitting [[graft.model.JobEvent]]s that
+  * [[graft.jobs.Jobs.fold]] reduces to the job's terminal status + stats —
+  * DynamoDB streams collapsed into an in-driver event log.
+  */
+object JobRunner {
+
+  /** @param state        folded terminal state (status, stats, times)
+    * @param events       the full ordered event log
+    * @param foundPaths   matched object paths per mapper id
+    * @param clearedQueue queue items removed by the cleanup phase */
+  final case class JobRun(
+      state: Jobs.JobState,
+      events: Seq[JobEvent],
+      foundPaths: Map[String, Seq[String]],
+      clearedQueue: Seq[DeletionQueueItem])
+
+  /** Run a full deletion job.
+    *
+    * @param distributed true = [[DistributedRewrite]] (one Spark job, one
+    *                    task per object — the at-scale path); false = the
+    *                    driver-pool [[Forget.run]] (per-file Spark jobs,
+    *                    exact writer parity with spark.write)
+    */
+  def run(spark: SparkSession, jobId: String,
+          mappers: Seq[(DataMapper, TableDef)],
+          queue: Seq[DeletionQueueItem],
+          distributed: Boolean = true,
+          outPathFor: String => Option[String] = _ => None): JobRun = {
+    val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    def sk(): String =
+      f"${System.currentTimeMillis()}%013d#${seq.incrementAndGet()}%06d"
+    def ev(name: String, bytesScanned: Long = 0L, timeTakenMs: Long = 0L,
+           path: String = "", error: String = ""): JobEvent =
+      JobEvent(jobId, sk(), name, System.currentTimeMillis(),
+        bytesScanned = bytesScanned, timeTakenMs = timeTakenMs,
+        path = path, error = error)
+
+    val events = scala.collection.mutable.ArrayBuffer.empty[JobEvent]
+    Catalog.checkNoOverlap(mappers)
+    mappers.foreach { case (m, t) => Catalog.validateMapper(m, t) }
+    events += ev(JobEventName.JobStarted)
+    events += ev(JobEventName.FindPhaseStarted)
+
+    // ---- Find phase: one query per mapper, fail-fast on error
+    var findFailed = false
+    val found = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val groupsByMapper =
+      scala.collection.mutable.Map.empty[String, Seq[Finder.GroupMatches]]
+    events += ev(JobEventName.QueryPlanningComplete)
+    mappers.iterator.takeWhile(_ => !findFailed).foreach { case (m, table) =>
+      val t0 = System.currentTimeMillis()
+      try {
+        val groups = Finder.plan(m, table, queue)
+        groupsByMapper(m.id) = groups
+        if (groups.nonEmpty) {
+          val data = readTable(spark, table)
+          val paths = Finder.matchedFiles(spark, data, groups)
+            .collect().map(r => r.getString(0)).toSeq
+          found(m.id) = paths
+          val bytes = table.format match {
+            case DataFormat.Parquet =>
+              // identifier-columns-only projection: the scan cost is the
+              // pruned column chunks (README.md:75-81), not the table
+              ParquetStats.columnBytes(new Configuration(),
+                paths.map(Forget.stripScheme), m.columns).selected
+            case DataFormat.JsonLines => 0L // row format = full scan
+          }
+          events += ev(JobEventName.QuerySucceeded, bytesScanned = bytes,
+            timeTakenMs = System.currentTimeMillis() - t0)
+        } else found(m.id) = Nil
+      } catch {
+        case NonFatal(e) =>
+          events += ev(JobEventName.QueryFailed,
+            timeTakenMs = System.currentTimeMillis() - t0,
+            error = String.valueOf(e.getMessage))
+          events += ev(JobEventName.FindPhaseFailed,
+            error = String.valueOf(e.getMessage))
+          findFailed = true
+      }
+    }
+
+    if (!findFailed) {
+      events += ev(JobEventName.FindPhaseEnded)
+      events += ev(JobEventName.ForgetPhaseStarted)
+
+      // ---- Forget phase: ONE distributed job across every found object
+      mappers.foreach { case (m, table) =>
+        val paths = found.getOrElse(m.id, Nil)
+        if (paths.nonEmpty) {
+          val units = paths.map(p =>
+            ObjectWorkUnit(jobId, p, m.id, table.format, m.deleteOldVersions))
+          val groups = groupsByMapper(m.id)
+          events ++= (if (distributed)
+            DistributedRewrite.run(spark, jobId, units, groups, outPathFor)
+          else Forget.run(spark, jobId, units, groups,
+            outPathFor = outPathFor))
+        }
+      }
+      events += ev(JobEventName.ForgetPhaseEnded)
+    }
+
+    // ---- Cleanup phase (only when the fold says cleanup is in progress,
+    // stream_processor.py:54-72: skip_cleanup statuses bypass it)
+    var cleared = Seq.empty[DeletionQueueItem]
+    val preCleanup = Jobs.fold(jobId, events.toSeq)
+    if (preCleanup.status == JobStatus.ForgetCompletedCleanupInProgress) {
+      try {
+        // remove queue items consumed by this job's manifests — the items
+        // scoped to (or applicable to) the job's mappers
+        // (stream_processor.py:129-139: set difference)
+        val mapperIds = mappers.map(_._1.id).toSet
+        cleared = queue.filter(i =>
+          i.dataMappers.isEmpty || i.dataMappers.exists(mapperIds))
+        events += ev(JobEventName.CleanupSucceeded)
+      } catch {
+        case NonFatal(e) =>
+          events += ev(JobEventName.CleanupFailed,
+            error = String.valueOf(e.getMessage))
+      }
+    }
+
+    JobRun(Jobs.fold(jobId, events.toSeq), events.toSeq, found.toMap, cleared)
+  }
+
+  /** Read a table for the Find phase. JSON-lines tables are read with the
+    * declared schema (no inference pass — SURVEY.md §1.3: schema is
+    * declared for planning, self-describing for execution). */
+  def readTable(spark: SparkSession, table: TableDef): DataFrame =
+    table.format match {
+      case DataFormat.Parquet => spark.read.parquet(table.location)
+      case DataFormat.JsonLines =>
+        spark.read.schema(table.schema).json(table.location)
+    }
+}

@@ -1,17 +1,22 @@
 package graft.tools
 
 import graft.catalog.{Catalog, TableDef}
+import graft.driver.JobRunner
 import graft.find.Finder
-import graft.forget.Forget
+import graft.forget.DistributedRewrite
 import graft.model._
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
-/** End-to-end demonstration/verification driver: stages a private copy of
-  * the customer table (parquet + a derived JSON-lines object), runs a full
-  * Find → Forget deletion job against it, and prints observable before /
-  * after evidence. Also probes the two planner/engine error invariants
-  * (MatchIdCastingError, ZeroDeletionError).
+/** End-to-end verification driver: stages a private data lake (a customer
+  * table split across 128 parquet objects + a JSON-lines object + a GZIP
+  * JSON-lines object), runs a complete deletion job through [[JobRunner]]
+  * — Find (per-mapper queries) → ONE distributed Forget job (one task per
+  * object, [[graft.forget.DistributedRewrite]]) → cleanup → event fold to
+  * COMPLETED — then probes the engine's error taxonomy (zero-deletion ⇒
+  * ObjectUpdateFailed + FORGET_PARTIALLY_FAILED; uncastable match id ⇒
+  * MatchIdCastingError at planning).
   *
   * Usage: runMain graft.tools.E2EDemo [sfDir]
   */
@@ -25,94 +30,123 @@ object E2EDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    var failures = List.empty[String]
+    def check(ok: Boolean, what: String): Unit = {
+      println(s"== ${if (ok) "OK " else "FAIL"} $what")
+      if (!ok) failures ::= what
+    }
 
     val lake = Files.createTempDirectory("graft-lake-").toString
     println(s"== staging lake at $lake")
-    // one parquet object + one json-lines object with the same rows
     val src = spark.read.parquet(s"$sfDir/customer.parquet")
-    src.coalesce(1).write.mode(SaveMode.Overwrite)
+    src.repartition(128).write.mode(SaveMode.Overwrite)
       .parquet(s"$lake/customer_pq")
     src.coalesce(1).write.mode(SaveMode.Overwrite)
       .json(s"$lake/customer_json")
-
-    val pqFile = Files.list(Paths.get(s"$lake/customer_pq"))
-      .filter(_.toString.endsWith(".parquet")).findFirst.get.toString
-    val jsonFile = Files.list(Paths.get(s"$lake/customer_json"))
-      .filter(_.toString.endsWith(".json")).findFirst.get.toString
+    src.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip").json(s"$lake/customer_json_gz")
+    // directories still contain _SUCCESS markers; tables point at dirs
+    val nStaged = Files.list(Paths.get(s"$lake/customer_pq")).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    check(nStaged >= 100, s"staged $nStaged parquet objects (want >=100)")
 
     val queue = Seq(
       DeletionQueueItem("s1", MatchId.Simple("7")),
       DeletionQueueItem("s2", MatchId.Simple("23")),
       DeletionQueueItem("c1", MatchId.Composite(
         Map("c_mktsegment" -> "FURNITURE", "c_nationkey" -> "2")),
-        dataMappers = Seq("m1")))
+        dataMappers = Seq("m_pq")))
 
-    val table = TableDef("customer", s"$lake/customer_pq",
+    val pqTable = TableDef("customer_pq", s"$lake/customer_pq",
       DataFormat.Parquet, src.schema)
-    val mapper = DataMapper("m1", "customer",
-      Seq("c_custkey", "c_mktsegment", "c_nationkey"))
-    Catalog.validateMapper(mapper, table)
-    val groups = Finder.plan(mapper, table, queue)
-    println(s"== planned ${groups.size} column groups: " +
-      groups.map(g => s"${g.group.key}(${g.rows.size})").mkString(", "))
+    val jsonTable = TableDef("customer_json", s"$lake/customer_json",
+      DataFormat.JsonLines, src.schema)
+    val gzTable = TableDef("customer_json_gz", s"$lake/customer_json_gz",
+      DataFormat.JsonLines, src.schema)
+    val mappers = Seq(
+      DataMapper("m_pq", "customer_pq",
+        Seq("c_custkey", "c_mktsegment", "c_nationkey")) -> pqTable,
+      DataMapper("m_json", "customer_json", Seq("c_custkey"),
+        format = DataFormat.JsonLines) -> jsonTable,
+      DataMapper("m_gz", "customer_json_gz", Seq("c_custkey"),
+        format = DataFormat.JsonLines) -> gzTable)
 
-    // FIND
-    val data = spark.read.parquet(table.location)
-    val found = Finder.matchedFiles(spark, data, groups)
-      .collect().map(_.getString(0))
-    println(s"== find: ${found.length} matched object(s)")
-    found.foreach(p => println(s"   $p"))
+    // expected deletions, computed before the rewrite
+    val pqGroups = Finder.plan(mappers.head._1, pqTable, queue)
+    val expectPq = Finder.matchedRows(spark,
+      spark.read.parquet(pqTable.location), pqGroups).count()
+    val jsonGroups = Finder.plan(mappers(1)._1, jsonTable, queue)
+    val expectJson = Finder.matchedRows(spark,
+      JobRunner.readTable(spark, jsonTable), jsonGroups).count()
+    val beforePq = spark.read.parquet(pqTable.location).count()
+    val beforeJson = JobRunner.readTable(spark, jsonTable).count()
 
-    val before = spark.read.parquet(pqFile).count()
-    val expectDeleted = Finder.matchedRows(spark, data, groups).count()
-
-    // FORGET (parquet)
-    val units = found.map(p =>
-      ObjectWorkUnit("job1", p, mapper.id, DataFormat.Parquet,
-        deleteOldVersions = true))
-    val events = Forget.run(spark, "job1", units.toSeq, groups)
-    events.foreach(e => println(
-      s"== event ${e.eventName} path=${e.path} processed=" +
-        s"${e.statsProcessed} deleted=${e.statsDeleted}"))
-
-    val after = spark.read.parquet(pqFile).count()
-    println(s"== parquet rows: before=$before after=$after " +
-      s"(expected deleted=$expectDeleted)")
-    val survivorsMatched =
-      Finder.matchedRows(spark, spark.read.parquet(pqFile), groups).count()
-    println(s"== survivors still matching: $survivorsMatched (want 0)")
-
-    // FORGET (json-lines, raw-line preserving)
-    val jBefore = spark.read.textFile(jsonFile).count()
-    val jr = Forget.rewriteJsonLines(spark, jsonFile, groups)
-    val jAfter = spark.read.textFile(jsonFile).count()
-    println(s"== json rows: before=$jBefore after=$jAfter " +
-      s"deleted=${jr.deletedRows}")
-
-    // PROBE 1: zero-deletion invariant — rewriting an already-clean object
-    try {
-      Forget.rewriteParquet(spark, pqFile, groups)
-      println("!! probe1 FAILED: expected ZeroDeletionError")
-    } catch {
-      case _: ZeroDeletionError => println("== probe1 OK: ZeroDeletionError")
+    // ---- the job
+    val run = JobRunner.run(spark, "job1", mappers, queue, distributed = true)
+    println(s"== job status=${run.state.status} stats=${run.state.stats}")
+    run.events.groupBy(_.eventName).toSeq.sortBy(_._1).foreach { case (n, es) =>
+      println(s"   event $n x${es.size}")
     }
 
-    // PROBE 2: uncastable match id on an int column ⇒ planning error
-    try {
-      val badQueue = Seq(DeletionQueueItem("bad", MatchId.Simple("not-a-number")))
+    check(run.state.status == JobStatus.Completed, "job folds to COMPLETED")
+    check(run.state.jobStartTime.isDefined && run.state.jobFinishTime.isDefined,
+      "start/finish times stamped (finish stamps on the COMPLETED transition)")
+    val nFoundPq = run.foundPaths.getOrElse("m_pq", Nil).size
+    check(nFoundPq > 1, s"find returned $nFoundPq parquet objects (>1)")
+    check(run.state.stats.totalObjectUpdatedCount ==
+      nFoundPq + run.foundPaths.getOrElse("m_json", Nil).size +
+        run.foundPaths.getOrElse("m_gz", Nil).size,
+      "every found object updated")
+    check(run.state.stats.totalRowsDeletedCount > 0, "rows deleted > 0")
+    check(run.clearedQueue.map(_.id).toSet == queue.map(_.id).toSet,
+      "cleanup cleared the queue")
+
+    val afterPq = spark.read.parquet(pqTable.location).count()
+    val afterJson = JobRunner.readTable(spark, jsonTable).count()
+    val afterGz = JobRunner.readTable(spark, gzTable).count()
+    check(afterPq == beforePq - expectPq,
+      s"parquet rows $beforePq -> $afterPq (expected -$expectPq)")
+    check(afterJson == beforeJson - expectJson,
+      s"json rows $beforeJson -> $afterJson (expected -$expectJson)")
+    check(afterGz == beforeJson - expectJson,
+      s"gzip json rows -> $afterGz (expected ${beforeJson - expectJson})")
+    check(Finder.matchedRows(spark,
+      spark.read.parquet(pqTable.location), pqGroups).count() == 0,
+      "no surviving parquet row matches")
+    check(Finder.matchedRows(spark,
+      JobRunner.readTable(spark, jsonTable), jsonGroups).count() == 0,
+      "no surviving json row matches")
+
+    // PROBE 1: zero-deletion invariant via the distributed path — a
+    // "found" object with nothing to delete must emit ObjectUpdateFailed
+    // (reference main.py:182-187), never silently succeed
+    val cleanFile = Files.list(Paths.get(s"$lake/customer_pq"))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get.toString
+    val probeEvents = DistributedRewrite.run(spark, "probe",
+      Seq(ObjectWorkUnit("probe", cleanFile, "m_pq", DataFormat.Parquet,
+        deleteOldVersions = true)), pqGroups)
+    check(probeEvents.map(_.eventName) == Seq(JobEventName.ObjectUpdateFailed),
+      "zero-deletion object -> ObjectUpdateFailed")
+    check(graft.jobs.Jobs.fold("probe",
+      probeEvents :+ JobEvent("probe", "9999999999999#999999",
+        JobEventName.ForgetPhaseEnded, 0L)).status ==
+      JobStatus.ForgetPartiallyFailed,
+      "ForgetPhaseEnded after failure -> FORGET_PARTIALLY_FAILED")
+
+    // PROBE 2: uncastable match id ⇒ planning-time MatchIdCastingError
+    val probe2 = try {
       val badGroups = Finder.plan(
-        DataMapper("m2", "customer", Seq("c_custkey")), table, badQueue)
-      Finder.matchedFiles(spark, data, badGroups).collect()
-      println("!! probe2 FAILED: expected MatchIdCastingError")
-    } catch {
-      case _: MatchIdCastingError =>
-        println("== probe2 OK: MatchIdCastingError")
-    }
+        DataMapper("m2", "customer_pq", Seq("c_custkey")), pqTable,
+        Seq(DeletionQueueItem("bad", MatchId.Simple("not-a-number"))))
+      Finder.matchedFiles(spark,
+        spark.read.parquet(pqTable.location), badGroups).collect()
+      false
+    } catch { case _: MatchIdCastingError => true }
+    check(probe2, "uncastable match id -> MatchIdCastingError")
 
-    val pass = after == before - expectDeleted && survivorsMatched == 0 &&
-      jAfter == jBefore - jr.deletedRows && jr.deletedRows == expectDeleted
-    println(if (pass) "== E2E PASS" else "== E2E FAIL")
+    println(if (failures.isEmpty) "== E2E PASS"
+            else s"== E2E FAIL: ${failures.reverse.mkString("; ")}")
     spark.stop()
-    if (!pass) sys.exit(1)
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

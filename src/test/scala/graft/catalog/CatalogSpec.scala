@@ -1,0 +1,81 @@
+package graft.catalog
+
+import graft.model._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema/identifier validation rules (reference:
+  * generate_queries.py:39-50,376-400 and data_mappers/handlers.py:109-156).
+  */
+class CatalogSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("bal", DecimalType(12, 2)),
+    StructField("flag", BooleanType),
+    StructField("ts", TimestampType),
+    StructField("user", StructType(Seq(
+      StructField("Info", StructType(Seq(
+        StructField("Email", StringType)))),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, StringType))))),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("sku", StringType)))))))
+
+  test("scalar identifier types on the allow-list resolve") {
+    assert(Catalog.resolveIdentifier(schema, "id") == LongType)
+    assert(Catalog.resolveIdentifier(schema, "name") == StringType)
+    assert(Catalog.resolveIdentifier(schema, "bal") == DecimalType(12, 2))
+  }
+
+  test("struct children resolve by dot path, case-insensitively") {
+    assert(Catalog.resolveIdentifier(schema, "USER.info.EMAIL") == StringType)
+  }
+
+  test("types off the allow-list are rejected") {
+    intercept[IllegalArgumentException](
+      Catalog.resolveIdentifier(schema, "flag"))
+    intercept[IllegalArgumentException](
+      Catalog.resolveIdentifier(schema, "ts"))
+  }
+
+  test("identifiers may not cross arrays or maps") {
+    intercept[IllegalArgumentException](
+      Catalog.resolveIdentifier(schema, "items.sku"))
+    intercept[IllegalArgumentException](
+      Catalog.resolveIdentifier(schema, "user.tags"))
+    intercept[IllegalArgumentException](
+      Catalog.resolveIdentifier(schema, "user.attrs.k"))
+  }
+
+  test("missing columns and non-scalar leaves are rejected") {
+    intercept[IllegalArgumentException](
+      Catalog.resolveIdentifier(schema, "nope"))
+    intercept[IllegalArgumentException](
+      Catalog.resolveIdentifier(schema, "user.info.missing"))
+    intercept[IllegalArgumentException](
+      Catalog.resolveIdentifier(schema, "user")) // struct leaf
+  }
+
+  test("validateMapper checks partition keys and columns") {
+    val t = TableDef("t", "/x", DataFormat.Parquet, schema, Seq("dt"))
+    Catalog.validateMapper(DataMapper("m", "t", Seq("id"),
+      partitionKeys = Seq("dt")), t)
+    intercept[IllegalArgumentException](Catalog.validateMapper(
+      DataMapper("m", "t", Seq("id"), partitionKeys = Seq("nope")), t))
+    intercept[IllegalArgumentException](Catalog.validateMapper(
+      DataMapper("m", "t", Nil), t))
+  }
+
+  test("overlapping mapper locations are rejected; disjoint pass") {
+    def m(id: String, loc: String) =
+      (DataMapper(id, "t", Seq("id")),
+        TableDef("t", loc, DataFormat.Parquet, schema))
+    Catalog.checkNoOverlap(Seq(m("a", "/lake/t1"), m("b", "/lake/t2")))
+    intercept[IllegalArgumentException](Catalog.checkNoOverlap(
+      Seq(m("a", "/lake/t1"), m("b", "/lake/t1/sub"))))
+    intercept[IllegalArgumentException](Catalog.checkNoOverlap(
+      Seq(m("a", "/lake/t1"), m("b", "/lake/t1"))))
+  }
+}

@@ -1,0 +1,244 @@
+package graft.forget
+
+import graft.SparkSpec
+import graft.catalog.TableDef
+import graft.find.Finder
+import graft.model._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parquet Forget semantics on BOTH backends — the driver-side
+  * [[Forget.rewriteParquet]] (spark.write) and the task-side
+  * [[DistributedRewrite]] (parquet-mr Group I/O) — porting the reference
+  * edge inventory from tests/unit/ecs_tasks/test_parquet.py (:77 correct
+  * rows, :111 lower-cased columns, :151 struct types, :180-:254 composite
+  * variants, :319-:372 decimals) plus the engine invariants (zero-deletion,
+  * schema preservation, multi-row-group files).
+  */
+class ForgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(d: DataFrame, cols: Seq[String],
+                   queue: Seq[DeletionQueueItem]) =
+    Finder.plan(DataMapper("m", "t", cols),
+      TableDef("t", "", DataFormat.Parquet, d.schema), queue)
+
+  /** Run one file through a backend; returns (survivorDf, processed,
+    * deleted). */
+  private def rewrite(file: String, groups: Seq[Finder.GroupMatches],
+                      distributed: Boolean): (DataFrame, Long, Long) = {
+    if (distributed) {
+      val events = DistributedRewrite.run(spark, "j",
+        Seq(ObjectWorkUnit("j", file, "m", DataFormat.Parquet, true)), groups)
+      assert(events.map(_.eventName) == Seq(JobEventName.ObjectUpdated),
+        s"unexpected events: $events")
+      (spark.read.parquet(file),
+        events.head.statsProcessed, events.head.statsDeleted)
+    } else {
+      val r = Forget.rewriteParquet(spark, file, groups)
+      (spark.read.parquet(file), r.processedRows, r.deletedRows)
+    }
+  }
+
+  private def bothBackends(name: String)(body: Boolean => Unit): Unit = {
+    test(s"$name [driver]")(body(false))
+    test(s"$name [distributed]")(body(true))
+  }
+
+  // ---- test_parquet.py:77 — delete correct rows ---------------------
+
+  bothBackends("deletes exactly the matching rows") { dist =>
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("customer_id", "x")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("customer_id"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("2"))))
+    val (out, processed, deleted) = rewrite(file, groups, dist)
+    assert((processed, deleted) == (3L, 1L))
+    assert(out.select("customer_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
+  // ---- test_parquet.py:111 — lower-cased (mismatched-case) columns --
+
+  bothBackends("column lookup is case-insensitive") { dist =>
+    val d = Seq((1L, "a"), (2L, "b")).toDF("customerId", "x")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("CUSTOMERID"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("1"))))
+    val (out, _, deleted) = rewrite(file, groups, dist)
+    assert(deleted == 1L)
+    assert(out.select("customerId").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  // ---- test_parquet.py:151 — complex (struct) types -----------------
+
+  bothBackends("deletes rows matched through nested struct dot paths") { dist =>
+    val d = spark.read.json(Seq(
+      """{"id":1,"user":{"info":{"email":"x@y.z"},"age":30}}""",
+      """{"id":2,"user":{"info":{"email":"a@b.c"},"age":40}}""",
+      """{"id":3,"user":{"info":{"email":null},"age":50}}""").toDS)
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("user.info.email"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("x@y.z"))))
+    val (out, processed, deleted) = rewrite(file, groups, dist)
+    assert((processed, deleted) == (3L, 1L))
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  // ---- test_parquet.py:180,:208,:230,:254 — composite variants ------
+
+  bothBackends("composite match deletes only full-tuple matches") { dist =>
+    val d = Seq(("john", "doe", 1L), ("john", "smith", 2L),
+      ("jane", "doe", 3L)).toDF("first_name", "last_name", "n")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("first_name", "last_name"),
+      Seq(DeletionQueueItem("q", MatchId.Composite(
+        Map("first_name" -> "john", "last_name" -> "doe")),
+        dataMappers = Seq("m"))))
+    val (out, _, deleted) = rewrite(file, groups, dist)
+    assert(deleted == 1L)
+    assert(out.select("n").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  bothBackends("single-column composite behaves like a scoped simple") { dist =>
+    val d = Seq(("john", 1L), ("jane", 2L)).toDF("first_name", "n")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("first_name"),
+      Seq(DeletionQueueItem("q",
+        MatchId.Composite(Map("first_name" -> "jane")),
+        dataMappers = Seq("m"))))
+    val (out, _, deleted) = rewrite(file, groups, dist)
+    assert(deleted == 1L)
+    assert(out.select("n").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  bothBackends("composite over nested struct paths") { dist =>
+    val d = spark.read.json(Seq(
+      """{"n":1,"user":{"first":"john","last":"doe"}}""",
+      """{"n":2,"user":{"first":"john","last":"smith"}}""").toDS)
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("user.first", "user.last"),
+      Seq(DeletionQueueItem("q", MatchId.Composite(
+        Map("user.first" -> "john", "user.last" -> "doe")),
+        dataMappers = Seq("m"))))
+    val (out, _, deleted) = rewrite(file, groups, dist)
+    assert(deleted == 1L)
+    assert(out.select("n").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  // ---- test_parquet.py:319-:372 — decimal handling ------------------
+
+  bothBackends("decimal match ids coerce to column scale (int64-backed)") { dist =>
+    val d = Seq((1L, "12.34"), (2L, "56.70"), (3L, "99.99"))
+      .toDF("id", "s")
+      .withColumn("bal", col("s").cast("decimal(12,2)")).drop("s")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("bal"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("56.7"))))
+    val (out, _, deleted) = rewrite(file, groups, dist)
+    assert(deleted == 1L)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  bothBackends("wide decimals (binary-backed, precision>18) match") { dist =>
+    val d = Seq((1L, "123456789012345.6789"), (2L, "5.5"))
+      .toDF("id", "s")
+      .withColumn("bal", col("s").cast("decimal(38,4)")).drop("s")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("bal"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("123456789012345.6789"))))
+    val (out, _, deleted) = rewrite(file, groups, dist)
+    assert(deleted == 1L)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  bothBackends("decimal component inside a composite coerces too") { dist =>
+    val d = Seq((1L, "a", "12.34"), (2L, "a", "99.99"))
+      .toDF("id", "k", "s")
+      .withColumn("bal", col("s").cast("decimal(12,2)")).drop("s")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("k", "bal"),
+      Seq(DeletionQueueItem("q", MatchId.Composite(
+        Map("k" -> "a", "bal" -> "12.340")), dataMappers = Seq("m"))))
+    val (out, _, deleted) = rewrite(file, groups, dist)
+    assert(deleted == 1L)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  // ---- engine invariants --------------------------------------------
+
+  bothBackends("null identifier rows always survive") { dist =>
+    val d = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("id", "x")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("id"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("1"))))
+    val (out, processed, deleted) = rewrite(file, groups, dist)
+    assert((processed, deleted) == (3L, 1L))
+    assert(out.select("x").as[String].collect().sorted.toSeq == Seq("b", "c"))
+  }
+
+  bothBackends("schema is preserved by the rewrite") { dist =>
+    val d = Seq((1L, "a", 1.5, true)).toDF("id", "s", "d", "b")
+      .withColumn("dec", col("d").cast("decimal(10,3)"))
+      .withColumn("arr", array(lit(1), lit(2)))
+    val withMatch = d.union(Seq((2L, "x", 0.0, false)).toDF("id", "s", "d", "b")
+      .withColumn("dec", col("d").cast("decimal(10,3)"))
+      .withColumn("arr", array(lit(3), lit(4))))
+    val file = stageParquetFile(withMatch)
+    val before = spark.read.parquet(file).schema
+    val groups = plan(withMatch, Seq("id"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("2"))))
+    val (out, _, _) = rewrite(file, groups, dist)
+    assert(out.schema == before)
+    assert(out.count() == 1)
+  }
+
+  test("multi-row-group files stream through the distributed backend") {
+    val d = (1L to 2000L).map(i => (i, s"name$i", i % 7)).toDF("id", "s", "m")
+    val file = stageParquetFile(d, Map("parquet.block.size" -> "4096"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    val nGroups = try footer.getFooter.getBlocks.size finally footer.close()
+    assert(nGroups > 1, s"fixture should span row groups, got $nGroups")
+    val groups = plan(d, Seq("id"), Seq(
+      DeletionQueueItem("a", MatchId.Simple("5")),
+      DeletionQueueItem("b", MatchId.Simple("1999"))))
+    val (out, processed, deleted) = rewrite(file, groups, distributed = true)
+    assert((processed, deleted) == (2000L, 2L))
+    assert(out.count() == 1998)
+  }
+
+  test("zero-deletion on a found object is an error (driver backend)") {
+    val d = Seq((1L, "a")).toDF("id", "x")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("id"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("999"))))
+    intercept[ZeroDeletionError](Forget.rewriteParquet(spark, file, groups))
+  }
+
+  test("zero-deletion emits ObjectUpdateFailed (distributed backend)") {
+    val d = Seq((1L, "a")).toDF("id", "x")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("id"),
+      Seq(DeletionQueueItem("q", MatchIdSimple999)))
+    val events = DistributedRewrite.run(spark, "j",
+      Seq(ObjectWorkUnit("j", file, "m", DataFormat.Parquet, true)), groups)
+    assert(events.map(_.eventName) == Seq(JobEventName.ObjectUpdateFailed))
+    // and the source object is untouched
+    assert(spark.read.parquet(file).count() == 1)
+  }
+  private def MatchIdSimple999 = MatchId.Simple("999")
+
+  test("float NaN rows are deleted when 'NaN' is queued (both layers)") {
+    val d = Seq((1L, 1.5f), (2L, Float.NaN)).toDF("id", "f")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("f"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("NaN"))))
+    val (out, _, deleted) = rewrite(file, groups, distributed = true)
+    assert(deleted == 1L)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.forget
+
+import graft.SparkSpec
+import graft.catalog.TableDef
+import graft.find.Finder
+import graft.model._
+import org.apache.spark.SparkException
+import org.apache.spark.sql.types._
+
+/** JSON-lines Forget semantics, porting tests/unit/ecs_tasks/test_json.py
+  * (:35 gzip, :56 no trailing newline, :77 escaped newlines in values,
+  * :168/:247 null + missing identifiers, :310 malformed JSON) over the
+  * task-side [[DistributedRewrite]] raw-line path — the reference's
+  * byte-preserving contract: surviving lines are copied verbatim,
+  * each with ONE trailing '\n' (json_handler.py:49-72).
+  */
+class JsonForgetSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("customer_id", LongType),
+    StructField("name", StringType),
+    StructField("user", StructType(Seq(StructField("id", LongType))))))
+
+  private def groupsFor(cols: Seq[String], queue: Seq[DeletionQueueItem]) =
+    Finder.plan(DataMapper("m", "t", cols, format = DataFormat.JsonLines),
+      TableDef("t", "", DataFormat.JsonLines, schema), queue)
+
+  private def rewriteFile(path: String, groups: Seq[Finder.GroupMatches])
+      : JobEvent = {
+    val events = DistributedRewrite.run(spark, "j",
+      Seq(ObjectWorkUnit("j", path, "m", DataFormat.JsonLines, true)), groups)
+    assert(events.size == 1)
+    events.head
+  }
+
+  private val simple2 =
+    Seq(DeletionQueueItem("q", MatchId.Simple("2")))
+
+  test("deletes matching lines, survivors byte-identical") {
+    // odd spacing and key order must survive untouched
+    val content =
+      "{\"customer_id\": 1,  \"name\":\"a\"}\n" +
+      "{\"name\":\"b\",\"customer_id\":2}\n" +
+      "{  \"customer_id\":3,\"name\":\"c\" }\n"
+    val f = stageTextFile(content)
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert((e.eventName, e.statsProcessed, e.statsDeleted) ==
+      (JobEventName.ObjectUpdated, 3L, 1L))
+    assert(new String(readFileBytes(f), "UTF-8") ==
+      "{\"customer_id\": 1,  \"name\":\"a\"}\n" +
+      "{  \"customer_id\":3,\"name\":\"c\" }\n")
+  }
+
+  test("gzip files are read and written compressed (test_json.py:35)") {
+    val content =
+      """{"customer_id":1}""" + "\n" + """{"customer_id":2}""" + "\n"
+    val f = stageGzipFile(content)
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert(e.statsDeleted == 1L)
+    assert(readGzip(f) == """{"customer_id":1}""" + "\n")
+    // magic bytes prove it is still gzip
+    val head = readFileBytes(f).take(2)
+    assert(head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
+  }
+
+  test("input without trailing newline still processes the last line " +
+    "(test_json.py:56)") {
+    val content = """{"customer_id":1}""" + "\n" + """{"customer_id":2}"""
+    val f = stageTextFile(content)
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("1")))))
+    assert((e.statsProcessed, e.statsDeleted) == (2L, 1L))
+    assert(new String(readFileBytes(f), "UTF-8") ==
+      """{"customer_id":2}""" + "\n")
+  }
+
+  test("escaped newlines inside values survive verbatim (test_json.py:77)") {
+    val keep = """{"customer_id":1,"name":"line1\nline2"}"""
+    val f = stageTextFile(keep + "\n" + """{"customer_id":2}""" + "\n")
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert(e.statsDeleted == 1L)
+    assert(new String(readFileBytes(f), "UTF-8") == keep + "\n")
+  }
+
+  test("null identifier does not match (test_json.py:168)") {
+    val content =
+      """{"customer_id":null,"name":"n"}""" + "\n" +
+      """{"customer_id":2,"name":"d"}""" + "\n"
+    val f = stageTextFile(content)
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert((e.statsProcessed, e.statsDeleted) == (2L, 1L))
+    assert(new String(readFileBytes(f), "UTF-8")
+      .contains(""""name":"n""""))
+  }
+
+  test("missing identifier key does not match (test_json.py:247)") {
+    val content =
+      """{"name":"no-id"}""" + "\n" + """{"customer_id":2}""" + "\n"
+    val f = stageTextFile(content)
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert((e.statsProcessed, e.statsDeleted) == (2L, 1L))
+  }
+
+  test("composite with a missing column never matches") {
+    val content =
+      """{"customer_id":2}""" + "\n" +
+      """{"customer_id":2,"name":"x"}""" + "\n"
+    val f = stageTextFile(content)
+    val groups = groupsFor(Seq("customer_id", "name"),
+      Seq(DeletionQueueItem("q", MatchId.Composite(
+        Map("customer_id" -> "2", "name" -> "x")), dataMappers = Seq("m"))))
+    val e = rewriteFile(f, groups)
+    assert(e.statsDeleted == 1L)
+    assert(new String(readFileBytes(f), "UTF-8") ==
+      """{"customer_id":2}""" + "\n")
+  }
+
+  test("malformed JSON line fails the object (test_json.py:310)") {
+    val f = stageTextFile("""{"customer_id":1}""" + "\nnot-json{{{\n")
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert(e.eventName == JobEventName.ObjectUpdateFailed)
+    // source untouched on failure
+    assert(new String(readFileBytes(f), "UTF-8").contains("not-json{{{"))
+  }
+
+  test("key lookup is case-insensitive at every nesting level " +
+    "(json_handler.py:11-24)") {
+    val content =
+      """{"CUSTOMER_ID":2,"name":"u"}""" + "\n" +
+      """{"User":{"ID":7},"customer_id":9}""" + "\n"
+    val f = stageTextFile(content)
+    val e1 = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert(e1.statsDeleted == 1L)
+    val e2 = rewriteFile(f, groupsFor(Seq("user.id"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("7")))))
+    assert(e2.statsDeleted == 1L)
+  }
+
+  test("native type semantics: int match does not hit string values " +
+    "(generate_queries.py:102-109)") {
+    val content =
+      """{"customer_id":"2"}""" + "\n" + """{"customer_id":2}""" + "\n"
+    val f = stageTextFile(content)
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert(e.statsDeleted == 1L)
+    assert(new String(readFileBytes(f), "UTF-8") ==
+      """{"customer_id":"2"}""" + "\n")
+  }
+
+  test("string-typed identifiers match textual JSON values only") {
+    val schemaS = StructType(Seq(StructField("name", StringType)))
+    val groups = Finder.plan(
+      DataMapper("m", "t", Seq("name"), format = DataFormat.JsonLines),
+      TableDef("t", "", DataFormat.JsonLines, schemaS),
+      Seq(DeletionQueueItem("q", MatchId.Simple("42"))))
+    val content = """{"name":"42"}""" + "\n" + """{"name":42}""" + "\n"
+    val f = stageTextFile(content)
+    val e = rewriteFile(f, groups)
+    assert(e.statsDeleted == 1L)
+    assert(new String(readFileBytes(f), "UTF-8") == """{"name":42}""" + "\n")
+  }
+}

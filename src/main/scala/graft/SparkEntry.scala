@@ -258,6 +258,26 @@ object SparkEntry {
         col("total_query_succeeded_count").as("n_query_succeeded"),
         col("total_object_updated_count").as("n_object_updated"),
         col("total_object_update_failed_count").as("n_object_failed"))
+    }),
+    // §2.2 P6 — partition pruning: Find over a Hive-partitioned copy of
+    // customer with a partition-literal scope; Catalyst prunes the scan to
+    // the two named segment directories (the reference's per-partition
+    // query literals, execute_query.py:97-103). Plan assertion lives in
+    // PartitionPruneSpec.
+    "q21_partition_prune" -> ((s, dir) => {
+      import graft.catalog.{Catalog, Staging, TableDef}
+      val loc = Staging.partitionedCustomer(s, dir)
+      val data = s.read.parquet(loc)
+      val table = TableDef("customer_part", loc, DataFormat.Parquet,
+        data.schema, partitionKeys = Seq("c_mktsegment"))
+      val mapper = DataMapper("cp", "customer_part", Seq("c_custkey"),
+        partitionFilter =
+          Map("c_mktsegment" -> Seq("FURNITURE", "MACHINERY")))
+      Catalog.validateMapper(mapper, table)
+      val groups = Finder.plan(mapper, table, simpleQueue)
+      Finder.matchedRows(s, Finder.scoped(data, mapper), groups)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -402,5 +422,11 @@ object SparkEntry {
         |    AS n_object_updated,
         |  CAST(SUM(CASE WHEN name = 'ObjectUpdateFailed' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_object_failed
-        | FROM lk GROUP BY job_id""".stripMargin.replace("\n", " "))
+        | FROM lk GROUP BY job_id""".stripMargin.replace("\n", " "),
+    "q21_partition_prune" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        | FROM customer
+        | WHERE c_mktsegment IN ('FURNITURE', 'MACHINERY')
+        |   AND CAST(c_custkey AS VARCHAR) IN ('7','23','99')"""
+        .stripMargin.replace("\n", " "))
 }

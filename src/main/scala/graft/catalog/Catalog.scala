@@ -79,6 +79,10 @@ object Catalog {
   def validateMapper(mapper: DataMapper, table: TableDef): Unit = {
     val missingPk = mapper.partitionKeys.filterNot(table.partitionKeys.contains)
     require(missingPk.isEmpty, s"Unknown partition keys: $missingPk")
+    val badFilter =
+      mapper.partitionFilter.keys.filterNot(table.partitionKeys.contains)
+    require(badFilter.isEmpty,
+      s"Partition filter on non-partition keys: ${badFilter.toSeq}")
     require(mapper.columns.nonEmpty, "Mapper needs at least one column")
     mapper.columns.foreach(c => resolveIdentifier(table.schema, c))
   }

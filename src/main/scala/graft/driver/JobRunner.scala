@@ -76,7 +76,7 @@ object JobRunner {
         val groups = Finder.plan(m, table, queue)
         groupsByMapper(m.id) = groups
         if (groups.nonEmpty) {
-          val data = readTable(spark, table)
+          val data = Finder.scoped(readTable(spark, table), m)
           val paths = Finder.matchedFiles(spark, data, groups)
             .collect().map(r => r.getString(0)).toSeq
           found(m.id) = paths

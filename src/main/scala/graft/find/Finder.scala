@@ -241,6 +241,22 @@ object Finder {
   private def stringIn(key: Column, keys: Seq[String]): Column =
     if (keys.isEmpty) lit(false) else key.isin(keys: _*)
 
+  /** AND of partition-literal predicates — the Spark form of the
+    * reference's per-partition query fan-out (execute_query.py:97-103:
+    * `AND pk = value` appended per partition key; here one `pk IN (...)`
+    * per scoped key). Applied BEFORE the match predicate so Catalyst's
+    * PartitioningAwareFileIndex prunes whole partition directories from
+    * the scan — the `PartitionFilters` entry in the physical plan. */
+  def partitionPredicate(filter: Map[String, Seq[String]]): Option[Column] =
+    filter.toSeq.sortBy(_._1).map { case (k, vs) =>
+      col(k).isin(vs: _*)
+    }.reduceOption(_ && _)
+
+  /** Scope a table DataFrame to a mapper's partition filter. */
+  def scoped(data: DataFrame, mapper: DataMapper): DataFrame =
+    partitionPredicate(mapper.partitionFilter)
+      .map(data.filter).getOrElse(data)
+
   /** OR of all groups' Find predicates (null ⇒ no match, like the
     * reference's SQL equality). */
   def matchPredicate(spark: SparkSession, groups: Seq[GroupMatches]): Column =

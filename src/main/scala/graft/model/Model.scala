@@ -27,6 +27,11 @@ object DataFormat {
   * @param columns           identifier (queryable) column dot-paths
   * @param format            Parquet or JSON-lines
   * @param partitionKeys     subset of the table's partition keys to fan out on
+  * @param partitionFilter   partition-literal scoping: key -> allowed values
+  *                          (the Spark form of the reference's one-query-
+  *                          per-partition-combo literals,
+  *                          execute_query.py:97-103 — Catalyst prunes the
+  *                          scan to the named partition directories)
   * @param deleteOldVersions whether the rewrite may drop superseded file
   *                          versions (reference: DeleteOldVersions flag)
   */
@@ -36,6 +41,7 @@ final case class DataMapper(
     columns: Seq[String],
     format: DataFormat = DataFormat.Parquet,
     partitionKeys: Seq[String] = Nil,
+    partitionFilter: Map[String, Seq[String]] = Map.empty,
     deleteOldVersions: Boolean = true,
     ignoreObjectNotFound: Boolean = false)
 

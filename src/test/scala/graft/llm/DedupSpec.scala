@@ -1,0 +1,85 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup operator family: exact, MinHash-LSH, SimHash, embedding-cosine. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 8
+
+  test("exactDuplicates groups identical texts with keep-min policy") {
+    val d = Seq((1L, base), (2L, base), (3L, "something else entirely"))
+      .toDF("id", "text")
+    val out = Dedup.exactDuplicates(d, "id", "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("keep_id") == 1L)
+    assert(out.head.getAs[Long]("copies") == 2L)
+  }
+
+  test("shingles are distinct n-grams; short texts yield none") {
+    val d = Seq(("abcdefghij"), ("abc")).toDF("text")
+    val sh = d.select(Dedup.shingles("text", 8)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("abcdefgh", "bcdefghi", "cdefghij"))
+    assert(sh(1).isEmpty)
+  }
+
+  test("nearDuplicates finds mutated copies, skips unrelated docs") {
+    val mutated = base.replace("jumps", "leaps")
+    val d = Seq((1L, base), (2L, mutated),
+      (3L, "completely different content about spark and parquet " * 6),
+      (4L, "completely different content about spark and parquet " * 6 + "!"))
+      .toDF("id", "text")
+    val pairs = Dedup.nearDuplicates(d, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("minhash signature similarity tracks exact jaccard") {
+    // identical → identical band keys; disjoint → disjoint (w.h.p.)
+    val d = Seq((1L, base), (2L, base),
+      (3L, "zq xv wk pj " * 40)).toDF("id", "text")
+    val keys = d.select(col("id"), Dedup.minhashBandKeys(16, 4)(
+      Dedup.shingles("text", 8)).as("k"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(keys(1L) == keys(2L))
+    assert(keys(1L).toSet.intersect(keys(3L).toSet).isEmpty)
+  }
+
+  test("simhash: identical texts equal; small edit stays near; " +
+    "unrelated text is far") {
+    val d = Seq((1L, base), (2L, base),
+      (3L, base.replace("lazy", "hazy")),
+      (4L, "entirely unrelated words frog moon satellite " * 10))
+      .toDF("id", "text")
+    val fp = d.select(col("id"), Dedup.simhash64()(col("text")).as("f"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) == fp(2L))
+    assert(hamming(fp(1L), fp(3L)) <= 16)
+    assert(hamming(fp(1L), fp(4L)) > 16)
+  }
+
+  test("simhashNearDuplicates finds exact copies at distance 0") {
+    val d = Seq((1L, base), (2L, base),
+      (3L, "entirely unrelated words frog moon satellite " * 10))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashNearDuplicates(d, "id", "text", maxDistance = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embedding nearPairs finds duplicate vectors, no cartesian") {
+    val v = Seq.tabulate(64)(i => (i % 7).toFloat + 0.1f)
+    val w = Seq.tabulate(64)(i => ((i * 13) % 5).toFloat - 2f)
+    val d = Seq((1L, v), (2L, v.map(x => x * 2f)), (3L, w))
+      .toDF("id", "vec")
+    val lsh = RandomHyperplaneLsh(64, bits = 4, tables = 8)
+    val out = lsh.nearPairs(d, "id", "vec", threshold = 0.999)
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // scaled copy has cosine 1
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -308,6 +308,35 @@ object SparkEntry {
         shingleLen = 8, bands = 16, rows = 4, threshold = 0.6)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("jaccard"))
+    }),
+    // LLM §text-analysis — token counting, lexical quality scoring,
+    // marker-word language ID, content fingerprint: one codegen'd
+    // projection, no shuffle (graft.llm.TextStats)
+    "q25_text_quality" -> ((s, dir) => {
+      import graft.llm.TextStats._
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(txt).as("n_tokens"),
+        subwordCount(txt).as("n_subwords"),
+        distinctTokenRatio(txt).as("distinct_ratio"),
+        stopwordRatio(txt).as("stopword_ratio"),
+        qualityScore(txt).as("quality"),
+        languageId(txt).as("lang_guess"),
+        fingerprint(txt).as("fingerprint"))
+    }),
+    // LLM §multimodal — binary payload plumbing: metadata struct + frame
+    // sampling over byte windows (decode kernels are deterministic stubs;
+    // the schema/partition/explode shape is the real contract)
+    "q26_multimodal_frames" -> ((s, dir) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.withPayload(
+        t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, frameBytes = 64)
+        .groupBy(col("id").as("doc_id"))
+        .agg(max(col("meta.n_bytes")).as("n_bytes"),
+          count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("frame_bytes"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -474,7 +503,52 @@ object SparkEntry {
         |   i * 1.0 / (x.n + y.n - i) AS jaccard
         | FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
         | WHERE i * 1.0 / (x.n + y.n - i) >= 0.6"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " "),
+    "q25_text_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '), t -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','on','for'], t)))
+        |      AS n_stop,
+        |    list_distinct(string_split(lower(text), ' ')) AS toks
+        |  FROM documents),
+        | r AS (
+        |  SELECT *,
+        |    n_distinct * 1.0 / greatest(n_tokens, 1) AS dratio,
+        |    n_stop * 1.0 / greatest(n_tokens, 1) AS sratio,
+        |    len(list_intersect(toks, ['the','and','of','is','with'])) AS h_en,
+        |    len(list_intersect(toks, ['der','und','das','ist','mit'])) AS h_de,
+        |    len(list_intersect(toks, ['le','et','les','est','avec'])) AS h_fr,
+        |    len(list_intersect(toks, ['el','y','los','es','con'])) AS h_es
+        |  FROM s)
+        | SELECT doc_id, n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |    AS n_subwords,
+        |  dratio AS distinct_ratio,
+        |  sratio AS stopword_ratio,
+        |  least(n_tokens * 1.0 / 50.0, 1.0) * 0.4 + dratio * 0.4 +
+        |    least(sratio * 5.0, 1.0) * 0.2 AS quality,
+        |  CASE
+        |    WHEN h_en = greatest(h_en, h_de, h_fr, h_es) AND
+        |         greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'en'
+        |    WHEN h_de = greatest(h_en, h_de, h_fr, h_es) AND
+        |         greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'de'
+        |    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) AND
+        |         greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'fr'
+        |    WHEN h_es = greatest(h_en, h_de, h_fr, h_es) AND
+        |         greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_guess,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        | FROM r""".stripMargin.replace("\n", " "),
+    "q26_multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ceil(octet_length(encode(text)) * 1.0 / 64) AS BIGINT)
+        |    AS n_frames,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS frame_bytes
+        | FROM documents""".stripMargin.replace("\n", " "))
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
     * side's double accumulation (both iterate the lists in order). */

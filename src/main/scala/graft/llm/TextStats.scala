@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, stopword/marker-word language ID, and document
+  * fingerprinting. Every operator is a codegen'd `Column` expression (no
+  * UDFs) so the whole family runs inside one WholeStageCodegen span over
+  * the scan — the shape that holds at 100 TB (pure map-side, no shuffle).
+  */
+object TextStats {
+
+  /** Whitespace tokens (single-space-joined corpora split exactly). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: alphabetic runs, digit runs, and single
+    * non-alphanumeric marks — a deterministic stand-in for a real BPE
+    * vocabulary (same regex class semantics in Spark and DuckDB). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  def distinctTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  def avgTokenLength(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Small fixed stopword list drawn from common English function words. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  def stopwordRatio(text: Column,
+                    stopwords: Seq[String] = EnglishStopwords): Column = {
+    val hits = size(filter(tokens(text),
+      t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    hits.cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, lexical
+    * diversity and a sane stopword rate — the usual cheap pre-filter
+    * before expensive pipeline stages. Unrounded: the formula is exact
+    * double arithmetic, reproducible across engines. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val divScore = distinctTokenRatio(text)
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    lenScore * 0.4 + divScore * 0.4 + stopScore * 0.2
+  }
+
+  /** Marker-word sets per language for the language-ID heuristic. */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "und", "das", "ist", "mit"),
+    "fr" -> Seq("le", "et", "les", "est", "avec"),
+    "es" -> Seq("el", "y", "los", "es", "con"))
+
+  /** Argmax of marker-word hit counts, ties and zero-hits → 'und'
+    * (undetermined); deterministic and SQL-replicable. */
+  def languageId(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val scores = LanguageMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toks,
+        array(markers.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of the case-folded, space-normalized text
+    * (the cheap canonical form used for audit trails and exact dedup). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

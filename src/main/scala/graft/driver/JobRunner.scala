@@ -48,7 +48,8 @@ object JobRunner {
           mappers: Seq[(DataMapper, TableDef)],
           queue: Seq[DeletionQueueItem],
           distributed: Boolean = true,
-          outPathFor: String => Option[String] = _ => None): JobRun = {
+          outPathFor: String => Option[String] = _ => None,
+          manifestAuditDir: Option[String] = None): JobRun = {
     val seq = new java.util.concurrent.atomic.AtomicLong(0L)
     def sk(): String =
       f"${System.currentTimeMillis()}%013d#${seq.incrementAndGet()}%06d"
@@ -75,6 +76,8 @@ object JobRunner {
       try {
         val groups = Finder.plan(m, table, queue)
         groupsByMapper(m.id) = groups
+        manifestAuditDir.foreach(d =>
+          Finder.writeManifestAudit(spark, jobId, m.id, groups, d))
         if (groups.nonEmpty) {
           val data = Finder.scoped(readTable(spark, table), m)
           val paths = Finder.matchedFiles(spark, data, groups)

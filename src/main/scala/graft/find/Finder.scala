@@ -330,6 +330,25 @@ object Finder {
       .toDF("item_id", "columns_key", "match_key")
   }
 
+  /** S12 — manifest audit sink: persist every group's manifest rows,
+    * partitioned `(job_id, data_mapper_id)` exactly like the reference's
+    * manifests Glue table (generate_queries.py:223-225,288-326;
+    * templates/manifests.yaml:60-88). Broadcast joins read the in-memory
+    * manifest; this copy is the audit trail. */
+  def writeManifestAudit(spark: SparkSession, jobId: String,
+                         mapperId: String, groups: Seq[GroupMatches],
+                         auditDir: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val dfs = groups.map(manifest(spark, _))
+    if (dfs.nonEmpty)
+      dfs.reduce(_ union _)
+        .withColumn("job_id", lit(jobId))
+        .withColumn("data_mapper_id", lit(mapperId))
+        .write.mode(SaveMode.Append)
+        .partitionBy("job_id", "data_mapper_id")
+        .parquet(auditDir)
+  }
+
   /** Data-side join key for a group over `df`'s columns
     * (execute_query.py:90-122 semantics). */
   def dataKey(g: ColumnGroup): Column = {

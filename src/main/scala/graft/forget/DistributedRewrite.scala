@@ -216,11 +216,16 @@ object DistributedRewrite {
     new HPath(dest.getParent,
       s".graft-staging-${dest.getName}-${UUID.randomUUID()}")
 
-  /** Capture-check-swap commit (reference s3.py:301-357 semantics on a
-    * Hadoop FileSystem). The delete+rename pair is not atomic — the same
-    * overwrite window S3 PUT has; the integrity check bounds it. */
+  /** Capture-check-swap commit (reference s3.py:61-98,301-357 semantics
+    * on a Hadoop FileSystem): integrity check against the captured source
+    * version, snapshot the object into its version store (the versioned
+    * PUT), swap, restore-from-version on a failed swap, and purge old
+    * versions when the mapper allows (DeleteOldVersions, s3.py:244-281).
+    * The delete+rename pair is not atomic — the same overwrite window an
+    * S3 PUT has; the integrity check + version restore bound it. */
   private def commitTask(conf: Configuration, src: HPath, dest: HPath,
-                         staged: HPath, srcLen: Long, srcMtime: Long): Unit = {
+                         staged: HPath, srcLen: Long, srcMtime: Long,
+                         deleteOldVersions: Boolean): Unit = {
     val fs = src.getFileSystem(conf)
     val st = fs.getFileStatus(src)
     if (st.getLen != srcLen || st.getModificationTime != srcMtime) {
@@ -229,10 +234,22 @@ object DistributedRewrite {
         s"$src changed during rewrite (len ${st.getLen}!=$srcLen or mtime " +
           s"${st.getModificationTime}!=$srcMtime) — rolled back")
     }
-    if (fs.exists(dest) && !fs.delete(dest, false))
-      throw new RollbackFailedError(s"could not replace $dest")
-    if (!fs.rename(staged, dest))
-      throw new RollbackFailedError(s"rename $staged -> $dest failed")
+    val captured = VersionedStore.capture(fs, dest)
+    if (fs.exists(dest) && !fs.delete(dest, false)) {
+      fs.delete(staged, false)
+      throw new IllegalStateException(s"could not replace $dest")
+    }
+    if (!fs.rename(staged, dest)) {
+      val restored =
+        captured.isDefined && VersionedStore.rollback(fs, dest)
+      if (captured.isDefined && !restored)
+        throw new RollbackFailedError(
+          s"rename $staged -> $dest failed AND version restore failed",
+          null, new IllegalStateException(s"rename $staged -> $dest failed"))
+      throw new IllegalStateException(
+        s"rename $staged -> $dest failed (rolled back to prior version)")
+    }
+    if (deleteOldVersions) VersionedStore.deleteOldVersions(fs, dest)
   }
 
   /** Serializable task outcome, turned into JobEvents driver-side. */
@@ -286,7 +303,8 @@ object DistributedRewrite {
             throw new ZeroDeletionError(
               s"${u.path} was found by Find but Forget deleted 0 rows")
           }
-          commitTask(conf, src, dest, staged, srcLen, srcMtime)
+          commitTask(conf, src, dest, staged, srcLen, srcMtime,
+            u.deleteOldVersions)
           accProcessed.add(processed)
           accDeleted.add(deleted)
           TaskOutcome(u.path, ok = true, processed, deleted,

@@ -1,0 +1,86 @@
+package graft.forget
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path => HPath}
+import java.util.UUID
+
+/** Local-filesystem analog of S3 object versioning (SURVEY.md §2.1 S11,
+  * §2.6 O4, §2.7 U2; reference: backend/ecs_tasks/delete_files/s3.py).
+  *
+  * Layout: versions of `<dir>/<name>` live under
+  * `<dir>/.graft-versions/<name>/` as `<mtime>-<uuid>` files; delete
+  * markers are zero-byte `<mtime>-<uuid>.deletemarker` entries.
+  *
+  *   - [[capture]] — snapshot the current object before an overwrite (the
+  *     implicit new-version behavior of a versioned S3 PUT, s3.py:61-98).
+  *   - [[listVersions]] — versions + delete markers UNIONED (U2,
+  *     s3.py:256-259,318-320), sorted by modification time BEFORE any bulk
+  *     delete (O4, s3.py:260-261).
+  *   - [[deleteOldVersions]] — purge superseded versions + markers (the
+  *     mapper's DeleteOldVersions flag, s3.py:244-281).
+  *   - [[rollback]] — restore the newest captured version (s3.py:344-357).
+  */
+object VersionedStore {
+
+  final case class Version(path: HPath, mtimeMs: Long,
+                           isDeleteMarker: Boolean)
+
+  private def versionsDir(obj: HPath): HPath =
+    new HPath(obj.getParent, new HPath(".graft-versions", obj.getName))
+
+  /** Copy the current object into its versions dir; no-op when the object
+    * does not exist yet. Returns the version path. */
+  def capture(fs: FileSystem, obj: HPath): Option[HPath] = {
+    if (!fs.exists(obj)) return None
+    val st = fs.getFileStatus(obj)
+    val dir = versionsDir(obj)
+    fs.mkdirs(dir)
+    val v = new HPath(dir,
+      f"${st.getModificationTime}%013d-${UUID.randomUUID()}")
+    FileUtil.copy(fs, obj, fs, v, false, fs.getConf)
+    Some(v)
+  }
+
+  /** Zero-byte delete marker (the versioned-bucket DELETE analog). */
+  def putDeleteMarker(fs: FileSystem, obj: HPath): HPath = {
+    val dir = versionsDir(obj)
+    fs.mkdirs(dir)
+    val m = new HPath(dir,
+      f"${System.currentTimeMillis()}%013d-${UUID.randomUUID()}.deletemarker")
+    fs.create(m, true).close()
+    m
+  }
+
+  /** Versions + delete markers, UNIONED, sorted by captured mtime
+    * ascending (encoded in the name, so the order survives copies). */
+  def listVersions(fs: FileSystem, obj: HPath): Seq[Version] = {
+    val dir = versionsDir(obj)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map { st =>
+      val name = st.getPath.getName
+      Version(st.getPath, name.takeWhile(_ != '-').toLong,
+        name.endsWith(".deletemarker"))
+    }.sortBy(v => (v.mtimeMs, v.path.getName))
+  }
+
+  /** Delete every stored version and marker (called after a successful
+    * rewrite when DeleteOldVersions is set). Returns how many went. */
+  def deleteOldVersions(fs: FileSystem, obj: HPath): Int = {
+    val versions = listVersions(fs, obj) // sorted before bulk delete (O4)
+    versions.foreach(v => fs.delete(v.path, false))
+    val dir = versionsDir(obj)
+    if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, true)
+    versions.size
+  }
+
+  /** Restore the newest non-marker version over the object; the consumed
+    * version entry is removed. False when there is nothing to restore. */
+  def rollback(fs: FileSystem, obj: HPath): Boolean =
+    listVersions(fs, obj).filterNot(_.isDeleteMarker).lastOption match {
+      case Some(v) =>
+        if (fs.exists(obj) && !fs.delete(obj, false)) return false
+        val ok = fs.rename(v.path, obj)
+        ok
+      case None => false
+    }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.jobs.Jobs
+import graft.model._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming job fold (T1-T4): MemoryStream micro-batches must converge to
+  * the same state as the batch fold, with the cleanup trigger firing on
+  * the transition batch. */
+class EventStreamSpec extends SparkSpec {
+
+  test("mapGroupsWithState fold across micro-batches == batch fold, " +
+    "cleanup trigger fires on the right batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ev = (sk: Int, name: String) =>
+      JobEvent("j1", f"$sk%012d", name, sk.toLong)
+    val batch1 = Seq(
+      ev(1, JobEventName.JobStarted),
+      ev(2, JobEventName.QuerySucceeded),
+      ev(3, JobEventName.ObjectUpdated))
+    val batch2 = Seq(
+      ev(4, JobEventName.ForgetPhaseEnded),
+      ev(5, JobEventName.CleanupSucceeded))
+
+    val stream = MemoryStream[JobEvent]
+    val states = scala.collection.mutable.ArrayBuffer.empty[Jobs.JobState]
+    val cleanupBatches = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+    val query = EventStream.foldStream(stream.toDS())
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Jobs.JobState],
+                       id: Long) =>
+        val rows = batch.collect().toSeq
+        states.synchronized {
+          states ++= rows
+          if (EventStream.needsCleanup(rows).nonEmpty)
+            cleanupBatches += id.toInt
+        }
+        ()
+      }
+      .start()
+    stream.addData(batch1)
+    query.processAllAvailable()
+    val afterB1 = states.synchronized(states.last)
+    assert(afterB1.status == JobStatus.Running)
+    assert(afterB1.stats.totalObjectUpdatedCount == 1)
+
+    stream.addData(batch2)
+    query.processAllAvailable()
+    query.stop()
+
+    val finalState = states.synchronized(states.last)
+    val batchFold = Jobs.fold("j1", batch1 ++ batch2)
+    assert(finalState == batchFold)
+    assert(finalState.status == JobStatus.Completed)
+    // ForgetPhaseEnded and CleanupSucceeded landed in one micro-batch:
+    // the fold passes THROUGH cleanup-in-progress to COMPLETED, so the
+    // trigger state is visible only when the batches split it. With our
+    // two batches the second folds straight to Completed — no trigger.
+    assert(cleanupBatches.isEmpty)
+  }
+
+  test("cleanup trigger fires when the transition ends a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[JobEvent]
+    val triggered = scala.collection.mutable.ArrayBuffer.empty[String]
+    val query = EventStream.foldStream(stream.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Jobs.JobState],
+                       _: Long) =>
+        triggered.synchronized {
+          triggered ++= EventStream.needsCleanup(batch.collect().toSeq)
+        }
+        ()
+      }
+      .start()
+    stream.addData(Seq(
+      JobEvent("j2", "000000000001", JobEventName.JobStarted, 1L),
+      JobEvent("j2", "000000000002", JobEventName.ForgetPhaseEnded, 2L)))
+    query.processAllAvailable()
+    query.stop()
+    assert(triggered.synchronized(triggered.toSeq) == Seq("j2"))
+  }
+}

@@ -116,3 +116,26 @@ final class Catalog(spark: SparkSession, root: String) {
   /** Register an explicit table definition (e.g. a JSON-lines export). */
   def register(t: TableDef): Unit = cache.put(t.name, t)
 }
+
+object CatalogPartitions {
+  import org.apache.spark.sql.functions.col
+
+  /** Enumerate a Hive-partitioned table's partition-value combinations —
+    * the Glue `get_partitions` analog (SURVEY.md §2.1 S4; reference:
+    * generate_queries.py:264-285 paginated partition enumeration, and
+    * :227-246 one query per combination). The Spark engine needs the list
+    * only for reporting/scoping: the scan itself prunes via
+    * [[graft.find.Finder.partitionPredicate]] without per-partition
+    * query fan-out. */
+  def partitionValues(spark: SparkSession, table: TableDef)
+      : Seq[Map[String, String]] = {
+    if (table.partitionKeys.isEmpty) return Nil
+    spark.read.parquet(table.location)
+      .select(table.partitionKeys.map(col): _*)
+      .distinct()
+      .collect()
+      .map(r => table.partitionKeys.zipWithIndex
+        .map { case (k, i) => k -> String.valueOf(r.get(i)) }.toMap)
+      .toSeq
+  }
+}

@@ -114,7 +114,8 @@ object JobRunner {
         val paths = found.getOrElse(m.id, Nil)
         if (paths.nonEmpty) {
           val units = paths.map(p =>
-            ObjectWorkUnit(jobId, p, m.id, table.format, m.deleteOldVersions))
+            ObjectWorkUnit(jobId, p, m.id, table.format, m.deleteOldVersions,
+              m.ignoreObjectNotFound))
           val groups = groupsByMapper(m.id)
           events ++= (if (distributed)
             DistributedRewrite.run(spark, jobId, units, groups, outPathFor)

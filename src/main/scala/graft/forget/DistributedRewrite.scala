@@ -256,7 +256,8 @@ object DistributedRewrite {
   final case class TaskOutcome(path: String, ok: Boolean,
                                processed: Long, deleted: Long, ms: Long,
                                rollbackFailed: Boolean, error: String,
-                               originalError: String)
+                               originalError: String,
+                               skipped: Boolean = false)
 
   // ------------------------------------------------------------------
   // The one-job driver entry
@@ -289,6 +290,13 @@ object DistributedRewrite {
         val dest = new HPath(destStr)
         try {
           val fs = src.getFileSystem(conf)
+          if (!fs.exists(src) && u.ignoreObjectNotFound)
+            // reference main.py:213-231: missing object + the mapper's
+            // IgnoreObjectNotFoundExceptions flag ⇒ skip, not fail
+            TaskOutcome(u.path, ok = false, 0, 0,
+              System.currentTimeMillis() - t0, rollbackFailed = false,
+              s"${u.path} not found (skipped)", "", skipped = true)
+          else {
           val st = fs.getFileStatus(src)
           val (srcLen, srcMtime) = (st.getLen, st.getModificationTime)
           val staged = stagingPath(dest)
@@ -309,6 +317,7 @@ object DistributedRewrite {
           accDeleted.add(deleted)
           TaskOutcome(u.path, ok = true, processed, deleted,
             System.currentTimeMillis() - t0, rollbackFailed = false, "", "")
+          }
         } catch {
           case e: RollbackFailedError =>
             TaskOutcome(u.path, ok = false, 0, 0,
@@ -331,6 +340,9 @@ object DistributedRewrite {
         Seq(JobEvent(jobId, sk(), JobEventName.ObjectUpdated,
           System.currentTimeMillis(), statsProcessed = o.processed,
           statsDeleted = o.deleted, timeTakenMs = o.ms, path = o.path))
+      else if (o.skipped)
+        Seq(JobEvent(jobId, sk(), JobEventName.ObjectUpdateSkipped,
+          System.currentTimeMillis(), path = o.path, error = o.error))
       else if (o.rollbackFailed) {
         val orig =
           if (o.originalError.nonEmpty)

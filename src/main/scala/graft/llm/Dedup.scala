@@ -38,10 +38,14 @@ object Dedup {
 
   /** Distinct character n-gram shingles of a text column (codegen'd —
     * sequence/transform built-ins, no UDF). */
-  def shingles(textCol: String, n: Int): Column = expr(
-    s"array_distinct(filter(" +
-      s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 0))," +
-      s" i -> substring($textCol, i, $n)), s -> length(s) = $n))")
+  def shingles(textCol: String, n: Int): Column =
+    shinglesOf(col(textCol), n)
+
+  def shinglesOf(c: Column, n: Int): Column =
+    array_distinct(filter(
+      transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(0))),
+        i => c.substr(i, lit(n))),
+      s => length(s) === n))
 
   /** Exact Jaccard of two array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -61,33 +65,95 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** Banded MinHash keys for a shingle array: `bands` keys, each a hash of
-    * `rows` minhashes; band index is encoded so keys never collide across
-    * bands. Deterministic in `seed`. */
+  /** Shared kernel: one-permutation-hashing minhash bins over a stream of
+    * shingle hashes (Li, Owen, Zhang 2012 — each shingle hashed ONCE into
+    * one of `bands*rows` bins, per-bin minimum kept), rotation
+    * densification for empty bins (Shrivastava & Li 2014), then `bands`
+    * band keys of `rows` slots each. O(|shingles|) per document — k times
+    * fewer hash ops than k independent permutations, same banding
+    * statistics. Band index is encoded into the key so bands never
+    * cross-match. */
+  private def bandKeysFromHashes(hashes: Iterator[Long], bands: Int,
+                                 rows: Int): Array[Long] = {
+    val k = bands * rows
+    val mins = Array.fill(k)(Long.MaxValue)
+    hashes.foreach { h0 =>
+      val h = mix64(h0)
+      val bin = ((h >>> 1) % k).toInt
+      val v = mix64(h)
+      if (v < mins(bin)) mins(bin) = v
+    }
+    var i = 0
+    while (i < k) {
+      if (mins(i) == Long.MaxValue) {
+        var d = 1
+        while (d < k && mins((i + d) % k) == Long.MaxValue) d += 1
+        if (d < k) mins(i) = mix64(mins((i + d) % k) + d)
+      }
+      i += 1
+    }
+    Array.tabulate(bands) { b =>
+      var acc = b.toLong * 0x9e3779b97f4a7c15L
+      var r = 0
+      while (r < rows) {
+        acc = mix64(acc ^ mins(b * rows + r))
+        r += 1
+      }
+      acc
+    }
+  }
+
+  private def hashOf(s: String, seed: Int): Long = {
+    val h1 = MurmurHash3.stringHash(s, seed)
+    val h2 = MurmurHash3.stringHash(s, seed ^ 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** Distinct shingle set of a text, built in one linear pass (the SQL
+    * `substr`-expression form re-scans codepoints per shingle — quadratic
+    * per document and measurably slow at scale). */
+  private def shingleSet(text: String, n: Int): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    var i = 0
+    while (i + n <= text.length) {
+      set.add(text.substring(i, i + n))
+      i += 1
+    }
+    set
+  }
+
+  /** Banded MinHash keys for a pre-computed shingle array. */
   def minhashBandKeys(bands: Int, rows: Int, seed: Int = 42)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (sh: Seq[String]) =>
-      val k = bands * rows
-      val mins = Array.fill(k)(Long.MaxValue)
-      sh.foreach { s =>
-        val h1 = MurmurHash3.stringHash(s, seed)
-        val h2 = MurmurHash3.stringHash(s, seed ^ 0x5bd1e995)
-        val base = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-        var i = 0
-        while (i < k) {
-          val h = mix64(base + i.toLong * 0x9e3779b97f4a7c15L)
-          if (h < mins(i)) mins(i) = h
-          i += 1
-        }
+      bandKeysFromHashes(sh.iterator.map(hashOf(_, seed)), bands, rows)
+    }
+
+  /** Banded MinHash keys straight from the text (shingling inlined). */
+  def textBandKeys(shingleLen: Int, bands: Int, rows: Int, seed: Int = 42)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val set = shingleSet(text, shingleLen)
+      if (set.isEmpty) Array.empty[Long]
+      else {
+        import scala.jdk.CollectionConverters._
+        bandKeysFromHashes(set.iterator().asScala.map(hashOf(_, seed)),
+          bands, rows)
       }
-      Array.tabulate(bands) { b =>
-        var acc = b.toLong * 0x9e3779b97f4a7c15L
-        var r = 0
-        while (r < rows) {
-          acc = mix64(acc ^ mins(b * rows + r))
-          r += 1
-        }
-        acc
+    }
+
+  /** Exact shingle-set Jaccard of two texts (single pass each). */
+  def textJaccard(shingleLen: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: String, b: String) =>
+      val sa = shingleSet(a, shingleLen)
+      val sb = shingleSet(b, shingleLen)
+      if (sa.isEmpty || sb.isEmpty) 0.0
+      else {
+        var inter = 0
+        val it = sa.iterator()
+        while (it.hasNext) if (sb.contains(it.next())) inter += 1
+        inter.toDouble / (sa.size + sb.size - inter)
       }
     }
 
@@ -97,22 +163,25 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      shingleLen: Int = 8, bands: Int = 16, rows: Int = 4,
                      threshold: Double = 0.6, seed: Int = 42): DataFrame = {
-    val sh = df.select(col(idCol).as("_id"),
-      shingles(textCol, shingleLen).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-    val banded = sh.select(col("_id"),
-      explode(minhashBandKeys(bands, rows, seed)(col("_sh"))).as("_band"))
+    val banded = df.select(col(idCol).as("_id"),
+      explode(textBandKeys(shingleLen, bands, rows, seed)(col(textCol)))
+        .as("_band"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a._band") === col("b._band") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
+    // exact verify: join the (few) candidates back to the raw TEXT — far
+    // lighter to shuffle than shingle arrays — and shingle only the
+    // candidate rows, in one linear pass per text
+    val docs = df.select(col(idCol), col(textCol))
     candidates
-      .join(sh.withColumnRenamed("_id", "id_a")
-        .withColumnRenamed("_sh", "_sh_a"), "id_a")
-      .join(sh.withColumnRenamed("_id", "id_b")
-        .withColumnRenamed("_sh", "_sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("_txt_a")),
+        "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("_txt_b")),
+        "id_b")
+      .withColumn("jaccard",
+        textJaccard(shingleLen)(col("_txt_a"), col("_txt_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -176,13 +176,18 @@ final case class JobStats(
 
 /** One Forget work unit: a single object to rewrite (reference: the
   * object-deletion SQS message, submit_query_results.py:41-55).
+  *
+  * @param ignoreObjectNotFound a missing object is skipped
+  *        (ObjectUpdateSkipped) instead of failed — the reference's
+  *        IgnoreObjectNotFoundExceptions mapper flag (main.py:213-231)
   */
 final case class ObjectWorkUnit(
     jobId: String,
     path: String,
     mapperId: String,
     format: DataFormat,
-    deleteOldVersions: Boolean)
+    deleteOldVersions: Boolean,
+    ignoreObjectNotFound: Boolean = false)
 
 /** Result of rewriting one object. */
 final case class RewriteResult(

@@ -232,6 +232,35 @@ class ForgetSpec extends SparkSpec {
   }
   private def MatchIdSimple999 = MatchId.Simple("999")
 
+  test("missing object: skipped with the mapper flag, failed without " +
+    "(main.py:213-231)") {
+    val d = Seq((1L, "a")).toDF("id", "x")
+    val table = graft.catalog.TableDef("t", "", DataFormat.Parquet, d.schema)
+    val groups = Finder.plan(DataMapper("m", "t", Seq("id")), table,
+      Seq(DeletionQueueItem("q", MatchId.Simple("1"))))
+    def unit(ignore: Boolean) = ObjectWorkUnit("j", "/nope/missing.parquet",
+      "m", DataFormat.Parquet, deleteOldVersions = true,
+      ignoreObjectNotFound = ignore)
+    val skipped = DistributedRewrite.run(spark, "j", Seq(unit(true)), groups)
+    assert(skipped.map(_.eventName) == Seq(JobEventName.ObjectUpdateSkipped))
+    val failed = DistributedRewrite.run(spark, "j", Seq(unit(false)), groups)
+    assert(failed.map(_.eventName) == Seq(JobEventName.ObjectUpdateFailed))
+  }
+
+  test("CatalogPartitions enumerates hive partition combinations (S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s4-").toString
+    Seq((1L, "X", "a"), (2L, "X", "b"), (3L, "Y", "a"))
+      .toDF("id", "p1", "p2")
+      .write.mode("overwrite").partitionBy("p1", "p2").parquet(dir)
+    val table = graft.catalog.TableDef("t", dir, DataFormat.Parquet,
+      spark.read.parquet(dir).schema, partitionKeys = Seq("p1", "p2"))
+    val combos = graft.catalog.CatalogPartitions
+      .partitionValues(spark, table).toSet
+    assert(combos == Set(
+      Map("p1" -> "X", "p2" -> "a"), Map("p1" -> "X", "p2" -> "b"),
+      Map("p1" -> "Y", "p2" -> "a")))
+  }
+
   test("float NaN rows are deleted when 'NaN' is queued (both layers)") {
     val d = Seq((1L, 1.5f), (2L, Float.NaN)).toDF("id", "f")
     val file = stageParquetFile(d)

@@ -76,16 +76,20 @@ object SparkEntry {
       Finder.survivors(s, t(s, dir, "customer"), groups)
     }),
     // §2.2 P1/P2 — DISTINCT matched file paths (input_file_name),
-    // normalized to the basename so the DuckDB filename= oracle compares.
+    // normalized to the basename, plus per-file matched-row and
+    // matched-key counts so the check is non-vacuous even though the
+    // testdata table is a single file (ADVICE r2 on the q04 oracle).
     "q04_find_files" -> ((s, dir) => {
       val cat = new Catalog(s, dir)
       val table = cat.table("lineitem")
       val mapper = DataMapper("li", "lineitem", Seq("l_orderkey"))
       val groups = Finder.plan(mapper, table, simpleQueue)
-      Finder.matchedFiles(s, t(s, dir, "lineitem"), groups)
-        .select(regexp_extract(col(Finder.PathCol), "[^/]+$", 0)
-          .as("file_name"))
-        .distinct()
+      Finder.matchedRows(s, t(s, dir, "lineitem"), groups)
+        .select(regexp_extract(input_file_name(), "[^/]+$", 0)
+          .as("file_name"), col("l_orderkey"))
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_keys"))
     }),
     // §2.4 A1-A4 — grouped aggregation (TPC-H Q1 shape), exact decimals
     "q05_agg_stats" -> ((s, dir) => {
@@ -420,10 +424,11 @@ object SparkEntry {
         | LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
         | FROM documents""".stripMargin.replace("\n", " "),
     "q04_find_files" ->
-      """SELECT DISTINCT regexp_extract(filename, '[^/]+$', 0) AS file_name
+      """SELECT regexp_extract(filename, '[^/]+$', 0) AS file_name,
+        | COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_keys
         | FROM parquet_scan('/root/testdata/sf0.01/lineitem.parquet', filename=true)
-        | WHERE CAST(l_orderkey AS VARCHAR) IN ('7','23','99')"""
-        .stripMargin.replace("\n", " "),
+        | WHERE CAST(l_orderkey AS VARCHAR) IN ('7','23','99')
+        | GROUP BY 1""".stripMargin.replace("\n", " "),
     "q18_find_dup" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         | FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer)

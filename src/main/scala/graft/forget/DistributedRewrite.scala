@@ -269,7 +269,8 @@ object DistributedRewrite {
     */
   def run(spark: SparkSession, jobId: String, units: Seq[ObjectWorkUnit],
           groups: Seq[GroupMatches],
-          outPathFor: String => Option[String] = _ => None): Seq[JobEvent] = {
+          outPathFor: String => Option[String] = _ => None,
+          codec: PayloadCodec = PayloadCodec.Identity): Seq[JobEvent] = {
     if (units.isEmpty) return Nil
     val pqSpecs = buildSpecs(spark, groups) // driver-side cast validation
     val jsonEval = new JsonMatch.Evaluator(groups.map(JsonMatch.spec))
@@ -300,11 +301,31 @@ object DistributedRewrite {
           val st = fs.getFileStatus(src)
           val (srcLen, srcMtime) = (st.getLen, st.getModificationTime)
           val staged = stagingPath(dest)
+          // CSE seam (cse.py:27-36,85-104): decode the envelope to a
+          // task-local plaintext copy, rewrite that, re-encode the output
+          val plainSrc =
+            if (codec eq PayloadCodec.Identity) src
+            else {
+              val tmp = new HPath(java.nio.file.Files
+                .createTempFile("graft-cse-", src.getName).toString)
+              val in = fs.open(src)
+              val bytes = try in.readAllBytes() finally in.close()
+              val out = fs.create(tmp, true)
+              try out.write(codec.decode(bytes)) finally out.close()
+              tmp
+            }
           val (processed, deleted) = u.format match {
             case DataFormat.Parquet =>
-              rewriteParquetTaskTo(conf, src, staged, pqSpecs)
+              rewriteParquetTaskTo(conf, plainSrc, staged, pqSpecs)
             case DataFormat.JsonLines =>
-              rewriteJsonTaskTo(conf, src, staged, jsonEval)
+              rewriteJsonTaskTo(conf, plainSrc, staged, jsonEval)
+          }
+          if (!(codec eq PayloadCodec.Identity)) {
+            fs.delete(plainSrc, false)
+            val in = fs.open(staged)
+            val plain = try in.readAllBytes() finally in.close()
+            val out = fs.create(staged, true)
+            try out.write(codec.encode(plain)) finally out.close()
           }
           if (deleted == 0L) {
             fs.delete(staged, false)

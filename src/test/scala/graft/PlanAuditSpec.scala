@@ -1,0 +1,76 @@
+package graft
+
+import graft.catalog.TableDef
+import graft.find.Finder
+import graft.model._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Physical-plan audits for the expensive paths — the 100 TB design
+  * contract, asserted rather than eyeballed:
+  *
+  *   - the Find predicate reaches the parquet scan as PushedFilters
+  *     (row-group stats pruning — the BASELINE column-scan claim needs it),
+  *   - the scan projection is pruned to identifier columns,
+  *   - the star join broadcasts its small sides,
+  *   - hot paths run inside WholeStageCodegen.
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val custFile = stageParquetFile(
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet"))
+
+  test("find predicate pushes down to the parquet scan and prunes columns") {
+    val data = spark.read.parquet(custFile)
+    val table = TableDef("c", custFile, DataFormat.Parquet, data.schema)
+    val mapper = DataMapper("m", "c", Seq("c_custkey"))
+    val groups = Finder.plan(mapper, table,
+      Seq(DeletionQueueItem("a", MatchId.Simple("7")),
+        DeletionQueueItem("b", MatchId.Simple("23"))))
+    val files = Finder.matchedFiles(spark, data, groups)
+    // sparkPlan (pre-AQE) exposes the scan node directly
+    val scan = files.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no parquet scan"))
+    // native-typed InSet reaches the data source (row-group stats prune)
+    assert(scan.dataFilters.nonEmpty &&
+      scan.dataFilters.mkString.contains("c_custkey"),
+      s"no pushed data filter in: ${scan.dataFilters}")
+    // projection pruned to the identifier column only
+    assert(scan.requiredSchema.fieldNames.toSeq == Seq("c_custkey"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("star join broadcasts dimension sides and stays in codegen") {
+    val df = SparkEntry.queries("q09_join_star")(
+      spark, "/root/testdata/sf0.001")
+    // execute THIS queryExecution (collect, not a separate write plan)
+    // so AQE finalizes stages and assigns codegen ids
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no BHJ in:\n$plan")
+    // codegen spans render as "*(n)" stage markers in the string plan
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"no codegen spans in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("find single-scan predicate plan has no shuffle for matchedRows") {
+    val data = spark.read.parquet(custFile)
+    val table = TableDef("c", custFile, DataFormat.Parquet, data.schema)
+    val groups = Finder.plan(DataMapper("m", "c", Seq("c_custkey")), table,
+      Seq(DeletionQueueItem("a", MatchId.Simple("7"))))
+    val plan = Finder.matchedRows(spark, data, groups)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("text stats run as one codegen'd projection, no shuffle") {
+    val plan = SparkEntry.queries("q25_text_quality")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"no codegen spans in:\n$plan")
+  }
+}

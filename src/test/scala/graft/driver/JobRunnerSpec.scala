@@ -1,0 +1,92 @@
+package graft.driver
+
+import graft.SparkSpec
+import graft.catalog.TableDef
+import graft.model._
+
+/** Driver orchestration semantics: phase-event ordering, fail-fast on a
+  * broken Find query (work_query_queue.py:37-46: finish nothing more,
+  * abandon the job), partial-failure fold, cleanup scoping.
+  */
+class JobRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lake(): (String, TableDef) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jr-").toString
+    Seq((1L, "a"), (7L, "b"), (9L, "c")).toDF("customer_id", "x")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/t")
+    (dir, TableDef("t", s"$dir/t", DataFormat.Parquet,
+      spark.read.parquet(s"$dir/t").schema))
+  }
+
+  test("happy path: phase events in order, terminal COMPLETED") {
+    val (_, table) = lake()
+    val run = JobRunner.run(spark, "jr1",
+      Seq(DataMapper("m", "t", Seq("customer_id")) -> table),
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"))))
+    assert(run.state.status == JobStatus.Completed)
+    val names = run.events.sortBy(_.sk).map(_.eventName)
+    val phases = names.filter(Set(
+      JobEventName.JobStarted, JobEventName.FindPhaseStarted,
+      JobEventName.FindPhaseEnded, JobEventName.ForgetPhaseStarted,
+      JobEventName.ForgetPhaseEnded, JobEventName.CleanupSucceeded))
+    assert(phases == Seq(
+      JobEventName.JobStarted, JobEventName.FindPhaseStarted,
+      JobEventName.FindPhaseEnded, JobEventName.ForgetPhaseStarted,
+      JobEventName.ForgetPhaseEnded, JobEventName.CleanupSucceeded))
+    assert(run.state.stats.totalObjectUpdatedCount == 1)
+    assert(run.state.stats.totalRowsDeletedCount == 1)
+    assert(run.state.stats.totalQueryScannedInBytes > 0) // pruned bytes
+  }
+
+  test("fail-fast: a broken Find query aborts before Forget, " +
+    "job folds to FIND_FAILED") {
+    val (_, good) = lake()
+    val broken = TableDef("b", "/nonexistent/location/nope",
+      DataFormat.Parquet, good.schema)
+    val run = JobRunner.run(spark, "jr2",
+      Seq(DataMapper("mb", "b", Seq("customer_id")) -> broken,
+        DataMapper("mg", "t", Seq("customer_id")) -> good),
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"))))
+    assert(run.state.status == JobStatus.FindFailed)
+    val names = run.events.map(_.eventName)
+    assert(names.contains(JobEventName.QueryFailed))
+    assert(!names.contains(JobEventName.ForgetPhaseStarted))
+    assert(!names.contains(JobEventName.ObjectUpdated))
+    assert(run.clearedQueue.isEmpty) // skip_cleanup status
+    assert(run.state.jobFinishTime.isDefined)
+  }
+
+  test("partial failure: one bad object folds to FORGET_PARTIALLY_FAILED, " +
+    "queue NOT cleared") {
+    val (dir, table) = lake()
+    // second mapper over a JSON table whose file is malformed → the
+    // object rewrite fails while the parquet one succeeds
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/j.json"),
+      ("{\"customer_id\":7}\nnot-json{{{\n").getBytes("UTF-8"))
+    val jsonTable = TableDef("j", s"$dir/j.json", DataFormat.JsonLines,
+      table.schema)
+    val run = JobRunner.run(spark, "jr3",
+      Seq(DataMapper("mp", "t", Seq("customer_id")) -> table,
+        DataMapper("mj", "j", Seq("customer_id"),
+          format = DataFormat.JsonLines) -> jsonTable),
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"))))
+    assert(run.state.status == JobStatus.ForgetPartiallyFailed)
+    assert(run.state.stats.totalObjectUpdatedCount == 1)
+    assert(run.state.stats.totalObjectUpdateFailedCount == 1)
+    assert(run.clearedQueue.isEmpty)
+  }
+
+  test("simple item scoped to several mappers applies to each") {
+    val (_, t1) = lake()
+    val (_, t2) = lake()
+    val run = JobRunner.run(spark, "jr4",
+      Seq(DataMapper("m1", "t", Seq("customer_id")) -> t1,
+        DataMapper("m2", "t2", Seq("customer_id")) -> t2.copy(name = "t2")),
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"),
+        dataMappers = Seq("m1", "m2"))))
+    assert(run.state.status == JobStatus.Completed)
+    assert(run.state.stats.totalObjectUpdatedCount == 2)
+  }
+}

@@ -134,6 +134,36 @@ final class GraftApi(spark: SparkSession) {
     Page(page, nextStart)
   }
 
+  // ---- event-log persistence (the DynamoDB Jobs-table analog on disk,
+  // S5; jobs are reconstructable from the log alone via Jobs.report) ----
+
+  /** Append every job's events to a parquet log partitioned by job. */
+  def persistEventLog(dir: String): Unit = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val all = jobOrder.asScala.toSeq
+      .flatMap(id => jobs.get(id).map(_.events).getOrElse(Nil))
+    if (all.nonEmpty)
+      all.toDS().write.mode("overwrite").partitionBy("jobId").parquet(dir)
+  }
+
+  /** Rebuild per-job states from a persisted log — one distributed fold,
+    * no driver loop ([[Jobs.report]]). */
+  def loadJobStates(dir: String): Map[String, Jobs.JobState] = {
+    import spark.implicits._
+    Jobs.report(spark.read.parquet(dir)).collect().map { r =>
+      r.getString(0) -> Jobs.JobState(
+        jobId = r.getString(0),
+        status = r.getString(1),
+        stats = JobStats(
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11),
+          r.getLong(12), r.getLong(13), r.getLong(14)),
+        jobStartTime = Option(r.get(2)).map(_.asInstanceOf[Long]),
+        jobFinishTime = Option(r.get(3)).map(_.asInstanceOf[Long]))
+    }.toMap
+  }
+
   // ---- shared keyset pagination (filter key > cursor, order, limit) --
 
   private def keyset[A](sorted: Seq[A], pageSize: Int,

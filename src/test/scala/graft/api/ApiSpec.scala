@@ -81,6 +81,19 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("event log persists to parquet and states rebuild from it (S5)") {
+    val api = new GraftApi(spark)
+    val (_, table) = freshLake()
+    api.putDataMapper(DataMapper("m1", "t", Seq("customer_id")), table)
+    api.enqueue(Seq(DeletionQueueItem("q1", MatchId.Simple("7"))))
+    val run = api.startJob("jobP")
+    val dir = java.nio.file.Files.createTempDirectory("graft-log-").toString
+    api.persistEventLog(dir)
+    val restored = api.loadJobStates(dir)
+    assert(restored.keySet == Set("jobP"))
+    assert(restored("jobP") == run.state)
+  }
+
   test("mapper/queue deletion is blocked only while a job runs") {
     val api = new GraftApi(spark)
     val (_, table) = freshLake()

@@ -148,10 +148,13 @@ final class GraftApi(spark: SparkSession) {
   }
 
   /** Rebuild per-job states from a persisted log — one distributed fold,
-    * no driver loop ([[Jobs.report]]). */
+    * no driver loop ([[Jobs.report]]). The partition column is cast back
+    * to string: partition-column type inference would otherwise type an
+    * all-digit job id as int and break the downstream reads. */
   def loadJobStates(dir: String): Map[String, Jobs.JobState] = {
-    import spark.implicits._
-    Jobs.report(spark.read.parquet(dir)).collect().map { r =>
+    import org.apache.spark.sql.functions.col
+    Jobs.report(spark.read.parquet(dir)
+      .withColumn("jobId", col("jobId").cast("string"))).collect().map { r =>
       r.getString(0) -> Jobs.JobState(
         jobId = r.getString(0),
         status = r.getString(1),

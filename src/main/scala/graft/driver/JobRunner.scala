@@ -50,12 +50,9 @@ object JobRunner {
           distributed: Boolean = true,
           outPathFor: String => Option[String] = _ => None,
           manifestAuditDir: Option[String] = None): JobRun = {
-    val seq = new java.util.concurrent.atomic.AtomicLong(0L)
-    def sk(): String =
-      f"${System.currentTimeMillis()}%013d#${seq.incrementAndGet()}%06d"
     def ev(name: String, bytesScanned: Long = 0L, timeTakenMs: Long = 0L,
            path: String = "", error: String = ""): JobEvent =
-      JobEvent(jobId, sk(), name, System.currentTimeMillis(),
+      JobEvent(jobId, EventSk.next(), name, System.currentTimeMillis(),
         bytesScanned = bytesScanned, timeTakenMs = timeTakenMs,
         path = path, error = error)
 
@@ -109,21 +106,30 @@ object JobRunner {
       events += ev(JobEventName.FindPhaseEnded)
       events += ev(JobEventName.ForgetPhaseStarted)
 
-      // ---- Forget phase: ONE distributed job across every found object
-      mappers.foreach { case (m, table) =>
-        val paths = found.getOrElse(m.id, Nil)
-        if (paths.nonEmpty) {
-          val units = paths.map(p =>
-            ObjectWorkUnit(jobId, p, m.id, table.format, m.deleteOldVersions,
-              m.ignoreObjectNotFound))
-          val groups = groupsByMapper(m.id)
-          events ++= (if (distributed)
-            DistributedRewrite.run(spark, jobId, units, groups, outPathFor)
-          else Forget.run(spark, jobId, units, groups,
-            outPathFor = outPathFor))
+      // ---- Forget phase: ONE distributed job across every found object.
+      // A Spark-level failure here (lost executors, driver I/O) must still
+      // land in the event log: the reference's Fargate SM failure maps to
+      // ForgetPhaseFailed → FORGET_FAILED (status_updater.py:20).
+      try {
+        mappers.foreach { case (m, table) =>
+          val paths = found.getOrElse(m.id, Nil)
+          if (paths.nonEmpty) {
+            val units = paths.map(p =>
+              ObjectWorkUnit(jobId, p, m.id, table.format,
+                m.deleteOldVersions, m.ignoreObjectNotFound))
+            val groups = groupsByMapper(m.id)
+            events ++= (if (distributed)
+              DistributedRewrite.run(spark, jobId, units, groups, outPathFor)
+            else Forget.run(spark, jobId, units, groups,
+              outPathFor = outPathFor))
+          }
         }
+        events += ev(JobEventName.ForgetPhaseEnded)
+      } catch {
+        case NonFatal(e) =>
+          events += ev(JobEventName.ForgetPhaseFailed,
+            error = String.valueOf(e.getMessage))
       }
-      events += ev(JobEventName.ForgetPhaseEnded)
     }
 
     // ---- Cleanup phase (only when the fold says cleanup is in progress,

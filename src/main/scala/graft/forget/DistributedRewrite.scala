@@ -51,6 +51,25 @@ import scala.util.control.NonFatal
   */
 object DistributedRewrite {
 
+  /** Ships the driver's Hadoop configuration to tasks (fs.* credentials,
+    * defaultFS, custom filesystem impls set via spark.hadoop.*); a bare
+    * `new Configuration()` in the task would silently drop them.
+    * `value` hands each caller its own copy — Configuration is not
+    * thread-safe under mutation. */
+  final class SerializableHadoopConf(
+      @transient private var conf: Configuration) extends Serializable {
+    def value: Configuration = new Configuration(conf)
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Serializable match spec (built driver-side, shipped to tasks)
   // ------------------------------------------------------------------
@@ -88,7 +107,12 @@ object DistributedRewrite {
           case bd: java.math.BigDecimal => PDecimal(bd)
           case bd: BigDecimal => PDecimal(bd.bigDecimal)
           case s: String => PString(s)
-          case other => PString(String.valueOf(other))
+          case other =>
+            // identifier validation rejects date/timestamp/etc upstream
+            // (Catalog.isAllowedIdentifierType); fail loudly rather than
+            // silently string-compare a type the task cannot evaluate
+            throw new IllegalArgumentException(
+              s"unsupported native match type: ${other.getClass.getName}")
         }
         if (pvals.contains(null)) None else Some(pvals)
       }
@@ -240,6 +264,7 @@ object DistributedRewrite {
       throw new IllegalStateException(s"could not replace $dest")
     }
     if (!fs.rename(staged, dest)) {
+      fs.delete(staged, false) // never leak the staging copy
       val restored =
         captured.isDefined && VersionedStore.rollback(fs, dest)
       if (captured.isDefined && !restored)
@@ -282,11 +307,13 @@ object DistributedRewrite {
       (u, outPathFor(u.path).map(Forget.stripScheme).getOrElse(srcPath))
     }
 
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val outcomes = spark.sparkContext
       .parallelize(work, work.size) // one task per object
       .map { case (u, destStr) =>
         val t0 = System.currentTimeMillis()
-        val conf = new Configuration()
+        val conf = confBc.value.value
         val src = new HPath(Forget.stripScheme(u.path))
         val dest = new HPath(destStr)
         try {
@@ -353,9 +380,7 @@ object DistributedRewrite {
       }
       .collect()
 
-    val seq = new java.util.concurrent.atomic.AtomicLong(0L)
-    def sk(): String =
-      f"${System.currentTimeMillis()}%013d#${seq.incrementAndGet()}%06d"
+    def sk(): String = EventSk.next()
     outcomes.toSeq.flatMap { o =>
       if (o.ok)
         Seq(JobEvent(jobId, sk(), JobEventName.ObjectUpdated,
@@ -412,9 +437,18 @@ object DistributedRewrite {
         }
       } finally writer.close()
       (processed, deleted)
+    } catch {
+      case NonFatal(e) =>
+        src.getFileSystem(conf).delete(staged, false) // no partial staging
+        throw e
     } finally reader.close()
   }
 
+  /** Streaming line-at-a-time JSON rewrite: constant memory regardless of
+    * (decompressed) object size — one pass splitting on '\n' bytes, the
+    * raw line bytes written through verbatim + '\n' (json_handler.py:70;
+    * the final unterminated line still counts, boto_utils.py:251-256).
+    * Partial staged output is deleted on failure. */
   private def rewriteJsonTaskTo(conf: Configuration, src: HPath,
                                 staged: HPath,
                                 ev: JsonMatch.Evaluator): (Long, Long) = {
@@ -427,20 +461,40 @@ object DistributedRewrite {
       val raw = fs.open(src)
       if (gz) new GZIPInputStream(raw, 1 << 16) else raw
     }
-    val content =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    val split = content.split("\n", -1)
-    val lines = if (split.nonEmpty && split.last.isEmpty) split.dropRight(1) else split
-    val outRaw = fs.create(staged, true)
-    val out = if (gz) new GZIPOutputStream(outRaw, 1 << 16) else outRaw
     try {
-      lines.foreach { line =>
-        processed += 1
-        if (ev.matches(line)) deleted += 1
-        else out.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
-    } finally out.close()
-    (processed, deleted)
+      val outRaw = fs.create(staged, true)
+      val out = if (gz) new GZIPOutputStream(outRaw, 1 << 16) else outRaw
+      try {
+        val buf = new Array[Byte](1 << 16)
+        val line = new java.io.ByteArrayOutputStream(1 << 12)
+        def flushLine(): Unit = {
+          val bytes = line.toByteArray
+          line.reset()
+          processed += 1
+          val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          if (ev.matches(s)) deleted += 1
+          else { out.write(bytes); out.write('\n') }
+        }
+        var n = in.read(buf)
+        while (n >= 0) {
+          var start = 0
+          var i = 0
+          while (i < n) {
+            if (buf(i) == '\n') {
+              line.write(buf, start, i - start)
+              flushLine()
+              start = i + 1
+            }
+            i += 1
+          }
+          if (start < n) line.write(buf, start, n - start)
+          n = in.read(buf)
+        }
+        if (line.size() > 0) flushLine() // no trailing newline
+      } finally out.close()
+      (processed, deleted)
+    } catch {
+      case NonFatal(e) => fs.delete(staged, false); throw e
+    } finally in.close()
   }
 }

@@ -37,6 +37,10 @@ import scala.util.control.NonFatal
   */
 object Forget {
 
+  /** Control-flow marker: missing object + ignoreObjectNotFound. */
+  private final class ObjectNotFoundSkip(path: String)
+      extends RuntimeException(s"$path not found (skipped)")
+
   final case class Version(length: Long, mtimeMs: Long)
 
   private def versionOf(p: Path): Version =
@@ -176,14 +180,17 @@ object Forget {
     val pool = Executors.newFixedThreadPool(
       math.max(1, math.min(units.size, maxParallel)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val seq = new java.util.concurrent.atomic.AtomicLong(0L)
-    // zero-padded so lexicographic sk order == numeric (ms, seq) order
-    def sk(): String =
-      f"${System.currentTimeMillis()}%013d#${seq.incrementAndGet()}%06d"
+    // process-wide sequencer: sk order == emission order across emitters
+    def sk(): String = EventSk.next()
     try {
       val futures = units.map { u => Future {
         val t0 = System.currentTimeMillis()
         try {
+          if (u.ignoreObjectNotFound &&
+              !Files.exists(Paths.get(stripScheme(u.path))))
+            // missing object + mapper flag ⇒ skip, mirroring the
+            // distributed path and reference main.py:213-231
+            throw new ObjectNotFoundSkip(u.path)
           val r = u.format match {
             case DataFormat.Parquet =>
               rewriteParquet(spark, u.path, groups, outPathFor(u.path))
@@ -200,6 +207,10 @@ object Forget {
           // the rollback itself. When the rollback failure FOLLOWED an
           // update failure, emit BOTH events (reference main.py:248-262:
           // ObjectUpdateFailed for the original + ObjectRollbackFailed).
+          case e: ObjectNotFoundSkip =>
+            Seq(JobEvent(jobId, sk(), JobEventName.ObjectUpdateSkipped,
+              System.currentTimeMillis(), path = u.path,
+              error = e.getMessage))
           case e: RollbackFailedError =>
             val updateFailed = Option(e.original).map(o =>
               JobEvent(jobId, sk(), JobEventName.ObjectUpdateFailed,

@@ -215,8 +215,9 @@ object Jobs {
 
   /** Retention sweep (SURVEY.md §2.9 T6; reference: DynamoDB TTL on the
     * `Expires` epoch attribute, boto_utils.py:120-123): keep only events
-    * whose `expires` is absent (<=0) or in the future. */
+    * whose `expires` is absent (NULL or <=0) or in the future. */
   def retain(events: DataFrame, nowEpochMs: Long,
              expiresCol: String = "expiresAt"): DataFrame =
-    events.filter(col(expiresCol) <= 0 || col(expiresCol) > nowEpochMs)
+    events.filter(col(expiresCol).isNull ||
+      col(expiresCol) <= 0 || col(expiresCol) > nowEpochMs)
 }

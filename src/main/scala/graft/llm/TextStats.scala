@@ -60,8 +60,10 @@ object TextStats {
     "fr" -> Seq("le", "et", "les", "est", "avec"),
     "es" -> Seq("el", "y", "los", "es", "con"))
 
-  /** Argmax of marker-word hit counts, ties and zero-hits → 'und'
-    * (undetermined); deterministic and SQL-replicable. */
+  /** Argmax of marker-word hit counts; zero hits → 'und' (undetermined);
+    * ties resolve to the FIRST language in [[LanguageMarkers]] order (the
+    * q25 oracle encodes the same first-wins CASE chain). Deterministic
+    * and SQL-replicable. */
   def languageId(text: Column): Column = {
     val toks = array_distinct(tokens(lower(text)))
     val scores = LanguageMarkers.map { case (lang, markers) =>

@@ -122,6 +122,23 @@ final case class JobEvent(
     path: String = "",
     error: String = "")
 
+/** Process-wide event sequencer: every emitter draws its `sk` from ONE
+  * monotonic source, so lexicographic sk order == emission order even
+  * when several emitters stamp events within the same millisecond.
+  * (Three independent per-emitter counters would collide on the
+  * millisecond prefix and interleave arbitrarily — a partially-failed
+  * job could then fold its ObjectUpdateFailed AFTER ForgetPhaseEnded and
+  * wrongly complete.) The reference gets the same property from DynamoDB
+  * `"<ms>#<uuid>"` keys written by a single stream consumer
+  * (boto_utils.py:113).
+  */
+object EventSk {
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Zero-padded `"<epoch_ms>#<global_seq>"`. */
+  def next(): String =
+    f"${System.currentTimeMillis()}%013d#${seq.incrementAndGet()}%09d"
+}
+
 /** Event names emitted by the engine (reference events taxonomy:
   * backend/ecs_tasks/delete_files/events.py:20-47 and the state machines).
   */

@@ -472,7 +472,17 @@ object DistributedRewrite {
           line.reset()
           processed += 1
           val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          if (ev.matches(s)) deleted += 1
+          val isMatch =
+            try ev.matches(s)
+            catch {
+              case e: IllegalArgumentException =>
+                // reference error carries the line number
+                // (boto_utils.py:255-263)
+                throw new IllegalArgumentException(
+                  s"Serialization error when parsing JSON lines: " +
+                    s"line $processed: ${e.getMessage}", e)
+            }
+          if (isMatch) deleted += 1
           else { out.write(bytes); out.write('\n') }
         }
         var n = in.read(buf)

@@ -78,6 +78,37 @@ class JobRunnerSpec extends SparkSpec {
     assert(run.clearedQueue.isEmpty)
   }
 
+  test("sk ordering regression: with many objects and a late failure, " +
+    "ObjectUpdateFailed still folds BEFORE ForgetPhaseEnded") {
+    // three per-emitter sequencers used to collide on the millisecond
+    // prefix once an object batch outnumbered the phase events; the
+    // global EventSk sequencer pins emission order
+    val dir = java.nio.file.Files.createTempDirectory("graft-sk-").toString
+    (0 until 12).foreach { i =>
+      val content =
+        if (i == 11) """{"customer_id":7}""" + "\nnot-json{{{\n"
+        else """{"customer_id":7}""" + "\n" + s"""{"customer_id":$i}""" + "\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/f$i.json"), content.getBytes("UTF-8"))
+    }
+    val schema = spark.read.json(s"$dir/f0.json").schema
+    val table = TableDef("t", dir, DataFormat.JsonLines, schema)
+    val run = JobRunner.run(spark, "jr5",
+      Seq(DataMapper("m", "t", Seq("customer_id"),
+        format = DataFormat.JsonLines) -> table),
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"))))
+    assert(run.state.stats.totalObjectUpdatedCount == 11)
+    assert(run.state.stats.totalObjectUpdateFailedCount == 1)
+    assert(run.state.status == JobStatus.ForgetPartiallyFailed,
+      s"misfold: ${run.state.status}")
+    val sorted = run.events.sortBy(_.sk)
+    val failIdx = sorted.indexWhere(
+      _.eventName == JobEventName.ObjectUpdateFailed)
+    val endIdx = sorted.indexWhere(
+      _.eventName == JobEventName.ForgetPhaseEnded)
+    assert(failIdx >= 0 && failIdx < endIdx)
+  }
+
   test("simple item scoped to several mappers applies to each") {
     val (_, t1) = lake()
     val (_, t2) = lake()

@@ -115,10 +115,12 @@ class JsonForgetSpec extends SparkSpec {
       """{"customer_id":2}""" + "\n")
   }
 
-  test("malformed JSON line fails the object (test_json.py:310)") {
+  test("malformed JSON line fails the object with its line number " +
+    "(test_json.py:310; boto_utils.py:255-263)") {
     val f = stageTextFile("""{"customer_id":1}""" + "\nnot-json{{{\n")
     val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
     assert(e.eventName == JobEventName.ObjectUpdateFailed)
+    assert(e.error.contains("line 2"), s"error lacks line number: ${e.error}")
     // source untouched on failure
     assert(new String(readFileBytes(f), "UTF-8").contains("not-json{{{"))
   }

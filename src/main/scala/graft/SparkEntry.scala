@@ -341,6 +341,24 @@ object SparkEntry {
         .agg(max(col("meta.n_bytes")).as("n_bytes"),
           count(lit(1)).as("n_frames"),
           sum(length(col("frame"))).as("frame_bytes"))
+    }),
+    // §2.1 S2 — JSON-lines scan with DECLARED schema (no inference pass)
+    // + Find over the row format: matches fan across both identifier
+    // columns; the staged file is deterministic per sf dir
+    "q27_json_scan" -> ((s, dir) => {
+      import graft.catalog.{Staging, TableDef}
+      val file = Staging.jsonCustomer(s, dir)
+      val schema = t(s, dir, "customer").schema
+      val data = s.read.schema(schema).json(file)
+      val table = TableDef("customer_json", file, DataFormat.JsonLines,
+        schema)
+      val mapper = DataMapper("cj", "customer_json",
+        Seq("c_custkey", "c_nationkey"), format = DataFormat.JsonLines)
+      val groups = Finder.plan(mapper, table, simpleQueue)
+      Finder.matchedRows(s, data, groups)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal_dbl"),
+          col("c_mktsegment"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -553,7 +571,15 @@ object SparkEntry {
         |  CAST(ceil(octet_length(encode(text)) * 1.0 / 64) AS BIGINT)
         |    AS n_frames,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS frame_bytes
-        | FROM documents""".stripMargin.replace("\n", " "))
+        | FROM documents""".stripMargin.replace("\n", " "),
+    "q27_json_scan" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(c_acctbal AS DOUBLE) AS c_acctbal_dbl, c_mktsegment
+        | FROM read_json_auto(
+        |  '/tmp/graft-staged/sf0.01/customer_json/customer.json')
+        | WHERE CAST(c_custkey AS VARCHAR) IN ('7','23','99')
+        |    OR CAST(c_nationkey AS VARCHAR) IN ('7','23','99')"""
+        .stripMargin.replace("\n", " "))
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
     * side's double accumulation (both iterate the lists in order). */

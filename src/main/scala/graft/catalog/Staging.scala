@@ -25,4 +25,29 @@ object Staging {
       }
       loc
     }
+
+  /** Customer table as a single JSON-lines object (the reference's other
+    * storage format). Returns the file path. */
+  def jsonCustomer(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-staged/$sfName/" +
+        "customer_json"
+      val file = s"$dir/customer.json"
+      if (!Files.exists(Paths.get(file))) {
+        spark.read.parquet(s"$sfDir/customer.parquet")
+          .orderBy("c_custkey")
+          .coalesce(1).write.mode("overwrite").json(s"$dir/_tmp")
+        val part = Files.list(Paths.get(s"$dir/_tmp")).iterator()
+        var src: java.nio.file.Path = null
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.toString.endsWith(".json")) src = p
+        }
+        Files.createDirectories(Paths.get(dir))
+        Files.move(src, Paths.get(file),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      file
+    }
 }

@@ -247,6 +247,17 @@ class ForgetSpec extends SparkSpec {
     assert(failed.map(_.eventName) == Seq(JobEventName.ObjectUpdateFailed))
   }
 
+  test("driver-pool Forget.run also skips missing objects with the flag") {
+    val d = Seq((1L, "a")).toDF("id", "x")
+    val table = graft.catalog.TableDef("t", "", DataFormat.Parquet, d.schema)
+    val groups = Finder.plan(DataMapper("m", "t", Seq("id")), table,
+      Seq(DeletionQueueItem("q", MatchId.Simple("1"))))
+    val events = Forget.run(spark, "j", Seq(
+      ObjectWorkUnit("j", "/nope/missing.parquet", "m", DataFormat.Parquet,
+        deleteOldVersions = true, ignoreObjectNotFound = true)), groups)
+    assert(events.map(_.eventName) == Seq(JobEventName.ObjectUpdateSkipped))
+  }
+
   test("CatalogPartitions enumerates hive partition combinations (S4)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-s4-").toString
     Seq((1L, "X", "a"), (2L, "X", "b"), (3L, "Y", "a"))

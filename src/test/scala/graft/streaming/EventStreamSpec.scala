@@ -64,6 +64,48 @@ class EventStreamSpec extends SparkSpec {
     assert(cleanupBatches.isEmpty)
   }
 
+  test("file-source CDC stream (T1): json event files fold incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-").toString
+    def writeBatch(name: String, events: Seq[JobEvent]): Unit = {
+      val lines = events.map(e =>
+        s"""{"jobId":"${e.jobId}","sk":"${e.sk}","eventName":"${e.eventName}",""" +
+        s""""createdAt":${e.createdAt},"statsProcessed":${e.statsProcessed},""" +
+        s""""statsDeleted":${e.statsDeleted},"bytesScanned":${e.bytesScanned},""" +
+        s""""timeTakenMs":${e.timeTakenMs},"path":"","error":""}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val b1 = Seq(
+      JobEvent("jf", "000000000001", JobEventName.JobStarted, 1L),
+      JobEvent("jf", "000000000002", JobEventName.ObjectUpdated, 2L,
+        statsProcessed = 9, statsDeleted = 2))
+    writeBatch("b1", b1)
+
+    val schema = implicitly[org.apache.spark.sql.Encoder[JobEvent]].schema
+    val stream = spark.readStream.schema(schema).json(dir).as[JobEvent]
+    val query = EventStream.foldStream(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_states")
+      .start()
+    query.processAllAvailable()
+    val b2 = Seq(
+      JobEvent("jf", "000000000003", JobEventName.ForgetPhaseEnded, 3L),
+      JobEvent("jf", "000000000004", JobEventName.CleanupSucceeded, 4L))
+    writeBatch("b2", b2)
+    query.processAllAvailable()
+    query.stop()
+
+    val last = spark.table("cdc_states")
+      .orderBy($"jobFinishTime".asc_nulls_first).collect().last
+    assert(last.getAs[String]("status") == JobStatus.Completed)
+    val batchFold = Jobs.fold("jf", b1 ++ b2)
+    assert(batchFold.status == JobStatus.Completed)
+    assert(last.getAs[org.apache.spark.sql.Row]("stats")
+      .getAs[Long]("totalRowsDeletedCount") ==
+      batchFold.stats.totalRowsDeletedCount)
+  }
+
   test("cleanup trigger fires when the transition ends a batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

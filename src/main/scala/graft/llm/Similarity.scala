@@ -44,6 +44,15 @@ object Similarity {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
+  /** Cosine via the native codegen'd kernel when a session is at hand
+    * (one fused loop, no intermediate array — see
+    * [[graft.functions.FloatVectorCosine]]); identical math to
+    * [[cosine]]. */
+  private def nativeCosine(df: DataFrame, a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.cosine(a, b)
+  }
+
   /** Exact cosine top-k of `data` rows for each `queries` row.
     * Output: (q_id, <idCol>, rank) — rank 1 = nearest, ties broken by id.
     * Self-pairs (same id) are excluded. */
@@ -53,7 +62,7 @@ object Similarity {
       col(idCol).as("q_id"), col(vecCol).as("_q_vec")))
     val scored = data.crossJoin(q)
       .filter(col(idCol) =!= col("q_id"))
-      .withColumn("_sim", cosine(col(vecCol), col("_q_vec")))
+      .withColumn("_sim", nativeCosine(data, col(vecCol), col("_q_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("_sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
@@ -111,7 +120,10 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         col("a._vec").as("_va"), col("b._vec").as("_vb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
+      .withColumn("cosine", {
+        graft.functions.GraftFunctions.register(data.sparkSession)
+        graft.functions.GraftFunctions.cosine(col("_va"), col("_vb"))
+      })
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -134,7 +146,10 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("_sim").desc, col(idCol))
     candidates
-      .withColumn("_sim", Similarity.cosine(col(vecCol), col("_q_vec")))
+      .withColumn("_sim", {
+        graft.functions.GraftFunctions.register(data.sparkSession)
+        graft.functions.GraftFunctions.cosine(col(vecCol), col("_q_vec"))
+      })
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col(idCol), col("rank"))

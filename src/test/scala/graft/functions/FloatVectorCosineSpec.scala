@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.llm.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Native cosine Expression: equivalence with the builtin composition,
+  * null/zero handling, codegen execution, and the SparkSessionExtensions
+  * injection route. */
+class FloatVectorCosineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expression matches the builtin composition bit-for-bit") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val d = rows.toDF("a", "b")
+    val got = d.select(
+      GraftFunctions.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("builtin"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (n, b) => assert(n == b, s"$n != $b") }
+  }
+
+  test("null inputs -> null; zero norm -> 0.0; length mismatch clamps") {
+    GraftFunctions.register(spark)
+    val d = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(1f, 2f))),
+      (None, Some(Seq(1f, 2f))),
+      (Some(Seq(0f, 0f)), Some(Seq(1f, 2f))),
+      (Some(Seq(1f, 0f, 9f)), Some(Seq(1f, 0f))))
+      .toDF("a", "b")
+    val got = d.select(GraftFunctions.cosine(col("a"), col("b")))
+      .as[Option[Double]].collect().toSeq
+    assert(got(0).exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(got(1).isEmpty)
+    assert(got(2).contains(0.0))
+    assert(got(3).exists(v => math.abs(v - 1.0) < 1e-12)) // clamped
+  }
+
+  test("runs inside whole-stage codegen (no eval fallback)") {
+    GraftFunctions.register(spark)
+    // non-literal input from a file scan, or Catalyst constant-folds the
+    // whole projection at optimize time
+    val file = stageParquetFile(
+      Seq((Seq(1f, 2f), Seq(2f, 1f))).toDF("a", "b"))
+    val df = spark.read.parquet(file)
+      .select(GraftFunctions.cosine(col("a"), col("b")).as("c"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"no codegen span in:\n$plan")
+    assert(plan.contains("graft_cosine"), s"expression absent in:\n$plan")
+  }
+
+  test("SQL resolution through the function registry; extensions class " +
+    "injects without error") {
+    // spark.sql.extensions is a STATIC conf (applies only at first-session
+    // creation), so the injection route is smoke-tested directly and SQL
+    // resolution is proven via the runtime registration
+    GraftFunctions.register(spark)
+    val one = spark.sql(
+      "SELECT graft_cosine(array(cast(1 as float), cast(0 as float)), " +
+        "array(cast(1 as float), cast(0 as float)))")
+      .collect().head.getDouble(0)
+    assert(one == 1.0)
+    // must not throw
+    new GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}

@@ -359,6 +359,18 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal").cast("double").as("c_acctbal_dbl"),
           col("c_mktsegment"))
+    }),
+    // LLM §near-dedup (embedding) — cosine near-pairs via LSH buckets +
+    // exact re-score. bits=1/tables=16 is recall-tuned for the
+    // near-uniform synthetic vectors (pair cosines are all < 0.5);
+    // the pruning behavior at higher bit-widths is asserted in
+    // SimilaritySpec.
+    "q28_cos_pairs" -> ((s, dir) => {
+      import graft.llm.RandomHyperplaneLsh
+      RandomHyperplaneLsh(dim = 64, bits = 1, tables = 16)
+        .nearPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("id_a"), col("id_b"), col("cosine"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -579,6 +591,15 @@ object SparkEntry {
         |  '/tmp/graft-staged/sf0.01/customer_json/customer.json')
         | WHERE CAST(c_custkey AS VARCHAR) IN ('7','23','99')
         |    OR CAST(c_nationkey AS VARCHAR) IN ('7','23','99')"""
+        .stripMargin.replace("\n", " "),
+    "q28_cos_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                        CAST(b.embedding AS DOUBLE[])) AS cosine
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < b.vec_id AND
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) >= 0.4"""
         .stripMargin.replace("\n", " "))
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark

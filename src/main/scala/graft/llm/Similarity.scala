@@ -109,21 +109,31 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
   /** Embedding-cosine near-duplicate pairs: bucketed self-join (both
     * sides big — a shuffle equi-join on the bucket id, never broadcast,
     * never cartesian), exact cosine verify at `threshold`.
-    * Output: (id_a, id_b, cosine) with id_a < id_b. */
+    *
+    * The candidate join and dedup carry ONLY (id_a, id_b) — shipping the
+    * vectors through the multi-table bucket join would multiply the
+    * shuffle by vector-bytes x tables; the vectors join back onto the
+    * deduped pairs afterwards. Output: (id_a, id_b, cosine), id_a < id_b.
+    */
   def nearPairs(data: DataFrame, idCol: String, vecCol: String,
                 threshold: Double): DataFrame = {
-    val sig = data.select(col(idCol).as("_id"), col(vecCol).as("_vec"))
-      .withColumn("_bucket", explode(signature(col("_vec"))))
-    sig.as("a")
-      .join(sig.as("b"),
+    val banded = data
+      .select(col(idCol).as("_id"),
+        explode(signature(col(vecCol))).as("_bucket"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
         col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        col("a._vec").as("_va"), col("b._vec").as("_vb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", {
-        graft.functions.GraftFunctions.register(data.sparkSession)
-        graft.functions.GraftFunctions.cosine(col("_va"), col("_vb"))
-      })
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val vecs = data.select(col(idCol), col(vecCol))
+    graft.functions.GraftFunctions.register(data.sparkSession)
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("_va")),
+        "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("_vb")),
+        "id_b")
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -361,15 +361,19 @@ object SparkEntry {
           col("c_mktsegment"))
     }),
     // LLM §near-dedup (embedding) — cosine near-pairs via LSH buckets +
-    // exact re-score. bits=1/tables=16 is recall-tuned for the
-    // near-uniform synthetic vectors (pair cosines are all < 0.5);
-    // the pruning behavior at higher bit-widths is asserted in
-    // SimilaritySpec.
+    // exact re-score. Bit width is AUTO-TUNED from the corpus size
+    // (bits ≈ log2(n/64)), so candidate volume stays ~tables·n·64/2 —
+    // linear in n — instead of degenerating to all-pairs at a fixed low
+    // bit width. Recall on the near-uniform synthetic vectors (every
+    // oracle pair within 0.11 of the 0.4 threshold — the hardest LSH
+    // regime) is verified exact at the sf0.01 gate; at larger SFs the
+    // pruning is real and any capped hot bucket is audited (Banding).
     "q28_cos_pairs" -> ((s, dir) => {
       import graft.llm.RandomHyperplaneLsh
-      RandomHyperplaneLsh(dim = 64, bits = 1, tables = 16)
-        .nearPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4)
+      val emb = t(s, dir, "embeddings")
+      RandomHyperplaneLsh.auto(dim = 64, n = emb.count(),
+          targetBucket = 64, tables = 16)
+        .nearPairs(emb, "vec_id", "embedding", threshold = 0.4)
         .select(col("id_a"), col("id_b"), col("cosine"))
     }))
 

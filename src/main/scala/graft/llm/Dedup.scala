@@ -159,18 +159,18 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, J >= threshold.
+    * Band buckets larger than `maxBucket` (boilerplate clusters) are
+    * capped via [[Banding.guardedPairs]] — star-linked to the bucket
+    * representative with a logged audit, never a silent B²/2 blow-up.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      shingleLen: Int = 8, bands: Int = 16, rows: Int = 4,
-                     threshold: Double = 0.6, seed: Int = 42): DataFrame = {
+                     threshold: Double = 0.6, seed: Int = 42,
+                     maxBucket: Int = 1024): DataFrame = {
     val banded = df.select(col(idCol).as("_id"),
       explode(textBandKeys(shingleLen, bands, rows, seed)(col(textCol)))
         .as("_band"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a._band") === col("b._band") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
+    val candidates = Banding.guardedPairs(banded, maxBucket)
     // exact verify: join the (few) candidates back to the raw TEXT — far
     // lighter to shuffle than shingle arrays — and shingle only the
     // candidate rows, in one linear pass per text
@@ -210,27 +210,31 @@ object Dedup {
     }
 
   /** SimHash near-pairs at Hamming distance <= maxDistance, via the
-    * pigeonhole banding of the fingerprint into maxDistance+1 chunks. */
+    * pigeonhole banding of the fingerprint into maxDistance+1 chunks.
+    * Hot chunk buckets are capped via [[Banding.guardedPairs]]. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                            maxDistance: Int = 3,
-                            seed: Int = 42): DataFrame = {
+                            maxDistance: Int = 3, seed: Int = 42,
+                            maxBucket: Int = 1024): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 16,
+      s"maxDistance must be in [0,16], got $maxDistance")
     val chunks = maxDistance + 1
     val width = 64 / chunks
+    // 1L << 64 wraps to 1 (shifts are mod 64): a full-width chunk needs
+    // an explicit all-ones mask or every fingerprint lands in bucket 0
+    // and the join degenerates to the full cross product
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val fp = df.select(col(idCol).as("_id"),
       simhash64(seed)(col(textCol)).as("_fp"))
-    val banded = fp.select(col("_id"), col("_fp"),
+    val banded = fp.select(col("_id"),
       explode(array((0 until chunks).map { c =>
         // chunk value tagged with its index so chunks never cross-match
         struct(lit(c).as("c"),
           shiftrightunsigned(col("_fp"), c * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("v"))
-      }: _*)).as("_chunk"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a._chunk") === col("b._chunk") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        col("a._fp").as("_fa"), col("b._fp").as("_fb"))
-      .distinct()
+            .bitwiseAND(lit(mask)).as("v"))
+      }: _*)).as("_band"))
+    Banding.guardedPairs(banded, maxBucket)
+      .join(fp.select(col("_id").as("id_a"), col("_fp").as("_fa")), "id_a")
+      .join(fp.select(col("_id").as("id_b"), col("_fp").as("_fb")), "id_b")
       .withColumn("hamming",
         bit_count(col("_fa").bitwiseXOR(col("_fb"))))
       .filter(col("hamming") <= maxDistance)

@@ -77,6 +77,33 @@ object Similarity {
   * bucket id per table, encoded `table * 2^bits + signBits` so a single
   * exploded int column keys the candidate join.
   */
+object RandomHyperplaneLsh {
+
+  /** Auto-tuned bit width: `bits ≈ log2(n / targetBucket)`, clamped to
+    * `[minBits, maxBits]`. The expected bucket population is then about
+    * `targetBucket`, so the banded self-join emits
+    * ~`tables · n · targetBucket / 2` candidates — linear in n for a fixed
+    * target, never the disguised all-pairs a hand-picked low bit width
+    * degenerates to when n grows. More bits = fewer candidates but lower
+    * recall per table; compensate with `tables` (recall
+    * 1-(1-p^bits)^tables for per-hyperplane collision p = 1 - θ/π).
+    */
+  def autoBits(n: Long, targetBucket: Int = 128,
+               minBits: Int = 1, maxBits: Int = 12): Int = {
+    require(n >= 0 && targetBucket > 0)
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+      / math.log(2.0)).toInt
+    math.max(minBits, math.min(maxBits, raw))
+  }
+
+  /** LSH with the bit width derived from the corpus size (see
+    * [[autoBits]]); `n` is the (approximate) row count of the data side.
+    */
+  def auto(dim: Int, n: Long, targetBucket: Int = 128, tables: Int = 16,
+           seed: Long = 42L): RandomHyperplaneLsh =
+    RandomHyperplaneLsh(dim, autoBits(n, targetBucket), tables, seed)
+}
+
 final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
                                      seed: Long = 42L) {
   require(bits <= 16, "bits must fit the bucket encoding")
@@ -116,15 +143,9 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
     * deduped pairs afterwards. Output: (id_a, id_b, cosine), id_a < id_b.
     */
   def nearPairs(data: DataFrame, idCol: String, vecCol: String,
-                threshold: Double): DataFrame = {
-    val banded = data
-      .select(col(idCol).as("_id"),
-        explode(signature(col(vecCol))).as("_bucket"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
+                threshold: Double,
+                maxBucket: Int = 2048): DataFrame = {
+    val candidates = nearPairCandidates(data, idCol, vecCol, maxBucket)
     val vecs = data.select(col(idCol), col(vecCol))
     graft.functions.GraftFunctions.register(data.sparkSession)
     candidates
@@ -136,6 +157,18 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
         graft.functions.GraftFunctions.cosine(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Candidate (id_a, id_b) pairs before the exact re-score — the banded
+    * self-join through the hot-bucket guard. Exposed so specs can census
+    * candidate volume against the c·N bound. */
+  private[llm] def nearPairCandidates(data: DataFrame, idCol: String,
+                                      vecCol: String,
+                                      maxBucket: Int): DataFrame = {
+    val banded = data
+      .select(col(idCol).as("_id"),
+        explode(signature(col(vecCol))).as("_band"))
+    Banding.guardedPairs(banded, maxBucket)
   }
 
   /** ANN top-k: LSH-bucketed candidates, exact cosine re-score, rank.

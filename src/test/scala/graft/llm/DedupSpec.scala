@@ -70,6 +70,54 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("hot-bucket guard: 1k identical docs stay bounded, audited, and " +
+    "fully linked; normal pairs unaffected") {
+    val boiler = "standard legal boilerplate attached to every document " * 5
+    val distinct1 = "completely different content about spark and parquet " * 6
+    val docs =
+      (1L to 1000L).map(i => (i, boiler)) ++
+      Seq((2001L, distinct1), (2002L, distinct1 + "!"),
+        (3001L, "zq xv wk pj unrelated " * 20))
+    val d = docs.toDF("id", "text")
+    Banding.drainAudits() // clear anything earlier tests produced
+    val pairs = Dedup.nearDuplicates(d, "id", "text", threshold = 0.5,
+      maxBucket = 16).select("id_a", "id_b").as[(Long, Long)].collect()
+    // bounded: head-pairwise (16 choose 2) + stars, NOT 1000²/2
+    assert(pairs.length < 5000, s"quadratic blow-up: ${pairs.length} pairs")
+    // complete: every boilerplate copy surfaces in at least one pair
+    val linked = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((1L to 1000L).forall(linked.contains), "capped members lost")
+    assert(pairs.contains((2001L, 2002L)), "normal near-pair lost")
+    assert(!linked.contains(3001L), "unrelated doc flagged")
+    // audited, not silent: the observe metric fired on the overflow branch
+    val deadline = System.nanoTime() + 10e9.toLong
+    var audits = Banding.drainAudits()
+    while (audits.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100); audits = Banding.drainAudits()
+    }
+    assert(audits.nonEmpty, "no capped-bucket audit emitted")
+    assert(audits.exists(_.maxBucketSize >= 1000L))
+  }
+
+  test("simhashNearDuplicates at maxDistance=0: full-width chunk mask " +
+    "does not collapse to bucket 0") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 100L).map { i =>
+      (i, Seq.fill(40)(rnd.alphanumeric.take(6).mkString).mkString(" "))
+    } ++ Seq((201L, base), (202L, base))
+    val d = docs.toDF("id", "text")
+    Banding.drainAudits()
+    val pairs = Dedup.simhashNearDuplicates(d, "id", "text",
+      maxDistance = 0, maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((201L, 202L)))
+    // with the (1L << 64) == 1 wrap bug every fingerprint masks to the
+    // same bucket: 102 docs in one bucket would trip the cap (maxBucket=8)
+    // and emit an audit — a correct full-width mask keeps buckets distinct
+    Thread.sleep(500)
+    assert(Banding.drainAudits().isEmpty, "distance-0 banding collapsed")
+  }
+
   test("embedding nearPairs finds duplicate vectors, no cartesian") {
     val v = Seq.tabulate(64)(i => (i % 7).toFloat + 0.1f)
     val w = Seq.tabulate(64)(i => ((i * 13) % 5).toFloat - 2f)

@@ -45,6 +45,44 @@ class SimilaritySpec extends SparkSpec {
       plan.contains("BroadcastExchange"), s"no broadcast join in:\n$plan")
   }
 
+  test("autoBits tracks corpus size and clamps") {
+    assert(RandomHyperplaneLsh.autoBits(500, 64) == 3)
+    assert(RandomHyperplaneLsh.autoBits(2000, 64) == 5)
+    assert(RandomHyperplaneLsh.autoBits(1000000, 128) == 12) // maxBits clamp
+    assert(RandomHyperplaneLsh.autoBits(10, 128) == 1) // minBits clamp
+  }
+
+  test("nearPairs on a planted-neighbor corpus: candidates stay O(N) " +
+    "at bits >= 4 and every planted pair is found") {
+    // 100 planted near-duplicate pairs (cosine ~0.98) in 800 background
+    // gaussian vectors: the clustered regime LSH exists for. Auto-tuned
+    // bits must be >= 4 here and the banded join must NOT degenerate to
+    // all-pairs (N²/2 = 499.5k).
+    val rnd = new scala.util.Random(7)
+    def gauss() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = Seq.newBuilder[(Long, Seq[Float])]
+    for (i <- 0 until 100) {
+      val base = gauss()
+      val near = base.map(x => x + (rnd.nextGaussian() * 0.1).toFloat)
+      rows += ((2000L + 2 * i, base.toSeq))
+      rows += ((2000L + 2 * i + 1, near.toSeq))
+    }
+    for (i <- 0 until 800) rows += ((i.toLong, gauss().toSeq))
+    val data = rows.result().toDF("id", "vec")
+    val n = 1000L
+    val lsh = RandomHyperplaneLsh.auto(64, n, targetBucket = 16, tables = 8)
+    assert(lsh.bits >= 4, s"auto picked only ${lsh.bits} bits")
+    val nCand = lsh.nearPairCandidates(data, "id", "vec", maxBucket = 2048)
+      .count()
+    assert(nCand <= 150L * n, s"candidate blow-up: $nCand pairs for n=$n")
+    val got = lsh.nearPairs(data, "id", "vec", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 100)
+      .map(i => (2000L + 2 * i, 2000L + 2 * i + 1)).toSet
+    assert(planted.subsetOf(got),
+      s"missed planted pairs: ${planted -- got}")
+  }
+
   test("higher bit-width prunes candidates (fewer than all pairs)") {
     // 12 bits over near-uniform vectors: buckets rarely collide, so the
     // candidate set must be far below N*Q — demonstrates actual pruning

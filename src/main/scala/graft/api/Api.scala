@@ -28,8 +28,22 @@ final class GraftApi(spark: SparkSession) {
   private val jobs = TrieMap.empty[String, JobRunner.JobRun]
   private val jobOrder = new java.util.concurrent.CopyOnWriteArrayList[String]()
   private val running = new AtomicBoolean(false)
+  private val settings =
+    new java.util.concurrent.atomic.AtomicReference(JobSettings())
 
   def runningJobExists: Boolean = running.get()
+
+  // ---- settings (settings/handlers.py:16-33; stored config analog) ---
+
+  def listSettings: JobSettings = settings.get()
+
+  /** Replace the engine settings; takes effect for jobs started AFTER the
+    * call — running jobs keep their start-time snapshot
+    * (queue/handlers.py:126-141). */
+  def putSettings(s: JobSettings): JobSettings = {
+    settings.set(s.validate())
+    s
+  }
 
   // ---- data mappers (data_mappers/handlers.py:69-106) ----------------
 
@@ -84,8 +98,10 @@ final class GraftApi(spark: SparkSession) {
       "A job is already running")
     try {
       import scala.jdk.CollectionConverters._
+      // snapshot the settings onto the job: changes made while it runs
+      // must not affect it (queue/handlers.py:126-141)
       val run = JobRunner.run(spark, jobId, mappers.values.toSeq,
-        queue.asScala.toSeq, distributed)
+        queue.asScala.toSeq, distributed, settings = settings.get())
       // cleanup phase clears consumed queue items (stream_processor.py:129-139)
       val clearedIds = run.clearedQueue.map(_.id).toSet
       queue.removeIf(i => clearedIds.contains(i.id))
@@ -137,14 +153,20 @@ final class GraftApi(spark: SparkSession) {
   // ---- event-log persistence (the DynamoDB Jobs-table analog on disk,
   // S5; jobs are reconstructable from the log alone via Jobs.report) ----
 
-  /** Append every job's events to a parquet log partitioned by job. */
+  /** Append every job's events to a parquet log partitioned by job, each
+    * row stamped with the job's retention expiry (`expiresAt`, 0 = keep
+    * forever) so [[Jobs.retain]] can sweep the log — the DynamoDB TTL
+    * analog (boto_utils.py:120-123). */
   def persistEventLog(dir: String): Unit = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val all = jobOrder.asScala.toSeq
-      .flatMap(id => jobs.get(id).map(_.events).getOrElse(Nil))
+    import org.apache.spark.sql.functions.col
+    val runs = jobOrder.asScala.toSeq.flatMap(jobs.get)
+    val all = runs.flatMap(r =>
+      r.events.map(e => (e, r.expiresAt.getOrElse(0L))))
     if (all.nonEmpty)
-      all.toDS().write.mode("overwrite").partitionBy("jobId").parquet(dir)
+      all.toDF("event", "expiresAt").select(col("event.*"), col("expiresAt"))
+        .write.mode("overwrite").partitionBy("jobId").parquet(dir)
   }
 
   /** Rebuild per-job states from a persisted log — one distributed fold,

@@ -126,16 +126,34 @@ object CatalogPartitions {
     * :227-246 one query per combination). The Spark engine needs the list
     * only for reporting/scoping: the scan itself prunes via
     * [[graft.find.Finder.partitionPredicate]] without per-partition
-    * query fan-out. */
+    * query fan-out.
+    *
+    * Pure FILESYSTEM listing of the `key=value` directory tree — zero
+    * data/footer reads, like the reference pages Glue metadata without
+    * touching objects. A 100k-partition table enumerates from directory
+    * names alone; a data scan (`.select(keys).distinct()`) would read
+    * every footer and row group. */
   def partitionValues(spark: SparkSession, table: TableDef)
       : Seq[Map[String, String]] = {
     if (table.partitionKeys.isEmpty) return Nil
-    spark.read.parquet(table.location)
-      .select(table.partitionKeys.map(col): _*)
-      .distinct()
-      .collect()
-      .map(r => table.partitionKeys.zipWithIndex
-        .map { case (k, i) => k -> String.valueOf(r.get(i)) }.toMap)
-      .toSeq
+    val root = new org.apache.hadoop.fs.Path(table.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(dir: org.apache.hadoop.fs.Path, keys: List[String],
+             acc: Map[String, String]): Seq[Map[String, String]] =
+      keys match {
+        case Nil => Seq(acc)
+        case k :: rest =>
+          fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+            val name = st.getPath.getName
+            val i = name.indexOf('=')
+            // partition keys match case-insensitively (F4), values keep
+            // Hive's path escaping reversed
+            if (i <= 0 || !name.substring(0, i).equalsIgnoreCase(k)) Nil
+            else walk(st.getPath, rest, acc + (k ->
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(name.substring(i + 1))))
+          }
+      }
+    walk(root, table.partitionKeys.toList, Map.empty)
   }
 }

@@ -30,12 +30,20 @@ object JobRunner {
   /** @param state        folded terminal state (status, stats, times)
     * @param events       the full ordered event log
     * @param foundPaths   matched object paths per mapper id
-    * @param clearedQueue queue items removed by the cleanup phase */
+    * @param clearedQueue queue items removed by the cleanup phase
+    * @param settings     the [[JobSettings]] snapshot this job ran under
+    *                     (queue/handlers.py:126-141: config is copied onto
+    *                     the job at start, immune to later changes)
+    * @param expiresAt    event-log expiry epoch-ms when retention is set
+    *                     (queue/handlers.py:138-139; swept by
+    *                     [[graft.jobs.Jobs.retain]]) */
   final case class JobRun(
       state: Jobs.JobState,
       events: Seq[JobEvent],
       foundPaths: Map[String, Seq[String]],
-      clearedQueue: Seq[DeletionQueueItem])
+      clearedQueue: Seq[DeletionQueueItem],
+      settings: JobSettings = JobSettings(),
+      expiresAt: Option[Long] = None)
 
   /** Run a full deletion job.
     *
@@ -49,7 +57,11 @@ object JobRunner {
           queue: Seq[DeletionQueueItem],
           distributed: Boolean = true,
           outPathFor: String => Option[String] = _ => None,
-          manifestAuditDir: Option[String] = None): JobRun = {
+          manifestAuditDir: Option[String] = None,
+          settings: JobSettings = JobSettings(),
+          readTableFn: (SparkSession, TableDef) => DataFrame = readTable)
+      : JobRun = {
+    settings.validate()
     def ev(name: String, bytesScanned: Long = 0L, timeTakenMs: Long = 0L,
            path: String = "", error: String = ""): JobEvent =
       JobEvent(jobId, EventSk.next(), name, System.currentTimeMillis(),
@@ -69,36 +81,61 @@ object JobRunner {
       scala.collection.mutable.Map.empty[String, Seq[Finder.GroupMatches]]
     events += ev(JobEventName.QueryPlanningComplete)
     mappers.iterator.takeWhile(_ => !findFailed).foreach { case (m, table) =>
-      val t0 = System.currentTimeMillis()
-      try {
-        val groups = Finder.plan(m, table, queue)
-        groupsByMapper(m.id) = groups
-        manifestAuditDir.foreach(d =>
-          Finder.writeManifestAudit(spark, jobId, m.id, groups, d))
-        if (groups.nonEmpty) {
-          val data = Finder.scoped(readTable(spark, table), m)
-          val paths = Finder.matchedFiles(spark, data, groups)
-            .collect().map(r => r.getString(0)).toSeq
-          found(m.id) = paths
-          val bytes = table.format match {
-            case DataFormat.Parquet =>
-              // identifier-columns-only projection: the scan cost is the
-              // pruned column chunks (README.md:75-81), not the table
-              ParquetStats.columnBytes(new Configuration(),
-                paths.map(Forget.stripScheme), m.columns).selected
-            case DataFormat.JsonLines => 0L // row format = full scan
-          }
-          events += ev(JobEventName.QuerySucceeded, bytesScanned = bytes,
-            timeTakenMs = System.currentTimeMillis() - t0)
-        } else found(m.id) = Nil
-      } catch {
-        case NonFatal(e) =>
-          events += ev(JobEventName.QueryFailed,
-            timeTakenMs = System.currentTimeMillis() - t0,
-            error = String.valueOf(e.getMessage))
-          events += ev(JobEventName.FindPhaseFailed,
-            error = String.valueOf(e.getMessage))
-          findFailed = true
+      // Retry budget per mapper query (check_query_status.py:10-26 +
+      // state_machine.yaml:204-215 "Retriable?"): a failed attempt with
+      // retries left re-executes SILENTLY at the job-error level — the
+      // reference emits QueryFailed only once the budget is exhausted,
+      // because any QueryFailed makes the fold resolve the job as
+      // failed/partially-failed (status_updater.py:96-104). Retried
+      // attempts emit the info-only QueryRetried for observability.
+      var retriesLeft = settings.findQueryMaxRetries
+      var done = false
+      while (!done && !findFailed) {
+        val t0 = System.currentTimeMillis()
+        try {
+          val groups = Finder.plan(m, table, queue)
+          groupsByMapper(m.id) = groups
+          manifestAuditDir.foreach(d =>
+            Finder.writeManifestAudit(spark, jobId, m.id, groups, d))
+          if (groups.nonEmpty) {
+            val data = Finder.scoped(readTableFn(spark, table), m)
+            val paths = Finder.matchedFiles(spark, data, groups,
+                inSetMaxKeys = settings.inSetMaxKeys)
+              .collect().map(r => r.getString(0)).toSeq
+            found(m.id) = paths
+            val bytes = table.format match {
+              case DataFormat.Parquet =>
+                // identifier-columns-only projection: the scan cost is the
+                // pruned column chunks (README.md:75-81), not the table
+                ParquetStats.columnBytes(new Configuration(),
+                  paths.map(Forget.stripScheme), m.columns).selected
+              case DataFormat.JsonLines =>
+                // row format has no column pruning: a Find is a full scan
+                // of the table's bytes (reference scenario 5,
+                // docs/COST_OVERVIEW.md:316 — Athena bills the whole
+                // object set for row-format queries)
+                tableBytes(spark, table)
+            }
+            events += ev(JobEventName.QuerySucceeded, bytesScanned = bytes,
+              timeTakenMs = System.currentTimeMillis() - t0)
+          } else found(m.id) = Nil
+          done = true
+        } catch {
+          case NonFatal(e) =>
+            if (retriesLeft > 0) {
+              retriesLeft -= 1
+              events += ev(JobEventName.QueryRetried,
+                timeTakenMs = System.currentTimeMillis() - t0,
+                error = String.valueOf(e.getMessage))
+            } else {
+              events += ev(JobEventName.QueryFailed,
+                timeTakenMs = System.currentTimeMillis() - t0,
+                error = String.valueOf(e.getMessage))
+              events += ev(JobEventName.FindPhaseFailed,
+                error = String.valueOf(e.getMessage))
+              findFailed = true
+            }
+        }
       }
     }
 
@@ -121,6 +158,7 @@ object JobRunner {
             events ++= (if (distributed)
               DistributedRewrite.run(spark, jobId, units, groups, outPathFor)
             else Forget.run(spark, jobId, units, groups,
+              maxParallel = settings.deletionTasksMaxNumber,
               outPathFor = outPathFor))
           }
         }
@@ -152,7 +190,28 @@ object JobRunner {
       }
     }
 
-    JobRun(Jobs.fold(jobId, events.toSeq), events.toSeq, found.toMap, cleared)
+    val state = Jobs.fold(jobId, events.toSeq)
+    val expiresAt =
+      if (settings.jobDetailsRetentionDays > 0)
+        state.jobStartTime.map(
+          _ + settings.jobDetailsRetentionDays * 86400000L)
+      else None
+    JobRun(state, events.toSeq, found.toMap, cleared, settings, expiresAt)
+  }
+
+  /** Total bytes of a table's data files (hidden files excluded) — the
+    * full-scan cost a row-format Find reports. */
+  private[driver] def tableBytes(spark: SparkSession, table: TableDef): Long = {
+    val path = new org.apache.hadoop.fs.Path(table.location)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+    }
+    total
   }
 
   /** Read a table for the Find phase. JSON-lines tables are read with the

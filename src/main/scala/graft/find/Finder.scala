@@ -267,9 +267,10 @@ object Finder {
     * source rows are preserved (Athena's `WHERE a OR b` keeps them). Falls
     * back to the semi-join strategy above [[InSetMaxKeys]]. */
   def matchedRows(spark: SparkSession, data: DataFrame,
-                  groups: Seq[GroupMatches]): DataFrame = {
+                  groups: Seq[GroupMatches],
+                  inSetMaxKeys: Int = InSetMaxKeys): DataFrame = {
     require(groups.nonEmpty, "no match groups — nothing to find")
-    if (totalKeys(groups) > InSetMaxKeys)
+    if (totalKeys(groups) > inSetMaxKeys)
       matchedRowsViaJoin(spark, data, groups)
     else data.filter(matchPredicate(spark, groups))
   }
@@ -284,9 +285,10 @@ object Finder {
     *             partition-filtered if the mapper scopes partitions)
     */
   def matchedFiles(spark: SparkSession, data: DataFrame,
-                   groups: Seq[GroupMatches]): DataFrame = {
+                   groups: Seq[GroupMatches],
+                   inSetMaxKeys: Int = InSetMaxKeys): DataFrame = {
     require(groups.nonEmpty, "no match groups — nothing to find")
-    if (totalKeys(groups) > InSetMaxKeys)
+    if (totalKeys(groups) > inSetMaxKeys)
       matchedFilesViaJoin(spark, data, groups)
     else
       data.filter(matchPredicate(spark, groups))

@@ -104,6 +104,45 @@ object JobStatus {
         ForgetFailed, ForgetPartiallyFailed)
 }
 
+/** Engine configuration, snapshotted onto each job at start — the analog
+  * of the reference's SSM config parameter (`get_config`,
+  * backend/lambda_layers/boto_utils/python/boto_utils.py:152-168) that
+  * `process_handler` copies onto the job item
+  * (backend/lambdas/queue/handlers.py:126-141) so in-flight jobs are
+  * immune to later settings changes. Exposed via
+  * `GraftApi.listSettings`/`putSettings` (settings/handlers.py:16-33).
+  *
+  * Only the knobs with a Spark-side meaning are carried: the reference's
+  * `AthenaConcurrencyLimit` / `*WaitSeconds` pace its SQS/Athena polling
+  * loops, which Spark's own scheduler replaces.
+  *
+  * @param findQueryMaxRetries     failed Find queries are silently retried
+  *        this many times before the job fails (`AthenaQueryMaxRetries`,
+  *        templates/state_machine.yaml:204-215)
+  * @param deletionTasksMaxNumber  driver-pool Forget concurrency
+  *        (`DeletionTasksMaxNumber` fleet size analog)
+  * @param inSetMaxKeys            Find switches from the native InSet
+  *        predicate to the broadcast semi-join above this many match keys
+  *        (engine-specific; mirrors `Finder.InSetMaxKeys`)
+  * @param jobDetailsRetentionDays job events expire this many days after
+  *        job start; 0 = keep forever (`JobDetailsRetentionDays`,
+  *        queue/handlers.py:138-139)
+  */
+final case class JobSettings(
+    findQueryMaxRetries: Int = 2,
+    deletionTasksMaxNumber: Int = 8,
+    inSetMaxKeys: Int = 100000,
+    jobDetailsRetentionDays: Int = 0) {
+  def validate(): JobSettings = {
+    require(findQueryMaxRetries >= 0, "findQueryMaxRetries must be >= 0")
+    require(deletionTasksMaxNumber >= 1, "deletionTasksMaxNumber must be >= 1")
+    require(inSetMaxKeys >= 1, "inSetMaxKeys must be >= 1")
+    require(jobDetailsRetentionDays >= 0,
+      "jobDetailsRetentionDays must be >= 0")
+    this
+  }
+}
+
 /** Event-sourced job log entry (reference: jobs table JobEvent rows,
   * backend/lambda_layers/boto_utils/python/boto_utils.py:106-123).
   * `sk` is the total-order key `"<epoch_ms>#<seq>"` used to fold events
@@ -148,6 +187,14 @@ object JobEventName {
   val QueryPlanningComplete = "QueryPlanningComplete"
   val QuerySucceeded = "QuerySucceeded"
   val QueryFailed = "QueryFailed"
+  /** Info-only: a Find query failed but the retry budget covers it. The
+    * reference emits NOTHING on a retried attempt (state_machine.yaml:
+    * 204-215 loops back to Execute Query; QueryFailed fires only after
+    * the budget is exhausted) — this event adds visibility without
+    * becoming a job error: any QueryFailed > 0 makes the stats fold
+    * resolve the job as failed/partially-failed (status_updater.py:
+    * 96-104), so a retried-then-successful query must not emit one. */
+  val QueryRetried = "QueryRetried"
   val FindPhaseEnded = "FindPhaseEnded"
   val FindPhaseFailed = "FindPhaseFailed"
   val ForgetPhaseStarted = "ForgetPhaseStarted"

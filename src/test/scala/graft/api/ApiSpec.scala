@@ -94,6 +94,46 @@ class ApiSpec extends SparkSpec {
     assert(restored("jobP") == run.state)
   }
 
+  test("settings round-trip, validation, and snapshot-on-start") {
+    val api = new GraftApi(spark)
+    assert(api.listSettings == JobSettings()) // defaults listed
+    api.putSettings(JobSettings(findQueryMaxRetries = 5,
+      deletionTasksMaxNumber = 4, jobDetailsRetentionDays = 30))
+    assert(api.listSettings.findQueryMaxRetries == 5)
+    intercept[IllegalArgumentException] {
+      api.putSettings(JobSettings(deletionTasksMaxNumber = 0))
+    }
+    assert(api.listSettings.deletionTasksMaxNumber == 4) // rejected put kept old
+    // snapshot: the job carries the settings at start
+    val (_, table) = freshLake()
+    api.putDataMapper(DataMapper("m1", "t", Seq("customer_id")), table)
+    api.enqueue(Seq(DeletionQueueItem("q1", MatchId.Simple("7"))))
+    val run = api.startJob("jobS")
+    assert(run.settings.findQueryMaxRetries == 5)
+    assert(run.settings.jobDetailsRetentionDays == 30)
+    // retention stamps an expiry ~30 days after job start
+    val wantMs = run.state.jobStartTime.get + 30L * 86400000L
+    assert(run.expiresAt.contains(wantMs))
+  }
+
+  test("persisted event log carries retention expiry and Jobs.retain " +
+    "sweeps it (DynamoDB TTL analog)") {
+    val api = new GraftApi(spark)
+    api.putSettings(JobSettings(jobDetailsRetentionDays = 1))
+    val (_, table) = freshLake()
+    api.putDataMapper(DataMapper("m1", "t", Seq("customer_id")), table)
+    api.enqueue(Seq(DeletionQueueItem("q1", MatchId.Simple("7"))))
+    val run = api.startJob("jobR")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl-").toString
+    api.persistEventLog(dir)
+    val log = spark.read.parquet(dir)
+    import org.apache.spark.sql.functions.col
+    assert(log.filter(col("expiresAt") <= 0).count() == 0)
+    val now = run.expiresAt.get
+    assert(graft.jobs.Jobs.retain(log, now - 1).count() == log.count())
+    assert(graft.jobs.Jobs.retain(log, now + 1).count() == 0)
+  }
+
   test("mapper/queue deletion is blocked only while a job runs") {
     val api = new GraftApi(spark)
     val (_, table) = freshLake()

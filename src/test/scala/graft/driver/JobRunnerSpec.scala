@@ -109,6 +109,80 @@ class JobRunnerSpec extends SparkSpec {
     assert(failIdx >= 0 && failIdx < endIdx)
   }
 
+  test("retry budget: flaky-then-ok Find retries silently and the job " +
+    "completes — QueryRetried is info-only, no QueryFailed") {
+    // reference parity: a retried attempt emits NO QueryFailed
+    // (state_machine.yaml:204-215 loops back to Execute Query without an
+    // emit) because any QueryFailed > 0 resolves ForgetPhaseEnded to
+    // FORGET_PARTIALLY_FAILED (status_updater.py:96-104) — a recovered
+    // query must leave the error counters untouched
+    val (_, table) = lake()
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val run = JobRunner.run(spark, "jr6",
+      Seq(DataMapper("m", "t", Seq("customer_id")) -> table),
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"))),
+      settings = JobSettings(findQueryMaxRetries = 2),
+      readTableFn = (s, t) => {
+        if (calls.getAndIncrement() == 0)
+          throw new RuntimeException("transient query failure")
+        JobRunner.readTable(s, t)
+      })
+    assert(run.state.status == JobStatus.Completed, run.state.status)
+    val names = run.events.map(_.eventName)
+    assert(names.count(_ == JobEventName.QueryRetried) == 1)
+    assert(!names.contains(JobEventName.QueryFailed))
+    assert(run.state.stats.totalQueryFailedCount == 0)
+    assert(run.state.stats.totalObjectUpdatedCount == 1)
+    assert(run.settings.findQueryMaxRetries == 2) // snapshot carried
+  }
+
+  test("retry budget exhaustion: one QueryFailed after the last attempt, " +
+    "job folds to FIND_FAILED") {
+    val (_, table) = lake()
+    val run = JobRunner.run(spark, "jr7",
+      Seq(DataMapper("m", "t", Seq("customer_id")) -> table),
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"))),
+      settings = JobSettings(findQueryMaxRetries = 1),
+      readTableFn = (_, _) =>
+        throw new RuntimeException("persistent query failure"))
+    assert(run.state.status == JobStatus.FindFailed)
+    val names = run.events.map(_.eventName)
+    assert(names.count(_ == JobEventName.QueryRetried) == 1) // the budget
+    assert(names.count(_ == JobEventName.QueryFailed) == 1) // exhaustion
+    assert(run.state.stats.totalQueryFailedCount == 1)
+    assert(!names.contains(JobEventName.ForgetPhaseStarted))
+  }
+
+  test("JSON-lines Find reports full-scan bytes (row format has no " +
+    "column pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jb-").toString
+    val payload = ("{\"customer_id\":7,\"x\":\"a\"}\n" +
+      "{\"customer_id\":8,\"x\":\"b\"}\n").getBytes("UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.json"), payload)
+    val schema = spark.read.json(s"$dir/d.json").schema
+    val table = TableDef("j", dir, DataFormat.JsonLines, schema)
+    val run = JobRunner.run(spark, "jr8",
+      Seq(DataMapper("mj", "j", Seq("customer_id"),
+        format = DataFormat.JsonLines) -> table),
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"))))
+    assert(run.state.status == JobStatus.Completed)
+    assert(run.state.stats.totalQueryScannedInBytes == payload.length,
+      s"want full-scan bytes ${payload.length}, " +
+        s"got ${run.state.stats.totalQueryScannedInBytes}")
+  }
+
+  test("per-job inSetMaxKeys override drives the semi-join fallback and " +
+    "still deletes correctly") {
+    val (_, table) = lake()
+    val run = JobRunner.run(spark, "jr9",
+      Seq(DataMapper("m", "t", Seq("customer_id")) -> table),
+      Seq(DeletionQueueItem("q1", MatchId.Simple("7")),
+        DeletionQueueItem("q2", MatchId.Simple("9"))),
+      settings = JobSettings(inSetMaxKeys = 1)) // 2 keys > 1 → join path
+    assert(run.state.status == JobStatus.Completed)
+    assert(run.state.stats.totalRowsDeletedCount == 2)
+  }
+
   test("simple item scoped to several mappers applies to each") {
     val (_, t1) = lake()
     val (_, t2) = lake()

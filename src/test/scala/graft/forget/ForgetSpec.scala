@@ -258,18 +258,46 @@ class ForgetSpec extends SparkSpec {
     assert(events.map(_.eventName) == Seq(JobEventName.ObjectUpdateSkipped))
   }
 
-  test("CatalogPartitions enumerates hive partition combinations (S4)") {
+  test("CatalogPartitions enumerates hive partition combinations (S4) " +
+    "from directory names alone — zero Spark tasks, zero data reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft-s4-").toString
     Seq((1L, "X", "a"), (2L, "X", "b"), (3L, "Y", "a"))
       .toDF("id", "p1", "p2")
       .write.mode("overwrite").partitionBy("p1", "p2").parquet(dir)
     val table = graft.catalog.TableDef("t", dir, DataFormat.Parquet,
       spark.read.parquet(dir).schema, partitionKeys = Seq("p1", "p2"))
-    val combos = graft.catalog.CatalogPartitions
-      .partitionValues(spark, table).toSet
-    assert(combos == Set(
-      Map("p1" -> "X", "p2" -> "a"), Map("p1" -> "X", "p2" -> "b"),
-      Map("p1" -> "Y", "p2" -> "a")))
+    // a 100k-partition lake must enumerate like Glue metadata paging
+    // (generate_queries.py:264-285): directory listing, no footer/row-
+    // group reads — pin it by watching for ANY task while enumerating
+    Thread.sleep(300) // let earlier tests' listener events drain
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val combos = graft.catalog.CatalogPartitions
+        .partitionValues(spark, table).toSet
+      assert(combos == Set(
+        Map("p1" -> "X", "p2" -> "a"), Map("p1" -> "X", "p2" -> "b"),
+        Map("p1" -> "Y", "p2" -> "a")))
+      Thread.sleep(700) // listener bus is async
+      assert(tasks.get() == 0L,
+        s"partition enumeration ran ${tasks.get()} Spark tasks")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("CatalogPartitions reverses hive path escaping in values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-esc-").toString
+    Seq((1L, "a/b:c", "x")).toDF("id", "p1", "v")
+      .write.mode("overwrite").partitionBy("p1").parquet(dir)
+    val table = graft.catalog.TableDef("t", dir, DataFormat.Parquet,
+      spark.read.parquet(dir).schema, partitionKeys = Seq("p1"))
+    assert(graft.catalog.CatalogPartitions.partitionValues(spark, table)
+      == Seq(Map("p1" -> "a/b:c")))
   }
 
   test("float NaN rows are deleted when 'NaN' is queued (both layers)") {

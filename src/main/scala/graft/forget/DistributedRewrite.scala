@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{GroupType, PrimitiveType, Type => PType}
-import org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DecimalLogicalTypeAnnotation, IntLogicalTypeAnnotation}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.SparkSession
 import java.util.UUID
@@ -162,6 +162,16 @@ object DistributedRewrite {
       case _ => None
     }
 
+  /** Parquet UINT32/UINT64 logical types (Spark widens these to Long /
+    * Decimal(20,0) on the driver-side Find; the task must widen the raw
+    * signed storage the same way or upper-range ids match in Find but
+    * not here). */
+  private def isUnsignedInt(pt: PrimitiveType): Boolean =
+    pt.getLogicalTypeAnnotation match {
+      case i: IntLogicalTypeAnnotation => !i.isSigned
+      case _ => false
+    }
+
   private def binaryDecimal(b: Binary, scale: Int): java.math.BigDecimal =
     new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), scale)
 
@@ -174,19 +184,35 @@ object DistributedRewrite {
   private def leafEquals(pt: PrimitiveType, g: Group, idx: Int, m: PVal): Boolean = {
     val scaleOpt = decimalScale(pt)
     pt.getPrimitiveTypeName match {
-      case INT32 => (m, scaleOpt) match {
-        case (PDecimal(d), Some(s)) =>
-          java.math.BigDecimal.valueOf(g.getInteger(idx, 0).toLong, s)
-            .compareTo(d) == 0
-        case (PLong(v), None) => g.getInteger(idx, 0).toLong == v
-        case _ => false
-      }
-      case INT64 => (m, scaleOpt) match {
-        case (PDecimal(d), Some(s)) =>
-          java.math.BigDecimal.valueOf(g.getLong(idx, 0), s).compareTo(d) == 0
-        case (PLong(v), None) => g.getLong(idx, 0) == v
-        case _ => false
-      }
+      case INT32 =>
+        // UINT32 stores the unsigned value in signed INT32 bits; widen
+        // exactly like Spark's vectorized reader (& 0xffffffffL) so the
+        // task agrees with the driver-side Find on upper-range ids
+        val widened =
+          if (isUnsignedInt(pt)) g.getInteger(idx, 0) & 0xffffffffL
+          else g.getInteger(idx, 0).toLong
+        (m, scaleOpt) match {
+          case (PDecimal(d), Some(s)) =>
+            java.math.BigDecimal.valueOf(widened, s).compareTo(d) == 0
+          case (PLong(v), None) => widened == v
+          case _ => false
+        }
+      case INT64 =>
+        val raw = g.getLong(idx, 0)
+        val unsigned = isUnsignedInt(pt)
+        (m, scaleOpt) match {
+          case (PDecimal(d), Some(s)) =>
+            java.math.BigDecimal.valueOf(raw, s).compareTo(d) == 0
+          case (PDecimal(d), None) if unsigned =>
+            // UINT64 surfaces as Decimal(20,0) in Spark; compare on the
+            // unsigned reading of the raw signed long
+            new java.math.BigDecimal(java.lang.Long.toUnsignedString(raw))
+              .compareTo(d) == 0
+          case (PLong(v), None) =>
+            // an unsigned value > Long.MaxValue can never equal a PLong
+            if (unsigned) raw >= 0 && raw == v else raw == v
+          case _ => false
+        }
       case FLOAT => m match {
         case PFloat(v) =>
           val x = g.getFloat(idx, 0)
@@ -239,6 +265,35 @@ object DistributedRewrite {
   private def stagingPath(dest: HPath): HPath =
     new HPath(dest.getParent,
       s".graft-staging-${dest.getName}-${UUID.randomUUID()}")
+
+  /** Per-(object, job) commit marker making the task idempotent under
+    * Spark retry/speculation: a re-executed attempt whose predecessor
+    * already committed (executor lost before reporting) would otherwise
+    * re-read the rewritten object, find 0 matches, and fail the job with
+    * a spurious ZeroDeletionError. The marker stores the committed
+    * (processed, deleted) counts so the retry can replay the outcome.
+    * The commit→marker write is not atomic, so the path stays
+    * at-least-once in a crash window — the same guarantee the
+    * reference's SQS redelivery gives its Fargate workers. */
+  private[forget] def doneMarker(dest: HPath, jobId: String): HPath =
+    new HPath(dest.getParent,
+      new HPath(".graft-done", s"${dest.getName}.$jobId"))
+
+  private[forget] def writeDoneMarker(fs: org.apache.hadoop.fs.FileSystem,
+                              m: HPath, processed: Long,
+                              deleted: Long): Unit = {
+    val out = fs.create(m, true)
+    try out.write(s"$processed,$deleted".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readDoneMarker(fs: org.apache.hadoop.fs.FileSystem,
+                             m: HPath): (Long, Long) = {
+    val in = fs.open(m)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val parts = s.split(',')
+    (parts(0).toLong, parts(1).toLong)
+  }
 
   /** Capture-check-swap commit (reference s3.py:61-98,301-357 semantics
     * on a Hadoop FileSystem): integrity check against the captured source
@@ -324,47 +379,71 @@ object DistributedRewrite {
             TaskOutcome(u.path, ok = false, 0, 0,
               System.currentTimeMillis() - t0, rollbackFailed = false,
               s"${u.path} not found (skipped)", "", skipped = true)
-          else {
+          else if (dest.getFileSystem(conf).exists(doneMarker(dest, jobId))) {
+            // a prior attempt of THIS job already committed this object
+            // (executor lost before reporting / speculative duplicate):
+            // replay its recorded counts instead of re-rewriting —
+            // Spark dropped the lost attempt's accumulator updates
+            val (p0, d0) =
+              readDoneMarker(dest.getFileSystem(conf), doneMarker(dest, jobId))
+            accProcessed.add(p0)
+            accDeleted.add(d0)
+            TaskOutcome(u.path, ok = true, p0, d0,
+              System.currentTimeMillis() - t0, rollbackFailed = false, "", "")
+          } else {
           val st = fs.getFileStatus(src)
           val (srcLen, srcMtime) = (st.getLen, st.getModificationTime)
           val staged = stagingPath(dest)
-          // CSE seam (cse.py:27-36,85-104): decode the envelope to a
-          // task-local plaintext copy, rewrite that, re-encode the output
-          val plainSrc =
-            if (codec eq PayloadCodec.Identity) src
+          // CSE seam (cse.py:27-36,85-104): decode the envelope to an
+          // EXECUTOR-LOCAL plaintext copy (plain java.io — never the
+          // source filesystem, which may be a remote shared store),
+          // rewrite that, re-encode the output. The finally below
+          // guarantees decrypted plaintext never survives a failed task.
+          val plainLocal: Option[java.io.File] =
+            if (codec eq PayloadCodec.Identity) None
             else {
-              val tmp = new HPath(java.nio.file.Files
-                .createTempFile("graft-cse-", src.getName).toString)
+              val tmp =
+                java.io.File.createTempFile("graft-cse-", "-" + src.getName)
               val in = fs.open(src)
               val bytes = try in.readAllBytes() finally in.close()
-              val out = fs.create(tmp, true)
-              try out.write(codec.decode(bytes)) finally out.close()
-              tmp
+              val os = new java.io.FileOutputStream(tmp)
+              try os.write(codec.decode(bytes)) finally os.close()
+              Some(tmp)
             }
-          val (processed, deleted) = u.format match {
-            case DataFormat.Parquet =>
-              rewriteParquetTaskTo(conf, plainSrc, staged, pqSpecs)
-            case DataFormat.JsonLines =>
-              rewriteJsonTaskTo(conf, plainSrc, staged, jsonEval)
-          }
-          if (!(codec eq PayloadCodec.Identity)) {
-            fs.delete(plainSrc, false)
-            val in = fs.open(staged)
-            val plain = try in.readAllBytes() finally in.close()
-            val out = fs.create(staged, true)
-            try out.write(codec.encode(plain)) finally out.close()
-          }
-          if (deleted == 0L) {
-            fs.delete(staged, false)
-            throw new ZeroDeletionError(
-              s"${u.path} was found by Find but Forget deleted 0 rows")
-          }
-          commitTask(conf, src, dest, staged, srcLen, srcMtime,
-            u.deleteOldVersions)
-          accProcessed.add(processed)
-          accDeleted.add(deleted)
-          TaskOutcome(u.path, ok = true, processed, deleted,
-            System.currentTimeMillis() - t0, rollbackFailed = false, "", "")
+          try {
+            val plainSrc =
+              plainLocal.map(f => new HPath(f.toURI)).getOrElse(src)
+            val (processed, deleted) = u.format match {
+              case DataFormat.Parquet =>
+                rewriteParquetTaskTo(conf, plainSrc, staged, pqSpecs)
+              case DataFormat.JsonLines =>
+                rewriteJsonTaskTo(conf, plainSrc, staged, jsonEval)
+            }
+            if (!(codec eq PayloadCodec.Identity)) {
+              val sfs = staged.getFileSystem(conf)
+              try {
+                val in = sfs.open(staged)
+                val plain = try in.readAllBytes() finally in.close()
+                val out = sfs.create(staged, true)
+                try out.write(codec.encode(plain)) finally out.close()
+              } catch {
+                case NonFatal(e) => sfs.delete(staged, false); throw e
+              }
+            }
+            if (deleted == 0L) {
+              fs.delete(staged, false)
+              throw new ZeroDeletionError(
+                s"${u.path} was found by Find but Forget deleted 0 rows")
+            }
+            commitTask(conf, src, dest, staged, srcLen, srcMtime,
+              u.deleteOldVersions)
+            writeDoneMarker(dest.getFileSystem(conf),
+              doneMarker(dest, jobId), processed, deleted)
+            accProcessed.add(processed)
+            accDeleted.add(deleted)
+            TaskOutcome(u.path, ok = true, processed, deleted,
+              System.currentTimeMillis() - t0, rollbackFailed = false, "", "")
+          } finally plainLocal.foreach { f => if (f.exists()) f.delete() }
           }
         } catch {
           case e: RollbackFailedError =>
@@ -379,6 +458,24 @@ object DistributedRewrite {
         }
       }
       .collect()
+
+    // all attempts/retries are finished once collect() returns — sweep the
+    // per-job commit markers (best-effort, map-only, no shuffle)
+    spark.sparkContext
+      .parallelize(work.map(_._2), math.max(1, math.min(work.size, 64)))
+      .foreachPartition { it =>
+        val conf = confBc.value.value
+        it.foreach { destStr =>
+          try {
+            val dest = new HPath(destStr)
+            val dfs = dest.getFileSystem(conf)
+            dfs.delete(doneMarker(dest, jobId), false)
+            val dir = new HPath(dest.getParent, ".graft-done")
+            if (dfs.exists(dir) && dfs.listStatus(dir).isEmpty)
+              dfs.delete(dir, true)
+          } catch { case NonFatal(_) => () }
+        }
+      }
 
     def sk(): String = EventSk.next()
     outcomes.toSeq.flatMap { o =>

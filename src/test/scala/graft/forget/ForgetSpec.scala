@@ -300,6 +300,114 @@ class ForgetSpec extends SparkSpec {
       == Seq(Map("p1" -> "a/b:c")))
   }
 
+  // ---- unsigned parquet logical types (ADVICE r3: task must widen
+  // UINT32/UINT64 like Spark's reader, or upper-range ids match in Find
+  // but not in the rewrite) ------------------------------------------
+
+  /** Stage a parquet file with UINT32/UINT64 identifier columns (Spark
+    * cannot write unsigned logical types — use parquet-mr directly). */
+  private def stageUnsignedFile(): String = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = Types.buildMessage()
+      .addField(Types.required(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.intType(32, false)).named("u32"))
+      .addField(Types.required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.intType(64, false)).named("u64"))
+      .addField(Types.required(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("x"))
+      .named("row")
+    val dir = java.nio.file.Files.createTempDirectory("graft-uint-")
+    val file = dir.resolve("part-0.parquet").toString
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    try {
+      // row 0: upper-range unsigned values (stored as -1 in signed bits)
+      w.write(f.newGroup().append("u32", -1).append("u64", -1L)
+        .append("x", "upper"))
+      w.write(f.newGroup().append("u32", 7).append("u64", 7L)
+        .append("x", "small"))
+    } finally w.close()
+    file
+  }
+
+  test("UINT32 upper-range ids delete in the task rewrite (unsigned " +
+    "widening matches Spark's reader)") {
+    val file = stageUnsignedFile()
+    val d = spark.read.parquet(file)
+    // Spark widens UINT32 to LongType — the Find side sees 4294967295
+    assert(d.schema("u32").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(d.where(col("u32") === 4294967295L).count() == 1)
+    val groups = plan(d, Seq("u32"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("4294967295"))))
+    val (out, processed, deleted) = rewrite(file, groups, distributed = true)
+    assert((processed, deleted) == (2L, 1L))
+    assert(out.select("x").as[String].collect().toSeq == Seq("small"))
+  }
+
+  test("UINT64 upper-range ids (Decimal(20,0) in Spark) delete in the " +
+    "task rewrite") {
+    val file = stageUnsignedFile()
+    val d = spark.read.parquet(file)
+    assert(d.schema("u64").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    val big = "18446744073709551615" // 2^64 - 1, stored as -1L
+    assert(d.where(col("u64") === new java.math.BigDecimal(big)).count() == 1)
+    val groups = plan(d, Seq("u64"),
+      Seq(DeletionQueueItem("q", MatchId.Simple(big))))
+    val (out, processed, deleted) = rewrite(file, groups, distributed = true)
+    assert((processed, deleted) == (2L, 1L))
+    assert(out.select("x").as[String].collect().toSeq == Seq("small"))
+  }
+
+  // ---- task idempotency under retry/speculation (ADVICE r3) ---------
+
+  test("a retry whose predecessor already committed replays the marker " +
+    "outcome instead of failing with ZeroDeletionError") {
+    val d = Seq((1L, "keep"), (2L, "drop")).toDF("id", "x")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("id"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("2"))))
+    // simulate: a prior attempt of job "jr" committed (marker present
+    // with its counts) but the executor died before reporting
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = DistributedRewrite.doneMarker(hp, "jr")
+    DistributedRewrite.writeDoneMarker(fs, marker, 2L, 1L)
+    val events = DistributedRewrite.run(spark, "jr",
+      Seq(ObjectWorkUnit("jr", file, "m", DataFormat.Parquet, true)), groups)
+    assert(events.map(_.eventName) == Seq(JobEventName.ObjectUpdated))
+    assert((events.head.statsProcessed, events.head.statsDeleted) == (2L, 1L))
+    // the object was NOT rewritten again (the "drop" row is still there —
+    // in the simulated history the first attempt already removed it; here
+    // it proves the retry skipped the rewrite entirely)
+    assert(spark.read.parquet(file).count() == 2)
+    // and the job-completion sweep removed the marker
+    assert(!fs.exists(marker))
+  }
+
+  test("a different job is NOT fooled by another job's marker") {
+    val d = Seq((1L, "keep"), (2L, "drop")).toDF("id", "x")
+    val file = stageParquetFile(d)
+    val groups = plan(d, Seq("id"),
+      Seq(DeletionQueueItem("q", MatchId.Simple("2"))))
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DistributedRewrite.writeDoneMarker(fs,
+      DistributedRewrite.doneMarker(hp, "other-job"), 99L, 99L)
+    val events = DistributedRewrite.run(spark, "jr2",
+      Seq(ObjectWorkUnit("jr2", file, "m", DataFormat.Parquet, true)), groups)
+    assert(events.map(_.eventName) == Seq(JobEventName.ObjectUpdated))
+    assert(events.head.statsDeleted == 1L)
+    assert(spark.read.parquet(file).count() == 1)
+  }
+
   test("float NaN rows are deleted when 'NaN' is queued (both layers)") {
     val d = Seq((1L, 1.5f), (2L, Float.NaN)).toDF("id", "f")
     val file = stageParquetFile(d)

@@ -28,20 +28,57 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 object EventStream {
 
   /** Streaming fold: one updated [[Jobs.JobState]] row per job per
-    * micro-batch. Works on batch Datasets too (same code path). */
-  def foldStream(events: Dataset[JobEvent]): Dataset[Jobs.JobState] =
+    * micro-batch. Works on batch Datasets too (same code path).
+    *
+    * @param retentionMs how long a FINISHED job's state survives with no
+    *        further events before it is evicted (the streaming analog of
+    *        the reference's DynamoDB TTL on `Expires`, boto_utils.py:120-123
+    *        — stamped only once a job completes — and of [[Jobs.retain]]).
+    *        0 = keep forever, matching `jobDetailsRetentionDays = 0`.
+    *        In a long-lived stream an un-evicted terminal job would pin
+    *        its state in the store forever; with eviction, a late event
+    *        for an expired job re-creates state from QUEUED — exactly
+    *        what the reference does after the TTL'd row is gone.
+    *
+    *        NOTE: with a processing-time timeout Spark constructs
+    *        micro-batches CONTINUOUSLY even with no new data (so
+    *        wall-clock timeouts can fire;
+    *        FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    *        unconditionally true for ProcessingTimeTimeout). Pace the
+    *        query with `.trigger(Trigger.ProcessingTime(...))` — at a
+    *        minute-scale interval the idle batches are negligible — and
+    *        do not use `processAllAvailable`, which never returns on
+    *        such a query; await sink output instead. */
+  def foldStream(events: Dataset[JobEvent],
+                 retentionMs: Long = 0L): Dataset[Jobs.JobState] = {
+    val timeoutConf =
+      if (retentionMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.jobId)(Encoders.STRING)
-      .mapGroupsWithState[Jobs.JobState, Jobs.JobState](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[Jobs.JobState, Jobs.JobState](timeoutConf) {
         (jobId: String, batch: Iterator[JobEvent],
          state: GroupState[Jobs.JobState]) =>
-          val current = state.getOption.getOrElse(Jobs.JobState(jobId))
-          val next = batch.toSeq.sortBy(_.sk)
-            .foldLeft(current)(Jobs.applyEvent)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            // retention expiry: drop the terminal job's state; emit the
+            // last known fold once so sinks observe the eviction batch
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val current = state.getOption.getOrElse(Jobs.JobState(jobId))
+            val next = batch.toSeq.sortBy(_.sk)
+              .foldLeft(current)(Jobs.applyEvent)
+            state.update(next)
+            // the TTL stamps only when the job has finished — RUNNING
+            // jobs never expire (stream_processor.py stamps Expires on
+            // the job-end transition)
+            if (retentionMs > 0L && JobStatus.finished(next.status))
+              state.setTimeoutDuration(retentionMs)
+            next
+          }
       }(Encoders.product[Jobs.JobState], Encoders.product[Jobs.JobState])
+  }
 
   /** Jobs whose folded status just reached the cleanup trigger state —
     * evaluate per update batch in `foreachBatch` (T4). */

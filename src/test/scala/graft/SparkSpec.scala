@@ -15,6 +15,12 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1's checksum checkpoint manager livelocks its worker
+      // threads under mapGroupsWithState timeout batches on local[4]
+      // (tasks parked forever in ChecksumCancellableFSDataOutputStream
+      // .close → awaitResult, checksum threads spinning); checkpoint
+      // checksums add nothing to local-FS tests
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

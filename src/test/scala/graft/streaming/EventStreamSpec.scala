@@ -106,6 +106,116 @@ class EventStreamSpec extends SparkSpec {
       batchFold.stats.totalRowsDeletedCount)
   }
 
+  /** Poll until `cond` yields Some — needed because a query with
+    * ProcessingTimeTimeout constructs micro-batches CONTINUOUSLY
+    * (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true so
+    * wall-clock timeouts can fire), which means `processAllAvailable`
+    * never returns on such a query; output must be awaited instead. */
+  private def eventually[A](timeoutMs: Long, what: String)
+                           (cond: => Option[A]): A = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var r = cond
+    while (r.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50L); r = cond
+    }
+    r.getOrElse(fail(s"not observed within ${timeoutMs}ms: $what"))
+  }
+
+  test("finished jobs are evicted after retention; a late event re-creates " +
+    "state from QUEUED (T6 streaming analog of the DynamoDB TTL)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val stream = MemoryStream[JobEvent]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Jobs.JobState]
+    val query = EventStream.foldStream(stream.toDS(), retentionMs = 200L)
+      .writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Jobs.JobState],
+                       _: Long) =>
+        val rows = batch.collect().toSeq
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }
+      .start()
+    try {
+      def j1Rows = emitted.synchronized(emitted.filter(_.jobId == "j1").toSeq)
+
+      // j1 runs to COMPLETED (terminal ⇒ retention timer starts)
+      stream.addData(Seq(
+        JobEvent("j1", "000000000001", JobEventName.JobStarted, 1L),
+        JobEvent("j1", "000000000002", JobEventName.ObjectUpdated, 2L,
+          statsProcessed = 5, statsDeleted = 1),
+        JobEvent("j1", "000000000003", JobEventName.ForgetPhaseEnded, 3L),
+        JobEvent("j1", "000000000004", JobEventName.CleanupSucceeded, 4L)))
+      eventually(30000L, "j1 reaches COMPLETED") {
+        j1Rows.find(_.status == JobStatus.Completed)
+      }
+      val afterComplete = j1Rows.size
+
+      // the retention timeout fires with NO further j1 input — the
+      // eviction batch re-emits the last fold as it drops the state
+      eventually(30000L, "eviction emission for j1") {
+        if (j1Rows.size > afterComplete) Some(()) else None
+      }
+
+      // a LATE event for the expired job must re-create state from
+      // QUEUED (the reference's behavior once the TTL'd row is gone) —
+      // were the old state still present, the terminal lock would hold
+      // status at COMPLETED and the stats would carry the old counts
+      stream.addData(Seq(
+        JobEvent("j1", "000000000009", JobEventName.QuerySucceeded, 200L,
+          bytesScanned = 42L)))
+      val late = eventually(30000L, "late event re-creates j1 from QUEUED") {
+        j1Rows.find(s => s.status == JobStatus.Queued &&
+          s.stats.totalQueryCount == 1L)
+      }
+      assert(late.stats.totalQueryScannedInBytes == 42L)
+      assert(late.stats.totalObjectUpdatedCount == 0L) // old stats gone
+      assert(late.jobStartTime.isEmpty && late.jobFinishTime.isEmpty)
+    } finally query.stop()
+  }
+
+  test("RUNNING jobs never time out (TTL stamps only on job end)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[JobEvent]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Jobs.JobState]
+    val query = EventStream.foldStream(stream.toDS(), retentionMs = 100L)
+      .writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Jobs.JobState],
+                       _: Long) =>
+        val rows = batch.collect().toSeq
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }
+      .start()
+    try {
+      def jrRows = emitted.synchronized(emitted.filter(_.jobId == "jr").toSeq)
+      stream.addData(Seq(
+        JobEvent("jr", "000000000001", JobEventName.JobStarted, 1L)))
+      eventually(30000L, "jr reaches RUNNING") {
+        jrRows.find(_.status == JobStatus.Running)
+      }
+      val afterRunning = jrRows.size
+      // well past retention: a RUNNING job must NOT emit an eviction row
+      Thread.sleep(600L)
+      assert(jrRows.size == afterRunning,
+        s"unexpected extra emissions for a RUNNING job: $jrRows")
+      // and a follow-up event continues from the EXISTING state (stats
+      // and start time retained)
+      stream.addData(Seq(
+        JobEvent("jr", "000000000002", JobEventName.ObjectUpdated, 3L,
+          statsProcessed = 7, statsDeleted = 2)))
+      val s = eventually(30000L, "jr folds the follow-up event") {
+        jrRows.find(_.stats.totalRowsDeletedCount == 2L)
+      }
+      assert(s.status == JobStatus.Running)
+      assert(s.jobStartTime.contains(1L))
+    } finally query.stop()
+  }
+
   test("cleanup trigger fires when the transition ends a batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

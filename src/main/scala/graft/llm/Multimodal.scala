@@ -92,8 +92,11 @@ object Multimodal {
     require(frameBytes > 0)
     val nFrames = ceil(length(col("payload")).cast("double") / frameBytes)
       .cast("int")
+    // ceil(n_bytes/frameBytes) frames: a zero-byte payload yields ZERO
+    // rows, not one empty frame — explode(null) drops the row (a null
+    // payload likewise samples nothing)
     df.withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))))
+        explode(when(nFrames >= 1, sequence(lit(0), nFrames - 1))))
       .withColumn("frame",
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
   }

@@ -77,6 +77,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(sizes == Seq(2, 64, 64))
   }
 
+  test("frame sampling: a zero-byte payload yields ZERO frames " +
+    "(ceil(0/frameBytes) — not one empty frame)") {
+    val docs = Seq((1L, ""), (2L, "xy")).toDF("doc_id", "text")
+    val media = Multimodal.withPayload(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64)
+      .select(col("id"), col("frame"))
+    val byId = frames.collect().groupBy(_.getLong(0))
+    assert(!byId.contains(1L), "empty payload must sample no frames")
+    assert(byId(2L).length == 1)
+  }
+
   test("resize stub pads/truncates to the target byte length") {
     val docs = Seq((1L, "abc"), (2L, "abcdefghijklmnop"))
       .toDF("doc_id", "text")

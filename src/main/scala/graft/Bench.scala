@@ -93,6 +93,36 @@ object Bench {
         math.max(1L, new java.io.File(s"$sfDir/lineitem.parquet").length())
     }
 
+    // at-scale Find fallback: a queue larger than InSetMaxKeys forces the
+    // broadcast semi-join strategy (ONE scan + exploded keys + broadcast
+    // left-semi — FinderSpec pins the plan shape; this facet times it on
+    // real sf data). Keys 1..InSetMaxKeys+1 over l_orderkey guarantee
+    // real matches.
+    locally {
+      val liTable = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val queue = (1 to Finder.InSetMaxKeys + 1).map(i =>
+        DeletionQueueItem(s"q$i", MatchId.Simple(i.toString)))
+      val g = Finder.plan(
+        DataMapper("lifb", "lifb", Seq("l_orderkey")),
+        TableDef("lifb", s"$sfDir/lineitem.parquet", DataFormat.Parquet,
+          liTable.schema),
+        queue)
+      val t0 = System.nanoTime()
+      try {
+        Finder.matchedFiles(spark, liTable, g)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+        times("find_join_fallback") = (System.nanoTime() - t0) / 1e9
+        // untimed sanity count: the fallback must actually find files
+        ok("find_join_fallback") =
+          Finder.matchedFiles(spark, liTable, g).count() > 0
+      } catch {
+        case NonFatal(e) =>
+          times("find_join_fallback") = (System.nanoTime() - t0) / 1e9
+          ok("find_join_fallback") = false
+          errors += s"find_join_fallback: ${String.valueOf(e.getMessage).take(200)}"
+      }
+    }
+
     // facet (b): distributed forget throughput over 64 staged objects
     val stage = java.nio.file.Files.createTempDirectory("graft-bench-")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -127,6 +157,40 @@ object Bench {
     times("forget_rewrite_64obj") = forgetSec
     ok("forget_rewrite_64obj") = updated == files.size
 
+    // at-scale forget: 1,024 objects in ONE job (the reference's
+    // scenario-4 shape — 45k objects through a worker fleet,
+    // docs/COST_OVERVIEW.md:288-290 — scaled to the bench box; exercises
+    // per-task overhead: footer read, staging commit, version capture)
+    li.repartition(1024).write.mode(SaveMode.Overwrite)
+      .parquet(s"$stage/lineitem1024")
+    val files1024 = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$stage/lineitem1024"))
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val p = it.next().toString
+          if (p.endsWith(".parquet")) buf += p
+        }
+        buf.toSeq
+      } finally s.close()
+    }
+    val units1024 = files1024.map(f =>
+      ObjectWorkUnit("bench1024", f, "li", DataFormat.Parquet, true))
+    val f1 = System.nanoTime()
+    val events1024 = DistributedRewrite.run(spark, "bench1024",
+      units1024, groups)
+    val forget1024Sec = (System.nanoTime() - f1) / 1e9
+    val updated1024 =
+      events1024.count(_.eventName == JobEventName.ObjectUpdated)
+    val rows1024 = events1024.map(_.statsProcessed).sum
+    if (updated1024 != files1024.size)
+      errors += s"forget_bench_1024: only $updated1024/${files1024.size} " +
+        "objects updated"
+    times("forget_rewrite_1024obj") = forget1024Sec
+    ok("forget_rewrite_1024obj") = updated1024 == files1024.size
+
     def jd(d: Double): String = f"$d%.4f"
     val qs = times.map { case (k, v) => s""""$k":${jd(v)}""" }
       .mkString("{", ",", "}")
@@ -145,6 +209,8 @@ object Bench {
       s""""forget_objects_per_min":${jd(updated / (forgetSec / 60.0))},""" +
       s""""forget_rows_per_sec":${jd(rowsProcessed / forgetSec)},""" +
       s""""forget_rows_deleted":$rowsDeleted,""" +
+      s""""forget_1024_objects_per_min":${jd(updated1024 / (forget1024Sec / 60.0))},""" +
+      s""""forget_1024_rows_per_sec":${jd(rows1024 / forget1024Sec)},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
     if (ok.values.exists(v => !v)) sys.exit(1)

@@ -29,17 +29,41 @@ object VersionedStore {
     new HPath(obj.getParent, new HPath(".graft-versions", obj.getName))
 
   /** Copy the current object into its versions dir; no-op when the object
-    * does not exist yet. Returns the version path. */
+    * does not exist yet. Returns the version path.
+    *
+    * On a local filesystem the copy goes through java.nio: Hadoop's
+    * ChecksumFileSystem costs ~50 ms per small-file copy (a .crc sidecar
+    * create plus permission bookkeeping per file), which dominates the
+    * per-object rewrite cost on many-small-object jobs. A version file
+    * without a sidecar is fine — ChecksumFileSystem skips verification
+    * when no .crc exists, and rollback's delete-then-rename removes the
+    * object's own sidecar before the version takes its place. */
   def capture(fs: FileSystem, obj: HPath): Option[HPath] = {
     if (!fs.exists(obj)) return None
     val st = fs.getFileStatus(obj)
     val dir = versionsDir(obj)
-    fs.mkdirs(dir)
     val v = new HPath(dir,
       f"${st.getModificationTime}%013d-${UUID.randomUUID()}")
-    FileUtil.copy(fs, obj, fs, v, false, fs.getConf)
+    localPath(fs, obj) match {
+      case Some(src) =>
+        val dst = java.nio.file.Paths.get(v.toUri.getPath)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(src, dst)
+      case None =>
+        fs.mkdirs(dir)
+        FileUtil.copy(fs, obj, fs, v, false, fs.getConf)
+    }
     Some(v)
   }
+
+  /** file:// (or scheme-less local) paths as java.nio paths. */
+  private[forget] def localPath(fs: FileSystem,
+                                p: HPath): Option[java.nio.file.Path] =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem =>
+        Some(java.nio.file.Paths.get(p.toUri.getPath))
+      case _ => None
+    }
 
   /** Zero-byte delete marker (the versioned-bucket DELETE analog). */
   def putDeleteMarker(fs: FileSystem, obj: HPath): HPath = {

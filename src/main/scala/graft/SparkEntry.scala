@@ -375,6 +375,31 @@ object SparkEntry {
           targetBucket = 64, tables = 16)
         .nearPairs(emb, "vec_id", "embedding", threshold = 0.4)
         .select(col("id_a"), col("id_b"), col("cosine"))
+    }),
+    // LLM §near-dedup — EXACT n-gram Jaccard pairs via the prefix-filtered
+    // set-similarity join (AllPairs): no hashing, recall 1 by
+    // construction; the prefix + length filters keep the inverted-index
+    // self-join off the ubiquitous shingles, so no all-pairs product and
+    // no hot keys. Complements q24 (MinHash approximation of the same
+    // ground truth — here the 0.5-threshold superset, exactly).
+    "q29_jaccard_exact" -> ((s, dir) => {
+      import graft.llm.Dedup
+      Dedup.jaccardPairsExact(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 8, threshold = 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("jaccard"))
+    }),
+    // LLM §similarity — IVF coarse-quantizer ANN: data assigned once to
+    // nlist sampled-centroid lists, each query probes its nprobe nearest
+    // lists only. nprobe=14/16 is recall-tuned for the near-uniform
+    // synthetic vectors (verified exact-equal to the brute oracle at
+    // sf0.01); clustered real embeddings concentrate neighbors in few
+    // lists and probe far fewer.
+    "q30_ann_ivf" -> ((s, dir) => {
+      import graft.llm.Similarity
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10, nlist = 16, nprobe = 14)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -604,7 +629,25 @@ object SparkEntry {
         | WHERE a.vec_id < b.vec_id AND
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[])) >= 0.4"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " "),
+    // exact all-pairs shingle Jaccard at 0.5 — the q24 ground truth with
+    // the q29 threshold; the engine side must reproduce it EXACTLY
+    // (prefix filter is lossless), not approximately
+    "q29_jaccard_exact" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS lt FROM documents),
+        | idx AS (SELECT unnest(range(1, 2000)) AS i),
+        | sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS g
+        |   FROM d JOIN idx ON i <= lt - 7 GROUP BY 1, 2),
+        | sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+        |   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        | SELECT da AS doc_a, db AS doc_b,
+        |   i * 1.0 / (x.n + y.n - i) AS jaccard
+        | FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        | WHERE i * 1.0 / (x.n + y.n - i) >= 0.5"""
+        .stripMargin.replace("\n", " "),
+    "q30_ann_ivf" -> annOracleSql)
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
     * side's double accumulation (both iterate the lists in order). */

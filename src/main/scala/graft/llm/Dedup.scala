@@ -186,6 +186,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard pairs via a prefix-filtered set-similarity
+    * join (the AllPairs family, Bayardo/Ma/Srikant 2007) — the exact
+    * counterpart of [[nearDuplicates]]: no hashing, no recall loss, yet
+    * never an all-pairs product.
+    *
+    * Filters, in order of how much they prune:
+    *   - '''prefix filter''': under a global shingle order (rarest
+    *     first — ascending document frequency), two sets with
+    *     J >= t MUST share a shingle within each one's first
+    *     `|S| - ceil(t*|S|) + 1` shingles; only those prefix entries
+    *     enter the candidate join, so ubiquitous shingles (the hot keys
+    *     that blow up a naive inverted-index join) land OUTSIDE most
+    *     prefixes and never key a candidate.
+    *   - '''length filter''': J(A,B) >= t implies
+    *     t*|A| <= |B| <= |A|/t — applied inside the join condition.
+    *   - exact verify: candidates join back to the raw text and compute
+    *     true shingle Jaccard in one linear pass per doc.
+    *
+    * Shuffles carry only (shingle, id, size) prefix entries and the
+    * candidate id pairs — never shingle arrays or texts (texts join back
+    * only onto surviving candidates).
+    * Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 8,
+                        threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol).as("_id"),
+      explode(shinglesUdf(shingleLen)(col(textCol))).as("_g"))
+    val gdf = sh.groupBy("_g").agg(count(lit(1)).as("_df"))
+    val sized = sh.join(gdf, "_g")
+      .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col("_id"))))
+      .withColumn("_rk", row_number().over(Window.partitionBy(col("_id"))
+        .orderBy(col("_df"), col("_g"))))
+    val prefix = sized.filter(
+      col("_rk") <= col("_sz") - ceil(lit(threshold) * col("_sz")) + 1)
+    val a = prefix.select(col("_g").as("_ga"), col("_id").as("id_a"),
+      col("_sz").as("_sza"))
+    val b = prefix.select(col("_g").as("_gb"), col("_id").as("id_b"),
+      col("_sz").as("_szb"))
+    val candidates = a.join(b,
+        col("_ga") === col("_gb") && col("id_a") < col("id_b") &&
+          col("_szb") >= lit(threshold) * col("_sza") &&
+          col("_sza") >= lit(threshold) * col("_szb"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val docs = df.select(col(idCol), col(textCol))
+    candidates
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("_txt_a")),
+        "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("_txt_b")),
+        "id_b")
+      .withColumn("jaccard",
+        textJaccard(shingleLen)(col("_txt_a"), col("_txt_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Distinct shingle array straight from text, one linear pass (UDF —
+    * see [[shingleSet]] note on the quadratic SQL-expression form). */
+  def shinglesUdf(shingleLen: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      import scala.jdk.CollectionConverters._
+      shingleSet(text, shingleLen).iterator().asScala.toArray
+    }
+
   /** 64-bit SimHash over whitespace tokens. */
   def simhash64(seed: Int = 42)
       : org.apache.spark.sql.expressions.UserDefinedFunction =

@@ -53,6 +53,88 @@ object Similarity {
     graft.functions.GraftFunctions.cosine(a, b)
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    * complementing [[RandomHyperplaneLsh.topK]]:
+    *
+    *   1. `nlist` centroids are sampled DETERMINISTICALLY from the data
+    *      (evenly spaced in id order — the classic sampled-centroid IVF
+    *      init; no iterative training, so no float-summation-order
+    *      nondeterminism across partitionings).
+    *   2. every data vector is assigned to its nearest centroid by
+    *      cosine (one scan, map-only against the broadcast centroids).
+    *   3. each query probes only its `nprobe` nearest centroid lists —
+    *      the scan shrinks to ~nprobe/nlist of the data per query —
+    *      and candidates are re-scored exactly and ranked.
+    *
+    * Recall/pruning trades off via (nlist, nprobe) exactly like an IVF
+    * index in a vector store: clustered real embeddings concentrate true
+    * neighbors in few lists (small nprobe suffices); near-uniform
+    * vectors (the synthetic testdata) need nprobe close to nlist for
+    * full recall. Output: (q_id, <idCol>, rank), self-pairs excluded. */
+  def ivfTopK(data: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int, nprobe: Int): DataFrame = {
+    require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
+      s"need 0 < nprobe <= nlist, got nlist=$nlist nprobe=$nprobe")
+    // deterministic sampled centroids: a hash-based 1-in-(n/nlist) id
+    // sample (even spread, no global sort/window — the TakeOrdered limit
+    // is the only driver materialization, nlist vectors). Equivalent to
+    // training a coarse quantizer on a tiny sample; deterministic across
+    // runs AND partitionings because selection depends only on ids.
+    val n = data.count()
+    val stride = math.max(1L, n / nlist)
+    val centroids: Array[Array[Float]] = data
+      .select(col(idCol), col(vecCol))
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(centroids.nonEmpty, "IVF needs at least one centroid")
+    // (list, cosine) per centroid — shared by assignment and probing
+    def centroidSims(vec: Seq[Float]): Array[(Int, Double)] = {
+      val v = vec.toArray
+      centroids.zipWithIndex.map { case (cv, c) =>
+        var dotp = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val m = math.min(v.length, cv.length)
+        while (i < m) {
+          dotp += v(i).toDouble * cv(i).toDouble
+          na += v(i).toDouble * v(i).toDouble
+          nb += cv(i).toDouble * cv(i).toDouble
+          i += 1
+        }
+        val sim = if (na == 0.0 || nb == 0.0) 0.0
+        else dotp / math.sqrt(na * nb)
+        (c, sim)
+      }
+    }
+    val assignList = udf { (vec: Seq[Float]) =>
+      // nearest centroid, ties to the lower list id
+      centroidSims(vec).maxBy { case (c, s) => (s, -c) }._1
+    }
+    val probeLists = udf { (vec: Seq[Float]) =>
+      centroidSims(vec).sortBy { case (c, s) => (-s, c) }
+        .take(nprobe).map(_._1)
+    }
+    val dataListed = data.select(col(idCol), col(vecCol))
+      .withColumn("_list", assignList(col(vecCol)))
+    val queryListed = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("_q_vec"))
+      .withColumn("_list", explode(probeLists(col("_q_vec")))))
+    val candidates = dataListed.join(queryListed, "_list")
+      .filter(col(idCol) =!= col("q_id"))
+    graft.functions.GraftFunctions.register(data.sparkSession)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("_sim").desc, col(idCol))
+    candidates
+      .withColumn("_sim",
+        graft.functions.GraftFunctions.cosine(col(vecCol), col("_q_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol), col("rank"))
+  }
+
   /** Exact cosine top-k of `data` rows for each `queries` row.
     * Output: (q_id, <idCol>, rank) — rank 1 = nearest, ties broken by id.
     * Self-pairs (same id) are excluded. */

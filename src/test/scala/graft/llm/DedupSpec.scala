@@ -36,6 +36,38 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("jaccardPairsExact == brute-force all-pairs Jaccard (prefix " +
+    "filter is lossless), incl. heavy shared boilerplate") {
+    // 40 docs sharing a long boilerplate header (every ubiquitous header
+    // shingle would be a hot key in a naive inverted-index join; the
+    // prefix filter keeps them out of the candidate join) + mutated
+    // copies at various distances + unrelated docs
+    val rnd = new scala.util.Random(5)
+    val header = "terms of service apply to all documents in this set " * 3
+    def tail(n: Int) =
+      Seq.fill(n)("word" + rnd.nextInt(5000)).mkString(" ")
+    val docs = ((0 until 20).map { i =>
+      val t = tail(30)
+      Seq((i * 2L, header + t),
+        (i * 2L + 1, header + t.replace("word", if (i % 2 == 0) "word" else "wyrd")))
+    }.flatten ++ (100 until 110).map(i => (i.toLong, tail(40))))
+      .toDF("id", "text")
+    val threshold = 0.5
+    val got = Dedup.jaccardPairsExact(docs, "id", "text",
+      shingleLen = 8, threshold = threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth over all pairs
+    val a = docs.select(col("id").as("id_a"), col("text").as("ta"))
+    val b = docs.select(col("id").as("id_b"), col("text").as("tb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.textJaccard(8)(col("ta"), col("tb")))
+      .filter(col("j") >= threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.nonEmpty, "fixture produced no true pairs — weak test")
+  }
+
   test("minhash signature similarity tracks exact jaccard") {
     // identical → identical band keys; disjoint → disjoint (w.h.p.)
     val d = Seq((1L, base), (2L, base),

@@ -83,6 +83,42 @@ class SimilaritySpec extends SparkSpec {
       s"missed planted pairs: ${planted -- got}")
   }
 
+  test("IVF top-k equals brute-force at full probing, and prunes the " +
+    "scan at partial probing on a clustered corpus") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", 5).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // nprobe == nlist degenerates to an exact (list-partitioned) scan:
+    // results must equal brute-force regardless of data distribution
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 8).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute)
+
+    // clustered corpus: 4 well-separated direction clusters; querying a
+    // cluster member with nprobe=1 must still find its true top-k
+    // (neighbors live in the same centroid list) — the regime where IVF
+    // prunes ~nprobe/nlist of the scan
+    val rnd = new scala.util.Random(11)
+    def clustered(center: Array[Double]) =
+      center.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 400).map { i =>
+      (i.toLong, clustered(centers(i % 4)))
+    }
+    val data = rows.toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 2)
+    val bruteC = Similarity.bruteForceTopK(data, q,
+      "vec_id", "embedding", 5).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivfC = Similarity.ivfTopK(data, q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 2).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfC == bruteC,
+      "partial probing missed true neighbors on the clustered corpus")
+  }
+
   test("higher bit-width prunes candidates (fewer than all pairs)") {
     // 12 bits over near-uniform vectors: buckets rarely collide, so the
     // candidate set must be far below N*Q — demonstrates actual pruning

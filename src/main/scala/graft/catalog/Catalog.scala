@@ -13,7 +13,9 @@ final case class TableDef(
     location: String,
     format: DataFormat,
     schema: StructType,
-    partitionKeys: Seq[String] = Nil)
+    partitionKeys: Seq[String] = Nil,
+    serdeLib: Option[String] = None,
+    serdeParams: Map[String, String] = Map.empty)
 
 object Catalog {
 
@@ -85,6 +87,46 @@ object Catalog {
       s"Partition filter on non-partition keys: ${badFilter.toSeq}")
     require(mapper.columns.nonEmpty, "Mapper needs at least one column")
     mapper.columns.foreach(c => resolveIdentifier(table.schema, c))
+    validateSerde(table)
+  }
+
+  /** Hive SerDe registrations the reference accepts
+    * (data_mappers/handlers.py:24-27). */
+  val ParquetHiveSerde =
+    "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+  val JsonHiveSerde = "org.apache.hive.hcatalog.data.JsonSerDe"
+  val JsonOpenxSerde = "org.openx.data.jsonserde.JsonSerDe"
+  val SupportedSerdeLibs: Set[String] =
+    Set(ParquetHiveSerde, JsonHiveSerde, JsonOpenxSerde)
+
+  /** SerDe registration rules (data_mappers/handlers.py:122-145): the lib
+    * must be supported AND consistent with the declared format, and an
+    * OpenX JSON table must not be registered with options the row-level
+    * rewrite cannot honor — `ignore.malformed.json=TRUE` (the rewrite
+    * fails loudly on a bad line rather than silently dropping it),
+    * `dots.in.keys=TRUE` (dot paths address NESTING), or any
+    * `mapping.*` column rename (the raw-line passthrough preserves
+    * original keys). A TableDef with no serdeLib is the ADT-only
+    * registration path, always valid. */
+  def validateSerde(table: TableDef): Unit = table.serdeLib.foreach { lib =>
+    require(SupportedSerdeLibs.contains(lib),
+      "The format for the specified table is not supported. The SerDe " +
+        s"lib must be one of ${SupportedSerdeLibs.mkString(", ")}")
+    val formatOk = table.format match {
+      case DataFormat.Parquet => lib == ParquetHiveSerde
+      case DataFormat.JsonLines => lib == JsonHiveSerde || lib == JsonOpenxSerde
+    }
+    require(formatOk,
+      s"SerDe lib $lib does not match declared format ${table.format}")
+    if (lib == JsonOpenxSerde) {
+      Seq("ignore.malformed.json", "dots.in.keys").foreach { p =>
+        require(!table.serdeParams.get(p).map(_.toUpperCase)
+            .contains("TRUE"),
+          s"The parameter $p cannot be TRUE for SerDe library $lib")
+      }
+      require(!table.serdeParams.keys.exists(_.startsWith("mapping.")),
+        s"Column mappings are not supported for SerDe library $lib")
+    }
   }
 
   /** No two mappers may cover nested/equal locations (reference:

@@ -68,6 +68,44 @@ class CatalogSpec extends AnyFunSuite {
       DataMapper("m", "t", Nil), t))
   }
 
+  test("SerDe registration rules (data_mappers/handlers.py:122-145): " +
+    "unsupported lib, format mismatch, prohibited OpenX options") {
+    def json(lib: Option[String], params: Map[String, String] = Map.empty) =
+      TableDef("t", "/lake/t", DataFormat.JsonLines, schema,
+        serdeLib = lib, serdeParams = params)
+    // ADT-only registration (no serde lib declared) is always valid
+    Catalog.validateSerde(json(None))
+    // both JSON serdes valid; parquet serde valid for parquet
+    Catalog.validateSerde(json(Some(Catalog.JsonHiveSerde)))
+    Catalog.validateSerde(json(Some(Catalog.JsonOpenxSerde)))
+    Catalog.validateSerde(TableDef("t", "/lake/t", DataFormat.Parquet,
+      schema, serdeLib = Some(Catalog.ParquetHiveSerde)))
+    // unsupported lib
+    intercept[IllegalArgumentException](Catalog.validateSerde(
+      json(Some("org.apache.hadoop.hive.serde2.OpenCSVSerde"))))
+    // lib/format mismatch
+    intercept[IllegalArgumentException](Catalog.validateSerde(
+      TableDef("t", "/lake/t", DataFormat.Parquet, schema,
+        serdeLib = Some(Catalog.JsonOpenxSerde))))
+    // prohibited OpenX options
+    intercept[IllegalArgumentException](Catalog.validateSerde(json(
+      Some(Catalog.JsonOpenxSerde),
+      Map("ignore.malformed.json" -> "TRUE"))))
+    intercept[IllegalArgumentException](Catalog.validateSerde(json(
+      Some(Catalog.JsonOpenxSerde), Map("dots.in.keys" -> "true"))))
+    intercept[IllegalArgumentException](Catalog.validateSerde(json(
+      Some(Catalog.JsonOpenxSerde), Map("mapping.userid" -> "user_id"))))
+    // the same options are fine when FALSE / on the Hive JSON serde
+    Catalog.validateSerde(json(Some(Catalog.JsonOpenxSerde),
+      Map("ignore.malformed.json" -> "FALSE")))
+    Catalog.validateSerde(json(Some(Catalog.JsonHiveSerde),
+      Map("mapping.userid" -> "user_id")))
+    // and validateMapper routes through the serde check
+    intercept[IllegalArgumentException](Catalog.validateMapper(
+      DataMapper("m", "t", Seq("id"), format = DataFormat.JsonLines),
+      json(Some(Catalog.JsonOpenxSerde), Map("dots.in.keys" -> "TRUE"))))
+  }
+
   test("overlapping mapper locations are rejected; disjoint pass") {
     def m(id: String, loc: String) =
       (DataMapper(id, "t", Seq("id")),

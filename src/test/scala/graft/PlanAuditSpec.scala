@@ -65,6 +65,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("exact Jaccard join (q29) plans equi-joins only — no cartesian " +
+    "and no nested-loop over the full corpus") {
+    val df = SparkEntry.queries("q29_jaccard_exact")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the candidate self-join keys on the shingle; join strategy must be
+    // hash- or sort-based, never BroadcastNestedLoop over the data side
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in:\n$plan")
+  }
+
+  test("IVF top-k (q30) broadcasts the probed query side, no cartesian") {
+    val df = SparkEntry.queries("q30_ann_ivf")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"no broadcast join in:\n$plan")
+  }
+
   test("text stats run as one codegen'd projection, no shuffle") {
     val plan = SparkEntry.queries("q25_text_quality")(
       spark, "/root/testdata/sf0.001")

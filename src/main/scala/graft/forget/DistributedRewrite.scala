@@ -470,21 +470,33 @@ object DistributedRewrite {
       .collect()
 
     // all attempts/retries are finished once collect() returns — sweep the
-    // per-job commit markers (best-effort, map-only, no shuffle)
+    // per-job commit markers (best-effort, map-only, no shuffle). ONE
+    // pass per parent DIRECTORY — list once, delete this job's markers,
+    // one emptiness re-check — never per object: a per-object sweep
+    // re-lists the shared marker dir O(N²) times for N co-located
+    // objects (measured: 27 s of a 34 s job at 1,024 objects in one
+    // prefix).
+    val markerDirs = work.map { case (_, destStr) =>
+      new HPath(new HPath(destStr).getParent, ".graft-done").toString
+    }.distinct
     spark.sparkContext
-      .parallelize(work.map(_._2), math.max(1, math.min(work.size, 64)))
-      .foreachPartition { it =>
+      .parallelize(markerDirs, math.max(1, math.min(markerDirs.size, 64)))
+      .foreach { dirStr =>
         val conf = confBc.value.value
-        it.foreach { destStr =>
-          try {
-            val dest = new HPath(destStr)
-            val dfs = dest.getFileSystem(conf)
-            dfs.delete(doneMarker(dest, jobId), false)
-            val dir = new HPath(dest.getParent, ".graft-done")
-            if (dfs.exists(dir) && dfs.listStatus(dir).isEmpty)
-              dfs.delete(dir, true)
-          } catch { case NonFatal(_) => () }
-        }
+        try {
+          val dir = new HPath(dirStr)
+          val dfs = dir.getFileSystem(conf)
+          if (dfs.exists(dir)) {
+            val suffix = "." + jobId
+            dfs.listStatus(dir).foreach { st =>
+              if (st.getPath.getName.endsWith(suffix))
+                dfs.delete(st.getPath, false)
+            }
+            // non-recursive: refuses (harmlessly) if a concurrent job
+            // added markers between the list and this check
+            if (dfs.listStatus(dir).isEmpty) dfs.delete(dir, false)
+          }
+        } catch { case NonFatal(_) => () }
       }
 
     def sk(): String = EventSk.next()

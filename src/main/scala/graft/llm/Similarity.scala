@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -53,6 +52,46 @@ object Similarity {
     graft.functions.GraftFunctions.cosine(a, b)
   }
 
+  /** Two-phase distributed top-k: rank the ≤ k best `idCol` rows per
+    * `q_id` from a scored candidate frame (columns `q_id`, `idCol`,
+    * `_sim`) WITHOUT ever concentrating one query's candidates in one
+    * task.
+    *
+    * The single-task shape this replaces —
+    * `row_number().over(Window.partitionBy("q_id").orderBy(...))` —
+    * routes EVERY candidate row of a query through one task and sorts
+    * them all there (for brute force that is N rows per query; billions
+    * at 100 TB). Instead:
+    *
+    *   1. '''partial top-k''' per `(q_id, input partition)`:
+    *      `slice(array_sort(collect_list(struct(-sim, id))), 1, k)` —
+    *      each group holds only ONE partition's candidates for a query,
+    *      so task memory is bounded by the partition size regardless of
+    *      how many candidates a query has in total;
+    *   2. '''merge''': the ≤ k·P partial winners per query (tiny —
+    *      k rows per input partition) flatten, sort once more, and the
+    *      global top-k falls out.
+    *
+    * Ordering matches the window form exactly: similarity descending
+    * (encoded as `-sim` ascending in the struct sort), ties broken by
+    * ascending id — generic over the id column's type, unlike a
+    * hand-rolled heap aggregator. Output: (q_id, <idCol>, rank). */
+  private[llm] def rankTopK(scored: DataFrame, idCol: String,
+                            k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val entry = struct((-col("_sim")).as("ns"), col(idCol).as("i"))
+    val partial = scored
+      .groupBy(col("q_id"), spark_partition_id().as("_p"))
+      .agg(slice(array_sort(collect_list(entry)), 1, k).as("_top"))
+    partial
+      .groupBy(col("q_id"))
+      .agg(slice(array_sort(flatten(collect_list(col("_top")))), 1, k)
+        .as("_top"))
+      .select(col("q_id"), posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(col("q_id"), col("_e.i").as(idCol),
+        (col("_pos") + 1).as("rank"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
     * complementing [[RandomHyperplaneLsh.topK]]:
     *
@@ -73,20 +112,22 @@ object Similarity {
     * full recall. Output: (q_id, <idCol>, rank), self-pairs excluded. */
   def ivfTopK(data: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int, nprobe: Int): DataFrame = {
+              nlist: Int, nprobe: Int, sampleSeed: Int = 0): DataFrame = {
     require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
       s"need 0 < nprobe <= nlist, got nlist=$nlist nprobe=$nprobe")
-    // deterministic sampled centroids: a hash-based 1-in-(n/nlist) id
-    // sample (even spread, no global sort/window — the TakeOrdered limit
-    // is the only driver materialization, nlist vectors). Equivalent to
-    // training a coarse quantizer on a tiny sample; deterministic across
-    // runs AND partitionings because selection depends only on ids.
-    val n = data.count()
-    val stride = math.max(1L, n / nlist)
+    // deterministic sampled centroids: rank rows by a hash of the id and
+    // take the first nlist — one TakeOrderedAndProject (per-partition
+    // partial top-nlist, driver merges nlist·P tiny rows; no global
+    // sort, no extra count() action). The hash order is a uniform
+    // pseudo-random permutation of the ids, so this IS an even spread —
+    // and unlike a `hash % stride == 0` filter (a binomial sample) it
+    // returns EXACTLY min(nlist, n) centroids, never silently fewer on
+    // an unlucky hash draw or zero on a small corpus. Deterministic
+    // across runs AND partitionings because the order depends only on
+    // ids.
     val centroids: Array[Array[Float]] = data
       .select(col(idCol), col(vecCol))
-      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .orderBy(col(idCol))
+      .orderBy(xxhash64(col(idCol), lit(sampleSeed)), col(idCol))
       .limit(nlist)
       .collect()
       .map(_.getSeq[Float](1).toArray)
@@ -125,14 +166,10 @@ object Similarity {
     val candidates = dataListed.join(queryListed, "_list")
       .filter(col(idCol) =!= col("q_id"))
     graft.functions.GraftFunctions.register(data.sparkSession)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("_sim").desc, col(idCol))
-    candidates
-      .withColumn("_sim",
-        graft.functions.GraftFunctions.cosine(col(vecCol), col("_q_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col(idCol), col("rank"))
+    rankTopK(
+      candidates.withColumn("_sim",
+        graft.functions.GraftFunctions.cosine(col(vecCol), col("_q_vec"))),
+      idCol, k)
   }
 
   /** Exact cosine top-k of `data` rows for each `queries` row.
@@ -145,11 +182,7 @@ object Similarity {
     val scored = data.crossJoin(q)
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("_sim", nativeCosine(data, col(vecCol), col("_q_vec")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("_sim").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col(idCol), col("rank"))
+    rankTopK(scored, idCol, k)
   }
 }
 
@@ -268,15 +301,10 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol), col(vecCol), col("_q_vec"))
       .dropDuplicates("q_id", idCol) // a pair may collide in many tables
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("_sim").desc, col(idCol))
-    candidates
-      .withColumn("_sim", {
-        graft.functions.GraftFunctions.register(data.sparkSession)
-        graft.functions.GraftFunctions.cosine(col(vecCol), col("_q_vec"))
-      })
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col(idCol), col("rank"))
+    graft.functions.GraftFunctions.register(data.sparkSession)
+    Similarity.rankTopK(
+      candidates.withColumn("_sim",
+        graft.functions.GraftFunctions.cosine(col(vecCol), col("_q_vec"))),
+      idCol, k)
   }
 }

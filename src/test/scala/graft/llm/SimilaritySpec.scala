@@ -119,6 +119,38 @@ class SimilaritySpec extends SparkSpec {
       "partial probing missed true neighbors on the clustered corpus")
   }
 
+  test("rankTopK reproduces the global rank order (sim desc, id asc " +
+    "ties) on a multi-partition frame") {
+    val rows = for (q <- 0 until 3; i <- 0 until 500)
+      yield (q.toLong, i.toLong, (i % 17).toDouble)
+    val scored = rows.toDF("q_id", "id", "_sim").repartition(13)
+    val got = Similarity.rankTopK(scored, "id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = rows.groupBy(_._1).flatMap { case (q, rs) =>
+      rs.sortBy { case (_, id, sim) => (-sim, id) }
+        .take(10).zipWithIndex
+        .map { case ((_, id, _), i) => (q, id, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("top-k rank stage is two-phase: no per-query window sort in any " +
+    "ANN plan") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val plans = Seq(
+      "brute" -> Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", 5),
+      "lsh" -> RandomHyperplaneLsh(64, 2, 8).topK(emb, queries,
+        "vec_id", "embedding", 5),
+      "ivf" -> Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 8))
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"$name: single-task window rank survives in:\n$p")
+    }
+  }
+
   test("higher bit-width prunes candidates (fewer than all pairs)") {
     // 12 bits over near-uniform vectors: buckets rarely collide, so the
     // candidate set must be far below N*Q — demonstrates actual pruning

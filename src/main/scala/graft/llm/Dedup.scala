@@ -28,13 +28,20 @@ import scala.util.hashing.MurmurHash3
 object Dedup {
 
   /** Exact duplicates via content digest: groups with >1 copy, keep-min
-    * id policy. Only (digest, id) shuffles. */
+    * id policy. Only (digest, id) shuffles. The `ids` roster is CAPPED
+    * at `maxIds` (smallest ids kept, deterministic): a pathological
+    * duplicate cluster — 10M copies of one boilerplate page — would
+    * otherwise build a single row holding every copy's id; `copies`
+    * still counts the full cluster, so nothing is lost but the tail of
+    * an unbounded array nobody can act on row-wise anyway. */
   def exactDuplicates(df: DataFrame, idCol: String,
-                      textCol: String): DataFrame =
+                      textCol: String, maxIds: Int = 100): DataFrame = {
+    require(maxIds >= 1, s"maxIds must be >= 1, got $maxIds")
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"),
-        collect_list(col(idCol)).as("ids"))
+        slice(sort_array(collect_list(col(idCol))), 1, maxIds).as("ids"))
       .filter(col("copies") > 1)
+  }
 
   /** Distinct character n-gram shingles of a text column (codegen'd —
     * sequence/transform built-ins, no UDF). */
@@ -208,39 +215,82 @@ object Dedup {
     * candidate id pairs — never shingle arrays or texts (texts join back
     * only onto surviving candidates).
     * Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    *
+    * Scale knobs (output-invariant — they shape the PLAN, never the
+    * result set):
+    *   - `censusSampleFraction` — the frequency census that seeds the
+    *     prefix order can run on a row sample. The order is a pruning
+    *     heuristic; ANY shared total order is lossless. Measured at
+    *     sf0.1 the full census pays for itself (sampling at 0.1 made
+    *     the query 60% SLOWER — mis-ranked mid-frequency shingles leak
+    *     into prefixes and inflate the candidate join), so the default
+    *     is 1.0; at corpus sizes where two full text scans dominate,
+    *     dial it down and the extra candidates are absorbed by the
+    *     exact verify. The census runs over 64-bit shingle HASHES, not
+    *     the shingle strings — an 8-byte shuffle key instead of a
+    *     16-char one, and a hash collision merely merges two shingles'
+    *     counts (the order stays a shared total order — lossless).
+    *   - `saltBlock`/`maxSalts` — hot-key skew mitigation in the
+    *     candidate self-join. A shingle shared by p prefixes enumerates
+    *     p²/2 probe pairs inside ONE sort-merge task (the positional and
+    *     length filters cut the join's OUTPUT, not its per-key
+    *     enumeration — exactness forbids capping the bucket the way
+    *     [[Banding.guardedPairs]] does for the LSH families). Keys whose
+    *     census estimate exceeds `saltBlock` are split across
+    *     `min(maxSalts, 1 + df/saltBlock)` salts: the left side lands on
+    *     ONE salt by id hash, the right side replicates to every salt,
+    *     so each pair meets exactly once and a p-entry hot key fans out
+    *     over ~p/saltBlock tasks instead of one.
     */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 8,
                         threshold: Double = 0.5,
-                        commonShingleCap: Int = 100000): DataFrame = {
+                        commonShingleCap: Int = 100000,
+                        censusSampleFraction: Double = 1.0,
+                        saltBlock: Int = 2048,
+                        maxSalts: Int = 64): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    require(censusSampleFraction > 0.0 && censusSampleFraction <= 1.0,
+      s"censusSampleFraction must be in (0,1], got $censusSampleFraction")
+    require(saltBlock >= 1 && maxSalts >= 1,
+      s"need saltBlock >= 1 and maxSalts >= 1")
     val docs = df.select(col(idCol).as("_id"),
         shinglesUdf(shingleLen)(col(textCol)).as("_sh"))
       .withColumn("_sz", size(col("_sh")))
       .filter(col("_sz") > 0)
     // Global order for the prefix filter. Correctness needs only a
     // TOTAL order shared by every document; frequency-accuracy is a
-    // pruning heuristic. So: exact document frequencies for the top
-    // `commonShingleCap` repeated shingles (map-side-combined aggregate
-    // → TakeOrdered → broadcast map — no 5M-row shuffle JOIN, no
-    // per-doc window: at sf0.1 those were 40+ s of the old plan), every
-    // other shingle at df=1 tie-broken by its text. Boilerplate
-    // shingles rank last and fall OUT of prefixes, which is all the
-    // heuristic must achieve.
-    val dfMap: Map[String, Long] = docs
-      .select(explode(col("_sh")).as("_g"))
+    // pruning heuristic. So: SAMPLED document frequencies for the top
+    // `commonShingleCap` repeated shingles (sample → shingle →
+    // map-side-combined aggregate → TakeOrdered → broadcast map — no
+    // full-corpus second shingling, no shuffle JOIN, no per-doc
+    // window), every unseen shingle at df=1 tie-broken by its text.
+    // Boilerplate shingles rank last and fall OUT of prefixes, which is
+    // all the heuristic must achieve; the estimates also size the salt
+    // fan-out below.
+    val censusRows =
+      if (censusSampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, censusSampleFraction, 42L)
+    val scale = 1.0 / censusSampleFraction
+    val dfMap: Map[Long, Long] = censusRows
+      .select(explode(shingleHashesUdf(shingleLen)(col(textCol))).as("_g"))
       .groupBy("_g").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > 1)
       .orderBy(col("_df").desc, col("_g"))
       .limit(commonShingleCap)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) * scale).toLong).toMap
     val dfB = df.sparkSession.sparkContext.broadcast(dfMap)
     val t = threshold
     val prefixUdf = udf { (sh: Seq[String]) =>
       val plen = sh.size - math.ceil(t * sh.size).toInt + 1
-      sh.sortBy(g => (dfB.value.getOrElse(g, 1L), g))
+      sh.sortBy(g => (dfB.value.getOrElse(hashOf(g, 42), 1L), g))
         .take(plen).toArray
+    }
+    val nSaltsUdf = udf { (g: String) =>
+      math.min(maxSalts.toLong,
+        1L + dfB.value.getOrElse(hashOf(g, 42), 1L) / saltBlock).toInt
     }
     // posexplode keeps each prefix entry's rank in the global order —
     // the POSITIONAL filter (PPJoin, Xiao et al. 2008) needs it: a pair
@@ -252,15 +302,31 @@ object Dedup {
     // (small shingle vocabulary — everything is "common") this is the
     // filter that still bites after the frequency heuristic stops
     // helping.
+    // The candidate stage self-joins the prefix index; without a persist
+    // the whole shingle→sort→posexplode subtree executes TWICE (once per
+    // join side — Spark reuses no mid-plan scan across differently
+    // projected branches). The index is the small artifact of this
+    // operator (ids + prefix entries — ~20% of the shingle volume, no
+    // texts, no arrays), so one MEMORY_AND_DISK materialization is the
+    // classic AllPairs inverted-index build. It stays cached for the
+    // returned frame's lifetime; callers can clearCache() afterwards.
     val prefix = docs.select(col("_id"), col("_sz"),
       posexplode(prefixUdf(col("_sh"))).as(Seq("_pos0", "_g")))
+      .withColumn("_ns", nSaltsUdf(col("_g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-key salting: entry → (key, salt); left picks one salt by id
+    // hash, right replicates to all of the key's salts — every pair
+    // meets in exactly one (key, salt) group
     val a = prefix.select(col("_g").as("_ga"), col("_id").as("id_a"),
-      col("_sz").as("_sza"), (col("_pos0") + 1).as("_pa"))
+      col("_sz").as("_sza"), (col("_pos0") + 1).as("_pa"),
+      pmod(xxhash64(col("_id")), col("_ns")).cast("int").as("_salt_a"))
     val b = prefix.select(col("_g").as("_gb"), col("_id").as("id_b"),
-      col("_sz").as("_szb"), (col("_pos0") + 1).as("_pb"))
+      col("_sz").as("_szb"), (col("_pos0") + 1).as("_pb"),
+      explode(sequence(lit(0), col("_ns") - 1)).as("_salt_b"))
     val alpha = ceil(lit(t) * (col("_sza") + col("_szb")) / (1.0 + t))
     val candidates = a.join(b,
-        col("_ga") === col("_gb") && col("id_a") < col("id_b") &&
+        col("_ga") === col("_gb") && col("_salt_a") === col("_salt_b") &&
+          col("id_a") < col("id_b") &&
           col("_szb") >= lit(t) * col("_sza") &&
           col("_sza") >= lit(t) * col("_szb") &&
           lit(1) + least(col("_sza") - col("_pa"),
@@ -285,6 +351,17 @@ object Dedup {
     udf { (text: String) =>
       import scala.jdk.CollectionConverters._
       shingleSet(text, shingleLen).iterator().asScala.toArray
+    }
+
+  /** Distinct 64-bit shingle hashes straight from text — the census
+    * input of [[jaccardPairsExact]]: 8-byte shuffle keys instead of
+    * n-char strings, no string array ever materialized. */
+  private[llm] def shingleHashesUdf(shingleLen: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      import scala.jdk.CollectionConverters._
+      shingleSet(text, shingleLen).iterator().asScala
+        .map(hashOf(_, 42)).toArray
     }
 
   /** 64-bit SimHash over whitespace tokens. */

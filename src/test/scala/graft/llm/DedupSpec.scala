@@ -18,6 +18,20 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Long]("copies") == 2L)
   }
 
+  test("exactDuplicates caps the id roster on a 100k-copy cluster; " +
+    "copies still counts the whole cluster") {
+    val d = spark.range(100000)
+      .selectExpr("id", "'same text in every row' AS text")
+    val out = Dedup.exactDuplicates(d, "id", "text").collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getAs[Long]("copies") == 100000L)
+    val ids = row.getSeq[Long](row.fieldIndex("ids"))
+    assert(ids.length == 100, s"roster not capped: ${ids.length}")
+    assert(ids == (0L until 100L), "cap must keep the smallest ids")
+    assert(row.getAs[Long]("keep_id") == 0L)
+  }
+
   test("shingles are distinct n-grams; short texts yield none") {
     val d = Seq(("abcdefghij"), ("abc")).toDF("text")
     val sh = d.select(Dedup.shingles("text", 8)).as[Seq[String]].collect()
@@ -66,6 +80,33 @@ class DedupSpec extends SparkSpec {
     assert(got == brute,
       s"missing=${brute -- got} extra=${got -- brute}")
     assert(brute.nonEmpty, "fixture produced no true pairs — weak test")
+  }
+
+  test("jaccardPairsExact: 1k-doc boilerplate corpus — hot prefix keys " +
+    "salt across tasks and the result stays lossless") {
+    // every doc = the same 200-char boilerplate + a unique 3-word tail:
+    // every boilerplate shingle inside the prefix is a hot key carrying
+    // all 1,000 docs. With saltBlock=64 those keys fan out over 16 salts;
+    // the pair set must be identical to the unsalted run and to brute
+    // force.
+    val boiler = (0 until 50).map(k => s"bw${k}x").mkString(" ") + " extra"
+    val docs = (1 to 1000).map { i =>
+      (i.toLong, s"$boiler uniq${i}a uniq${i}b uniq${i}c")
+    }.toDF("id", "text")
+    val salted = Dedup.jaccardPairsExact(docs, "id", "text",
+      shingleLen = 8, threshold = 0.8,
+      censusSampleFraction = 1.0, saltBlock = 64, maxSalts = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = docs.select(col("id").as("id_a"), col("text").as("ta"))
+    val b = docs.select(col("id").as("id_b"), col("text").as("tb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.textJaccard(8)(col("ta"), col("tb")))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.size > 100000, s"weak fixture: ${brute.size} true pairs")
+    assert(salted == brute,
+      s"salting lost/invented pairs: missing=${(brute -- salted).take(5)} " +
+        s"extra=${(salted -- brute).take(5)}")
   }
 
   test("minhash signature similarity tracks exact jaccard") {

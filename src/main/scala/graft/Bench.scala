@@ -44,17 +44,29 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val ok = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Median-of-3 per query: single-iteration timings ride on JIT/IO
+    // noise (round-over-round ±40% wobble on untouched code paths made
+    // regressions unattributable). The median absorbs a one-off slow
+    // run without hiding a real slowdown the way min would.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
-        ok(name) = true
-      } catch {
-        case NonFatal(e) =>
-          ok(name) = false
-          errors += s"$name: ${String.valueOf(e.getMessage).take(200)}"
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      while (samples.size < 3 && !failed) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop")
+          .mode(SaveMode.Overwrite).save()
+        catch {
+          case NonFatal(e) =>
+            failed = true
+            errors += s"$name: ${String.valueOf(e.getMessage).take(200)}"
+        }
+        samples += (System.nanoTime() - t0) / 1e9
+        // q29's cached prefix index must not accumulate across
+        // iterations (or leak into the next query's timing)
+        graft.llm.Dedup.releaseCaches()
       }
-      times(name) = (System.nanoTime() - t0) / 1e9
+      ok(name) = !failed
+      times(name) = samples.sorted.apply(samples.size / 2)
     }
 
     // facet (a): identifier-column scan ratio — (i) plan-side from the
@@ -107,17 +119,21 @@ object Bench {
         TableDef("lifb", s"$sfDir/lineitem.parquet", DataFormat.Parquet,
           liTable.schema),
         queue)
-      val t0 = System.nanoTime()
       try {
-        Finder.matchedFiles(spark, liTable, g)
-          .write.format("noop").mode(SaveMode.Overwrite).save()
-        times("find_join_fallback") = (System.nanoTime() - t0) / 1e9
+        // median-of-3, same rationale as the query loop
+        val samples = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          Finder.matchedFiles(spark, liTable, g)
+            .write.format("noop").mode(SaveMode.Overwrite).save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        times("find_join_fallback") = samples.sorted.apply(1)
         // untimed sanity count: the fallback must actually find files
         ok("find_join_fallback") =
           Finder.matchedFiles(spark, liTable, g).count() > 0
       } catch {
         case NonFatal(e) =>
-          times("find_join_fallback") = (System.nanoTime() - t0) / 1e9
+          times("find_join_fallback") = 0.0
           ok("find_join_fallback") = false
           errors += s"find_join_fallback: ${String.valueOf(e.getMessage).take(200)}"
       }

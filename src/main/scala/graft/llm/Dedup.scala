@@ -27,19 +27,53 @@ import scala.util.hashing.MurmurHash3
   */
 object Dedup {
 
+  /** Intermediate frames persisted by Dedup operators (currently the
+    * prefix index of [[jaccardPairsExact]]). Tracked so callers can
+    * release EXACTLY these — `spark.catalog.clearCache()` would evict
+    * unrelated caches too. */
+  private val cachedFrames =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private def registerCache(f: DataFrame): DataFrame = synchronized {
+    cachedFrames += f
+    f
+  }
+
+  /** Unpersist every intermediate frame a Dedup operator cached in this
+    * session. Safe to call once results are materialized (collected or
+    * written); a frame still mid-computation merely recomputes. */
+  def releaseCaches(): Unit = synchronized {
+    cachedFrames.foreach(_.unpersist(false))
+    cachedFrames.clear()
+  }
+
   /** Exact duplicates via content digest: groups with >1 copy, keep-min
     * id policy. Only (digest, id) shuffles. The `ids` roster is CAPPED
-    * at `maxIds` (smallest ids kept, deterministic): a pathological
-    * duplicate cluster — 10M copies of one boilerplate page — would
-    * otherwise build a single row holding every copy's id; `copies`
-    * still counts the full cluster, so nothing is lost but the tail of
-    * an unbounded array nobody can act on row-wise anyway. */
+    * at `maxIds` (smallest ids kept — deterministic and exact: min-k
+    * selection distributes over the merge, so the two-level cap below
+    * returns the same `maxIds` smallest ids a global sort would).
+    *
+    * The cap is applied PER PARTIAL, not just on the output row: a
+    * single `collect_list` per digest would accumulate a pathological
+    * duplicate cluster — 10M copies of one boilerplate page — into one
+    * aggregation buffer before any slice. Instead the ids aggregate in
+    * two stages: per `(digest, input partition)` first (a buffer holds
+    * at most one partition's share of the cluster, bounded by partition
+    * size), sliced to `maxIds`, then the ≤ `maxIds`·P partial winners
+    * merge per digest. `copies` still counts the full cluster. */
   def exactDuplicates(df: DataFrame, idCol: String,
                       textCol: String, maxIds: Int = 100): DataFrame = {
     require(maxIds >= 1, s"maxIds must be >= 1, got $maxIds")
-    df.groupBy(md5(col(textCol)).as("digest"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"),
-        slice(sort_array(collect_list(col(idCol))), 1, maxIds).as("ids"))
+    val partial = df
+      .groupBy(md5(col(textCol)).as("digest"),
+        spark_partition_id().as("_p"))
+      .agg(min(col(idCol)).as("_keep"), count(lit(1)).as("_n"),
+        slice(sort_array(collect_list(col(idCol))), 1, maxIds).as("_ids"))
+    partial
+      .groupBy(col("digest"))
+      .agg(min(col("_keep")).as("keep_id"), sum(col("_n")).as("copies"),
+        slice(sort_array(flatten(collect_list(col("_ids")))), 1, maxIds)
+          .as("ids"))
       .filter(col("copies") > 1)
   }
 
@@ -269,18 +303,8 @@ object Dedup {
     // Boilerplate shingles rank last and fall OUT of prefixes, which is
     // all the heuristic must achieve; the estimates also size the salt
     // fan-out below.
-    val censusRows =
-      if (censusSampleFraction >= 1.0) df
-      else df.sample(withReplacement = false, censusSampleFraction, 42L)
-    val scale = 1.0 / censusSampleFraction
-    val dfMap: Map[Long, Long] = censusRows
-      .select(explode(shingleHashesUdf(shingleLen)(col(textCol))).as("_g"))
-      .groupBy("_g").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > 1)
-      .orderBy(col("_df").desc, col("_g"))
-      .limit(commonShingleCap)
-      .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1) * scale).toLong).toMap
+    val dfMap = censusDfMap(df, textCol, shingleLen, commonShingleCap,
+      censusSampleFraction)
     val dfB = df.sparkSession.sparkContext.broadcast(dfMap)
     val t = threshold
     val prefixUdf = udf { (sh: Seq[String]) =>
@@ -309,11 +333,13 @@ object Dedup {
     // operator (ids + prefix entries — ~20% of the shingle volume, no
     // texts, no arrays), so one MEMORY_AND_DISK materialization is the
     // classic AllPairs inverted-index build. It stays cached for the
-    // returned frame's lifetime; callers can clearCache() afterwards.
-    val prefix = docs.select(col("_id"), col("_sz"),
+    // returned frame's lifetime and is registered for TARGETED release
+    // via [[releaseCaches]] once results are materialized (a blanket
+    // clearCache() would evict unrelated caches).
+    val prefix = registerCache(docs.select(col("_id"), col("_sz"),
       posexplode(prefixUdf(col("_sh"))).as(Seq("_pos0", "_g")))
       .withColumn("_ns", nSaltsUdf(col("_g")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // hot-key salting: entry → (key, salt); left picks one salt by id
     // hash, right replicates to all of the key's salts — every pair
     // meets in exactly one (key, salt) group
@@ -342,6 +368,34 @@ object Dedup {
         textJaccard(shingleLen)(col("_txt_a"), col("_txt_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Sampled document-frequency census over 64-bit shingle hashes —
+    * seeds [[jaccardPairsExact]]'s prefix order and salt sizing.
+    * Returns scaled df estimates for the top `commonShingleCap` hashes.
+    * df=1 rows are dropped only on a FULL census (there they carry no
+    * signal — unseen and once-seen shingles rank identically). Under
+    * sampling a hot shingle may surface just once, and dropping it
+    * would both mis-rank it into prefixes and silently disable its
+    * salt fan-out — exactly the keys the census exists to protect — so
+    * every sampled sighting is kept and scaled by 1/fraction. */
+  private[llm] def censusDfMap(df: DataFrame, textCol: String,
+                               shingleLen: Int, commonShingleCap: Int,
+                               censusSampleFraction: Double)
+      : Map[Long, Long] = {
+    val censusRows =
+      if (censusSampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, censusSampleFraction, 42L)
+    val scale = 1.0 / censusSampleFraction
+    val minRawDf = if (censusSampleFraction >= 1.0) 1L else 0L
+    censusRows
+      .select(explode(shingleHashesUdf(shingleLen)(col(textCol))).as("_g"))
+      .groupBy("_g").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > minRawDf)
+      .orderBy(col("_df").desc, col("_g"))
+      .limit(commonShingleCap)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) * scale).toLong).toMap
   }
 
   /** Distinct shingle array straight from text, one linear pass (UDF —

@@ -75,7 +75,16 @@ object Similarity {
     * Ordering matches the window form exactly: similarity descending
     * (encoded as `-sim` ascending in the struct sort), ties broken by
     * ascending id — generic over the id column's type, unlike a
-    * hand-rolled heap aggregator. Output: (q_id, <idCol>, rank). */
+    * hand-rolled heap aggregator. Output: (q_id, <idCol>, rank).
+    *
+    * PRECONDITION: `_sim` must be NaN-free. The `-sim`-ascending
+    * encoding ranks a NaN score LAST (NaN negates to NaN, which
+    * `array_sort` orders after every number), whereas a
+    * `row_number().over(orderBy(desc))` window ranks NaN FIRST — a
+    * scorer that can emit NaN would silently change rank semantics.
+    * Every scorer in this module satisfies it:
+    * [[graft.functions.FloatVectorCosine]] and [[Similarity.cosine]]
+    * return 0.0 on zero norms and never NaN. */
   private[llm] def rankTopK(scored: DataFrame, idCol: String,
                             k: Int): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")

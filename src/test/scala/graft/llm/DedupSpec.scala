@@ -109,6 +109,41 @@ class DedupSpec extends SparkSpec {
         s"extra=${(salted -- brute).take(5)}")
   }
 
+  test("sampled census keeps hot shingles seen once and scales their " +
+    "df estimate (prefix ranking + salt sizing stay armed)") {
+    // 200 docs all sharing one boilerplate sentence: each boilerplate
+    // shingle has true df=200. At fraction 0.05 the sample holds ~10
+    // docs, so many hot shingles are seen only a handful of times — a
+    // raw `df > 1` filter would drop any seen once, giving it df=1
+    // downstream (no salt, ranked as rare into prefixes).
+    val docs = (1 to 200).map { i =>
+      (i.toLong, s"shared boilerplate sentence here uniq${i}a uniq${i}b")
+    }.toDF("id", "text")
+    val census = Dedup.censusDfMap(docs, "text", shingleLen = 8,
+      commonShingleCap = 100000, censusSampleFraction = 0.05)
+    assert(census.nonEmpty, "sampled census came back empty")
+    // every retained estimate is scaled: a single sighting at 0.05 → 20
+    assert(census.values.forall(_ >= 20L),
+      s"unscaled/unsalvaged sightings in census: ${census.values.min}")
+    // the boilerplate shingles must be present with estimates near 200
+    assert(census.values.max >= 100L,
+      s"hot shingles missing from sampled census: max=${census.values.max}")
+  }
+
+  test("releaseCaches unpersists the jaccardPairsExact prefix index " +
+    "(targeted — no clearCache needed)") {
+    val docs = (1 to 50).map { i =>
+      (i.toLong, s"some shared content body uniq${i}x uniq${i}y")
+    }.toDF("id", "text")
+    Dedup.jaccardPairsExact(docs, "id", "text", shingleLen = 8,
+      threshold = 0.9).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the prefix index to be cached during the operator")
+    Dedup.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseCaches left cached RDDs behind")
+  }
+
   test("minhash signature similarity tracks exact jaccard") {
     // identical → identical band keys; disjoint → disjoint (w.h.p.)
     val d = Seq((1L, base), (2L, base),

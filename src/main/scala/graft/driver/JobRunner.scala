@@ -74,23 +74,43 @@ object JobRunner {
     events += ev(JobEventName.JobStarted)
     events += ev(JobEventName.FindPhaseStarted)
 
-    // ---- Find phase: one query per mapper, fail-fast on error
-    var findFailed = false
-    val found = scala.collection.mutable.Map.empty[String, Seq[String]]
-    val groupsByMapper =
-      scala.collection.mutable.Map.empty[String, Seq[Finder.GroupMatches]]
+    // ---- Find phase: one query per mapper, dispatched CONCURRENTLY up
+    // to settings.findConcurrencyLimit (the reference keeps up to 15
+    // Athena executions in flight against a 20-query account limit —
+    // work_query_queue.py:17-74, template.yaml:20-21; a sequential loop
+    // would serialize job wall-clock on the sum of the mappers instead
+    // of the slowest one). Fail-fast on error: once a query exhausts its
+    // retry budget no NEW queries start and no query begins another
+    // attempt; in-flight attempts drain (work_query_queue.py:37-46
+    // abandons the remainder the same way).
+    //
+    // Event-log discipline under concurrency: every emission draws its
+    // sk and appends inside one lock, so buffer order == sk order ==
+    // real-time emission order and the fold stays deterministic for a
+    // given interleaving. Spark supports concurrent actions from
+    // multiple driver threads natively.
+    val findFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val found =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    val groupsByMapper = scala.collection.concurrent.TrieMap
+      .empty[String, Seq[Finder.GroupMatches]]
+    def emit(name: String, bytesScanned: Long = 0L, timeTakenMs: Long = 0L,
+             error: String = ""): Unit = events.synchronized {
+      events += ev(name, bytesScanned = bytesScanned,
+        timeTakenMs = timeTakenMs, error = error)
+    }
     events += ev(JobEventName.QueryPlanningComplete)
-    mappers.iterator.takeWhile(_ => !findFailed).foreach { case (m, table) =>
-      // Retry budget per mapper query (check_query_status.py:10-26 +
-      // state_machine.yaml:204-215 "Retriable?"): a failed attempt with
-      // retries left re-executes SILENTLY at the job-error level — the
-      // reference emits QueryFailed only once the budget is exhausted,
-      // because any QueryFailed makes the fold resolve the job as
-      // failed/partially-failed (status_updater.py:96-104). Retried
-      // attempts emit the info-only QueryRetried for observability.
+    // Retry budget per mapper query (check_query_status.py:10-26 +
+    // state_machine.yaml:204-215 "Retriable?"): a failed attempt with
+    // retries left re-executes SILENTLY at the job-error level — the
+    // reference emits QueryFailed only once the budget is exhausted,
+    // because any QueryFailed makes the fold resolve the job as
+    // failed/partially-failed (status_updater.py:96-104). Retried
+    // attempts emit the info-only QueryRetried for observability.
+    def runFind(m: DataMapper, table: TableDef): Unit = {
       var retriesLeft = settings.findQueryMaxRetries
       var done = false
-      while (!done && !findFailed) {
+      while (!done && !findFailed.get()) {
         val t0 = System.currentTimeMillis()
         try {
           val groups = Finder.plan(m, table, queue)
@@ -116,7 +136,7 @@ object JobRunner {
                 // object set for row-format queries)
                 tableBytes(spark, table)
             }
-            events += ev(JobEventName.QuerySucceeded, bytesScanned = bytes,
+            emit(JobEventName.QuerySucceeded, bytesScanned = bytes,
               timeTakenMs = System.currentTimeMillis() - t0)
           } else found(m.id) = Nil
           done = true
@@ -124,22 +144,44 @@ object JobRunner {
           case NonFatal(e) =>
             if (retriesLeft > 0) {
               retriesLeft -= 1
-              events += ev(JobEventName.QueryRetried,
+              emit(JobEventName.QueryRetried,
                 timeTakenMs = System.currentTimeMillis() - t0,
                 error = String.valueOf(e.getMessage))
-            } else {
+            } else events.synchronized {
+              // QueryFailed + (first failure only) FindPhaseFailed under
+              // ONE lock: no event can interleave between the pair
               events += ev(JobEventName.QueryFailed,
                 timeTakenMs = System.currentTimeMillis() - t0,
                 error = String.valueOf(e.getMessage))
-              events += ev(JobEventName.FindPhaseFailed,
-                error = String.valueOf(e.getMessage))
-              findFailed = true
+              if (!findFailed.getAndSet(true))
+                events += ev(JobEventName.FindPhaseFailed,
+                  error = String.valueOf(e.getMessage))
             }
         }
       }
     }
+    val poolSize = math.min(settings.findConcurrencyLimit,
+      math.max(1, mappers.size))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+    try {
+      val futures = mappers.map { case (m, table) =>
+        pool.submit(new Runnable {
+          // fail-fast: a queued mapper whose turn comes after a failure
+          // never starts its query
+          override def run(): Unit =
+            if (!findFailed.get()) runFind(m, table)
+        })
+      }
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause // fatal errors only; NonFatal handled above
+        }
+      }
+    } finally pool.shutdown()
 
-    if (!findFailed) {
+    if (!findFailed.get()) {
       events += ev(JobEventName.FindPhaseEnded)
       events += ev(JobEventName.ForgetPhaseStarted)
 

@@ -113,12 +113,17 @@ object JobStatus {
   * `GraftApi.listSettings`/`putSettings` (settings/handlers.py:16-33).
   *
   * Only the knobs with a Spark-side meaning are carried: the reference's
-  * `AthenaConcurrencyLimit` / `*WaitSeconds` pace its SQS/Athena polling
-  * loops, which Spark's own scheduler replaces.
+  * `*WaitSeconds` knobs pace its SQS/Athena polling loops, which Spark's
+  * own scheduler replaces.
   *
   * @param findQueryMaxRetries     failed Find queries are silently retried
   *        this many times before the job fails (`AthenaQueryMaxRetries`,
   *        templates/state_machine.yaml:204-215)
+  * @param findConcurrencyLimit    mapper Find queries dispatched at once
+  *        (`AthenaConcurrencyLimit`, templates/template.yaml:20-21 — the
+  *        reference's dispatcher keeps up to 15 Athena executions in
+  *        flight against a 20-query account limit,
+  *        backend/lambdas/tasks/work_query_queue.py:17-74)
   * @param deletionTasksMaxNumber  driver-pool Forget concurrency
   *        (`DeletionTasksMaxNumber` fleet size analog)
   * @param inSetMaxKeys            Find switches from the native InSet
@@ -130,11 +135,13 @@ object JobStatus {
   */
 final case class JobSettings(
     findQueryMaxRetries: Int = 2,
+    findConcurrencyLimit: Int = 15,
     deletionTasksMaxNumber: Int = 8,
     inSetMaxKeys: Int = 100000,
     jobDetailsRetentionDays: Int = 0) {
   def validate(): JobSettings = {
     require(findQueryMaxRetries >= 0, "findQueryMaxRetries must be >= 0")
+    require(findConcurrencyLimit >= 1, "findConcurrencyLimit must be >= 1")
     require(deletionTasksMaxNumber >= 1, "deletionTasksMaxNumber must be >= 1")
     require(inSetMaxKeys >= 1, "inSetMaxKeys must be >= 1")
     require(jobDetailsRetentionDays >= 0,

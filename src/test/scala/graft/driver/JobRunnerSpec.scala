@@ -183,6 +183,50 @@ class JobRunnerSpec extends SparkSpec {
     assert(run.state.stats.totalRowsDeletedCount == 2)
   }
 
+  test("concurrent Find dispatch: wall-clock tracks the slowest mapper, " +
+    "not the sum; event log stays sk-ordered") {
+    // six mappers over six disjoint lakes, each Find artificially held
+    // for ~700ms. Sequential dispatch needs >= 4.2s; the concurrent
+    // dispatcher (default limit 15) should land near ONE delay.
+    val lakes = (1 to 6).map { i =>
+      val (_, t) = lake()
+      DataMapper(s"m$i", s"t$i", Seq("customer_id")) ->
+        t.copy(name = s"t$i")
+    }
+    val t0 = System.nanoTime()
+    val run = JobRunner.run(spark, "jrc",
+      lakes,
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"))),
+      readTableFn = (s, t) => {
+        Thread.sleep(700)
+        JobRunner.readTable(s, t)
+      })
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(run.state.status == JobStatus.Completed, run.state.status)
+    val names = run.events.map(_.eventName)
+    assert(names.count(_ == JobEventName.QuerySucceeded) == 6)
+    assert(run.state.stats.totalObjectUpdatedCount == 6)
+    // emission (buffer) order must equal sk order even under concurrency
+    assert(run.events.map(_.sk) == run.events.map(_.sk).sorted,
+      "event buffer order diverged from sk order")
+    assert(elapsed < 3.5,
+      f"Find dispatch serialized: 6 x 0.7s mappers took $elapsed%.1fs")
+  }
+
+  test("findConcurrencyLimit=1 degrades to sequential dispatch and " +
+    "still completes") {
+    val lakes = (1 to 2).map { i =>
+      val (_, t) = lake()
+      DataMapper(s"s$i", s"t$i", Seq("customer_id")) ->
+        t.copy(name = s"t$i")
+    }
+    val run = JobRunner.run(spark, "jrs", lakes,
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"))),
+      settings = JobSettings(findConcurrencyLimit = 1))
+    assert(run.state.status == JobStatus.Completed)
+    assert(run.state.stats.totalObjectUpdatedCount == 2)
+  }
+
   test("simple item scoped to several mappers applies to each") {
     val (_, t1) = lake()
     val (_, t2) = lake()

@@ -344,14 +344,19 @@ object SparkEntry {
     }),
     // §2.1 S2 — JSON-lines scan with DECLARED schema (no inference pass)
     // + Find over the row format: matches fan across both identifier
-    // columns; the staged file is deterministic per sf dir
+    // columns; the staged file is deterministic per sf dir. The schema
+    // is declared CATALOG-STYLE from Glue-type DDL strings
+    // (Catalog.tableFromDdl) — no parquet footer borrowed, exactly how
+    // the reference registers a JSON table from its Glue entry.
     "q27_json_scan" -> ((s, dir) => {
-      import graft.catalog.{Staging, TableDef}
+      import graft.catalog.{Catalog, Staging}
       val file = Staging.jsonCustomer(s, dir)
-      val schema = t(s, dir, "customer").schema
-      val data = s.read.schema(schema).json(file)
-      val table = TableDef("customer_json", file, DataFormat.JsonLines,
-        schema)
+      val table = Catalog.tableFromDdl("customer_json", file,
+        DataFormat.JsonLines,
+        Seq("c_custkey" -> "bigint", "c_name" -> "string",
+          "c_nationkey" -> "int", "c_acctbal" -> "double",
+          "c_mktsegment" -> "string"))
+      val data = s.read.schema(table.schema).json(file)
       val mapper = DataMapper("cj", "customer_json",
         Seq("c_custkey", "c_nationkey"), format = DataFormat.JsonLines)
       val groups = Finder.plan(mapper, table, simpleQueue)

@@ -129,6 +129,46 @@ object Catalog {
     }
   }
 
+  /** Build a [[TableDef]] from Glue-style column type STRINGS — the
+    * reference ingests Glue `Columns: [{Name, Type}]` entries carrying
+    * Hive type-language strings (generate_queries.py:403-480) and never
+    * needs a data file to know a table's shape. This is the
+    * catalog-style registration path for declared-schema tables (JSON
+    * exports, empty locations, schema-first pipelines) — no parquet
+    * footer borrow required.
+    *
+    * Each type parses via Spark's own DDL parser (`DataType.fromDDL`),
+    * which accepts the Hive type language Glue stores: `bigint`,
+    * `varchar(n)`, `decimal(p,s)`, `array<...>`, `map<...,...>` and
+    * nested `struct<...>` identifiers. The resulting TableDef is
+    * SerDe-validated like every other registration. */
+  def tableFromDdl(name: String, location: String, format: DataFormat,
+                   columns: Seq[(String, String)],
+                   partitionKeys: Seq[String] = Nil,
+                   serdeLib: Option[String] = None,
+                   serdeParams: Map[String, String] = Map.empty)
+      : TableDef = {
+    require(columns.nonEmpty, s"table $name needs at least one column")
+    val schema = StructType(columns.map { case (n, ddl) =>
+      StructField(n, parseDdlType(ddl))
+    })
+    val t = TableDef(name, location, format, schema, partitionKeys,
+      serdeLib, serdeParams)
+    validateSerde(t)
+    t
+  }
+
+  /** Parse one Hive/Glue type string to a Spark DataType (SURVEY.md
+    * §1.2: `DataType.fromDDL` covers the Glue type language, no custom
+    * parser needed). */
+  def parseDdlType(ddl: String): DataType =
+    try DataType.fromDDL(ddl)
+    catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"Unparseable column type '$ddl': ${e.getMessage}", e)
+    }
+
   /** No two mappers may cover nested/equal locations (reference:
     * data_mappers/handlers.py:118-121,148-156). */
   def checkNoOverlap(mappers: Seq[(DataMapper, TableDef)]): Unit = {

@@ -106,6 +106,32 @@ class CatalogSpec extends AnyFunSuite {
       json(Some(Catalog.JsonOpenxSerde), Map("dots.in.keys" -> "TRUE"))))
   }
 
+  test("tableFromDdl: Glue-style type strings register a declared-schema " +
+    "table, nested identifiers resolve, bad types fail loudly") {
+    import org.apache.spark.sql.types._
+    val t = Catalog.tableFromDdl("u", "/lake/u", DataFormat.JsonLines,
+      Seq("user_id" -> "bigint", "name" -> "varchar(32)",
+        "balance" -> "decimal(10,2)",
+        "profile" -> "struct<email: string, age: int>",
+        "tags" -> "array<string>"),
+      serdeLib = Some(Catalog.JsonHiveSerde))
+    assert(t.schema("user_id").dataType == LongType)
+    assert(t.schema("balance").dataType == DecimalType(10, 2))
+    // nested struct children are identifier-addressable, arrays are not
+    assert(Catalog.resolveIdentifier(t.schema, "profile.email") == StringType)
+    intercept[IllegalArgumentException](
+      Catalog.resolveIdentifier(t.schema, "tags.x"))
+    // the DDL path runs the same SerDe validation as every registration
+    intercept[IllegalArgumentException](Catalog.tableFromDdl(
+      "u2", "/lake/u2", DataFormat.JsonLines, Seq("a" -> "int"),
+      serdeLib = Some(Catalog.JsonOpenxSerde),
+      serdeParams = Map("dots.in.keys" -> "TRUE")))
+    // unparseable type names the offending string
+    val e = intercept[IllegalArgumentException](
+      Catalog.parseDdlType("notatype<<"))
+    assert(e.getMessage.contains("notatype"))
+  }
+
   test("overlapping mapper locations are rejected; disjoint pass") {
     def m(id: String, loc: String) =
       (DataMapper(id, "t", Seq("id")),

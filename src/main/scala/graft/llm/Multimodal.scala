@@ -3,7 +3,10 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.zip.CRC32
+import javax.imageio.ImageIO
 
 /** Multimodal column plumbing: image/audio/video payloads ride through the
   * engine as opaque `binary` columns with a typed metadata struct; decode /
@@ -11,12 +14,14 @@ import java.util.zip.CRC32
   * transforms (the Scala analog of `mapInPandas` batches — one JVM call
   * per batch of rows, no shuffle, arbitrary native libs callable inside).
   *
-  * The actual codecs are NOT in this container, so the decode kernels are
-  * DETERMINISTIC STUBS (clearly marked below): they derive fake
-  * dimensions/features from the payload bytes. Everything AROUND the stub
-  * — schema, null handling, batch iteration, partitioning, explode shape —
-  * is real and tested; swapping in a JPEG/PCM decoder changes only the
-  * function body.
+  * IMAGE kernels are REAL: decode, resize, and histogram features run on
+  * `javax.imageio` — the JDK's own PNG/BMP/GIF/JPEG readers, no native
+  * codecs required. Payloads no installed reader understands (audio,
+  * video, arbitrary bytes — this container ships no such codecs) fall
+  * back to DETERMINISTIC STUBS (clearly marked below) that derive fake
+  * dimensions/features from the payload bytes; each decoded row records
+  * which path produced it. The schema, null handling, batch iteration,
+  * partitioning, and explode shape are identical on both paths.
   */
 object Multimodal {
 
@@ -29,8 +34,11 @@ object Multimodal {
   /** Typed record for the partition-local kernels. */
   final case class MediaRow(id: Long, payload: Array[Byte],
                             mediaType: String)
+
+  /** `decoder` records the path: "imageio" (real decode) or "stub". */
   final case class DecodedRow(id: Long, width: Int, height: Int,
-                              channels: Int, checksum: Long)
+                              channels: Int, checksum: Long,
+                              decoder: String)
 
   /** Attach a payload + metadata to any table (here: the text bytes stand
     * in for an encoded image — the container ships no image corpus). */
@@ -48,26 +56,78 @@ object Multimodal {
     c.getValue
   }
 
-  /** ==== STUB ==== a real implementation would decode the image header;
-    * this derives deterministic fake dimensions from the payload bytes. */
+  /** One-time per-JVM: ImageIO's default stream cache writes every
+    * decode through a temp FILE — at one decode per row that is a disk
+    * round-trip per record on every executor. In-memory caching only. */
+  private lazy val imageIoInit: Unit = ImageIO.setUseCache(false)
+
+  /** REAL pure-JVM image decode via `javax.imageio` (the JDK ships
+    * PNG/BMP/GIF/JPEG/WBMP readers — no native codecs). Returns None
+    * when no installed reader understands the payload. */
+  def decodeImage(payload: Array[Byte]): Option[BufferedImage] = {
+    if (payload == null || payload.isEmpty) None
+    else {
+      imageIoInit
+      // ImageIO.read returns null (not an exception) for unknown formats
+      Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    }
+  }
+
+  /** ==== STUB ==== fallback for payloads `javax.imageio` cannot read
+    * (audio/video/opaque bytes — those codecs are not in this
+    * container): deterministic fake dimensions from the payload bytes. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val h = crc(payload)
     (64 + (h % 512).toInt, 64 + ((h >> 16) % 512).toInt, 3)
   }
 
   /** Partition-local decode: one pass per partition, rows streamed —
-    * the `mapInPandas`-shaped entry point. */
+    * the `mapInPandas`-shaped entry point. Real images (PNG/BMP/GIF/
+    * JPEG) decode for true dimensions/channels; anything else takes the
+    * stub path, and the output row says which. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] =
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c) = decodeStub(r.payload)
-        DecodedRow(r.id, w, h, c, crc(r.payload))
+        decodeImage(r.payload) match {
+          case Some(img) =>
+            DecodedRow(r.id, img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, crc(r.payload), "imageio")
+          case None =>
+            val (w, h, c) = decodeStub(r.payload)
+            DecodedRow(r.id, w, h, c, crc(r.payload), "stub")
+        }
       }
     }(Encoders.product[DecodedRow])
 
-  /** ==== STUB ==== fake feature vector: windowed byte sums, normalized —
-    * stands in for a vision-model embedding; shape (dim) and batch
-    * behavior are the real contract. */
+  /** REAL image feature: a normalized luminance histogram over `dim`
+    * buckets — every pixel scored by the integer BT.601 luma of its RGB,
+    * bucketed over [0, 256), counts normalized to sum 1. Deterministic
+    * and codec-free beyond `javax.imageio`. */
+  def imageHistogram(img: BufferedImage, dim: Int): Array[Float] = {
+    require(dim >= 1 && dim <= 256, s"dim must be in [1,256], got $dim")
+    val out = new Array[Float](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        out(lum * dim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    if (n > 0) { var i = 0; while (i < dim) { out(i) /= n; i += 1 } }
+    out
+  }
+
+  /** ==== STUB ==== fallback feature for non-image payloads: windowed
+    * byte sums, normalized — stands in for an audio/video embedding;
+    * shape (dim) and batch behavior are the real contract. */
   def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -80,10 +140,60 @@ object Multimodal {
 
   final case class FeatureRow(id: Long, feature: Array[Float])
 
+  /** Fixed-dim feature per row: real luminance histogram for decodable
+    * images, byte-sum stub otherwise — identical shape either way. */
   def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[FeatureRow] =
     media.mapPartitions { rows =>
-      rows.map(r => FeatureRow(r.id, featureStub(r.payload, dim)))
+      rows.map { r =>
+        val feat = decodeImage(r.payload) match {
+          case Some(img) => imageHistogram(img, dim)
+          case None      => featureStub(r.payload, dim)
+        }
+        FeatureRow(r.id, feat)
+      }
     }(Encoders.product[FeatureRow])
+
+  /** REAL image resize: decode, bilinear-rescale to `w`×`h` on a JVM
+    * `Graphics2D`, re-encode as PNG. None when the payload is not a
+    * decodable image. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int)
+      : Option[Array[Byte]] = {
+    require(w >= 1 && h >= 1, s"target dims must be >= 1, got ${w}x$h")
+    decodeImage(payload).map { img =>
+      val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(scaled, "png", out)
+      out.toByteArray
+    }
+  }
+
+  final case class ResizedRow(id: Long, payload: Array[Byte],
+                              resized: Boolean)
+
+  /** Partition-local resize: decodable images rescale for real
+    * (re-encoded PNG, `resized=true`); other payloads pass through
+    * byte-truncated/padded to `fallbackBytes` (`resized=false`) so the
+    * column contract holds for mixed batches. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int,
+                   fallbackBytes: Int = 256): Dataset[ResizedRow] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        resizeImage(r.payload, w, h) match {
+          case Some(png) => ResizedRow(r.id, png, resized = true)
+          case None =>
+            ResizedRow(r.id, java.util.Arrays.copyOf(
+              if (r.payload == null) Array.emptyByteArray else r.payload,
+              fallbackBytes), resized = false)
+        }
+      }
+    }(Encoders.product[ResizedRow])
 
   /** Frame sampling: split the payload into fixed-size windows ("frames")
     * and explode one row per frame — the video-pipeline shape (decode
@@ -101,9 +211,9 @@ object Multimodal {
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
   }
 
-  /** ==== STUB ==== "resize": truncate/zero-pad the payload to `n` bytes
-    * (a real kernel would rescale pixels; the column contract is what is
-    * under test). */
+  /** ==== STUB ==== byte-level "resize" for opaque payloads:
+    * truncate/zero-pad to `n` bytes (kept for the DataFrame-level
+    * contract; [[resizeImages]] is the real image path). */
   def resizeStub(df: DataFrame, n: Int): DataFrame =
     df.withColumn("payload_resized",
       expr(s"rpad(substring(payload, 1, $n), $n, x'00')"))

@@ -56,6 +56,72 @@ class TextMultimodalSpec extends SparkSpec {
     assert(decoded.forall(d => d.width >= 64 && d.height >= 64))
   }
 
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real image decode: PNG/BMP payloads get true dimensions via " +
+    "javax.imageio; non-images fall back to the marked stub") {
+    val png = pngBytes(17, 9, 0xffffff)
+    val bmp = {
+      val img = new java.awt.image.BufferedImage(
+        5, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png, "image/png"),
+      Multimodal.MediaRow(2L, bmp, "image/bmp"),
+      Multimodal.MediaRow(3L, "not an image".getBytes, "text/plain"))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val decoded = Multimodal.decode(ds).collect().sortBy(_.id)
+    assert(decoded(0).width == 17 && decoded(0).height == 9)
+    assert(decoded(0).decoder == "imageio" && decoded(0).channels == 3)
+    assert(decoded(1).width == 5 && decoded(1).height == 7)
+    assert(decoded(1).decoder == "imageio")
+    assert(decoded(2).decoder == "stub")
+  }
+
+  test("real image resize: round-trips through decode at the target " +
+    "dimensions; non-images take the padded fallback") {
+    val png = pngBytes(40, 20, 0x123456)
+    val resized = Multimodal.resizeImage(png, 8, 4)
+    assert(resized.isDefined)
+    val back = Multimodal.decodeImage(resized.get).get
+    assert(back.getWidth == 8 && back.getHeight == 4)
+    assert(Multimodal.resizeImage("plain bytes".getBytes, 8, 4).isEmpty)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, png, "image/png"),
+      Multimodal.MediaRow(2L, "zz".getBytes, "text/plain")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.resizeImages(ds, 8, 4, fallbackBytes = 16)
+      .collect().sortBy(_.id)
+    assert(out(0).resized && out(1).payload.length == 16 && !out(1).resized)
+  }
+
+  test("image features: luminance histogram is normalized and lands " +
+    "mass where the pixels are; non-images keep the stub shape") {
+    val black = pngBytes(10, 10, 0x000000)
+    val white = pngBytes(10, 10, 0xffffff)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, black, "image/png"),
+      Multimodal.MediaRow(2L, white, "image/png"),
+      Multimodal.MediaRow(3L, "some text".getBytes, "text/plain")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val feats = Multimodal.features(ds, dim = 8).collect().sortBy(_.id)
+    assert(feats.forall(_.feature.length == 8))
+    assert(math.abs(feats(0).feature.sum - 1f) < 1e-4)
+    assert(feats(0).feature(0) == 1f) // all-black → lowest bucket
+    assert(feats(1).feature(7) == 1f) // all-white → highest bucket
+  }
+
   test("feature extraction emits fixed-dim vectors per row") {
     val docs = Seq((1L, "abc"), (2L, "defghij")).toDF("doc_id", "text")
     val typed = Multimodal.withPayload(docs, "doc_id", "text")

@@ -144,7 +144,7 @@ object Dedup {
     }
   }
 
-  private def hashOf(s: String, seed: Int): Long = {
+  private[llm] def hashOf(s: String, seed: Int): Long = {
     val h1 = MurmurHash3.stringHash(s, seed)
     val h2 = MurmurHash3.stringHash(s, seed ^ 0x5bd1e995)
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
@@ -153,7 +153,7 @@ object Dedup {
   /** Distinct shingle set of a text, built in one linear pass (the SQL
     * `substr`-expression form re-scans codepoints per shingle — quadratic
     * per document and measurably slow at scale). */
-  private def shingleSet(text: String, n: Int): java.util.HashSet[String] = {
+  private[llm] def shingleSet(text: String, n: Int): java.util.HashSet[String] = {
     val set = new java.util.HashSet[String]()
     var i = 0
     while (i + n <= text.length) {
@@ -245,9 +245,11 @@ object Dedup {
     *   - exact verify: candidates join back to the raw text and compute
     *     true shingle Jaccard in one linear pass per doc.
     *
-    * Shuffles carry only (shingle, id, size) prefix entries and the
-    * candidate id pairs — never shingle arrays or texts (texts join back
-    * only onto surviving candidates).
+    * Shuffles carry only (shingle-hash, id, size) prefix entries — the
+    * candidate stage runs entirely in 64-bit hash space (see the
+    * in-body proof that every hash-space filter stays conservative) —
+    * and the candidate id pairs; never shingle strings, arrays, or
+    * texts (texts join back only onto surviving candidates).
     * Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     *
     * Scale knobs (output-invariant — they shape the PLAN, never the
@@ -289,10 +291,17 @@ object Dedup {
       s"censusSampleFraction must be in (0,1], got $censusSampleFraction")
     require(saltBlock >= 1 && maxSalts >= 1,
       s"need saltBlock >= 1 and maxSalts >= 1")
-    val docs = df.select(col(idCol).as("_id"),
-        shinglesUdf(shingleLen)(col(textCol)).as("_sh"))
-      .withColumn("_sz", size(col("_sh")))
-      .filter(col("_sz") > 0)
+    // The whole candidate stage runs in 64-BIT HASH SPACE: prefix
+    // entries carry shingle hashes, never shingle strings. Lossless by
+    // a containment argument: two docs' shared string shingles hash to
+    // shared keys, so hash-set intersection >= string-set intersection
+    // and hash-set union <= string-set union — J_hash >= J_string. Every
+    // hash-space filter (prefix, length, positional — computed over
+    // hash-DEDUPED sets and their sizes) is therefore conservative for
+    // J_string >= t, and the verify step recomputes exact string
+    // Jaccard. A collision can only ADD a candidate the verify rejects.
+    // The payoff: 8-byte join/shuffle keys, per-doc prefix sorts compare
+    // longs not 16-char strings, and nothing is ever re-hashed.
     // Global order for the prefix filter. Correctness needs only a
     // TOTAL order shared by every document; frequency-accuracy is a
     // pruning heuristic. So: SAMPLED document frequencies for the top
@@ -307,14 +316,42 @@ object Dedup {
       censusSampleFraction)
     val dfB = df.sparkSession.sparkContext.broadcast(dfMap)
     val t = threshold
-    val prefixUdf = udf { (sh: Seq[String]) =>
-      val plen = sh.size - math.ceil(t * sh.size).toInt + 1
-      sh.sortBy(g => (dfB.value.getOrElse(hashOf(g, 42), 1L), g))
-        .take(plen).toArray
+    // ONE pass from text to the prefix entries: shingle, hash,
+    // hash-dedup, sort rarest-first by the broadcast census, keep the
+    // first |S| - ceil(t|S|) + 1 — no intermediate shingle-array
+    // column, no second hashing of any shingle. The UDF returns the
+    // READY-TO-EXPLODE array of (set size, prefix hash) structs so the
+    // generator is its only consumer: feeding a struct-of-(sz, array)
+    // into separate `_sp._1` / posexplode(`_sp._2`) / isNotNull
+    // consumers lets ProjectCollapse inline the UDF into EACH of them —
+    // three evaluations per row (measured 13x slower than the scan on
+    // the bench corpus). posexplode of null/empty drops the row, which
+    // is exactly the empty-shingle-set filter.
+    val prefixUdf = udf { (text: String) =>
+      val set = shingleSet(text, shingleLen)
+      val raw = new Array[Long](set.size)
+      var i = 0
+      val it = set.iterator()
+      while (it.hasNext) { raw(i) = hashOf(it.next(), 42); i += 1 }
+      java.util.Arrays.sort(raw)
+      var n = 0
+      var j = 0
+      while (j < raw.length) { // in-place dedup of colliding hashes
+        if (n == 0 || raw(n - 1) != raw(j)) { raw(n) = raw(j); n += 1 }
+        j += 1
+      }
+      if (n == 0) null
+      else {
+        val hs = java.util.Arrays.copyOf(raw, n)
+        val dfm = dfB.value
+        val plen = n - math.ceil(t * n).toInt + 1
+        hs.sortBy(h => (dfm.getOrElse(h, 1L), h)).take(plen)
+          .map(h => (n, h))
+      }
     }
-    val nSaltsUdf = udf { (g: String) =>
+    val nSaltsUdf = udf { (h: Long) =>
       math.min(maxSalts.toLong,
-        1L + dfB.value.getOrElse(hashOf(g, 42), 1L) / saltBlock).toInt
+        1L + dfB.value.getOrElse(h, 1L) / saltBlock).toInt
     }
     // posexplode keeps each prefix entry's rank in the global order —
     // the POSITIONAL filter (PPJoin, Xiao et al. 2008) needs it: a pair
@@ -336,10 +373,13 @@ object Dedup {
     // returned frame's lifetime and is registered for TARGETED release
     // via [[releaseCaches]] once results are materialized (a blanket
     // clearCache() would evict unrelated caches).
-    val prefix = registerCache(docs.select(col("_id"), col("_sz"),
-      posexplode(prefixUdf(col("_sh"))).as(Seq("_pos0", "_g")))
-      .withColumn("_ns", nSaltsUdf(col("_g")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val prefix = registerCache(
+      df.select(col(idCol).as("_id"),
+          posexplode(prefixUdf(col(textCol))).as(Seq("_pos0", "_e")))
+        .select(col("_id"), col("_e._1").as("_sz"), col("_pos0"),
+          col("_e._2").as("_g"))
+        .withColumn("_ns", nSaltsUdf(col("_g")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // hot-key salting: entry → (key, salt); left picks one salt by id
     // hash, right replicates to all of the key's salts — every pair
     // meets in exactly one (key, salt) group

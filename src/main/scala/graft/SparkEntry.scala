@@ -412,6 +412,18 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 10, nlist = 16, nprobe = 14, sampleSeed = 6)
+    }),
+    // LLM §dedup — transitive duplicate CLUSTERS over the exact-Jaccard
+    // pairs: connected components via alternating large-star/small-star
+    // (O(log n) rounds — never diameter-many), cluster label = min
+    // doc_id of the component. The oracle recomputes the same pairs in
+    // SQL and closes them transitively with a recursive CTE.
+    "q31_dedup_clusters" -> ((s, dir) => {
+      import graft.llm.Dedup
+      val pairs = Dedup.jaccardPairsExact(t(s, dir, "documents"),
+        "doc_id", "text", shingleLen = 16, threshold = 0.8)
+      Dedup.duplicateClusters(pairs, "id_a", "id_b")
+        .select(col("id_a").as("doc_id"), col("cluster_id"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -659,7 +671,30 @@ object SparkEntry {
         | FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
         | WHERE i * 1.0 / (x.n + y.n - i) >= 0.8"""
         .stripMargin.replace("\n", " "),
-    "q30_ann_ivf" -> annOracleSql)
+    "q30_ann_ivf" -> annOracleSql,
+    // q29's exact pair set, transitively closed by a recursive CTE:
+    // every (node, reachable root) pair enumerates, min root wins
+    "q31_dedup_clusters" ->
+      """WITH RECURSIVE
+        | d AS (SELECT doc_id, text, len(text) AS lt FROM documents),
+        | idx AS (SELECT unnest(range(1, 2000)) AS i),
+        | sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 16) AS g
+        |   FROM d JOIN idx ON i <= lt - 15 GROUP BY 1, 2),
+        | sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+        |   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2),
+        | pairs AS (SELECT da, db
+        |   FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        |   WHERE i * 1.0 / (x.n + y.n - i) >= 0.8),
+        | edges AS (SELECT da AS src, db AS dst FROM pairs
+        |   UNION SELECT db, da FROM pairs),
+        | cc(id, root) AS (
+        |   SELECT DISTINCT src, src FROM edges
+        |   UNION
+        |   SELECT e.dst, cc.root FROM cc JOIN edges e ON e.src = cc.id)
+        | SELECT id AS doc_id, min(root) AS cluster_id FROM cc
+        | GROUP BY id""".stripMargin.replace("\n", " "))
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
     * side's double accumulation (both iterate the lists in order). */

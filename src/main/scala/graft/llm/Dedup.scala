@@ -458,6 +458,80 @@ object Dedup {
         .map(hashOf(_, 42)).toArray
     }
 
+  /** Duplicate-CLUSTER assignment from a near/exact-duplicate pair
+    * frame: connected components with the component's minimum id as the
+    * cluster label — the step a real dedup pipeline needs after any
+    * pairwise operator here, because duplicates are transitive (A~B,
+    * B~C puts A and C in one cluster even when the pairwise test never
+    * compared them) and "keep one per cluster" is the actionable
+    * output.
+    *
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    * MapReduce and Beyond", SoCC 2014) — each round is two
+    * groupBy+join shuffles over the EDGE set only (ids, never
+    * payloads), and the edge set converges to a star per component in
+    * O(log n) rounds, unlike naive min-label propagation whose round
+    * count is the graph DIAMETER (a 10M-doc duplicate chain would need
+    * 10M shuffles; this needs ~24). Each round's frame is eagerly
+    * `localCheckpoint`ed: iterative DataFrame loops otherwise stack an
+    * exponentially deepening plan no executor can compile.
+    *
+    * Output: (<aCol>, cluster_id) — one row per id that appears in at
+    * least one pair (singletons never enter a pair frame), cluster_id =
+    * min id of its component. Works for any orderable id type.
+    *
+    * @param maxIter hard stop; at 2 log2(n) + 8 rounds an unconverged
+    *                run indicates a bug, not a big graph — throws. */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
+                        maxIter: Int = 40): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val sw = Seq(col(aCol).as("src"), col(bCol).as("dst"))
+    var edges = pairs.select(sw: _*)
+      .filter(col("src") =!= col("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: every neighbor v > u links to m = min(N(u) ∪ {u})
+      val sym = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val lmins = sym.groupBy("src").agg(min(col("dst")).as("_mn"))
+        .select(col("src"), least(col("src"), col("_mn")).as("_m"))
+      val large = sym.join(lmins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // SMALL-STAR: orient (big, small); all of u's smaller neighbors
+      // and u itself link to m = min(N(u) ∪ {u})
+      val oriented = large.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val smins = oriented.groupBy("src").agg(min(col("dst")).as("_m"))
+      val small = oriented.join(smins, "src")
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .union(smins.select(col("src"), col("_m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = small.except(edges).isEmpty && edges.except(small).isEmpty
+      edges = small
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter rounds")
+    // stars: every edge is (member, root); add the roots themselves
+    edges.select(col("src").as(aCol), col("dst").as("cluster_id"))
+      .union(edges.select(col("dst").as(aCol), col("dst").as("cluster_id")))
+      .distinct()
+  }
+
   /** 64-bit SimHash over whitespace tokens. */
   def simhash64(seed: Int = 42)
       : org.apache.spark.sql.expressions.UserDefinedFunction =

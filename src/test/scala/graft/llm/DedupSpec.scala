@@ -144,6 +144,35 @@ class DedupSpec extends SparkSpec {
       "releaseCaches left cached RDDs behind")
   }
 
+  test("duplicateClusters: transitive closure with min-id labels — " +
+    "chains collapse, components stay separate, converges in log rounds") {
+    // component 1: a 64-node CHAIN (1-2, 2-3, ..., 63-64) — the shape
+    // that defeats diameter-bound label propagation; large/small-star
+    // must converge in ~log2(64) alternations, inside maxIter=14
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    // component 2: a triangle with ids above the chain
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ tri).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs, "id_a", "id_b", maxIter = 14)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 64 + 3)
+    assert((1L to 64L).forall(out(_) == 1L),
+      s"chain not fully collapsed: ${out.filter(_._2 != 1L).take(5)}")
+    assert(Seq(100L, 101L, 102L).forall(out(_) == 100L))
+  }
+
+  test("duplicateClusters handles duplicate/reversed/self pairs and an " +
+    "empty frame") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 2L), (2L, 1L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+    val empty = Dedup.duplicateClusters(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(empty.count() == 0)
+  }
+
   test("minhash signature similarity tracks exact jaccard") {
     // identical → identical band keys; disjoint → disjoint (w.h.p.)
     val d = Seq((1L, base), (2L, base),

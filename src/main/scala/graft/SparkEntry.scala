@@ -424,6 +424,22 @@ object SparkEntry {
         "doc_id", "text", shingleLen = 16, threshold = 0.8)
       Dedup.duplicateClusters(pairs, "id_a", "id_b")
         .select(col("id_a").as("doc_id"), col("cluster_id"))
+    }),
+    // LLM §sampling — deterministic md5-keyed subsample: map-only,
+    // shuffle-free, reproducible across engines/runs/partitionings
+    // (rand(seed) is none of those); the oracle states the identical
+    // predicate
+    "q32_det_sample" -> ((s, dir) => {
+      import graft.llm.Sampling
+      Sampling.deterministicSample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"), length(col("text")).as("text_chars"))
+    }),
+    // LLM §text — corpus vocabulary top-k by token frequency, ties by
+    // token: partial per-partition top-k via TakeOrderedAndProject, no
+    // global sort of the vocabulary
+    "q33_vocab_topk" -> ((s, dir) => {
+      import graft.llm.TextStats
+      TextStats.topTokens(t(s, dir, "documents"), "text", 100)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -694,7 +710,19 @@ object SparkEntry {
         |   UNION
         |   SELECT e.dst, cc.root FROM cc JOIN edges e ON e.src = cc.id)
         | SELECT id AS doc_id, min(root) AS cluster_id FROM cc
-        | GROUP BY id""".stripMargin.replace("\n", " "))
+        | GROUP BY id""".stripMargin.replace("\n", " "),
+    // same md5-prefix predicate verbatim; 0.25 * 65536 = 16384 = 0x4000
+    "q32_det_sample" ->
+      """SELECT doc_id, LENGTH(text) AS text_chars FROM documents
+        | WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'"""
+        .stripMargin.replace("\n", " "),
+    "q33_vocab_topk" ->
+      """SELECT token, count(*) AS freq FROM (
+        | SELECT unnest(string_split_regex(text, '\s+')) AS token
+        | FROM documents)
+        | WHERE token <> ''
+        | GROUP BY token ORDER BY freq DESC, token LIMIT 100"""
+        .stripMargin.replace("\n", " "))
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
     * side's double accumulation (both iterate the lists in order). */

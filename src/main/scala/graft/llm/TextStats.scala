@@ -80,4 +80,21 @@ object TextStats {
     * (the cheap canonical form used for audit trails and exact dedup). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with
+    * their counts, ties broken by token ascending (a total order — two
+    * engines cut the same top-k boundary). The plan is the scale shape
+    * for a frequency cut: explode → map-side-combined count →
+    * `TakeOrderedAndProject` (per-partition partial top-k, k·P merge on
+    * the driver) — no global sort of the full vocabulary. Output:
+    * (token, freq). */
+  def topTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+  }
 }

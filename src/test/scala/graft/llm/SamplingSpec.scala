@@ -1,0 +1,50 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + vocabulary top-k. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicSample: rate tracks the fraction, membership is " +
+    "stable across repartitionings, smaller samples nest in larger") {
+    val df = spark.range(20000).select(col("id"))
+    val s10 = Sampling.deterministicSample(df, "id", 0.10)
+      .as[Long].collect().toSet
+    val s20 = Sampling.deterministicSample(df, "id", 0.20)
+      .as[Long].collect().toSet
+    assert(math.abs(s10.size / 20000.0 - 0.10) < 0.01, s10.size)
+    assert(math.abs(s20.size / 20000.0 - 0.20) < 0.01, s20.size)
+    // the md5-prefix predicate is monotone in the threshold → nesting
+    assert(s10.subsetOf(s20))
+    val reparted = Sampling.deterministicSample(
+      df.repartition(13), "id", 0.10).as[Long].collect().toSet
+    assert(reparted == s10, "sample membership changed with partitioning")
+  }
+
+  test("deterministicSample edges: fraction 0 keeps nothing, 1 keeps all") {
+    val df = spark.range(100).select(col("id"))
+    assert(Sampling.deterministicSample(df, "id", 0.0).count() == 0)
+    assert(Sampling.deterministicSample(df, "id", 1.0).count() == 100)
+  }
+
+  test("stratifiedSample: per-stratum fractions, 0 and 1 exact, " +
+    "mid-fractions approximate") {
+    val df = spark.range(30000)
+      .select(col("id"), (col("id") % 3).cast("string").as("grp"))
+    val out = Sampling.stratifiedSample(df, "id", "grp",
+      Map("0" -> 1.0, "1" -> 0.0, "2" -> 0.3))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(out("0") == 10000L)
+    assert(!out.contains("1"))
+    assert(math.abs(out("2") / 10000.0 - 0.3) < 0.03, out("2"))
+  }
+
+  test("topTokens: counts, tie order, and the k cut") {
+    val df = Seq("b a a", "c b a", "d  c b").toDF("text")
+    val got = TextStats.topTokens(df, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+}

@@ -493,6 +493,20 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+    // order-independent edge-set signature: (count, sum of per-edge
+    // 64-bit hashes, accumulated in decimal(38,0) — a raw long sum
+    // overflows under ANSI mode). Equal signatures gate a single EXACT
+    // except-confirm — two anti-join jobs total per call instead of two
+    // per round.
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var edgeSig = signature(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -519,8 +533,11 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
         .localCheckpoint(true)
-      converged = small.except(edges).isEmpty && edges.except(small).isEmpty
+      val smallSig = signature(small)
+      converged = smallSig == edgeSig &&
+        small.except(edges).isEmpty && edges.except(small).isEmpty
       edges = small
+      edgeSig = smallSig
       iter += 1
     }
     if (!converged)

@@ -96,4 +96,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
       s"no codegen spans in:\n$plan")
   }
+
+  test("deterministic sample (q32) is a map-only pushed filter — " +
+    "no shuffle, no UDF") {
+    val plan = SparkEntry.queries("q32_det_sample")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"non-codegen eval in:\n$plan")
+  }
+
+  test("vocabulary top-k (q33) ranks via TakeOrdered, never a global " +
+    "sort of the vocabulary") {
+    val df = SparkEntry.queries("q33_vocab_topk")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"no TakeOrderedAndProject in:\n$plan")
+    // a Sort node would mean the full vocabulary is globally sorted
+    assert(!"(?m)^\\s*[+:]?-?\\s*\\*?\\(?\\d*\\)?\\s*Sort ".r
+        .findFirstIn(plan).isDefined,
+      s"global sort in:\n$plan")
+  }
 }

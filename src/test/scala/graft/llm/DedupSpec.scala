@@ -161,6 +161,35 @@ class DedupSpec extends SparkSpec {
     assert(Seq(100L, 101L, 102L).forall(out(_) == 100L))
   }
 
+  test("duplicateClusters == local union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { trial =>
+      val n = 20 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        nodes.map(v => v -> find(v.toInt).toLong).toMap
+      }
+      val got = Dedup.duplicateClusters(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected,
+        s"trial $trial: diff=${(got.toSet diff expected.toSet).take(5)} " +
+          s"missing=${(expected.toSet diff got.toSet).take(5)}")
+    }
+  }
+
   test("duplicateClusters handles duplicate/reversed/self pairs and an " +
     "empty frame") {
     val pairs = Seq((2L, 1L), (1L, 2L), (2L, 2L), (2L, 1L))

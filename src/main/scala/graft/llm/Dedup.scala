@@ -475,7 +475,13 @@ object Dedup {
     * count is the graph DIAMETER (a 10M-doc duplicate chain would need
     * 10M shuffles; this needs ~24). Each round's frame is eagerly
     * `localCheckpoint`ed: iterative DataFrame loops otherwise stack an
-    * exponentially deepening plan no executor can compile.
+    * exponentially deepening plan no executor can compile. (Local
+    * checkpoints truncate lineage WITHOUT durable storage: losing an
+    * executor mid-run fails the operator, which then reruns whole —
+    * acceptable because the edge frame is the pipeline's small
+    * artifact and the operator is deterministic; swap in reliable
+    * `checkpoint` + a checkpoint dir if a cluster run must survive
+    * executor churn.)
     *
     * Output: (<aCol>, cluster_id) — one row per id that appears in at
     * least one pair (singletons never enter a pair frame), cluster_id =

@@ -51,22 +51,32 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
-      while (samples.size < 3 && !failed) {
+      var attempts = 0
+      var lastElapsed = 0.0
+      while (attempts < 3 && !failed) {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop")
-          .mode(SaveMode.Overwrite).save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop")
+            .mode(SaveMode.Overwrite).save()
+          // only SUCCESSFUL runs enter the median: a failed attempt's
+          // duration measures the failure, not the query, and would
+          // contaminate `total` with fictitious work
+          samples += (System.nanoTime() - t0) / 1e9
+        } catch {
           case NonFatal(e) =>
             failed = true
+            lastElapsed = (System.nanoTime() - t0) / 1e9
             errors += s"$name: ${String.valueOf(e.getMessage).take(200)}"
         }
-        samples += (System.nanoTime() - t0) / 1e9
+        attempts += 1
         // q29's cached prefix index must not accumulate across
         // iterations (or leak into the next query's timing)
         graft.llm.Dedup.releaseCaches()
       }
       ok(name) = !failed
-      times(name) = samples.sorted.apply(samples.size / 2)
+      times(name) =
+        if (samples.nonEmpty) samples.sorted.apply(samples.size / 2)
+        else lastElapsed
     }
 
     // facet (a): identifier-column scan ratio — (i) plan-side from the

@@ -160,14 +160,30 @@ object Catalog {
 
   /** Parse one Hive/Glue type string to a Spark DataType (SURVEY.md
     * §1.2: `DataType.fromDDL` covers the Glue type language, no custom
-    * parser needed). */
-  def parseDdlType(ddl: String): DataType =
-    try DataType.fromDDL(ddl)
+    * parser needed). `char(n)`/`varchar(n)` normalize to `string` at
+    * every nesting level: Spark ACCEPTS them from the parser but
+    * REJECTS them at read time (`DataFrameReader.schema` →
+    * `failIfHasCharVarchar`, "char/varchar type can only be used in
+    * the table schema") — exactly how Athena treats a Glue varchar for
+    * scan purposes, and the reference's own type allow-list folds
+    * char/varchar into the string family (generate_queries.py:39-50).
+    */
+  def parseDdlType(ddl: String): DataType = {
+    def destring(dt: DataType): DataType = dt match {
+      case CharType(_) | VarcharType(_) => StringType
+      case st: StructType =>
+        StructType(st.fields.map(f => f.copy(dataType = destring(f.dataType))))
+      case ArrayType(et, n) => ArrayType(destring(et), n)
+      case MapType(k, v, n) => MapType(destring(k), destring(v), n)
+      case other => other
+    }
+    try destring(DataType.fromDDL(ddl))
     catch {
       case e: Exception =>
         throw new IllegalArgumentException(
           s"Unparseable column type '$ddl': ${e.getMessage}", e)
     }
+  }
 
   /** No two mappers may cover nested/equal locations (reference:
     * data_mappers/handlers.py:118-121,148-156). */

@@ -27,24 +27,27 @@ import scala.util.hashing.MurmurHash3
   */
 object Dedup {
 
-  /** Intermediate frames persisted by Dedup operators (currently the
+  /** Cleanups for frames persisted by Dedup operators (currently the
     * prefix index of [[jaccardPairsExact]]). Tracked so callers can
     * release EXACTLY these — `spark.catalog.clearCache()` would evict
     * unrelated caches too. */
-  private val cachedFrames =
-    scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val cacheCleanups =
+    scala.collection.mutable.ListBuffer.empty[() => Unit]
 
-  private def registerCache(f: DataFrame): DataFrame = synchronized {
-    cachedFrames += f
-    f
+  private def registerCleanup(f: () => Unit): Unit = synchronized {
+    cacheCleanups += f
   }
 
   /** Unpersist every intermediate frame a Dedup operator cached in this
     * session. Safe to call once results are materialized (collected or
-    * written); a frame still mid-computation merely recomputes. */
+    * written); a frame still mid-computation merely recomputes. NOTE:
+    * session-GLOBAL — with several dedup jobs in flight it releases all
+    * of their indexes; a job that wants to release only its own should
+    * use [[jaccardPairsExactReleasable]] and invoke the returned
+    * cleanup instead. */
   def releaseCaches(): Unit = synchronized {
-    cachedFrames.foreach(_.unpersist(false))
-    cachedFrames.clear()
+    cacheCleanups.foreach(_.apply())
+    cacheCleanups.clear()
   }
 
   /** Exact duplicates via content digest: groups with >1 copy, keep-min
@@ -285,6 +288,28 @@ object Dedup {
                         censusSampleFraction: Double = 1.0,
                         saltBlock: Int = 2048,
                         maxSalts: Int = 64): DataFrame = {
+    val (out, cleanup) = jaccardPairsExactReleasable(df, idCol, textCol,
+      shingleLen, threshold, commonShingleCap, censusSampleFraction,
+      saltBlock, maxSalts)
+    registerCleanup(cleanup)
+    out
+  }
+
+  /** As [[jaccardPairsExact]], additionally returning a cleanup that
+    * unpersists ONLY this call's prefix index — for long-lived sessions
+    * with several dedup jobs in flight, where the session-global
+    * [[releaseCaches]] would evict another job's index mid-computation
+    * (forcing the double recompute the persist exists to prevent).
+    * Invoke the cleanup once this call's results are materialized. */
+  def jaccardPairsExactReleasable(df: DataFrame, idCol: String,
+                                  textCol: String,
+                                  shingleLen: Int = 8,
+                                  threshold: Double = 0.5,
+                                  commonShingleCap: Int = 100000,
+                                  censusSampleFraction: Double = 1.0,
+                                  saltBlock: Int = 2048,
+                                  maxSalts: Int = 64)
+      : (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     require(censusSampleFraction > 0.0 && censusSampleFraction <= 1.0,
@@ -370,16 +395,16 @@ object Dedup {
     // operator (ids + prefix entries — ~20% of the shingle volume, no
     // texts, no arrays), so one MEMORY_AND_DISK materialization is the
     // classic AllPairs inverted-index build. It stays cached for the
-    // returned frame's lifetime and is registered for TARGETED release
-    // via [[releaseCaches]] once results are materialized (a blanket
+    // returned frame's lifetime; released per-call via the returned
+    // cleanup, or session-wide via [[releaseCaches]] (a blanket
     // clearCache() would evict unrelated caches).
-    val prefix = registerCache(
+    val prefix =
       df.select(col(idCol).as("_id"),
           posexplode(prefixUdf(col(textCol))).as(Seq("_pos0", "_e")))
         .select(col("_id"), col("_e._1").as("_sz"), col("_pos0"),
           col("_e._2").as("_g"))
         .withColumn("_ns", nSaltsUdf(col("_g")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-key salting: entry → (key, salt); left picks one salt by id
     // hash, right replicates to all of the key's salts — every pair
     // meets in exactly one (key, salt) group
@@ -399,7 +424,7 @@ object Dedup {
             col("_szb") - col("_pb")) >= alpha)
       .select(col("id_a"), col("id_b")).distinct()
     val texts = df.select(col(idCol), col(textCol))
-    candidates
+    val out = candidates
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_txt_a")),
         "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_txt_b")),
@@ -408,6 +433,7 @@ object Dedup {
         textJaccard(shingleLen)(col("_txt_a"), col("_txt_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (out, () => { prefix.unpersist(false); () })
   }
 
   /** Sampled document-frequency census over 64-bit shingle hashes —
@@ -487,10 +513,12 @@ object Dedup {
     * least one pair (singletons never enter a pair frame), cluster_id =
     * min id of its component. Works for any orderable id type.
     *
-    * @param maxIter hard stop; at 2 log2(n) + 8 rounds an unconverged
-    *                run indicates a bug, not a big graph — throws. */
+    * @param maxIter hard stop — an unconverged run throws. The default
+    *                (64) clears the 2 log2(n) + 8 worst-case round
+    *                bound for any component up to ~2^28 nodes; raise it
+    *                only for genuinely larger single components. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
-                        maxIter: Int = 40): DataFrame = {
+                        maxIter: Int = 64): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val sw = Seq(col(aCol).as("src"), col(bCol).as("dst"))
     var edges = pairs.select(sw: _*)

@@ -68,8 +68,13 @@ object Multimodal {
     if (payload == null || payload.isEmpty) None
     else {
       imageIoInit
-      // ImageIO.read returns null (not an exception) for unknown formats
-      Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      // ImageIO.read returns null for unknown formats but THROWS for a
+      // payload whose magic selects a reader that then hits corrupt or
+      // truncated data — in a mapPartitions kernel that would fail the
+      // task (x4 retries) on one bad blob; a bad image is a stub-path
+      // row, not a job failure
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 

@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
 object StreamingDedup {
 
   /** Distinct-by-content stream: one row per digest per watermark
-    * window, the earliest arrival kept by stream order.
+    * window — the earliest arrival by stream order (streaming) or by
+    * `(tsCol, remaining columns)` lexicographic minimum (batch: a bare
+    * `dropDuplicates` keeps whichever copy the shuffled aggregation
+    * meets first, so reruns/repartitionings would flap between
+    * survivors; the struct-min is a total order over distinct rows and
+    * thus deterministic).
     *
     * @param events         streaming (or batch) frame
     * @param textCol        content column digested with md5
@@ -35,11 +40,17 @@ object StreamingDedup {
                     watermarkDelay: String): DataFrame = {
     val digested = events.withColumn("digest", md5(col(textCol)))
     // dropDuplicatesWithinWatermark is streaming-only (its point is
-    // state EVICTION); a batch frame takes the plain exact dedup, which
-    // has the same "one row per digest" contract without windowing
+    // state EVICTION); a batch frame takes a deterministic exact dedup
+    // with the same "one row per digest" contract, no windowing
     if (events.isStreaming)
       digested.withWatermark(tsCol, watermarkDelay)
         .dropDuplicatesWithinWatermark("digest")
-    else digested.dropDuplicates("digest")
+    else {
+      val cols = events.columns.toSeq
+      val ordered = tsCol +: cols.filterNot(_ == tsCol)
+      digested.groupBy(col("digest"))
+        .agg(min(struct(ordered.map(col): _*)).as("_first"))
+        .select(col("digest") +: cols.map(c => col(s"_first.`$c`").as(c)): _*)
+    }
   }
 }

@@ -121,6 +121,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.resolveIdentifier(t.schema, "profile.email") == StringType)
     intercept[IllegalArgumentException](
       Catalog.resolveIdentifier(t.schema, "tags.x"))
+    // char/varchar normalize to string: Spark's read path REJECTS
+    // schemas containing them ("char/varchar type can only be used in
+    // the table schema"), so keeping the parsed type would crash every
+    // Find over a varchar-declared Glue table
+    assert(t.schema("name").dataType == StringType)
+    assert(Catalog.parseDdlType("struct<v: varchar(5), c: char(2)>") ==
+      StructType(Seq(StructField("v", StringType),
+        StructField("c", StringType))))
     // the DDL path runs the same SerDe validation as every registration
     intercept[IllegalArgumentException](Catalog.tableFromDdl(
       "u2", "/lake/u2", DataFormat.JsonLines, Seq("a" -> "int"),

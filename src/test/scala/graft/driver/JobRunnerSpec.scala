@@ -193,13 +193,20 @@ class JobRunnerSpec extends SparkSpec {
       DataMapper(s"m$i", s"t$i", Seq("customer_id")) ->
         t.copy(name = s"t$i")
     }
+    // load-insensitive concurrency gauge: how many Finds overlapped in
+    // the sleep window (a wall-clock bound alone flakes on a contended
+    // box and can't distinguish 2-way from 6-way dispatch)
+    val current = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
     val t0 = System.nanoTime()
     val run = JobRunner.run(spark, "jrc",
       lakes,
       Seq(DeletionQueueItem("q", MatchId.Simple("7"))),
       readTableFn = (s, t) => {
-        Thread.sleep(700)
-        JobRunner.readTable(s, t)
+        val now = current.incrementAndGet()
+        peak.getAndAccumulate(now, math.max)
+        try { Thread.sleep(700); JobRunner.readTable(s, t) }
+        finally current.decrementAndGet()
       })
     val elapsed = (System.nanoTime() - t0) / 1e9
     assert(run.state.status == JobStatus.Completed, run.state.status)
@@ -209,7 +216,9 @@ class JobRunnerSpec extends SparkSpec {
     // emission (buffer) order must equal sk order even under concurrency
     assert(run.events.map(_.sk) == run.events.map(_.sk).sorted,
       "event buffer order diverged from sk order")
-    assert(elapsed < 3.5,
+    assert(peak.get() >= 4,
+      s"Find dispatch not concurrent: peak overlap ${peak.get()}")
+    assert(elapsed < 4.0, // sequential floor is 6 x 0.7s = 4.2s
       f"Find dispatch serialized: 6 x 0.7s mappers took $elapsed%.1fs")
   }
 
@@ -225,6 +234,27 @@ class JobRunnerSpec extends SparkSpec {
       settings = JobSettings(findConcurrencyLimit = 1))
     assert(run.state.status == JobStatus.Completed)
     assert(run.state.stats.totalObjectUpdatedCount == 2)
+  }
+
+  test("a varchar-declared DDL table registration survives the read " +
+    "path end-to-end (char/varchar normalized at registration)") {
+    // the regression this pins: keeping VarcharType in the TableDef
+    // schema makes spark.read.schema(...) throw "char/varchar type can
+    // only be used in the table schema" and the job burns its retry
+    // budget into FIND_FAILED
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddl-").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.json"),
+      ("{\"customer_id\":7,\"x\":\"a\"}\n" +
+        "{\"customer_id\":8,\"x\":\"b\"}\n").getBytes("UTF-8"))
+    val table = graft.catalog.Catalog.tableFromDdl("jv", dir,
+      DataFormat.JsonLines,
+      Seq("customer_id" -> "bigint", "x" -> "varchar(10)"))
+    val run = JobRunner.run(spark, "jrv",
+      Seq(DataMapper("mv", "jv", Seq("customer_id"),
+        format = DataFormat.JsonLines) -> table),
+      Seq(DeletionQueueItem("q", MatchId.Simple("7"))))
+    assert(run.state.status == JobStatus.Completed, run.state.status)
+    assert(run.state.stats.totalRowsDeletedCount == 1)
   }
 
   test("simple item scoped to several mappers applies to each") {

@@ -144,6 +144,25 @@ class DedupSpec extends SparkSpec {
       "releaseCaches left cached RDDs behind")
   }
 
+  test("jaccardPairsExactReleasable: the per-call cleanup releases only " +
+    "its own prefix index") {
+    val docs = (1 to 40).map { i =>
+      (i.toLong, s"another shared body uniq${i}p uniq${i}q")
+    }.toDF("id", "text")
+    val (outA, cleanA) = Dedup.jaccardPairsExactReleasable(
+      docs, "id", "text", shingleLen = 8, threshold = 0.9)
+    val (outB, cleanB) = Dedup.jaccardPairsExactReleasable(
+      docs, "id", "text", shingleLen = 8, threshold = 0.9)
+    outA.count(); outB.count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before >= 2, s"expected two cached indexes, saw $before")
+    cleanA()
+    assert(spark.sparkContext.getPersistentRDDs.size == before - 1,
+      "per-call cleanup must release exactly one index")
+    cleanB()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("duplicateClusters: transitive closure with min-id labels — " +
     "chains collapse, components stay separate, converges in log rounds") {
     // component 1: a 64-node CHAIN (1-2, 2-3, ..., 63-64) — the shape

@@ -75,10 +75,14 @@ class TextMultimodalSpec extends SparkSpec {
       javax.imageio.ImageIO.write(img, "bmp", out)
       out.toByteArray
     }
+    // a TRUNCATED png: the magic selects a reader which then fails on
+    // the corrupt stream — must take the stub path, not kill the task
+    val truncated = java.util.Arrays.copyOf(png, 24)
     val rows = Seq(
       Multimodal.MediaRow(1L, png, "image/png"),
       Multimodal.MediaRow(2L, bmp, "image/bmp"),
-      Multimodal.MediaRow(3L, "not an image".getBytes, "text/plain"))
+      Multimodal.MediaRow(3L, "not an image".getBytes, "text/plain"),
+      Multimodal.MediaRow(4L, truncated, "image/png"))
     val ds = spark.createDataset(rows)(
       org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
     val decoded = Multimodal.decode(ds).collect().sortBy(_.id)
@@ -87,6 +91,8 @@ class TextMultimodalSpec extends SparkSpec {
     assert(decoded(1).width == 5 && decoded(1).height == 7)
     assert(decoded(1).decoder == "imageio")
     assert(decoded(2).decoder == "stub")
+    assert(decoded(3).decoder == "stub",
+      "corrupt image payload must fall back to the stub, not crash")
   }
 
   test("real image resize: round-trips through decode at the target " +

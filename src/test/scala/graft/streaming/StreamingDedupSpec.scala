@@ -38,13 +38,17 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("firstArrivals works on a batch frame too (same code path, " +
-    "watermark inert)") {
+  test("firstArrivals on a batch frame keeps the EARLIEST row per " +
+    "digest, deterministically across partitionings") {
     val df = Seq(
-      Doc(1L, "x", t(1000)), Doc(2L, "x", t(2000)), Doc(3L, "y", t(3000)))
+      Doc(2L, "x", t(2000)), Doc(1L, "x", t(1000)), Doc(3L, "y", t(3000)))
       .toDF()
     val out = StreamingDedup.firstArrivals(df, "text", "ts", "10 minutes")
-      .select("text").as[String].collect().sorted
-    assert(out.toSeq == Seq("x", "y"))
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "x"), (3L, "y")), out.mkString(","))
+    val reparted = StreamingDedup
+      .firstArrivals(df.repartition(7), "text", "ts", "10 minutes")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(reparted == out, "batch survivor flapped with partitioning")
   }
 }

@@ -10,48 +10,92 @@ import org.apache.spark.sql.functions._
   * the engine's core Find/Forget machinery. A near/exact-duplicate pair
   * frame closes into clusters ([[Dedup.duplicateClusters]]); every
   * cluster member EXCEPT the keeper (the minimum id) becomes a deletion
-  * queue item; one ordinary deletion job then rewrites exactly the
-  * objects holding those rows — audit events, retry budget, idempotent
-  * task commits and all. "Deduplicate the corpus in place" is thereby
-  * the same operation as "forget these users": no second rewrite path
-  * to maintain or to trust.
+  * queue item; ordinary deletion jobs then rewrite exactly the objects
+  * holding those rows — audit events, retry budget, idempotent task
+  * commits and all. "Deduplicate the corpus in place" is thereby the
+  * same operation as "forget these users": no second rewrite path to
+  * maintain or to trust.
   *
-  * The queue is driver-side, like the reference's DynamoDB deletion
-  * queue (an API-managed entity list): its size is the number of
-  * duplicate copies, not the corpus. Above `inSetMaxKeys` the Find
-  * phase automatically switches from the native InSet predicate to the
-  * broadcast semi-join (the at-scale path the bench times as
-  * `find_join_fallback`); for queues beyond driver memory, feed
-  * [[losers]] through in batches — each batch is an independent job.
+  * The loser set is NEVER collected whole: ids stream to the driver in
+  * sorted order one range-partition at a time (`toLocalIterator` over a
+  * range-sorted frame) and are grouped into bounded batches, each batch
+  * an independent Find/Forget job — the reference's shape, which feeds
+  * its work queue in fixed-size SQS batches precisely so no component
+  * ever holds the whole work list (boto_utils.py:87-103,
+  * submit_query_results.py:56-61). Driver memory is O(batchSize +
+  * one range partition), not O(duplicate copies). Per-batch stats fold
+  * into one aggregate, and a failed batch stops the feed (the
+  * reference's fail-fast query queue, work_query_queue.py:37-46).
   */
 object DedupForget {
 
+  /** Ids per batch. Each batch's queue drives one deletion job; at the
+    * default the queue stays under [[graft.find.Finder.InSetMaxKeys]],
+    * so each batch Finds via the native pushed-down InSet predicate. */
+  val DefaultBatchSize = 100000
+
+  /** Aggregate result of a (possibly multi-batch) dedup-forget run.
+    *
+    * @param status  COMPLETED when every batch completed; otherwise the
+    *                first non-completed batch's terminal status
+    * @param stats   per-batch [[JobStats]] merged
+    * @param batches the per-batch [[JobRunner.JobRun]]s, in feed order */
+  final case class Run(status: String, stats: JobStats,
+                       batches: Seq[JobRunner.JobRun])
+
   /** Ids to delete: every clustered doc except its cluster's keeper.
-    * Distributed — call `.collect()` only at queue-build time. */
+    * Distributed — feed through [[forgetDuplicates]]' batcher, never
+    * `.collect()` whole. */
   def losers(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val clusters = Dedup.duplicateClusters(pairs, aCol, bCol)
     clusters.filter(col(aCol) =!= col("cluster_id")).select(col(aCol))
   }
 
-  /** Run one deletion job removing every non-keeper duplicate from the
-    * table. Returns the standard [[JobRunner.JobRun]] (events, stats,
-    * terminal status).
+  /** Remove every non-keeper duplicate from the table via batched
+    * deletion jobs (batch `i` runs as job `"<jobId>-b<i>"`).
     *
-    * @param pairs pair frame from any dedup operator over `table`
-    *              (id columns `aCol`/`bCol` must hold `idCol` values)
+    * @param pairs     pair frame from any dedup operator over `table`
+    *                  (id columns `aCol`/`bCol` must hold `idCol` values)
+    * @param batchSize max queue items per deletion job — bounds driver
+    *                  memory and per-job queue size
     */
   def forgetDuplicates(spark: SparkSession, jobId: String,
                        table: TableDef, idCol: String,
                        pairs: DataFrame,
                        aCol: String = "id_a", bCol: String = "id_b",
-                       settings: JobSettings = JobSettings())
-      : JobRunner.JobRun = {
-    val ids = losers(pairs, aCol, bCol).collect().map(_.get(0).toString)
-    val queue = ids.toSeq.sorted.map(id =>
-      DeletionQueueItem(s"dedup-$id", MatchId.Simple(id)))
-    val mapper = DataMapper(s"$jobId-m", table.name, Seq(idCol),
-      format = table.format)
-    JobRunner.run(spark, jobId, Seq(mapper -> table), queue,
-      settings = settings)
+                       settings: JobSettings = JobSettings(),
+                       batchSize: Int = DefaultBatchSize): Run = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    // sorted stream of loser ids: orderBy range-partitions, so the open
+    // iterator holds at most one range partition driver-side; batches
+    // are contiguous sorted id slices (deterministic across reruns)
+    val it = losers(pairs, aCol, bCol).orderBy(col(aCol)).toLocalIterator()
+    val batches = scala.collection.mutable.ArrayBuffer.empty[JobRunner.JobRun]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var failed = false
+    def flush(): Unit = if (buf.nonEmpty && !failed) {
+      val batchNo = batches.size
+      val queue = buf.toSeq.map(id =>
+        DeletionQueueItem(s"dedup-$id", MatchId.Simple(id)))
+      val mapper = DataMapper(s"$jobId-b$batchNo-m", table.name,
+        Seq(idCol), format = table.format)
+      val run = JobRunner.run(spark, s"$jobId-b$batchNo",
+        Seq(mapper -> table), queue, settings = settings)
+      batches += run
+      // fail-fast: a batch that did not complete stops the feed — later
+      // batches would rewrite objects on top of an inconsistent lake
+      if (run.state.status != JobStatus.Completed) failed = true
+      buf.clear()
+    }
+    while (it.hasNext && !failed) {
+      buf += it.next().get(0).toString
+      if (buf.size >= batchSize) flush()
+    }
+    flush()
+    val stats = batches.map(_.state.stats)
+      .foldLeft(JobStats())(_ merge _)
+    val status = batches.map(_.state.status)
+      .find(_ != JobStatus.Completed).getOrElse(JobStatus.Completed)
+    Run(status, stats, batches.toSeq)
   }
 }

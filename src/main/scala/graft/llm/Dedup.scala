@@ -520,10 +520,15 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
                         maxIter: Int = 64): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val sw = Seq(col(aCol).as("src"), col(bCol).as("dst"))
-    var edges = pairs.select(sw: _*)
-      .filter(col("src") =!= col("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // LOOP INVARIANT: `edges` is distinct and strictly ORIENTED
+    // (src > dst). The symmetric neighbor list each large-star needs is
+    // then a plain union with the reversed frame — the two orientations
+    // are disjoint by construction, so no per-round distinct shuffle is
+    // spent re-deduplicating it (it used to be the round's 4th wide
+    // exchange; the small-star output already satisfies the invariant).
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
@@ -544,10 +549,11 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // LARGE-STAR: every neighbor v > u links to m = min(N(u) ∪ {u})
+      // LARGE-STAR: every neighbor v > u links to m = min(N(u) ∪ {u}).
+      // Output rows are (v, m) with v > u >= m — already oriented, so
+      // the small-star below consumes `large` directly.
       val sym = edges
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
       val lmins = sym.groupBy("src").agg(min(col("dst")).as("_mn"))
         .select(col("src"), least(col("src"), col("_mn")).as("_m"))
       val large = sym.join(lmins, "src")
@@ -555,13 +561,12 @@ object Dedup {
         .select(col("dst").as("src"), col("_m").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-      // SMALL-STAR: orient (big, small); all of u's smaller neighbors
-      // and u itself link to m = min(N(u) ∪ {u})
-      val oriented = large.select(
-        greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst"))
-      val smins = oriented.groupBy("src").agg(min(col("dst")).as("_m"))
-      val small = oriented.join(smins, "src")
+      // SMALL-STAR over the (big, small)-oriented frame: all of u's
+      // smaller neighbors and u itself link to m = min(N(u) ∪ {u}).
+      // Output rows are (v, m_u) / (u, m_u) with m_u <= every dst — the
+      // equality filter restores strict orientation for the invariant.
+      val smins = large.groupBy("src").agg(min(col("dst")).as("_m"))
+      val small = large.join(smins, "src")
         .select(col("dst").as("src"), col("_m").as("dst"))
         .union(smins.select(col("src"), col("_m").as("dst")))
         .filter(col("src") =!= col("dst"))

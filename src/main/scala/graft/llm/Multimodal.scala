@@ -16,12 +16,15 @@ import javax.imageio.ImageIO
   *
   * IMAGE kernels are REAL: decode, resize, and histogram features run on
   * `javax.imageio` — the JDK's own PNG/BMP/GIF/JPEG readers, no native
-  * codecs required. Payloads no installed reader understands (audio,
-  * video, arbitrary bytes — this container ships no such codecs) fall
-  * back to DETERMINISTIC STUBS (clearly marked below) that derive fake
-  * dimensions/features from the payload bytes; each decoded row records
-  * which path produced it. The schema, null handling, batch iteration,
-  * partitioning, and explode shape are identical on both paths.
+  * codecs required. AUDIO kernels are REAL too: decode and windowed-RMS
+  * features run on `javax.sound.sampled` — the JDK's own WAV/AIFF/AU
+  * readers, equally codec-free. Payloads no installed reader
+  * understands (video, arbitrary bytes — this container ships no video
+  * codecs) fall back to DETERMINISTIC STUBS (clearly marked below) that
+  * derive fake dimensions/features from the payload bytes; each decoded
+  * row records which path produced it. The schema, null handling, batch
+  * iteration, partitioning, and explode shape are identical on all
+  * paths.
   */
 object Multimodal {
 
@@ -79,8 +82,9 @@ object Multimodal {
   }
 
   /** ==== STUB ==== fallback for payloads `javax.imageio` cannot read
-    * (audio/video/opaque bytes — those codecs are not in this
-    * container): deterministic fake dimensions from the payload bytes. */
+    * (video/opaque bytes — those codecs are not in this container;
+    * audio has its own REAL path, [[decodeAudioSamples]]):
+    * deterministic fake dimensions from the payload bytes. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val h = crc(payload)
     (64 + (h % 512).toInt, 64 + ((h >> 16) % 512).toInt, 3)
@@ -130,9 +134,10 @@ object Multimodal {
     out
   }
 
-  /** ==== STUB ==== fallback feature for non-image payloads: windowed
-    * byte sums, normalized — stands in for an audio/video embedding;
-    * shape (dim) and batch behavior are the real contract. */
+  /** ==== STUB ==== fallback feature for payloads neither image nor
+    * audio readers understand: windowed byte sums, normalized — stands
+    * in for a video embedding (the one genuinely codec-less modality
+    * here); shape (dim) and batch behavior are the real contract. */
   def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -143,16 +148,119 @@ object Multimodal {
     out
   }
 
+  // ---- audio: REAL pure-JVM decode via javax.sound.sampled ----
+
+  /** Decoded audio header + mono samples in [-1, 1]. */
+  final case class AudioInfo(sampleRate: Float, channels: Int,
+                             frames: Long, durationSec: Double)
+
+  /** REAL pure-JVM audio decode via `javax.sound.sampled` (the JDK
+    * ships WAV/AIFF/AU readers — no native codecs). The stream is
+    * converted to PCM_SIGNED 16-bit at the source rate, and channels
+    * are averaged to one mono `Float` series in [-1, 1]. None when no
+    * installed reader understands the payload (wrong magic, corrupt
+    * header) — like [[decodeImage]], a bad blob is a stub-path row,
+    * never a task failure. */
+  def decodeAudioSamples(payload: Array[Byte])
+      : Option[(AudioInfo, Array[Float])] = {
+    if (payload == null || payload.isEmpty) None
+    else try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels,
+          2 * fmt.getChannels, fmt.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, ais)
+        try {
+          val bytes = pcm.readAllBytes()
+          val ch = fmt.getChannels
+          val n = bytes.length / (2 * ch)
+          val mono = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0f
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+              acc += s / 32768.0f
+              c += 1
+            }
+            mono(i) = acc / ch
+            i += 1
+          }
+          Some((AudioInfo(fmt.getSampleRate, ch, n.toLong,
+            n.toDouble / fmt.getSampleRate), mono))
+        } finally pcm.close()
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** `decoder` records the path: "javasound" (real) or "stub". */
+  final case class DecodedAudioRow(id: Long, sampleRate: Float,
+                                   channels: Int, frames: Long,
+                                   durationSec: Double, decoder: String)
+
+  /** Partition-local audio decode — the audio counterpart of [[decode]].
+    * WAV/AIFF/AU payloads decode for true rate/channels/duration;
+    * anything else takes a deterministic CRC-derived fallback row
+    * (decoder="stub") so mixed batches keep the column contract. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudioRow] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAudioSamples(r.payload) match {
+          case Some((info, _)) =>
+            DecodedAudioRow(r.id, info.sampleRate, info.channels,
+              info.frames, info.durationSec, "javasound")
+          case None =>
+            val h = crc(if (r.payload == null) Array.emptyByteArray
+                        else r.payload)
+            DecodedAudioRow(r.id, 8000f + (h % 4) * 8000f,
+              1 + (h % 2).toInt, h % 100000, (h % 100000) / 8000.0,
+              "stub")
+        }
+      }
+    }(Encoders.product[DecodedAudioRow])
+
+  /** REAL audio feature: RMS energy over `dim` equal time windows of
+    * the mono signal — the classic loudness-envelope fingerprint.
+    * Deterministic and codec-free beyond `javax.sound.sampled`. */
+  def audioRmsFeatures(samples: Array[Float], dim: Int): Array[Float] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val out = new Array[Float](dim)
+    val n = samples.length
+    var w = 0
+    while (w < dim) {
+      val start = (w.toLong * n / dim).toInt
+      val end = ((w + 1).toLong * n / dim).toInt
+      if (end > start) {
+        var acc = 0.0
+        var i = start
+        while (i < end) { acc += samples(i).toDouble * samples(i); i += 1 }
+        out(w) = math.sqrt(acc / (end - start)).toFloat
+      }
+      w += 1
+    }
+    out
+  }
+
   final case class FeatureRow(id: Long, feature: Array[Float])
 
   /** Fixed-dim feature per row: real luminance histogram for decodable
-    * images, byte-sum stub otherwise — identical shape either way. */
+    * images, real windowed RMS for decodable audio, byte-sum stub
+    * otherwise — identical shape on every path. */
   def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[FeatureRow] =
     media.mapPartitions { rows =>
       rows.map { r =>
         val feat = decodeImage(r.payload) match {
           case Some(img) => imageHistogram(img, dim)
-          case None      => featureStub(r.payload, dim)
+          case None => decodeAudioSamples(r.payload) match {
+            case Some((_, samples)) => audioRmsFeatures(samples, dim)
+            case None               => featureStub(r.payload, dim)
+          }
         }
         FeatureRow(r.id, feat)
       }

@@ -376,7 +376,13 @@ object SparkEntry {
     "q28_cos_pairs" -> ((s, dir) => {
       import graft.llm.RandomHyperplaneLsh
       val emb = t(s, dir, "embeddings")
-      RandomHyperplaneLsh.auto(dim = 64, n = emb.count(),
+      // corpus size for the bit width comes from the parquet FOOTERS
+      // (driver-side metadata, no job) — an emb.count() here paid a
+      // full scan stage per invocation just to size a knob
+      val n = graft.tools.ParquetStats.rowCount(
+        new org.apache.hadoop.conf.Configuration(),
+        s"$dir/embeddings.parquet")
+      RandomHyperplaneLsh.auto(dim = 64, n = n,
           targetBucket = 64, tables = 16)
         .nearPairs(emb, "vec_id", "embedding", threshold = 0.4)
         .select(col("id_a"), col("id_b"), col("cosine"))

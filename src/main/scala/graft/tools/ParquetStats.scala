@@ -52,4 +52,32 @@ object ParquetStats {
                   columns: Seq[String])(implicit d: DummyImplicit): ScanBytes =
     files.map(columnBytes(conf, _, columns))
       .foldLeft(ScanBytes(0, 0, 0))(_ merge _)
+
+  /** Exact row count of a parquet file or directory from footer
+    * metadata alone — a driver-side read of a few KB per file, NO Spark
+    * job. The right way to size corpus-derived knobs (e.g. the LSH bit
+    * width of [[graft.llm.RandomHyperplaneLsh.auto]]): a `df.count()`
+    * action schedules a full scan stage for a number parquet already
+    * stores in every footer. */
+  def rowCount(conf: Configuration, path: String): Long = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[HPath]
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (name.endsWith(".parquet") && !name.startsWith("_") &&
+              !name.startsWith(".")) buf += f.getPath
+        }
+        buf.toSeq
+      } else Seq(p)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.sum
+  }
 }

@@ -156,7 +156,7 @@ object Dedup {
   /** Distinct shingle set of a text, built in one linear pass (the SQL
     * `substr`-expression form re-scans codepoints per shingle — quadratic
     * per document and measurably slow at scale). */
-  private[llm] def shingleSet(text: String, n: Int): java.util.HashSet[String] = {
+  private[graft] def shingleSet(text: String, n: Int): java.util.HashSet[String] = {
     val set = new java.util.HashSet[String]()
     var i = 0
     while (i + n <= text.length) {

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import graft.llm.Dedup
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming exact deduplication for an ingest pipeline — the
   * incremental counterpart of [[graft.llm.Dedup.exactDuplicates]]: as
@@ -51,6 +53,131 @@ object StreamingDedup {
       digested.groupBy(col("digest"))
         .agg(min(struct(ordered.map(col): _*)).as("_first"))
         .select(col("digest") +: cols.map(c => col(s"_first.`$c`").as(c)): _*)
+    }
+  }
+
+  // ---- streaming NEAR-dedup (MinHash-banded) ----
+
+  private[streaming] final case class BandedDoc(band: Long, id: String,
+                                                text: String,
+                                                ts: java.sql.Timestamp)
+  private[streaming] final case class BandRep(id: String, text: String,
+                                              tsMs: Long)
+  private[streaming] final case class NearPair(id_a: String, id_b: String,
+                                               jaccard: Double)
+
+  /** Streaming MinHash near-duplicate pairs — the incremental
+    * counterpart of [[graft.llm.Dedup.nearDuplicates]]: each document
+    * explodes into `bands` banded MinHash keys, and every BAND KEY is a
+    * state key holding the band's first-arrival document (its
+    * representative). A later document colliding with the band is
+    * exact-verified (true shingle-set Jaccard against the
+    * representative's text — inline, the texts are both at hand) and
+    * emitted as `(id_a = representative, id_b = newcomer, jaccard)`
+    * when it clears `threshold`. Band state evicts on an event-time
+    * timeout `watermarkDelayMs` past its representative's last
+    * sighting, so state is proportional to the distinct bands INSIDE
+    * the watermark window, not the corpus — the same bound
+    * [[firstArrivals]] gets from `dropDuplicatesWithinWatermark`,
+    * with the per-entry cost of one representative text.
+    *
+    * Star semantics: collisions link to the band's representative (the
+    * streaming analog of [[graft.llm.Banding.guardedPairs]]'
+    * hot-bucket star-linking), so an n-copy cluster emits n-1 pairs,
+    * never B²/2. A pair colliding in several bands emits once per
+    * band, always within the newcomer's OWN micro-batch (all its band
+    * rows process together) — run `dropDuplicates` per batch in
+    * `foreachBatch` for exactly-once pairs, as the spec does. Ids ride
+    * as strings (the engine-wide cast contract, [[graft.find.Finder]]
+    * J2).
+    *
+    * A BATCH frame takes the identical star shape declaratively
+    * (earliest doc per band by `(ts, id)` is the representative) — the
+    * differential oracle for the streaming path. */
+  def nearDuplicatePairs(events: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, watermarkDelayMs: Long,
+                         shingleLen: Int = 8, bands: Int = 16,
+                         rows: Int = 4, threshold: Double = 0.6,
+                         seed: Int = 42): DataFrame = {
+    require(watermarkDelayMs > 0, "watermarkDelayMs must be > 0")
+    val keysUdf = Dedup.textBandKeys(shingleLen, bands, rows, seed)
+    val banded = events.select(
+      explode(keysUdf(col(textCol))).as("band"),
+      col(idCol).cast("string").as("id"),
+      col(textCol).as("text"),
+      col(tsCol).cast("timestamp").as("ts"))
+    if (events.isStreaming) {
+      val exact = (a: String, b: String) => {
+        // reuse the single-pass shingle kernel (not the udf wrapper)
+        val sa = Dedup.shingleSet(a, shingleLen)
+        val sb = Dedup.shingleSet(b, shingleLen)
+        if (sa.isEmpty || sb.isEmpty) 0.0
+        else {
+          var inter = 0
+          val it = sa.iterator()
+          while (it.hasNext) if (sb.contains(it.next())) inter += 1
+          inter.toDouble / (sa.size + sb.size - inter)
+        }
+      }
+      banded
+        .withWatermark("ts", s"$watermarkDelayMs milliseconds")
+        .as[BandedDoc](Encoders.product[BandedDoc])
+        .groupByKey(_.band)(Encoders.scalaLong)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+          (_: Long, it: Iterator[BandedDoc], state: GroupState[BandRep]) => {
+            if (state.hasTimedOut) {
+              state.remove()
+              Iterator.empty
+            } else {
+              val arrivals = it.toSeq.sortBy(r => (r.ts.getTime, r.id))
+              val out = Seq.newBuilder[NearPair]
+              var rep = state.getOption
+              var lastMs = 0L
+              arrivals.foreach { r =>
+                lastMs = math.max(lastMs, r.ts.getTime)
+                rep match {
+                  case None =>
+                    rep = Some(BandRep(r.id, r.text, r.ts.getTime))
+                  case Some(rp) if rp.id != r.id =>
+                    val j = exact(rp.text, r.text)
+                    if (j >= threshold) out += NearPair(rp.id, r.id, j)
+                  case _ => () // re-sighting of the representative
+                }
+              }
+              rep.foreach { rp =>
+                state.update(rp)
+                // evict once the watermark passes the band's last
+                // activity by the full delay (never <= the current
+                // watermark, or the timeout registration throws)
+                state.setTimeoutTimestamp(math.max(lastMs,
+                  state.getCurrentWatermarkMs + 1) + watermarkDelayMs)
+              }
+              out.result().iterator
+            }
+          })(Encoders.product[BandRep], Encoders.product[NearPair])
+        .toDF()
+    } else {
+      // batch differential: earliest (ts, id) per band is the
+      // representative; every other band member verifies against it
+      val reps = banded.groupBy(col("band"))
+        .agg(min(struct(col("ts"), col("id"))).as("_r"))
+        .select(col("band"), col("_r.id").as("id_a"))
+      val candidates = banded.join(reps, "band")
+        .filter(col("id") =!= col("id_a"))
+        .select(col("id_a"), col("id").as("id_b"))
+        .distinct()
+      val texts = events.select(col(idCol).cast("string").as("_tid"),
+        col(textCol).as("_txt"))
+      candidates
+        .join(texts.withColumnRenamed("_tid", "id_a")
+          .withColumnRenamed("_txt", "_txt_a"), "id_a")
+        .join(texts.withColumnRenamed("_tid", "id_b")
+          .withColumnRenamed("_txt", "_txt_b"), "id_b")
+        .withColumn("jaccard",
+          Dedup.textJaccard(shingleLen)(col("_txt_a"), col("_txt_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     }
   }
 }

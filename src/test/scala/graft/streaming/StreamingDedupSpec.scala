@@ -38,6 +38,88 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("nearDuplicatePairs finds near-dups planted ACROSS micro-batches " +
+    "and matches the batch operator exactly (differential)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val other = "a completely different story about parquet files " * 8
+    val third = "yet another unrelated corpus of streaming text " * 8
+    val docs = Seq(
+      Doc(1L, base, t(1000)),                            // batch 1
+      Doc(2L, other, t(2000)),                           // batch 1
+      Doc(3L, base.replace("jumps", "leaps"), t(61000)), // batch 2: ~1
+      Doc(4L, third, t(62000)),                          // batch 2
+      Doc(5L, other.replace("files", "rows"), t(121000)), // batch 3: ~2
+      Doc(6L, base.replace("lazy", "hazy"), t(122000)))  // batch 3: ~1
+    val batches = Seq(docs.take(2), docs.slice(2, 4), docs.drop(4))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val stream = MemoryStream[Doc]
+    val query = StreamingDedup
+      .nearDuplicatePairs(stream.toDF(), "doc_id", "text", "ts",
+        watermarkDelayMs = 10 * 60 * 1000L, threshold = 0.5)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // a pair colliding in several bands emits once per band, always
+        // within one micro-batch: batch-local dropDuplicates = exactly-once
+        got.synchronized {
+          got ++= batch.dropDuplicates("id_a", "id_b")
+            .collect().map(r => (r.getString(0), r.getString(1)))
+        }
+        ()
+      }.start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamed = got.toSet
+    assert(streamed == Set(("1", "3"), ("2", "5"), ("1", "6")),
+      s"streamed=$streamed")
+
+    // differential: the batch path over the full static frame must
+    // produce the identical pair set (same star-to-representative
+    // semantics, same exact verify)
+    val batchPairs = StreamingDedup
+      .nearDuplicatePairs(docs.toDF(), "doc_id", "text", "ts",
+        watermarkDelayMs = 10 * 60 * 1000L, threshold = 0.5)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(batchPairs == streamed,
+      s"batch=$batchPairs != streamed=$streamed")
+  }
+
+  test("nearDuplicatePairs band state EVICTS past the watermark: a " +
+    "near-dup arriving after the window re-admits silently") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "some boilerplate page body repeated again and again " * 8
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val stream = MemoryStream[Doc]
+    val query = StreamingDedup
+      .nearDuplicatePairs(stream.toDF(), "doc_id", "text", "ts",
+        watermarkDelayMs = 60 * 1000L, threshold = 0.5)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= batch.dropDuplicates("id_a", "id_b")
+            .collect().map(r => (r.getString(0), r.getString(1)))
+        }
+        ()
+      }.start()
+    try {
+      stream.addData(Doc(1L, base, t(1000)))
+      query.processAllAvailable()
+      // push the watermark far past doc 1's band-state timeout
+      stream.addData(Doc(2L, "something else entirely unrelated " * 8,
+        t(10 * 60 * 1000)))
+      query.processAllAvailable()
+      // near-dup of doc 1, but its bands' state is long evicted
+      stream.addData(Doc(3L, base.replace("again", "anew"),
+        t(10 * 60 * 1000 + 1000)))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(got.toSet == Set.empty,
+      s"evicted band state must not pair: $got")
+  }
+
   test("firstArrivals on a batch frame keeps the EARLIEST row per " +
     "digest, deterministically across partitionings") {
     val df = Seq(

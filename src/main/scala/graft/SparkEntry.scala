@@ -406,6 +406,23 @@ object SparkEntry {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("jaccard"))
     }),
+    // LLM §decontamination — EXACT cross-corpus Jaccard JOIN: the
+    // train/test contamination screen. The 1-in-5 doc_id slice plays
+    // the benchmark corpus; the rest is the training corpus. Same
+    // AllPairs/PPJoin machinery as q29 (shared census over both sides),
+    // but candidates pair LEFT prefixes against RIGHT prefixes only —
+    // within-corpus pairs are never enumerated, the dominant saving
+    // when the train side dwarfs the benchmark side.
+    "q34_decontaminate" -> ((s, dir) => {
+      import graft.llm.Dedup
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardJoinExact(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleLen = 16, threshold = 0.8)
+        .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+          col("jaccard"))
+    }),
     // LLM §similarity — IVF coarse-quantizer ANN: data assigned once to
     // nlist sampled-centroid lists, each query probes its nprobe nearest
     // lists only. nprobe=14/16 and the centroid-sample seed are
@@ -689,6 +706,24 @@ object SparkEntry {
         |   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
         |   GROUP BY 1, 2)
         | SELECT da AS doc_a, db AS doc_b,
+        |   i * 1.0 / (x.n + y.n - i) AS jaccard
+        | FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        | WHERE i * 1.0 / (x.n + y.n - i) >= 0.8"""
+        .stripMargin.replace("\n", " "),
+    // q29's shingle CTEs restricted to the two doc_id slices — exact
+    // all-pairs CROSS jaccard between train (doc_id%5!=0) and bench
+    // (doc_id%5=0) sides
+    "q34_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS lt FROM documents),
+        | idx AS (SELECT unnest(range(1, 2000)) AS i),
+        | sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 16) AS g
+        |   FROM d JOIN idx ON i <= lt - 15 GROUP BY 1, 2),
+        | sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+        |   FROM sh a JOIN sh b ON a.g = b.g
+        |   WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |   GROUP BY 1, 2)
+        | SELECT da AS train_id, db AS bench_id,
         |   i * 1.0 / (x.n + y.n - i) AS jaccard
         | FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
         | WHERE i * 1.0 / (x.n + y.n - i) >= 0.8"""

@@ -341,53 +341,6 @@ object Dedup {
       censusSampleFraction)
     val dfB = df.sparkSession.sparkContext.broadcast(dfMap)
     val t = threshold
-    // ONE pass from text to the prefix entries: shingle, hash,
-    // hash-dedup, sort rarest-first by the broadcast census, keep the
-    // first |S| - ceil(t|S|) + 1 — no intermediate shingle-array
-    // column, no second hashing of any shingle. The UDF returns the
-    // READY-TO-EXPLODE array of (set size, prefix hash) structs so the
-    // generator is its only consumer: feeding a struct-of-(sz, array)
-    // into separate `_sp._1` / posexplode(`_sp._2`) / isNotNull
-    // consumers lets ProjectCollapse inline the UDF into EACH of them —
-    // three evaluations per row (measured 13x slower than the scan on
-    // the bench corpus). posexplode of null/empty drops the row, which
-    // is exactly the empty-shingle-set filter.
-    val prefixUdf = udf { (text: String) =>
-      val set = shingleSet(text, shingleLen)
-      val raw = new Array[Long](set.size)
-      var i = 0
-      val it = set.iterator()
-      while (it.hasNext) { raw(i) = hashOf(it.next(), 42); i += 1 }
-      java.util.Arrays.sort(raw)
-      var n = 0
-      var j = 0
-      while (j < raw.length) { // in-place dedup of colliding hashes
-        if (n == 0 || raw(n - 1) != raw(j)) { raw(n) = raw(j); n += 1 }
-        j += 1
-      }
-      if (n == 0) null
-      else {
-        val hs = java.util.Arrays.copyOf(raw, n)
-        val dfm = dfB.value
-        val plen = n - math.ceil(t * n).toInt + 1
-        hs.sortBy(h => (dfm.getOrElse(h, 1L), h)).take(plen)
-          .map(h => (n, h))
-      }
-    }
-    val nSaltsUdf = udf { (h: Long) =>
-      math.min(maxSalts.toLong,
-        1L + dfB.value.getOrElse(h, 1L) / saltBlock).toInt
-    }
-    // posexplode keeps each prefix entry's rank in the global order —
-    // the POSITIONAL filter (PPJoin, Xiao et al. 2008) needs it: a pair
-    // with J >= t has overlap >= ceil(t(|A|+|B|)/(1+t)), and its FIRST
-    // shared shingle g at positions (pa, pb) bounds the overlap by
-    // 1 + min(|A|-pa, |B|-pb); entries violating that bound cannot be
-    // the first shared shingle of a qualifying pair, so the join drops
-    // them without losing any true pair. On low-diversity corpora
-    // (small shingle vocabulary — everything is "common") this is the
-    // filter that still bites after the frequency heuristic stops
-    // helping.
     // The candidate stage self-joins the prefix index; without a persist
     // the whole shingle→sort→posexplode subtree executes TWICE (once per
     // join side — Spark reuses no mid-plan scan across differently
@@ -398,13 +351,8 @@ object Dedup {
     // returned frame's lifetime; released per-call via the returned
     // cleanup, or session-wide via [[releaseCaches]] (a blanket
     // clearCache() would evict unrelated caches).
-    val prefix =
-      df.select(col(idCol).as("_id"),
-          posexplode(prefixUdf(col(textCol))).as(Seq("_pos0", "_e")))
-        .select(col("_id"), col("_e._1").as("_sz"), col("_pos0"),
-          col("_e._2").as("_g"))
-        .withColumn("_ns", nSaltsUdf(col("_g")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = prefixIndex(df, idCol, textCol, shingleLen, t, dfB,
+      saltBlock, maxSalts)
     // hot-key salting: entry → (key, salt); left picks one salt by id
     // hash, right replicates to all of the key's salts — every pair
     // meets in exactly one (key, salt) group
@@ -434,6 +382,169 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     (out, () => { prefix.unpersist(false); () })
+  }
+
+  /** Persisted prefix index of one corpus: (_id, _sz, _pos0, _g, _ns)
+    * rows — doc id, hash-deduped shingle-set size, the entry's rank in
+    * the doc's rarest-first prefix, the 64-bit shingle hash, and the
+    * key's salt fan-out. ONE pass from text to entries: shingle, hash,
+    * hash-dedup, sort rarest-first by the broadcast census, keep the
+    * first |S| - ceil(t|S|) + 1 — no intermediate shingle-array
+    * column, no second hashing of any shingle. The UDF returns the
+    * READY-TO-EXPLODE array of (set size, prefix hash) structs so the
+    * generator is its only consumer: feeding a struct-of-(sz, array)
+    * into separate `_sp._1` / posexplode(`_sp._2`) / isNotNull
+    * consumers lets ProjectCollapse inline the UDF into EACH of them —
+    * three evaluations per row (measured 13x slower than the scan on
+    * the bench corpus). posexplode of null/empty drops the row, which
+    * is exactly the empty-shingle-set filter.
+    *
+    * posexplode keeps each prefix entry's rank in the global order —
+    * the POSITIONAL filter (PPJoin, Xiao et al. 2008) needs it: a pair
+    * with J >= t has overlap >= ceil(t(|A|+|B|)/(1+t)), and its FIRST
+    * shared shingle g at positions (pa, pb) bounds the overlap by
+    * 1 + min(|A|-pa, |B|-pb); entries violating that bound cannot be
+    * the first shared shingle of a qualifying pair, so the join drops
+    * them without losing any true pair. On low-diversity corpora
+    * (small shingle vocabulary — everything is "common") this is the
+    * filter that still bites after the frequency heuristic stops
+    * helping.
+    *
+    * Caller owns the persist — unpersist when the consuming frame is
+    * materialized. */
+  private def prefixIndex(df: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int, t: Double,
+                          dfB: org.apache.spark.broadcast.Broadcast[Map[Long, Long]],
+                          saltBlock: Int, maxSalts: Int): DataFrame = {
+    val prefixUdf = udf { (text: String) =>
+      val set = shingleSet(text, shingleLen)
+      val raw = new Array[Long](set.size)
+      var i = 0
+      val it = set.iterator()
+      while (it.hasNext) { raw(i) = hashOf(it.next(), 42); i += 1 }
+      java.util.Arrays.sort(raw)
+      var n = 0
+      var j = 0
+      while (j < raw.length) { // in-place dedup of colliding hashes
+        if (n == 0 || raw(n - 1) != raw(j)) { raw(n) = raw(j); n += 1 }
+        j += 1
+      }
+      if (n == 0) null
+      else {
+        val hs = java.util.Arrays.copyOf(raw, n)
+        val dfm = dfB.value
+        val plen = n - math.ceil(t * n).toInt + 1
+        hs.sortBy(h => (dfm.getOrElse(h, 1L), h)).take(plen)
+          .map(h => (n, h))
+      }
+    }
+    val nSaltsUdf = udf { (h: Long) =>
+      math.min(maxSalts.toLong,
+        1L + dfB.value.getOrElse(h, 1L) / saltBlock).toInt
+    }
+    df.select(col(idCol).as("_id"),
+        posexplode(prefixUdf(col(textCol))).as(Seq("_pos0", "_e")))
+      .select(col("_id"), col("_e._1").as("_sz"), col("_pos0"),
+        col("_e._2").as("_g"))
+      .withColumn("_ns", nSaltsUdf(col("_g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** EXACT cross-corpus n-gram Jaccard JOIN — the train/test
+    * DECONTAMINATION operator: every `(left, right)` document pair
+    * with shingle-set Jaccard >= `threshold`, e.g. training documents
+    * contaminated by benchmark/eval documents. Same machinery as
+    * [[jaccardPairsExact]] (shared rarest-first census over BOTH
+    * corpora, per-side prefix indexes in 64-bit hash space, length +
+    * positional filters, census-sized hot-key salting, exact string
+    * verify) but the candidate join pairs LEFT prefixes against RIGHT
+    * prefixes only — within-corpus pairs are never enumerated, which
+    * at decontamination scale (huge train side, small benchmark side)
+    * is nearly the whole saving.
+    *
+    * Output: (id_a from `left`, id_b from `right`, jaccard) — a
+    * document present in both corpora pairs with itself (J=1), which
+    * is exactly what contamination screening wants to surface.
+    * Returns the result frame and a cleanup releasing the two prefix
+    * indexes (also registered session-wide for [[releaseCaches]] via
+    * the non-releasable overload). */
+  def jaccardJoinExact(left: DataFrame, right: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleLen: Int = 8,
+                       threshold: Double = 0.5,
+                       commonShingleCap: Int = 100000,
+                       censusSampleFraction: Double = 1.0,
+                       saltBlock: Int = 2048,
+                       maxSalts: Int = 64): DataFrame = {
+    val (out, cleanup) = jaccardJoinExactReleasable(left, right, idCol,
+      textCol, shingleLen, threshold, commonShingleCap,
+      censusSampleFraction, saltBlock, maxSalts)
+    registerCleanup(cleanup)
+    out
+  }
+
+  /** As [[jaccardJoinExact]], returning the targeted cleanup (see
+    * [[jaccardPairsExactReleasable]] for why). */
+  def jaccardJoinExactReleasable(left: DataFrame, right: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleLen: Int = 8,
+                                 threshold: Double = 0.5,
+                                 commonShingleCap: Int = 100000,
+                                 censusSampleFraction: Double = 1.0,
+                                 saltBlock: Int = 2048,
+                                 maxSalts: Int = 64)
+      : (DataFrame, () => Unit) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(censusSampleFraction > 0.0 && censusSampleFraction <= 1.0,
+      s"censusSampleFraction must be in (0,1], got $censusSampleFraction")
+    require(saltBlock >= 1 && maxSalts >= 1,
+      s"need saltBlock >= 1 and maxSalts >= 1")
+    // ONE census over both corpora: the prefix filter needs a total
+    // order SHARED by every document on either side (two per-side
+    // orders would break the shared-prefix-shingle theorem), and the
+    // union df estimates also size the salt fan-out of keys hot on
+    // either side.
+    val both = left.select(col(textCol))
+      .unionByName(right.select(col(textCol)))
+    val dfMap = censusDfMap(both, textCol, shingleLen, commonShingleCap,
+      censusSampleFraction)
+    val dfB = left.sparkSession.sparkContext.broadcast(dfMap)
+    val t = threshold
+    val lIdx = prefixIndex(left, idCol, textCol, shingleLen, t, dfB,
+      saltBlock, maxSalts)
+    val rIdx = prefixIndex(right, idCol, textCol, shingleLen, t, dfB,
+      saltBlock, maxSalts)
+    // left entries land on ONE salt by id hash; right entries replicate
+    // to every salt of their key (both sides derive `_ns` from the SAME
+    // broadcast census, so the salt spaces agree and each cross pair
+    // meets exactly once per shared prefix key)
+    val a = lIdx.select(col("_g").as("_ga"), col("_id").as("id_a"),
+      col("_sz").as("_sza"), (col("_pos0") + 1).as("_pa"),
+      pmod(xxhash64(col("_id")), col("_ns")).cast("int").as("_salt_a"))
+    val b = rIdx.select(col("_g").as("_gb"), col("_id").as("id_b"),
+      col("_sz").as("_szb"), (col("_pos0") + 1).as("_pb"),
+      explode(sequence(lit(0), col("_ns") - 1)).as("_salt_b"))
+    val alpha = ceil(lit(t) * (col("_sza") + col("_szb")) / (1.0 + t))
+    val candidates = a.join(b,
+        col("_ga") === col("_gb") && col("_salt_a") === col("_salt_b") &&
+          col("_szb") >= lit(t) * col("_sza") &&
+          col("_sza") >= lit(t) * col("_szb") &&
+          lit(1) + least(col("_sza") - col("_pa"),
+            col("_szb") - col("_pb")) >= alpha)
+      .select(col("id_a"), col("id_b")).distinct()
+    val lTexts = left.select(col(idCol).as("id_a"),
+      col(textCol).as("_txt_a"))
+    val rTexts = right.select(col(idCol).as("id_b"),
+      col(textCol).as("_txt_b"))
+    val out = candidates
+      .join(lTexts, "id_a")
+      .join(rTexts, "id_b")
+      .withColumn("jaccard",
+        textJaccard(shingleLen)(col("_txt_a"), col("_txt_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (out, () => { lIdx.unpersist(false); rIdx.unpersist(false); () })
   }
 
   /** Sampled document-frequency census over 64-bit shingle hashes —

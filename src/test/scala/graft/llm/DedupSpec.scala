@@ -109,6 +109,69 @@ class DedupSpec extends SparkSpec {
         s"extra=${(salted -- brute).take(5)}")
   }
 
+  test("jaccardJoinExact == brute-force cross-corpus Jaccard " +
+    "(decontamination shape): within-side pairs never reported, " +
+    "doc in both sides self-pairs at J=1") {
+    val rnd = new scala.util.Random(11)
+    val header = "benchmark question answer pair formatted like so " * 3
+    def tail(n: Int) =
+      Seq.fill(n)("tok" + rnd.nextInt(4000)).mkString(" ")
+    // "train" corpus: leaked copies of benchmark docs at varying edit
+    // distance + clean docs; "bench" corpus: the originals. One doc
+    // (id 900) is byte-identical on both sides.
+    val benchDocs = (0 until 12).map(i => (500L + i, header + tail(25))) :+
+      (900L, header + tail(25))
+    val trainDocs = (benchDocs.take(6).map { case (id, txt) =>
+      (id - 500, txt.replace("tok", if (id % 2 == 0) "tok" else "tak"))
+    } ++ (100 until 110).map(i => (i.toLong, tail(35))) :+
+      (900L, benchDocs.last._2)).map { case (id, txt) => (id, txt) }
+    val train = trainDocs.toDF("id", "text")
+    val bench = benchDocs.toDF("id", "text")
+    val threshold = 0.5
+    val got = Dedup.jaccardJoinExact(train, bench, "id", "text",
+      shingleLen = 8, threshold = threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = train.select(col("id").as("id_a"), col("text").as("ta"))
+    val b = bench.select(col("id").as("id_b"), col("text").as("tb"))
+    val brute = a.crossJoin(b)
+      .withColumn("j", Dedup.textJaccard(8)(col("ta"), col("tb")))
+      .filter(col("j") >= threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.nonEmpty, "fixture produced no true pairs — weak test")
+    assert(got.contains((900L, 900L)),
+      "identical doc on both sides must self-pair (contamination)")
+    // the exact-copy contaminant scores J=1
+    val j900 = Dedup.jaccardJoinExact(train, bench, "id", "text",
+      shingleLen = 8, threshold = threshold)
+      .filter(col("id_a") === 900L && col("id_b") === 900L)
+      .select("jaccard").as[Double].head()
+    assert(j900 == 1.0, s"expected J=1 for the exact copy, got $j900")
+  }
+
+  test("jaccardJoinExact under hot-key salting stays lossless " +
+    "(shared boilerplate on both sides)") {
+    val boiler = (0 until 40).map(k => s"bz${k}q").mkString(" ") + " end"
+    val train = (1 to 400).map(i =>
+      (i.toLong, s"$boiler uniq${i}a uniq${i}b uniq${i}c")).toDF("id", "text")
+    val bench = (380 to 420).map(i =>
+      (i.toLong, s"$boiler uniq${i}a uniq${i}b uniq${i}c")).toDF("id", "text")
+    val got = Dedup.jaccardJoinExact(train, bench, "id", "text",
+      shingleLen = 8, threshold = 0.8, saltBlock = 32, maxSalts = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = train.select(col("id").as("id_a"), col("text").as("ta"))
+    val b = bench.select(col("id").as("id_b"), col("text").as("tb"))
+    val brute = a.crossJoin(b)
+      .withColumn("j", Dedup.textJaccard(8)(col("ta"), col("tb")))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.size > 1000, s"weak fixture: ${brute.size} true pairs")
+    assert(got == brute,
+      s"salting lost/invented pairs: missing=${(brute -- got).take(5)} " +
+        s"extra=${(got -- brute).take(5)}")
+  }
+
   test("sampled census keeps hot shingles seen once and scales their " +
     "df estimate (prefix ranking + salt sizing stay armed)") {
     // 200 docs all sharing one boilerplate sentence: each boilerplate

@@ -387,6 +387,26 @@ object SparkEntry {
         .nearPairs(emb, "vec_id", "embedding", threshold = 0.4)
         .select(col("id_a"), col("id_b"), col("cosine"))
     }),
+    // LLM §decontamination (embeddings) — cross-corpus cosine
+    // near-JOIN: the embedding-level contamination screen. Same
+    // hyperplane signatures as q28; candidates pair the train slice's
+    // buckets against the benchmark slice's only, then re-score
+    // exactly. Recall at this (bits, tables) is verified exact against
+    // the all-pairs oracle at the sf0.01 gate, like q28.
+    "q35_emb_decontaminate" -> ((s, dir) => {
+      import graft.llm.RandomHyperplaneLsh
+      val emb = t(s, dir, "embeddings")
+      val n = graft.tools.ParquetStats.rowCount(
+        new org.apache.hadoop.conf.Configuration(),
+        s"$dir/embeddings.parquet")
+      RandomHyperplaneLsh.auto(dim = 64, n = n,
+          targetBucket = 64, tables = 16)
+        .nearJoin(emb.filter(col("vec_id") % 5 =!= 0),
+          emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", threshold = 0.4)
+        .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+          col("cosine"))
+    }),
     // LLM §near-dedup — EXACT n-gram Jaccard pairs via the
     // prefix-filtered set-similarity join (AllPairs + PPJoin positional
     // filter): no hashing, recall 1 by construction; prefix, length,
@@ -709,6 +729,16 @@ object SparkEntry {
         |   i * 1.0 / (x.n + y.n - i) AS jaccard
         | FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
         | WHERE i * 1.0 / (x.n + y.n - i) >= 0.8"""
+        .stripMargin.replace("\n", " "),
+    // exact all-pairs CROSS cosine between the vec_id slices
+    "q35_emb_decontaminate" ->
+      """SELECT a.vec_id AS train_id, b.vec_id AS bench_id,
+        | list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                        CAST(b.embedding AS DOUBLE[])) AS cosine
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0 AND
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) >= 0.4"""
         .stripMargin.replace("\n", " "),
     // q29's shingle CTEs restricted to the two doc_id slices — exact
     // all-pairs CROSS jaccard between train (doc_id%5!=0) and bench

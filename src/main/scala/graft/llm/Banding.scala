@@ -113,4 +113,57 @@ object Banding {
       .select(col("_rep").as("id_a"), col("_id").as("id_b"))
     pairwise.unionByName(overflow).distinct()
   }
+
+  /** CROSS-corpus candidate pairs `(id_a from left, id_b from right)`,
+    * distinct, from two banded frames sharing the `(_id, _band)` layout
+    * — the decontamination counterpart of [[guardedPairs]]: only
+    * left×right pairs are enumerated (a bucket present on one side
+    * yields nothing), and the guard caps EACH side's bucket at
+    * `maxBucket`:
+    *
+    *   - the first `maxBucket` members per side join pairwise across —
+    *     at most maxBucket² candidates per bucket, byte-identical to
+    *     the unguarded join when neither side overflows;
+    *   - members beyond the cap star-link to the OTHER side's bucket
+    *     representative (its minimum id), so every member still
+    *     surfaces in at least one cross candidate;
+    *   - capped members are audited via the same `observe()` channel
+    *     ([[drainAudits]] / warn log), never silently dropped.
+    */
+  def guardedCrossPairs(leftBanded: DataFrame, rightBanded: DataFrame,
+                        maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    ensureListener(leftBanded.sparkSession)
+    def tag(banded: DataFrame): DataFrame = {
+      val byBucket = Window.partitionBy(col("_band"))
+      banded
+        .withColumn("_rk", row_number().over(byBucket.orderBy(col("_id"))))
+        .withColumn("_bsz", count(lit(1)).over(byBucket))
+    }
+    val lt = tag(leftBanded)
+    val rt = tag(rightBanded)
+    val headL = lt.filter(col("_rk") <= maxBucket)
+      .select(col("_band"), col("_id").as("id_a"))
+    val headR = rt.filter(col("_rk") <= maxBucket)
+      .select(col("_band"), col("_id").as("id_b"))
+    val pairwise = headL.join(headR, "_band")
+      .select(col("id_a"), col("id_b"))
+    // per-band representative of each side — the star target for the
+    // other side's overflow (tiny frames: one row per band)
+    val repL = lt.groupBy(col("_band")).agg(min(col("_id")).as("_repa"))
+    val repR = rt.groupBy(col("_band")).agg(min(col("_id")).as("_repb"))
+    val overflowL = lt.filter(col("_rk") > maxBucket)
+      .observe(s"graft_band_audit_${nameSeq.incrementAndGet()}",
+        count(lit(1)).as("capped_members"),
+        max(col("_bsz")).as("max_bucket_size"))
+      .join(repR, "_band") // inner: no right members in bucket = no pair
+      .select(col("_id").as("id_a"), col("_repb").as("id_b"))
+    val overflowR = rt.filter(col("_rk") > maxBucket)
+      .observe(s"graft_band_audit_${nameSeq.incrementAndGet()}",
+        count(lit(1)).as("capped_members"),
+        max(col("_bsz")).as("max_bucket_size"))
+      .join(repL, "_band")
+      .select(col("_repa").as("id_a"), col("_id").as("id_b"))
+    pairwise.unionByName(overflowL).unionByName(overflowR).distinct()
+  }
 }

@@ -283,6 +283,37 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** CROSS-corpus embedding near-pairs — the EMBEDDING-level
+    * train/test decontamination screen (the cosine counterpart of
+    * [[graft.llm.Dedup.jaccardJoinExact]]): every `(left, right)` pair
+    * with cosine >= `threshold`. Both sides band with the SAME
+    * hyperplane signatures, candidates come from
+    * [[Banding.guardedCrossPairs]] (left×right buckets only — the
+    * within-train pairs that dominate at decontamination scale are
+    * never enumerated), and survivors re-score exactly. Output:
+    * (id_a from left, id_b from right, cosine); a vector present on
+    * both sides self-pairs at cosine 1, which is what contamination
+    * screening wants surfaced. */
+  def nearJoin(left: DataFrame, right: DataFrame,
+               idCol: String, vecCol: String, threshold: Double,
+               maxBucket: Int = 2048): DataFrame = {
+    val lb = left.select(col(idCol).as("_id"),
+      explode(signature(col(vecCol))).as("_band"))
+    val rb = right.select(col(idCol).as("_id"),
+      explode(signature(col(vecCol))).as("_band"))
+    val candidates = Banding.guardedCrossPairs(lb, rb, maxBucket)
+    val lVecs = left.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val rVecs = right.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    candidates
+      .join(lVecs, "id_a")
+      .join(rVecs, "id_b")
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Candidate (id_a, id_b) pairs before the exact re-score — the banded
     * self-join through the hot-bucket guard. Exposed so specs can census
     * candidate volume against the c·N bound. */

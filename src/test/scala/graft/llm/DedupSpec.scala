@@ -378,4 +378,51 @@ class DedupSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("embedding nearJoin: cross-corpus only, exact copy on both sides " +
+    "self-pairs at cosine 1, no cartesian") {
+    val v = Seq.tabulate(64)(i => (i % 7).toFloat + 0.1f)
+    val w = Seq.tabulate(64)(i => ((i * 13) % 5).toFloat - 2f)
+    val u = Seq.tabulate(64)(i => ((i * 29) % 11).toFloat - 5f)
+    // train: near-copy of bench vec 10, an unrelated vec, and vec 9
+    // byte-identical to the bench side; bench: the originals
+    val train = Seq((1L, v.map(x => x * 3f)), (2L, w), (9L, u))
+      .toDF("id", "vec")
+    val bench = Seq((10L, v), (9L, u)).toDF("id", "vec")
+    val lsh = RandomHyperplaneLsh(64, bits = 4, tables = 8)
+    val out = lsh.nearJoin(train, bench, "id", "vec", threshold = 0.999)
+    val got = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (9L, 9L)), s"got=$got")
+    val cos99 = out.filter(col("id_a") === 9L).select("cosine")
+      .as[Double].head()
+    assert(cos99 == 1.0)
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
+
+  test("guardedCrossPairs: hot bucket caps per side, overflow " +
+    "star-links to the other side's representative, audited; " +
+    "one-sided buckets yield nothing") {
+    val lb = ((1 to 50).map(i => (i.toLong, 7L)) :+ (500L, 99L))
+      .toDF("_id", "_band")
+    val rb = ((101 to 150).map(i => (i.toLong, 7L)) :+ (600L, 42L))
+      .toDF("_id", "_band")
+    Banding.drainAudits()
+    val pairs = Banding.guardedCrossPairs(lb, rb, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    // every pair is left×right; no (l,l)/(r,r); nothing from bands 99/42
+    assert(pairs.forall { case (a, b) => a <= 500 && b >= 101 })
+    assert(!pairs.exists { case (a, b) => a == 500L || b == 600L })
+    // head×head fully pairwise
+    assert((1 to 10).forall(a =>
+      (101 to 110).forall(b => pairs.contains((a.toLong, b.toLong)))))
+    // overflow on each side links to the OTHER side's min id
+    assert((11 to 50).forall(a => pairs.contains((a.toLong, 101L))))
+    assert((111 to 150).forall(b => pairs.contains((1L, b.toLong))))
+    // capped candidate count: 10*10 pairwise + 40 + 40 star links
+    assert(pairs.size == 100 + 40 + 40, s"size=${pairs.size}")
+    val audits = Banding.drainAudits()
+    assert(audits.map(_.cappedMembers).sum == 80,
+      s"expected 80 capped members audited, got $audits")
+  }
 }

@@ -722,6 +722,26 @@ object Dedup {
       fp
     }
 
+  /** Pigeonhole chunk-banding of a 64-bit fingerprint column `_fp`:
+    * one `(chunk index, chunk value)` band per `maxDistance+1` chunk —
+    * any pair within Hamming distance `maxDistance` shares at least
+    * one exact chunk. */
+  private def simhashBands(fp: DataFrame, maxDistance: Int): DataFrame = {
+    val chunks = maxDistance + 1
+    val width = 64 / chunks
+    // 1L << 64 wraps to 1 (shifts are mod 64): a full-width chunk needs
+    // an explicit all-ones mask or every fingerprint lands in bucket 0
+    // and the join degenerates to the full cross product
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    fp.select(col("_id"),
+      explode(array((0 until chunks).map { c =>
+        // chunk value tagged with its index so chunks never cross-match
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("_fp"), c * width)
+            .bitwiseAND(lit(mask)).as("v"))
+      }: _*)).as("_band"))
+  }
+
   /** SimHash near-pairs at Hamming distance <= maxDistance, via the
     * pigeonhole banding of the fingerprint into maxDistance+1 chunks.
     * Hot chunk buckets are capped via [[Banding.guardedPairs]]. */
@@ -730,24 +750,41 @@ object Dedup {
                             maxBucket: Int = 1024): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 16,
       s"maxDistance must be in [0,16], got $maxDistance")
-    val chunks = maxDistance + 1
-    val width = 64 / chunks
-    // 1L << 64 wraps to 1 (shifts are mod 64): a full-width chunk needs
-    // an explicit all-ones mask or every fingerprint lands in bucket 0
-    // and the join degenerates to the full cross product
-    val mask = if (width == 64) -1L else (1L << width) - 1L
     val fp = df.select(col(idCol).as("_id"),
       simhash64(seed)(col(textCol)).as("_fp"))
-    val banded = fp.select(col("_id"),
-      explode(array((0 until chunks).map { c =>
-        // chunk value tagged with its index so chunks never cross-match
-        struct(lit(c).as("c"),
-          shiftrightunsigned(col("_fp"), c * width)
-            .bitwiseAND(lit(mask)).as("v"))
-      }: _*)).as("_band"))
-    Banding.guardedPairs(banded, maxBucket)
+    Banding.guardedPairs(simhashBands(fp, maxDistance), maxBucket)
       .join(fp.select(col("_id").as("id_a"), col("_fp").as("_fa")), "id_a")
       .join(fp.select(col("_id").as("id_b"), col("_fp").as("_fb")), "id_b")
+      .withColumn("hamming",
+        bit_count(col("_fa").bitwiseXOR(col("_fb"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** CROSS-corpus SimHash near-join — the fingerprint-level
+    * decontamination screen completing the modality triple
+    * ([[jaccardJoinExact]] for text, [[RandomHyperplaneLsh.nearJoin]]
+    * for embeddings): every `(left, right)` pair within Hamming
+    * distance `maxDistance`, found by banding BOTH corpora's
+    * fingerprints with the same seed and pairing left buckets against
+    * right buckets only ([[Banding.guardedCrossPairs]] — within-corpus
+    * pairs never enumerated, per-side hot-bucket caps audited).
+    * Output: (id_a from left, id_b from right, hamming); an identical
+    * document on both sides self-pairs at distance 0. */
+  def simhashNearJoin(left: DataFrame, right: DataFrame,
+                      idCol: String, textCol: String,
+                      maxDistance: Int = 3, seed: Int = 42,
+                      maxBucket: Int = 1024): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 16,
+      s"maxDistance must be in [0,16], got $maxDistance")
+    val lfp = left.select(col(idCol).as("_id"),
+      simhash64(seed)(col(textCol)).as("_fp"))
+    val rfp = right.select(col(idCol).as("_id"),
+      simhash64(seed)(col(textCol)).as("_fp"))
+    Banding.guardedCrossPairs(simhashBands(lfp, maxDistance),
+        simhashBands(rfp, maxDistance), maxBucket)
+      .join(lfp.select(col("_id").as("id_a"), col("_fp").as("_fa")), "id_a")
+      .join(rfp.select(col("_id").as("id_b"), col("_fp").as("_fb")), "id_b")
       .withColumn("hamming",
         bit_count(col("_fa").bitwiseXOR(col("_fb"))))
       .filter(col("hamming") <= maxDistance)

@@ -366,6 +366,31 @@ class DedupSpec extends SparkSpec {
     assert(Banding.drainAudits().isEmpty, "distance-0 banding collapsed")
   }
 
+  test("simhashNearJoin: cross-corpus fingerprint screen — small-edit " +
+    "contaminant found, identical doc at distance 0, within-side " +
+    "pairs excluded") {
+    val body = Seq.fill(60)("w" + scala.util.Random.javaRandomToRandom(
+      new java.util.Random(3)).nextInt(1000)).mkString(" ")
+    val bench = Seq((10L, body), (11L, "totally different benchmark " * 9))
+      .toDF("id", "text")
+    val train = Seq(
+      (1L, body.replaceFirst("w\\d+", "edited")), // near-copy of 10
+      (2L, body),                                 // exact copy of 10
+      (3L, "unrelated training text entirely " * 9),
+      (4L, "another unrelated training doc " * 9)) // ~3? unrelated to bench
+      .toDF("id", "text")
+    val out = Dedup.simhashNearJoin(train, bench, "id", "text",
+      maxDistance = 6)
+    val got = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((2L, 10L)), s"exact copy missed: $got")
+    assert(got.contains((1L, 10L)), s"near copy missed: $got")
+    // never a within-side pair: id_b always from bench
+    assert(got.forall(_._2 >= 10L), s"within-side leak: $got")
+    val d210 = out.filter(col("id_a") === 2L && col("id_b") === 10L)
+      .select("hamming").as[Int].head()
+    assert(d210 == 0, s"identical text must be at distance 0, got $d210")
+  }
+
   test("embedding nearPairs finds duplicate vectors, no cartesian") {
     val v = Seq.tabulate(64)(i => (i % 7).toFloat + 0.1f)
     val w = Seq.tabulate(64)(i => ((i * 13) % 5).toFloat - 2f)

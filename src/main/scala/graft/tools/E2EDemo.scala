@@ -6,6 +6,7 @@ import graft.find.Finder
 import graft.forget.DistributedRewrite
 import graft.model._
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
@@ -132,6 +133,38 @@ object E2EDemo {
         JobEventName.ForgetPhaseEnded, 0L)).status ==
       JobStatus.ForgetPartiallyFailed,
       "ForgetPhaseEnded after failure -> FORGET_PARTIALLY_FAILED")
+
+    // PROBE 3: dedup-driven forget — cluster losers leave through REAL
+    // per-batch deletion jobs (bounded queue feed, not one driver-side
+    // collect): 30 duplicate clusters ⇒ 30 losers, batchSize=8 ⇒ 4 jobs
+    locally {
+      import spark.implicits._
+      val docsDir = s"$lake/docs"
+      val docs = ((0 until 30).flatMap(c => Seq(
+          (c.toLong, s"duplicated body number $c " * 6),
+          (100L + c, s"duplicated body number $c " * 6))) ++
+        (200 until 220).map(i => (i.toLong, s"singleton body $i " * 6)))
+        .toDF("doc_id", "text")
+      docs.repartition(6).write.mode(SaveMode.Overwrite).parquet(docsDir)
+      val docsTable = TableDef("docs", docsDir, DataFormat.Parquet,
+        spark.read.parquet(docsDir).schema)
+      val pairs = graft.llm.Dedup.exactDuplicates(
+          spark.read.parquet(docsDir), "doc_id", "text")
+        .select(col("keep_id").as("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val dRun = graft.llm.DedupForget.forgetDuplicates(spark,
+        "dedup-e2e", docsTable, "doc_id", pairs, batchSize = 8)
+      check(dRun.status == JobStatus.Completed,
+        s"dedup-forget folds to COMPLETED (got ${dRun.status})")
+      check(dRun.batches.size == 4,
+        s"30 losers at batchSize=8 -> ${dRun.batches.size} jobs (want 4)")
+      check(dRun.stats.totalRowsDeletedCount == 30,
+        s"dedup-forget deleted ${dRun.stats.totalRowsDeletedCount} rows " +
+          "(want 30)")
+      val survivors = spark.read.parquet(docsDir).count()
+      check(survivors == 50,
+        s"docs 80 -> $survivors after dedup-forget (want 50)")
+    }
 
     // PROBE 2: uncastable match id ⇒ planning-time MatchIdCastingError
     val probe2 = try {

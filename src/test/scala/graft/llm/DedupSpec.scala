@@ -128,9 +128,12 @@ class DedupSpec extends SparkSpec {
     val train = trainDocs.toDF("id", "text")
     val bench = benchDocs.toDF("id", "text")
     val threshold = 0.5
-    val got = Dedup.jaccardJoinExact(train, bench, "id", "text",
+    val out = Dedup.jaccardJoinExact(train, bench, "id", "text",
       shingleLen = 8, threshold = threshold)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"),
+      "cross-corpus candidates must equi-join on prefix hashes")
+    val got = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val a = train.select(col("id").as("id_a"), col("text").as("ta"))
     val b = bench.select(col("id").as("id_b"), col("text").as("tb"))
     val brute = a.crossJoin(b)

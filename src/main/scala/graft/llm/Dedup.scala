@@ -230,6 +230,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CROSS-corpus MinHash near-join — the LSH-approximate sibling of
+    * [[jaccardJoinExact]] for decontamination at scales where even the
+    * prefix-filtered exact join is too heavy: both corpora band with
+    * the SAME MinHash keys (same seed/bands/rows — collision
+    * probabilities identical to [[nearDuplicates]]), candidates come
+    * from [[Banding.guardedCrossPairs]] (left×right buckets only,
+    * per-side hot-bucket caps, audited), and survivors verify with
+    * EXACT shingle Jaccard — so false positives never escape; only
+    * recall is probabilistic, governed by the (bands, rows) collision
+    * curve. Output: (id_a from left, id_b from right, jaccard) with
+    * J >= threshold; an identical document on both sides self-pairs
+    * at J=1. */
+  def nearDuplicateJoin(left: DataFrame, right: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleLen: Int = 8, bands: Int = 16,
+                        rows: Int = 4, threshold: Double = 0.6,
+                        seed: Int = 42,
+                        maxBucket: Int = 1024): DataFrame = {
+    val keys = textBandKeys(shingleLen, bands, rows, seed)
+    def banded(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("_id"),
+        explode(keys(col(textCol))).as("_band"))
+    val candidates =
+      Banding.guardedCrossPairs(banded(left), banded(right), maxBucket)
+    candidates
+      .join(left.select(col(idCol).as("id_a"),
+        col(textCol).as("_txt_a")), "id_a")
+      .join(right.select(col(idCol).as("id_b"),
+        col(textCol).as("_txt_b")), "id_b")
+      .withColumn("jaccard",
+        textJaccard(shingleLen)(col("_txt_a"), col("_txt_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** EXACT n-gram Jaccard pairs via a prefix-filtered set-similarity
     * join (the AllPairs family, Bayardo/Ma/Srikant 2007) — the exact
     * counterpart of [[nearDuplicates]]: no hashing, no recall loss, yet

@@ -369,6 +369,35 @@ class DedupSpec extends SparkSpec {
     assert(Banding.drainAudits().isEmpty, "distance-0 banding collapsed")
   }
 
+  test("nearDuplicateJoin (MinHash cross): finds planted contaminants, " +
+    "exact verify keeps false positives out, within-side pairs excluded") {
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val bench = Seq(
+      (10L, base),
+      (11L, "an unrelated benchmark prompt entirely " * 8))
+      .toDF("id", "text")
+    val train = Seq(
+      (1L, base.replace("jumps", "leaps")),          // near-copy of 10
+      (2L, base),                                    // exact copy of 10
+      (3L, "ordinary training document body " * 8),
+      (4L, "a different training document here " * 8))
+      .toDF("id", "text")
+    val out = Dedup.nearDuplicateJoin(train, bench, "id", "text",
+      threshold = 0.5)
+    val got = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L)), s"got=$got")
+    val j2 = out.filter(col("id_a") === 2L).select("jaccard")
+      .as[Double].head()
+    assert(j2 == 1.0, s"exact copy must verify at J=1, got $j2")
+    // differential vs the exact cross join at the same threshold: the
+    // LSH candidates must be a SUBSET verified to the same pair set on
+    // this easy (high-J) fixture
+    val exact = Dedup.jaccardJoinExact(train, bench, "id", "text",
+      shingleLen = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == exact, s"lsh=$got exact=$exact")
+  }
+
   test("simhashNearJoin: cross-corpus fingerprint screen — small-edit " +
     "contaminant found, identical doc at distance 0, within-side " +
     "pairs excluded") {

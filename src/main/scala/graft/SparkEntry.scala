@@ -329,6 +329,27 @@ object SparkEntry {
         languageId(txt).as("lang_guess"),
         fingerprint(txt).as("fingerprint"))
     }),
+    // LLM §text-analysis — the corpus REPORT: per-language doc counts,
+    // token/subword volumes and quality extrema in one map-side
+    // projection + one shuffle (the pre-training "what's in this
+    // corpus" summary). Only exact aggregates: long sums and
+    // min/max over the identical per-row doubles q25 hash-verifies —
+    // no float mean whose summation order differs across engines.
+    "q36_corpus_stats" -> ((s, dir) => {
+      import graft.llm.TextStats._
+      val txt = col("text")
+      t(s, dir, "documents")
+        .select(languageId(txt).as("lang_guess"),
+          tokenCount(txt).as("_tc"),
+          subwordCount(txt).as("_sw"),
+          qualityScore(txt).as("_q"))
+        .groupBy(col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_tc").cast("long")).as("total_tokens"),
+          sum(col("_sw").cast("long")).as("total_subwords"),
+          min(col("_q")).as("min_quality"),
+          max(col("_q")).as("max_quality"))
+    }),
     // LLM §multimodal — binary payload plumbing: metadata struct + frame
     // sampling over byte windows (decode kernels are deterministic stubs;
     // the schema/partition/explode shape is the real contract)
@@ -689,6 +710,50 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_guess,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         | FROM r""".stripMargin.replace("\n", " "),
+    // q25's per-row CTEs, folded per language with exact aggregates
+    "q36_corpus_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '), t -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','on','for'], t)))
+        |      AS n_stop,
+        |    list_distinct(string_split(lower(text), ' ')) AS toks
+        |  FROM documents),
+        | r AS (
+        |  SELECT *,
+        |    n_distinct * 1.0 / greatest(n_tokens, 1) AS dratio,
+        |    n_stop * 1.0 / greatest(n_tokens, 1) AS sratio,
+        |    len(list_intersect(toks, ['the','and','of','is','with'])) AS h_en,
+        |    len(list_intersect(toks, ['der','und','das','ist','mit'])) AS h_de,
+        |    len(list_intersect(toks, ['le','et','les','est','avec'])) AS h_fr,
+        |    len(list_intersect(toks, ['el','y','los','es','con'])) AS h_es
+        |  FROM s),
+        | p AS (
+        |  SELECT
+        |    CASE
+        |      WHEN h_en = greatest(h_en, h_de, h_fr, h_es) AND
+        |           greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'en'
+        |      WHEN h_de = greatest(h_en, h_de, h_fr, h_es) AND
+        |           greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'de'
+        |      WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) AND
+        |           greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'fr'
+        |      WHEN h_es = greatest(h_en, h_de, h_fr, h_es) AND
+        |           greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'es'
+        |      ELSE 'und' END AS lang_guess,
+        |    n_tokens,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |      AS n_subwords,
+        |    least(n_tokens * 1.0 / 50.0, 1.0) * 0.4 + dratio * 0.4 +
+        |      least(sratio * 5.0, 1.0) * 0.2 AS quality
+        |  FROM r)
+        | SELECT lang_guess, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+        |  min(quality) AS min_quality,
+        |  max(quality) AS max_quality
+        | FROM p GROUP BY 1""".stripMargin.replace("\n", " "),
     "q26_multimodal_frames" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

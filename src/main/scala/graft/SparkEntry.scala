@@ -504,6 +504,47 @@ object SparkEntry {
     "q33_vocab_topk" -> ((s, dir) => {
       import graft.llm.TextStats
       TextStats.topTokens(t(s, dir, "documents"), "text", 100)
+    }),
+    // LLM §packing — concat-and-chunk the corpus into 256-token
+    // training sequences: distributed prefix sum (range repartition +
+    // per-partition scan + broadcast bases — NO single-partition
+    // window), then map-side explode of each doc's overlapped sequence
+    // range. Output is the exact pack manifest.
+    "q37_seq_pack" -> ((s, dir) => {
+      import graft.llm.{Packing, TextStats}
+      Packing.packSequences(t(s, dir, "documents"), "doc_id",
+        TextStats.tokenCount(col("text")), seqLen = 256)
+    }),
+    // LLM §chunking — overlapping 96-char windows every 64 chars (the
+    // retrieval-index shape): length arithmetic + explode + substring,
+    // codegen'd and shuffle-free
+    "q38_chunking" -> ((s, dir) => {
+      import graft.llm.Packing
+      Packing.chunk(t(s, dir, "documents"), "doc_id", "text",
+        width = 96, stride = 64)
+    }),
+    // §events — 30-minute-gap sessionization: every window is
+    // PARTITIONED BY user_id (lag → gap flag → per-user running sum),
+    // so the scan shuffles once on the key and sessions build in
+    // parallel across users — no global window, the shape that holds
+    // when one table has a billion users. Ties broken by event_id and
+    // an explicit ROWS frame: identical rows on both engines.
+    "q39_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapNs = 30L * 60 * 1000000000L
+      t(s, dir, "events")
+        .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("_new",
+          when(col("_prev").isNull || col("ts") - col("_prev") > gapNs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ns"),
+          max(col("ts")).as("end_ns"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -858,7 +899,63 @@ object SparkEntry {
         | FROM documents)
         | WHERE token <> ''
         | GROUP BY token ORDER BY freq DESC, token LIMIT 100"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " "),
+    // q37: the window ORDER BY prefix sum is the oracle's luxury — the
+    // Spark side computes the same offsets distributed. The series
+    // theta-join replicates the explode over overlapped sequences.
+    "q37_seq_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS toks,
+        |    CAST(COALESCE(sum(len(string_split(text,' '))) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM documents),
+        | g AS (
+        |  SELECT unnest(generate_series(0,
+        |    (SELECT CAST(sum(len(string_split(text,' ')))//256 AS BIGINT)
+        |     FROM documents))) AS seq_id)
+        | SELECT c.doc_id, g.seq_id,
+        |   greatest(c.off, g.seq_id*256) - c.off AS doc_from,
+        |   least(c.off+c.toks, (g.seq_id+1)*256) -
+        |     greatest(c.off, g.seq_id*256) AS n_toks
+        | FROM c JOIN g
+        |   ON g.seq_id BETWEEN c.off//256 AND (c.off+c.toks-1)//256
+        | WHERE c.toks > 0""".stripMargin.replace("\n", " "),
+    "q38_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    greatest(CAST(ceil((len(text)-96)/64.0) AS BIGINT), 0)
+        |      AS last_chunk
+        |  FROM documents),
+        | g AS (
+        |  SELECT unnest(generate_series(0,
+        |    (SELECT max(greatest(CAST(ceil((len(text)-96)/64.0) AS
+        |     BIGINT), 0)) FROM documents))) AS chunk_id)
+        | SELECT d.doc_id, g.chunk_id,
+        |   substr(d.text, CAST(g.chunk_id*64 + 1 AS INTEGER), 96)
+        |     AS chunk
+        | FROM d JOIN g ON g.chunk_id <= d.last_chunk"""
+        .stripMargin.replace("\n", " "),
+    // epoch_ns(ts) == the BIGINT nanos Spark reads under
+    // parquet.nanosAsLong — both engines session over identical values
+    "q39_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        | f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+        |    THEN 1 ELSE 0 END AS nw FROM o),
+        | s2 AS (
+        |  SELECT user_id, tns, CAST(sum(nw) OVER (
+        |    PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f)
+        | SELECT user_id, session_id, count(*) AS n_events,
+        |   min(tns) AS start_ns, max(tns) AS end_ns
+        | FROM s2 GROUP BY 1, 2""".stripMargin.replace("\n", " "))
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
     * side's double accumulation (both iterate the lists in order). */

@@ -18,13 +18,15 @@ import javax.imageio.ImageIO
   * `javax.imageio` — the JDK's own PNG/BMP/GIF/JPEG readers, no native
   * codecs required. AUDIO kernels are REAL too: decode and windowed-RMS
   * features run on `javax.sound.sampled` — the JDK's own WAV/AIFF/AU
-  * readers, equally codec-free. Payloads no installed reader
-  * understands (video, arbitrary bytes — this container ships no video
-  * codecs) fall back to DETERMINISTIC STUBS (clearly marked below) that
-  * derive fake dimensions/features from the payload bytes; each decoded
-  * row records which path produced it. The schema, null handling, batch
-  * iteration, partitioning, and explode shape are identical on all
-  * paths.
+  * readers, equally codec-free. VIDEO decodes for REAL in the one
+  * container a codec-less JVM can read: uncompressed Y4M/YUV4MPEG2
+  * ([[decodeY4m]] — header + raw planar frames, parsed directly).
+  * Payloads no reader understands (compressed video — H.264/VP9/AV1
+  * are genuinely not in this container — and arbitrary bytes) fall
+  * back to DETERMINISTIC STUBS (clearly marked below) that derive fake
+  * dimensions/features from the payload bytes; each decoded row records
+  * which path produced it. The schema, null handling, batch iteration,
+  * partitioning, and explode shape are identical on all paths.
   */
 object Multimodal {
 
@@ -82,9 +84,10 @@ object Multimodal {
   }
 
   /** ==== STUB ==== fallback for payloads `javax.imageio` cannot read
-    * (video/opaque bytes — those codecs are not in this container;
-    * audio has its own REAL path, [[decodeAudioSamples]]):
-    * deterministic fake dimensions from the payload bytes. */
+    * (compressed video/opaque bytes — those codecs are not in this
+    * container; audio and Y4M video have their own REAL paths,
+    * [[decodeAudioSamples]] / [[decodeY4m]]): deterministic fake
+    * dimensions from the payload bytes. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val h = crc(payload)
     (64 + (h % 512).toInt, 64 + ((h >> 16) % 512).toInt, 3)
@@ -134,10 +137,11 @@ object Multimodal {
     out
   }
 
-  /** ==== STUB ==== fallback feature for payloads neither image nor
-    * audio readers understand: windowed byte sums, normalized — stands
-    * in for a video embedding (the one genuinely codec-less modality
-    * here); shape (dim) and batch behavior are the real contract. */
+  /** ==== STUB ==== fallback feature for payloads no real kernel
+    * understands (not image, not audio, not Y4M — i.e. compressed
+    * video and opaque bytes): windowed byte sums, normalized — stands
+    * in for a codec embedding; shape (dim) and batch behavior are the
+    * real contract. */
   def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -247,11 +251,137 @@ object Multimodal {
     out
   }
 
+  // ---- video: REAL pure-JVM Y4M (YUV4MPEG2) decode ----
+
+  /** Decoded Y4M header facts. `fpsNum`/`fpsDen` are the rational frame
+    * rate from the `F` tag; `bytesPerFrame` follows the colorspace tag. */
+  final case class VideoInfo(width: Int, height: Int, fpsNum: Int,
+                             fpsDen: Int, nFrames: Int) {
+    def durationSec: Double =
+      if (fpsNum <= 0) 0.0 else nFrames.toDouble * fpsDen / fpsNum
+  }
+
+  /** REAL pure-JVM video decode for the one container a codec-less JVM
+    * CAN read: Y4M / YUV4MPEG2 — an ASCII header (`YUV4MPEG2 W.. H..
+    * F..:..`) followed by `FRAME\n` + raw planar YUV per frame, no
+    * compression. Returns the header facts plus each frame's mean luma
+    * in [0, 1] (the luma plane is the first `w*h` bytes of every frame
+    * in all Y4M colorspaces). None for anything that is not Y4M or has
+    * a malformed header/frame marker — like [[decodeImage]], a bad blob
+    * is a stub-path row, never a task failure. A payload truncated
+    * mid-frame (chunked transfer) keeps its complete frames.
+    *
+    * Compressed video (H.264/VP9/AV1…) stays on the stub path: those
+    * codecs genuinely are not in this container. */
+  def decodeY4m(payload: Array[Byte]): Option[(VideoInfo, Array[Float])] = {
+    val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+    if (payload == null || payload.length < magic.length ||
+        !payload.startsWith(magic)) return None
+    try {
+      val headerEnd = payload.indexOf('\n'.toByte)
+      if (headerEnd < 0) return None
+      val tags = new String(payload, magic.length,
+        headerEnd - magic.length, "US-ASCII").split(' ')
+      var w = -1; var h = -1; var fn = 30; var fd = 1; var cs = "420"
+      tags.filter(_.nonEmpty).foreach { t =>
+        (t.head, t.tail) match {
+          case ('W', v) => w = v.toInt
+          case ('H', v) => h = v.toInt
+          case ('F', v) =>
+            val Array(a, b) = v.split(':'); fn = a.toInt; fd = b.toInt
+          case ('C', v) => cs = v
+          case _        => // interlace/aspect/extension tags — ignored
+        }
+      }
+      if (w <= 0 || h <= 0) return None
+      val lumaBytes = w * h
+      val frameBytes =
+        if (cs.startsWith("420")) lumaBytes * 3 / 2
+        else if (cs.startsWith("422")) lumaBytes * 2
+        else if (cs.startsWith("444")) lumaBytes * 3
+        else if (cs.startsWith("mono")) lumaBytes
+        else return None
+      val luma = scala.collection.mutable.ArrayBuffer.empty[Float]
+      val frameMagic = "FRAME".getBytes("US-ASCII")
+      var pos = headerEnd + 1
+      var ok = true
+      while (ok && pos < payload.length) {
+        if (pos + frameMagic.length > payload.length) {
+          ok = false // truncated mid-marker: keep complete frames
+        } else if (!java.util.Arrays.equals(payload, pos,
+            pos + frameMagic.length, frameMagic, 0, frameMagic.length)) {
+          return None // structural garbage where a FRAME marker belongs
+        } else {
+          val nl = payload.indexOf('\n'.toByte, pos)
+          if (nl < 0 || nl + 1 + frameBytes > payload.length) ok = false
+          else {
+            var acc = 0L
+            var i = nl + 1
+            val end = nl + 1 + lumaBytes
+            while (i < end) { acc += payload(i) & 0xff; i += 1 }
+            luma += (acc.toDouble / lumaBytes / 255.0).toFloat
+            pos = nl + 1 + frameBytes
+          }
+        }
+      }
+      Some((VideoInfo(w, h, fn, fd, luma.length), luma.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** `decoder` records the path: "y4m" (real) or "stub". */
+  final case class DecodedVideoRow(id: Long, width: Int, height: Int,
+                                   fpsNum: Int, fpsDen: Int, nFrames: Int,
+                                   durationSec: Double, decoder: String)
+
+  /** Partition-local video decode — the video counterpart of [[decode]].
+    * Y4M payloads decode for true dimensions/rate/frame count; anything
+    * else takes a deterministic CRC-derived fallback row
+    * (decoder="stub") so mixed batches keep the column contract. */
+  def decodeVideo(media: Dataset[MediaRow]): Dataset[DecodedVideoRow] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeY4m(r.payload) match {
+          case Some((info, _)) =>
+            DecodedVideoRow(r.id, info.width, info.height, info.fpsNum,
+              info.fpsDen, info.nFrames, info.durationSec, "y4m")
+          case None =>
+            val h = crc(if (r.payload == null) Array.emptyByteArray
+                        else r.payload)
+            DecodedVideoRow(r.id, 64 + (h % 512).toInt,
+              64 + ((h >> 16) % 512).toInt, 30, 1, (h % 3600).toInt,
+              (h % 3600) / 30.0, "stub")
+        }
+      }
+    }(Encoders.product[DecodedVideoRow])
+
+  /** REAL video feature: the per-frame mean-luma series averaged over
+    * `dim` equal time windows — the brightness envelope (scene cuts and
+    * fades show as steps). The video analog of [[audioRmsFeatures]]. */
+  def videoLumaFeatures(frameLuma: Array[Float], dim: Int): Array[Float] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val out = new Array[Float](dim)
+    val n = frameLuma.length
+    var w = 0
+    while (w < dim) {
+      val start = (w.toLong * n / dim).toInt
+      val end = ((w + 1).toLong * n / dim).toInt
+      if (end > start) {
+        var acc = 0.0
+        var i = start
+        while (i < end) { acc += frameLuma(i); i += 1 }
+        out(w) = (acc / (end - start)).toFloat
+      }
+      w += 1
+    }
+    out
+  }
+
   final case class FeatureRow(id: Long, feature: Array[Float])
 
   /** Fixed-dim feature per row: real luminance histogram for decodable
-    * images, real windowed RMS for decodable audio, byte-sum stub
-    * otherwise — identical shape on every path. */
+    * images, real windowed RMS for decodable audio, real luma envelope
+    * for Y4M video, byte-sum stub otherwise — identical shape on every
+    * path. */
   def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[FeatureRow] =
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -259,7 +389,10 @@ object Multimodal {
           case Some(img) => imageHistogram(img, dim)
           case None => decodeAudioSamples(r.payload) match {
             case Some((_, samples)) => audioRmsFeatures(samples, dim)
-            case None               => featureStub(r.payload, dim)
+            case None => decodeY4m(r.payload) match {
+              case Some((_, luma)) => videoLumaFeatures(luma, dim)
+              case None            => featureStub(r.payload, dim)
+            }
           }
         }
         FeatureRow(r.id, feat)

@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing and chunking — the two layout operators a training
+  * pipeline runs between "corpus is clean" and "feed the trainer":
+  * concat-and-chunk packing of documents into fixed token-budget
+  * training sequences, and overlapping-window chunking of long
+  * documents (the RAG/embedding-index shape).
+  *
+  * Packing needs each document's GLOBAL token offset — a prefix sum in
+  * id order. A naive `sum(...) over (order by id)` window collapses the
+  * whole table into one partition (Spark plans an un-partitioned window
+  * as a single-task sort), which is exactly the shape that dies at
+  * 100 TB. [[withTokenOffsets]] instead runs the textbook distributed
+  * scan: range-repartition by id, one pass for per-partition subtotals
+  * (P longs to the driver), an exclusive scan over those driver-side,
+  * then a second pass adding each partition's broadcast base offset to
+  * a running local sum. Both passes share one RDD lineage, so the range
+  * shuffle is written once and the second job skips the map stage
+  * entirely (Spark shuffle-stage reuse); driver memory is O(P), not
+  * O(rows). This is one of the rare genuinely per-partition imperative
+  * computations where `mapPartitions` is the right tool — everything
+  * downstream of the offsets stays declarative (codegen'd explode).
+  */
+object Packing {
+
+  /** Exclusive prefix sum of `tokensCol` in ascending `idCol` order:
+    * adds `offsetCol` = sum of `tokensCol` over all rows with a
+    * smaller id. Exact integer arithmetic; deterministic for any input
+    * partitioning (the range partitioner and the in-partition sort
+    * impose one global order).
+    *
+    * `idCol` must be non-null and unique (a duplicated id would make
+    * "all rows with a smaller id" ambiguous between engines); null
+    * token counts read as 0.
+    *
+    * @param numPartitions range partitions; <=0 → session
+    *                      `spark.sql.shuffle.partitions`
+    */
+  def withTokenOffsets(df: DataFrame, idCol: String, tokensCol: String,
+                       offsetCol: String = "tok_offset",
+                       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .select(col(idCol),
+        coalesce(col(tokensCol).cast(LongType), lit(0L)).as(tokensCol))
+      .repartitionByRange(n, col(idCol))
+      .sortWithinPartitions(col(idCol))
+    // ONE captured RDD: the subtotal job below materializes the range
+    // shuffle; the offset job reuses the same lineage, so its map stage
+    // is skipped and the data is shuffled exactly once.
+    val rdd = sorted.rdd
+    val partSums: Array[Long] = rdd.mapPartitions { it =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(1))
+      Iterator.single(s)
+    }.collect()
+    // exclusive scan: partition p's first row starts at sum of earlier
+    // partitions' subtotals (P longs — driver memory O(P))
+    val bases = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(bases)
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        val t = r.getLong(1)
+        val o = acc
+        acc += t
+        Row(r.get(0), t, o)
+      }
+    }
+    val idField = df.schema(idCol)
+    spark.createDataFrame(outRdd, StructType(Seq(
+      idField,
+      StructField(tokensCol, LongType, nullable = false),
+      StructField(offsetCol, LongType, nullable = false))))
+  }
+
+  /** Concat-and-chunk packing: documents are laid end-to-end in id
+    * order and the token stream is cut into consecutive sequences of
+    * exactly `seqLen` tokens (the standard pre-training pack — a
+    * document straddling a boundary continues in the next sequence).
+    * Output is the pack MANIFEST, one row per (document, sequence)
+    * overlap:
+    *
+    *   - `seq_id`   — which training sequence
+    *   - `doc_from` — first token of this document inside this sequence
+    *                  (offset INTO the document)
+    *   - `n_toks`   — how many of the document's tokens land here
+    *
+    * `sum(n_toks)` per `seq_id` is `seqLen` for every full sequence;
+    * `sum(n_toks)` per document is its token count — the manifest is an
+    * exact partition of the token stream. Zero-token documents occupy
+    * no sequence and emit no row.
+    *
+    * After [[withTokenOffsets]] the layout is pure map-side arithmetic:
+    * integer `div` spans + an `explode` over the (usually 1-element)
+    * overlapped-sequence range — codegen'd, shuffle-free.
+    *
+    * @param tokensOf token count expression over `df`'s columns, e.g.
+    *                 [[TextStats.tokenCount]] of the text column
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensOf: Column,
+                    seqLen: Int, numPartitions: Int = 0): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val withOff = withTokenOffsets(
+      df.select(col(idCol), tokensOf.as("_toks")),
+      idCol, "_toks", "_off", numPartitions)
+    withOff
+      .filter(col("_toks") > 0)
+      .select(col(idCol), col("_toks"), col("_off"),
+        explode(sequence(
+          expr(s"_off div $seqLen"),
+          expr(s"(_off + _toks - 1) div $seqLen"))).as("seq_id"))
+      .select(col(idCol), col("seq_id"),
+        (greatest(col("_off"), col("seq_id") * seqLen) - col("_off"))
+          .as("doc_from"),
+        (least(col("_off") + col("_toks"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("_off"), col("seq_id") * seqLen)).as("n_toks"))
+  }
+
+  /** Overlapping-window chunking: each document yields character
+    * windows of `width` starting every `stride` characters — the
+    * retrieval-index / embedding-input shape (with `stride < width`
+    * adjacent chunks overlap by `width - stride`). The last window may
+    * be shorter; a document shorter than one window (including empty)
+    * yields exactly one chunk. Output: (id, `chunk_id`, `chunk`).
+    *
+    * Pure map-side: length arithmetic + `explode` over the window
+    * index range + `substring` — codegen'd end to end, no shuffle, so
+    * it composes with a scan at any scale (plan-asserted in
+    * PackingSpec).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            width: Int, stride: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    df.select(col(idCol), col(textCol).as("_text"),
+        greatest(
+          expr(s"CAST(ceil((length(${quote(textCol)}) - $width) /" +
+            s" CAST($stride AS DOUBLE)) AS BIGINT)"),
+          lit(0L)).as("_last"))
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("_last"))).as("chunk_id"),
+        col("_text"))
+      .select(col(idCol), col("chunk_id"),
+        expr(s"substring(_text, CAST(chunk_id * $stride + 1 AS INT)," +
+          s" $width)").as("chunk"))
+  }
+
+  private def quote(name: String): String = s"`$name`"
+}

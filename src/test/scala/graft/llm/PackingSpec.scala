@@ -1,0 +1,129 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sequence packing (distributed prefix sum + concat-and-chunk) and
+  * overlapping-window chunking. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int, seed: Int = 7) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, 1 + rnd.nextInt(40)))
+      .toDF("id", "toks")
+  }
+
+  test("withTokenOffsets equals the sequential prefix sum, for any " +
+    "input partitioning and partition count") {
+    val base = docs(5000)
+    val inOrder = base.orderBy("id").as[(Long, Int)].collect()
+    val offs = inOrder.map(_._2.toLong).scanLeft(0L)(_ + _)
+    val expected = inOrder.zip(offs).map { case ((id, t), off) =>
+      id -> (t.toLong, off)
+    }.toMap
+    for (reshape <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        identity, _.repartition(17), _.orderBy(col("id").desc))) {
+      val got = Packing.withTokenOffsets(reshape(base), "id", "toks",
+          numPartitions = 5)
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == 5000)
+      got.foreach { case (id, t, off) =>
+        val (et, eoff) = expected(id)
+        assert(t == et && off == eoff, s"id=$id got ($t,$off) want ($et,$eoff)")
+      }
+    }
+  }
+
+  test("packSequences is an exact partition of the token stream: " +
+    "per-doc n_toks sums to its count, full sequences hold seqLen") {
+    val base = docs(3000, seed = 11)
+    val manifest = Packing.packSequences(base, "id", col("toks"),
+      seqLen = 128, numPartitions = 7)
+    val perDoc = manifest.groupBy("id").agg(sum("n_toks").as("s"))
+      .as[(Long, Long)].collect().toMap
+    base.as[(Long, Int)].collect().foreach { case (id, t) =>
+      assert(perDoc(id) == t.toLong, s"doc $id")
+    }
+    val total = base.agg(sum("toks")).as[Long].head()
+    val perSeq = manifest.groupBy("seq_id").agg(sum("n_toks").as("s"))
+      .orderBy("seq_id").as[(Long, Long)].collect()
+    val lastSeq = (total - 1) / 128
+    perSeq.foreach { case (seqId, s) =>
+      if (seqId < lastSeq) assert(s == 128L, s"seq $seqId holds $s")
+      else assert(s == total - lastSeq * 128, s"tail seq $seqId")
+    }
+    // sequence ids are dense from 0
+    assert(perSeq.map(_._1).toSeq == (0L to lastSeq))
+  }
+
+  test("packSequences: a doc straddling sequence boundaries emits one " +
+    "row per overlapped sequence with contiguous doc_from spans") {
+    // 3 docs: 100 + 300 (straddles seqs 0..3 at seqLen 128) + 50
+    val base = Seq((1L, 100), (2L, 300), (3L, 50)).toDF("id", "toks")
+    val rows = Packing.packSequences(base, "id", col("toks"), seqLen = 128)
+      .orderBy("id", "seq_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 100L),          // tokens 0..99
+      (2L, 0L, 0L, 28L),           // doc 2 tokens 0..27 fill seq 0
+      (2L, 1L, 28L, 128L),         // ...next 128 fill seq 1
+      (2L, 2L, 156L, 128L),        // ...next 128 fill seq 2
+      (2L, 3L, 284L, 16L),         // ...last 16 open seq 3
+      (3L, 3L, 0L, 50L)))          // doc 3 follows in seq 3
+  }
+
+  test("packSequences: zero-token docs occupy no sequence; null token " +
+    "counts read as zero") {
+    val base = Seq((1L, Some(10)), (2L, Some(0)), (3L, None),
+      (4L, Some(5))).toDF("id", "toks")
+    val rows = Packing.packSequences(base, "id", col("toks"), seqLen = 8)
+      .orderBy("id", "seq_id").as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == Set(1L, 4L))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 8L), (1L, 1L, 8L, 2L), (4L, 1L, 0L, 5L)))
+  }
+
+  test("chunk: windows tile with the configured overlap and reassemble " +
+    "to the original text; short and empty docs yield one chunk") {
+    val text = ("abcdefghij" * 20).take(193) // 193 chars
+    val base = Seq((1L, text), (2L, "short"), (3L, "")).toDF("id", "text")
+    val out = Packing.chunk(base, "id", "text", width = 96, stride = 64)
+      .orderBy("id", "chunk_id").as[(Long, Long, String)].collect()
+    val doc1 = out.filter(_._1 == 1L)
+    // ceil((193-96)/64) = 2 → chunks 0,1,2
+    assert(doc1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    doc1.foreach { case (_, cid, chunk) =>
+      val start = (cid * 64).toInt
+      assert(chunk == text.substring(start, math.min(start + 96, 193)))
+    }
+    // stride-aligned reassembly: first 64 chars of each chunk + tail
+    val rebuilt = doc1.dropRight(1).map(_._3.take(64)).mkString + doc1.last._3
+    assert(rebuilt == text)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "short")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "")))
+  }
+
+  test("chunk plan is shuffle-free (map-side explode only)") {
+    val base = Seq((1L, "hello world")).toDF("id", "text")
+    val plan = Packing.chunk(base, "id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("withTokenOffsets shuffles the data exactly once (shared " +
+    "lineage: the offset job reuses the subtotal job's range shuffle)") {
+    val sc = spark.sparkContext
+    val acc = sc.longAccumulator("rowsScanned")
+    val base = docs(2000).repartition(8)
+    // count shuffle-map work via an accumulator on the upstream side:
+    // tag each input row once; if the second job re-ran the map stage
+    // the accumulator would double
+    val tagged = base.filter(udf((_: Long) => { acc.add(1); true })
+      .apply(col("id")))
+    Packing.withTokenOffsets(tagged, "id", "toks", numPartitions = 5)
+      .count()
+    assert(acc.value == 2000L,
+      s"upstream scanned ${acc.value} rows — range shuffle not reused")
+  }
+}

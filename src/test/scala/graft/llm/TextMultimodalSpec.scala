@@ -234,4 +234,63 @@ class TextMultimodalSpec extends SparkSpec {
       .select(length(col("payload_resized"))).as[Int].collect().toSeq
     assert(out == Seq(8, 8))
   }
+
+  /** Minimal C420 Y4M: header + one FRAME per luma value, chroma planes
+    * zero-filled (4x4 luma → 8-byte chroma). */
+  private def y4mBytes(w: Int, h: Int, frameLuma: Seq[Int],
+                       fps: String = "25:1"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F$fps Ip A1:1 C420\n".getBytes("US-ASCII"))
+    frameLuma.foreach { l =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(Array.fill(w * h)(l.toByte))       // luma plane
+      out.write(new Array[Byte](w * h / 2))        // Cb + Cr (quartered)
+    }
+    out.toByteArray
+  }
+
+  test("real Y4M video decode: header dims/rate/frames parse, per-frame " +
+    "mean luma is exact; compressed/garbage payloads take the stub") {
+    val y4m = y4mBytes(4, 4, Seq(0, 128, 255))
+    val Some((info, luma)) = Multimodal.decodeY4m(y4m)
+    assert(info.width == 4 && info.height == 4)
+    assert(info.fpsNum == 25 && info.fpsDen == 1 && info.nFrames == 3)
+    assert(math.abs(info.durationSec - 3.0 / 25) < 1e-12)
+    assert(luma.length == 3)
+    assert(luma(0) == 0f)
+    assert(math.abs(luma(1) - 128f / 255) < 1e-6)
+    assert(luma(2) == 1f)
+    // a payload truncated mid-frame keeps its complete frames
+    val truncated = java.util.Arrays.copyOf(y4m, y4m.length - 5)
+    val Some((tInfo, _)) = Multimodal.decodeY4m(truncated)
+    assert(tInfo.nFrames == 2)
+    // garbage where a FRAME marker belongs → not Y4M → stub path
+    val corrupt = y4m.clone()
+    corrupt(y4m.indexOf('\n'.toByte) + 1) = 'X'.toByte
+    assert(Multimodal.decodeY4m(corrupt).isEmpty)
+    assert(Multimodal.decodeY4m("h264 bitstream".getBytes).isEmpty)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, y4m, "video/y4m"),
+      Multimodal.MediaRow(2L, "h264 bitstream".getBytes, "video/mp4")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val decoded = Multimodal.decodeVideo(ds).collect().sortBy(_.id)
+    assert(decoded(0).decoder == "y4m" && decoded(0).nFrames == 3 &&
+      decoded(0).width == 4)
+    assert(decoded(1).decoder == "stub")
+  }
+
+  test("video features: luma envelope averages frames per window; " +
+    "features() routes Y4M payloads through the real path") {
+    // 8 frames: 4 dark then 4 bright → dim-2 envelope = (dark, bright)
+    val y4m = y4mBytes(4, 4, Seq(10, 10, 10, 10, 200, 200, 200, 200))
+    val Some((_, luma)) = Multimodal.decodeY4m(y4m)
+    val env = Multimodal.videoLumaFeatures(luma, 2)
+    assert(math.abs(env(0) - 10f / 255) < 1e-6)
+    assert(math.abs(env(1) - 200f / 255) < 1e-6)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, y4m, "video/y4m")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val viaKernel = Multimodal.features(ds, dim = 2).collect().head.feature
+    assert(viaKernel.zip(env).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
 }

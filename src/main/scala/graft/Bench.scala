@@ -203,12 +203,28 @@ object Bench {
 
     /** One staged-forget facet: returns (median sec, objects, rowsProcessed,
       * rowsDeleted, allOk) — rows are identical across runs by
-      * construction (every run starts from the same master copy). */
+      * construction (every run starts from the same master copy).
+      *
+      * Work units are the staged objects a Find pass MATCHES (untimed,
+      * once per staging) — the real pipeline shape: Forget only ever
+      * receives Find's matched-file list, and the engine treats a
+      * zero-deletion work unit as a hard error by design (reference
+      * main.py:182-187). At sf0.1+ every staged object contains an 'R'
+      * row so matched == staged; at tiny SFs a few-row object may
+      * legitimately hold none, and feeding it would measure (and flag)
+      * fictitious failures. The returned object count is the MATCHED
+      * count, and throughputs derive from it. */
     def forgetFacet(nObjects: Int, timedRuns: Int,
                     warm: Boolean = true): (Double, Int, Long, Long, Boolean) = {
       val master = s"$stage/master$nObjects"
       li.repartition(nObjects).write.mode(SaveMode.Overwrite).parquet(master)
-      val nFiles = listParquet(master).size
+      val matchedNames = Finder.matchedFiles(spark,
+          spark.read.parquet(master), groups)
+        .collect()
+        .map(r => new java.io.File(
+          graft.forget.Forget.stripScheme(r.getString(0))).getName)
+        .toSet
+      val nFiles = matchedNames.size
       var allOk = true
       var rowsProcessed = 0L
       var rowsDeleted = 0L
@@ -217,9 +233,11 @@ object Bench {
       for (run <- (if (warm) 0 else 1) to timedRuns) {
         val dir = s"$stage/run-$nObjects-$run/lineitem"
         copyDir(master, dir)
-        val units = listParquet(dir).map(f =>
-          ObjectWorkUnit(s"bench-$nObjects-$run", f, "li",
-            DataFormat.Parquet, true))
+        val units = listParquet(dir)
+          .filter(p => matchedNames(new java.io.File(p).getName))
+          .map(f =>
+            ObjectWorkUnit(s"bench-$nObjects-$run", f, "li",
+              DataFormat.Parquet, true))
         val t0 = System.nanoTime()
         val events = DistributedRewrite.run(spark,
           s"bench-$nObjects-$run", units, groups)
@@ -252,10 +270,10 @@ object Bench {
     // scenario-4 shape — 45k objects through a worker fleet,
     // docs/COST_OVERVIEW.md:288-290 — scaled to the bench box; exercises
     // per-task overhead: footer read, staging commit, version capture)
-    var (forget1024Sec, rows1024) = (0.0, 0L)
+    var (forget1024Sec, forget1024Objects, rows1024) = (0.0, 0, 0L)
     if (wanted("forget_rewrite_1024obj")) {
-      val (sec, _, rp, _, okAll) = forgetFacet(1024, timedRuns = 3)
-      forget1024Sec = sec; rows1024 = rp
+      val (sec, n, rp, _, okAll) = forgetFacet(1024, timedRuns = 3)
+      forget1024Sec = sec; forget1024Objects = n; rows1024 = rp
       times("forget_rewrite_1024obj") = sec
       ok("forget_rewrite_1024obj") = okAll
     }
@@ -265,11 +283,11 @@ object Bench {
     // enough (~10x the 1024 facet) that a single timed run sits above
     // the noise floor; the smaller facets already warmed every code
     // path, so one run, fresh staging, no median.
-    var (forget10240Sec, rows10240) = (0.0, 0L)
+    var (forget10240Sec, forget10240Objects, rows10240) = (0.0, 0, 0L)
     if (wanted("forget_rewrite_10240obj")) {
-      val (sec, _, rp, _, okAll) =
+      val (sec, n, rp, _, okAll) =
         forgetFacet(10240, timedRuns = 1, warm = false)
-      forget10240Sec = sec; rows10240 = rp
+      forget10240Sec = sec; forget10240Objects = n; rows10240 = rp
       times("forget_rewrite_10240obj") = sec
       ok("forget_rewrite_10240obj") = okAll
     }
@@ -286,7 +304,7 @@ object Bench {
       e.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\"").mkString("[", ",", "]")
     val total = times.values.sum
-    println(
+    val line =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec",""" +
       s""""queries":$qs,"ok":$oks,"errors":$errJson,""" +
       s""""find_scan_ratio_lineitem":${jd(scanLineitem.ratio)},""" +
@@ -296,11 +314,24 @@ object Bench {
       s""""forget_objects_per_min":${jd(rate(forgetObjects * 60.0, forgetSec))},""" +
       s""""forget_rows_per_sec":${jd(rate(rowsProcessed.toDouble, forgetSec))},""" +
       s""""forget_rows_deleted":$rowsDeleted,""" +
-      s""""forget_1024_objects_per_min":${jd(rate(1024 * 60.0, forget1024Sec))},""" +
+      s""""forget_1024_objects_per_min":${jd(rate(forget1024Objects * 60.0, forget1024Sec))},""" +
       s""""forget_1024_rows_per_sec":${jd(rate(rows1024.toDouble, forget1024Sec))},""" +
-      s""""forget_10240_objects_per_min":${jd(rate(10240 * 60.0, forget10240Sec))},""" +
+      s""""forget_10240_objects_per_min":${jd(rate(forget10240Objects * 60.0, forget10240Sec))},""" +
       s""""forget_10240_rows_per_sec":${jd(rate(rows10240.toDouble, forget10240Sec))},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: the driver captures a tail of stdout, and
+    // a long run's log truncation has eaten the early per-query timings
+    // (BENCH_r08's tail started mid-q25) — the file survives regardless
+    try {
+      val out = java.nio.file.Paths.get("target/bench-latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[bench] could not write bench-latest.json: $e")
+    }
     spark.stop()
     if (ok.values.exists(v => !v)) sys.exit(1)
   }

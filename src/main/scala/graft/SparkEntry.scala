@@ -529,12 +529,19 @@ object SparkEntry {
     // parallel across users — no global window, the shape that holds
     // when one table has a billion users. Ties broken by event_id and
     // an explicit ROWS frame: identical rows on both engines.
+    // Timestamps are truncated to MICROSECONDS up front: the events
+    // parquet stores TIMESTAMP(NANOS) and DuckDB 1.0 reads that column
+    // at micro precision, so sessioning over raw nanos would disagree
+    // with the oracle in the last three digits on ~every row. Both
+    // engines therefore session over identical micro-truncated values
+    // (a <1 µs delta never flips a 30-minute gap in practice).
     "q39_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val gapNs = 30L * 60 * 1000000000L
       t(s, dir, "events")
+        .withColumn("ts", col("ts") - col("ts") % 1000L)
         .withColumn("_prev", lag(col("ts"), 1).over(byUser))
         .withColumn("_new",
           when(col("_prev").isNull || col("ts") - col("_prev") > gapNs, 1L)
@@ -545,6 +552,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("start_ns"),
           max(col("ts")).as("end_ns"))
+    }),
+    // §streaming — the [[graft.streaming.Sessionize]] operator's BATCH
+    // path (the q39 window shape re-expressed as the streaming
+    // operator's differential oracle), gated here on the same events
+    // table in epoch-millis units. The raw int64 nanos convert to a
+    // micros timestamp up front (ns div 1000 — exactly the precision
+    // DuckDB reads this NANOS parquet column at), and the operator
+    // emits millisecond extents: both engines truncate identically.
+    "q40_sessions_ms" -> ((s, dir) => {
+      import graft.streaming.Sessionize
+      Sessionize.sessions(
+        t(s, dir, "events")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+        "user_id", "ts", gapMs = 30L * 60 * 1000, "10 minutes")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -937,8 +958,10 @@ object SparkEntry {
         |     AS chunk
         | FROM d JOIN g ON g.chunk_id <= d.last_chunk"""
         .stripMargin.replace("\n", " "),
-    // epoch_ns(ts) == the BIGINT nanos Spark reads under
-    // parquet.nanosAsLong — both engines session over identical values
+    // DuckDB 1.0 reads the TIMESTAMP(NANOS) column at MICRO precision,
+    // so epoch_ns(ts) here is nanos-truncated-to-micros; the Spark side
+    // truncates its raw int64 nanos the same way (ts - ts % 1000) —
+    // both engines session over identical micro-truncated values
     "q39_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
@@ -955,7 +978,28 @@ object SparkEntry {
         |  FROM f)
         | SELECT user_id, session_id, count(*) AS n_events,
         |   min(tns) AS start_ns, max(tns) AS end_ns
-        | FROM s2 GROUP BY 1, 2""".stripMargin.replace("\n", " "))
+        | FROM s2 GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    // millis sessionization (the streaming operator's batch path):
+    // epoch_ms truncates DuckDB's micro TIMESTAMP the same way the
+    // Spark side's unix_millis truncates its ns-div-1000 micros
+    "q40_sessions_ms" ->
+      """WITH o AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |    epoch_ms(ts) AS tms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts)) AS prev
+        |  FROM events),
+        | f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000
+        |    THEN 1 ELSE 0 END AS nw FROM o),
+        | s2 AS (
+        |  SELECT user_id, tms, CAST(sum(nw) OVER (
+        |    PARTITION BY user_id ORDER BY tms
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM f)
+        | SELECT user_id, min(tms) AS start_ms, max(tms) AS end_ms,
+        |   count(*) AS n_events
+        | FROM s2 GROUP BY user_id, sid""".stripMargin.replace("\n", " "))
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
     * side's double accumulation (both iterate the lists in order). */

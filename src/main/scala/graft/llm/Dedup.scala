@@ -56,14 +56,20 @@ object Dedup {
     * selection distributes over the merge, so the two-level cap below
     * returns the same `maxIds` smallest ids a global sort would).
     *
-    * The cap is applied PER PARTIAL, not just on the output row: a
-    * single `collect_list` per digest would accumulate a pathological
-    * duplicate cluster — 10M copies of one boilerplate page — into one
-    * aggregation buffer before any slice. Instead the ids aggregate in
-    * two stages: per `(digest, input partition)` first (a buffer holds
-    * at most one partition's share of the cluster, bounded by partition
-    * size), sliced to `maxIds`, then the ≤ `maxIds`·P partial winners
-    * merge per digest. `copies` still counts the full cluster. */
+    * Buffer bounding: a single `collect_list` per digest would
+    * accumulate a pathological duplicate cluster — 10M copies of one
+    * boilerplate page — into ONE aggregation buffer before any slice.
+    * Instead the ids aggregate in two stages: per `(digest, input
+    * partition)` first, sliced to `maxIds`, then the ≤ `maxIds`·P
+    * partial winners merge per digest. NOTE the bound this buys is the
+    * input SPLIT size, not `maxIds`: `slice` runs after each stage's
+    * list is fully collected, so a stage-1 buffer still holds that
+    * partition's whole share of the cluster (≤ one split, e.g. 128 MB
+    * of ids at parquet defaults) and a stage-2 buffer ≤ `maxIds`·P
+    * entries. A hard `maxIds` buffer bound would need a custom
+    * TypedImperativeAggregate (bounded min-k heap); the split-size
+    * bound has been sufficient in practice because no split holds 10M
+    * ids. `copies` still counts the full cluster. */
   def exactDuplicates(df: DataFrame, idCol: String,
                       textCol: String, maxIds: Int = 100): DataFrame = {
     require(maxIds >= 1, s"maxIds must be >= 1, got $maxIds")
@@ -315,6 +321,13 @@ object Dedup {
     *     ONE salt by id hash, the right side replicates to every salt,
     *     so each pair meets exactly once and a p-entry hot key fans out
     *     over ~p/saltBlock tasks instead of one.
+    *
+    * CACHING: this overload persists a prefix index and registers it
+    * with the session-global [[releaseCaches]] — the persist lives
+    * until that is called. Long-lived sessions running several dedup
+    * jobs should call [[jaccardPairsExactReleasable]] instead and
+    * invoke its returned cleanup when done, releasing ONLY that job's
+    * index.
     */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int = 8,
@@ -651,9 +664,12 @@ object Dedup {
     * checkpoints truncate lineage WITHOUT durable storage: losing an
     * executor mid-run fails the operator, which then reruns whole —
     * acceptable because the edge frame is the pipeline's small
-    * artifact and the operator is deterministic; swap in reliable
-    * `checkpoint` + a checkpoint dir if a cluster run must survive
-    * executor churn.)
+    * artifact and the operator is deterministic. For a run that must
+    * survive executor churn — hours-long clustering on a real fleet —
+    * pass `reliableCheckpoint = true` after
+    * `sparkContext.setCheckpointDir(...)`: each round then writes its
+    * edge frame to the checkpoint dir and a lost executor recomputes
+    * from there instead of failing the operator.)
     *
     * Output: (<aCol>, cluster_id) — one row per id that appears in at
     * least one pair (singletons never enter a pair frame), cluster_id =
@@ -662,10 +678,23 @@ object Dedup {
     * @param maxIter hard stop — an unconverged run throws. The default
     *                (64) clears the 2 log2(n) + 8 worst-case round
     *                bound for any component up to ~2^28 nodes; raise it
-    *                only for genuinely larger single components. */
+    *                only for genuinely larger single components.
+    * @param reliableCheckpoint use durable `checkpoint` instead of
+    *                `localCheckpoint` for each round's edge frame —
+    *                requires `sparkContext.setCheckpointDir` first
+    *                (enforced); slower per round (one HDFS/object-store
+    *                write) but the run survives executor loss. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
-                        maxIter: Int = 64): DataFrame = {
+                        maxIter: Int = 64,
+                        reliableCheckpoint: Boolean = false): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    if (reliableCheckpoint) require(
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableCheckpoint = true requires " +
+        "sparkContext.setCheckpointDir(...) before the call")
+    def cp(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true)
+      else df.localCheckpoint(true)
     // LOOP INVARIANT: `edges` is distinct and strictly ORIENTED
     // (src > dst). The symmetric neighbor list each large-star needs is
     // then a plain union with the reversed frame — the two orientations
@@ -677,7 +706,7 @@ object Dedup {
         least(col(aCol), col(bCol)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+    edges = cp(edges)
     // order-independent edge-set signature: (count, sum of per-edge
     // 64-bit hashes, accumulated in decimal(38,0) — a raw long sum
     // overflows under ANSI mode). Equal signatures gate a single EXACT
@@ -712,12 +741,11 @@ object Dedup {
       // Output rows are (v, m_u) / (u, m_u) with m_u <= every dst — the
       // equality filter restores strict orientation for the invariant.
       val smins = large.groupBy("src").agg(min(col("dst")).as("_m"))
-      val small = large.join(smins, "src")
+      val small = cp(large.join(smins, "src")
         .select(col("dst").as("src"), col("_m").as("dst"))
         .union(smins.select(col("src"), col("_m").as("dst")))
         .filter(col("src") =!= col("dst"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       val smallSig = signature(small)
       converged = smallSig == edgeSig &&
         small.except(edges).isEmpty && edges.except(small).isEmpty

@@ -295,10 +295,20 @@ object Multimodal {
       }
       if (w <= 0 || h <= 0) return None
       val lumaBytes = w * h
+      // subsampled colorspaces halve a dimension per chroma plane: odd
+      // w/h would make `lumaBytes * 3 / 2` (int division) mis-frame the
+      // payload and silently read garbage lumas — such a header is
+      // invalid Y4M for that colorspace, so reject (stub-path row)
+      // rather than guess. 4:1:1/4:1:0 also land in the final `return
+      // None` (unsupported here).
       val frameBytes =
-        if (cs.startsWith("420")) lumaBytes * 3 / 2
-        else if (cs.startsWith("422")) lumaBytes * 2
-        else if (cs.startsWith("444")) lumaBytes * 3
+        if (cs.startsWith("420")) {
+          if (w % 2 != 0 || h % 2 != 0) return None
+          lumaBytes * 3 / 2
+        } else if (cs.startsWith("422")) {
+          if (w % 2 != 0) return None
+          lumaBytes * 2
+        } else if (cs.startsWith("444")) lumaBytes * 3
         else if (cs.startsWith("mono")) lumaBytes
         else return None
       val luma = scala.collection.mutable.ArrayBuffer.empty[Float]

@@ -126,9 +126,12 @@ object Packing {
   /** Overlapping-window chunking: each document yields character
     * windows of `width` starting every `stride` characters — the
     * retrieval-index / embedding-input shape (with `stride < width`
-    * adjacent chunks overlap by `width - stride`). The last window may
-    * be shorter; a document shorter than one window (including empty)
-    * yields exactly one chunk. Output: (id, `chunk_id`, `chunk`).
+    * adjacent chunks overlap by `width - stride`; with `stride > width`
+    * the windows gap-sample the text). The last window may be shorter
+    * but is never empty: no window starts at or past end-of-text (the
+    * last index is clamped to the largest k with k·stride < length). A
+    * document shorter than one window (including empty) yields exactly
+    * one chunk. Output: (id, `chunk_id`, `chunk`).
     *
     * Pure map-side: length arithmetic + `explode` over the window
     * index range + `substring` — codegen'd end to end, no shuffle, so
@@ -139,10 +142,18 @@ object Packing {
             width: Int, stride: Int): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // last index: enough windows to cover the text
+    // (ceil((len-width)/stride)), but never one starting at/past
+    // end-of-text ((len-1) div stride caps it when stride > width —
+    // e.g. len=8, width=4, stride=8 would otherwise emit an empty
+    // chunk at position 8); clamped to >= 0 so empty docs yield one
     df.select(col(idCol), col(textCol).as("_text"),
         greatest(
-          expr(s"CAST(ceil((length(${quote(textCol)}) - $width) /" +
-            s" CAST($stride AS DOUBLE)) AS BIGINT)"),
+          least(
+            expr(s"CAST(ceil((length(${quote(textCol)}) - $width) /" +
+              s" CAST($stride AS DOUBLE)) AS BIGINT)"),
+            expr(s"(CAST(length(${quote(textCol)}) AS BIGINT) - 1)" +
+              s" div $stride")),
           lit(0L)).as("_last"))
       .select(col(idCol),
         explode(sequence(lit(0L), col("_last"))).as("chunk_id"),

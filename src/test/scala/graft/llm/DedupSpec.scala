@@ -287,6 +287,34 @@ class DedupSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("duplicateClusters reliableCheckpoint: same result via durable " +
+    "checkpoints; requires a checkpoint dir") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // without a checkpoint dir the knob must fail fast, not NPE deep
+    // inside the first round's checkpoint write
+    val prior = spark.sparkContext.getCheckpointDir
+    if (prior.isEmpty) intercept[IllegalArgumentException] {
+      Dedup.duplicateClusters(pairs, "id_a", "id_b",
+        reliableCheckpoint = true)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val out = Dedup.duplicateClusters(pairs, "id_a", "id_b",
+        reliableCheckpoint = true).as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      // durable round frames actually hit the checkpoint dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliableCheckpoint wrote nothing durable")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("minhash signature similarity tracks exact jaccard") {
     // identical → identical band keys; disjoint → disjoint (w.h.p.)
     val d = Seq((1L, base), (2L, base),

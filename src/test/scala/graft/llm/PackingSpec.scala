@@ -104,6 +104,23 @@ class PackingSpec extends SparkSpec {
     assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "")))
   }
 
+  test("chunk: stride > width gap-samples without emitting an empty " +
+    "trailing chunk (no window starts at/past end-of-text)") {
+    // len=8, width=4, stride=8: the coverage formula alone would say
+    // ceil((8-4)/8) = 1 → a chunk starting at position 8 == len,
+    // yielding '' — the clamp to the largest k with k*stride < len
+    // keeps only chunk 0
+    val base = Seq((1L, "abcdefgh"), (2L, "abcdefghi"), (3L, ""))
+      .toDF("id", "text")
+    val out = Packing.chunk(base, "id", "text", width = 4, stride = 8)
+      .orderBy("id", "chunk_id").as[(Long, Long, String)].collect().toSeq
+    // len=9: chunk 1 starts at 8 < 9 → 1-char tail chunk, never empty
+    assert(out == Seq((1L, 0L, "abcd"),
+      (2L, 0L, "abcd"), (2L, 1L, "i"),
+      (3L, 0L, "")))
+    assert(out.filter(_._1 != 3L).forall(_._3.nonEmpty))
+  }
+
   test("chunk plan is shuffle-free (map-side explode only)") {
     val base = Seq((1L, "hello world")).toDF("id", "text")
     val plan = Packing.chunk(base, "id", "text", 8, 4)

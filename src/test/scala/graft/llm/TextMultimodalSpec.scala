@@ -279,6 +279,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(decoded(1).decoder == "stub")
   }
 
+  test("Y4M odd dimensions under subsampled colorspaces are rejected " +
+    "(stub path), not silently mis-framed") {
+    // C420 halves both dims per chroma plane: a W5/H4 (or W4/H5)
+    // header is invalid Y4M and integer `w*h*3/2` would mis-frame the
+    // payload — must return None, never garbage lumas
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+        .getBytes("US-ASCII"))
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(new Array[Byte](w * h * 3 / 2 + 2))
+      out.toByteArray
+    }
+    assert(Multimodal.decodeY4m(withDims(5, 4)).isEmpty)
+    assert(Multimodal.decodeY4m(withDims(4, 5)).isEmpty)
+    // C422 halves width only: odd height is fine, odd width is not
+    val odd422 = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("YUV4MPEG2 W5 H4 F25:1 Ip A1:1 C422\n".getBytes("US-ASCII"))
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(new Array[Byte](5 * 4 * 2))
+      out.toByteArray
+    }
+    assert(Multimodal.decodeY4m(odd422).isEmpty)
+    // even dims still decode (control)
+    assert(Multimodal.decodeY4m(y4mBytes(4, 4, Seq(128))).isDefined)
+  }
+
   test("video features: luma envelope averages frames per window; " +
     "features() routes Y4M payloads through the real path") {
     // 8 frames: 4 dark then 4 bright → dim-2 envelope = (dark, bright)

@@ -338,22 +338,106 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** `decoder` records the path: "y4m" (real) or "stub". */
+  /** Mean luma of a decoded frame in [0, 1] (Rec. 601 weights). */
+  private def meanLuma(img: BufferedImage): Float = {
+    var acc = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        acc += ((rgb >> 16) & 0xff) * 0.299 +
+          ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114
+        x += 1
+      }
+      y += 1
+    }
+    (acc / (img.getWidth.toDouble * img.getHeight) / 255.0).toFloat
+  }
+
+  /** REAL motion-JPEG decode — the second compressed-video container a
+    * codec-less JVM CAN read: a raw MJPEG stream is concatenated JPEG
+    * frames (each an SOI `FFD8` … EOI `FFD9` segment; inside valid
+    * entropy-coded data `FF` is byte-stuffed, so a bare `FFD9` only
+    * ever terminates a frame), each decoded with `javax.imageio`.
+    * Requires at least TWO frames — a single JPEG is an image and
+    * stays on the image path. Raw MJPEG carries no timing metadata, so
+    * fps is reported 0/1 and duration 0 (honest absence, not a guess);
+    * dimensions come from the first frame. Per-frame mean luma is
+    * computed like [[decodeY4m]]'s, so [[videoLumaFeatures]] applies
+    * unchanged. A stream truncated mid-frame keeps its complete
+    * frames. Inter-frame codecs (H.264/VP9/AV1…) remain the one stub
+    * path: those decoders genuinely are not in the JVM. */
+  def decodeMjpeg(payload: Array[Byte]): Option[(VideoInfo, Array[Float])] = {
+    if (payload == null || payload.length < 8) return None
+    if (!(payload(0) == 0xff.toByte && payload(1) == 0xd8.toByte &&
+          payload(2) == 0xff.toByte)) return None
+    // cheap multi-frame precheck: an EOI immediately followed by an
+    // SOI exists only in a concatenated stream — single JPEGs (the
+    // overwhelmingly common payload) exit here without any decode
+    var probe = 2
+    var boundary = -1
+    while (boundary < 0 && probe + 3 < payload.length) {
+      if (payload(probe) == 0xff.toByte && payload(probe + 1) == 0xd9.toByte &&
+          payload(probe + 2) == 0xff.toByte && payload(probe + 3) == 0xd8.toByte)
+        boundary = probe
+      probe += 1
+    }
+    if (boundary < 0) return None
+    try {
+      val luma = scala.collection.mutable.ArrayBuffer.empty[Float]
+      var w = -1; var h = -1
+      var pos = 0
+      var ok = true
+      while (ok && pos + 3 < payload.length) {
+        if (!(payload(pos) == 0xff.toByte && payload(pos + 1) == 0xd8.toByte &&
+              payload(pos + 2) == 0xff.toByte)) {
+          ok = false // trailing garbage: keep complete frames
+        } else {
+          var eoi = pos + 2
+          while (eoi + 1 < payload.length &&
+                 !(payload(eoi) == 0xff.toByte &&
+                   payload(eoi + 1) == 0xd9.toByte)) eoi += 1
+          if (eoi + 1 >= payload.length &&
+              !(payload(eoi) == 0xff.toByte &&
+                payload(eoi + 1) == 0xd9.toByte)) {
+            ok = false // truncated mid-frame
+          } else {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                payload, pos, eoi + 2 - pos))
+            if (img == null) ok = false
+            else {
+              if (w < 0) { w = img.getWidth; h = img.getHeight }
+              luma += meanLuma(img)
+              pos = eoi + 2
+            }
+          }
+        }
+      }
+      if (luma.length < 2) None
+      else Some((VideoInfo(w, h, 0, 1, luma.length), luma.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** `decoder` records the path: "y4m" / "mjpeg" (real) or "stub". */
   final case class DecodedVideoRow(id: Long, width: Int, height: Int,
                                    fpsNum: Int, fpsDen: Int, nFrames: Int,
                                    durationSec: Double, decoder: String)
 
   /** Partition-local video decode — the video counterpart of [[decode]].
-    * Y4M payloads decode for true dimensions/rate/frame count; anything
-    * else takes a deterministic CRC-derived fallback row
-    * (decoder="stub") so mixed batches keep the column contract. */
+    * Y4M and MJPEG payloads decode for true dimensions/frame count
+    * (and, for Y4M, rate); anything else takes a deterministic
+    * CRC-derived fallback row (decoder="stub") so mixed batches keep
+    * the column contract. */
   def decodeVideo(media: Dataset[MediaRow]): Dataset[DecodedVideoRow] =
     media.mapPartitions { rows =>
       rows.map { r =>
-        decodeY4m(r.payload) match {
-          case Some((info, _)) =>
+        decodeY4m(r.payload).map(_ -> "y4m")
+          .orElse(decodeMjpeg(r.payload).map(_ -> "mjpeg")) match {
+          case Some(((info, _), dec)) =>
             DecodedVideoRow(r.id, info.width, info.height, info.fpsNum,
-              info.fpsDen, info.nFrames, info.durationSec, "y4m")
+              info.fpsDen, info.nFrames, info.durationSec, dec)
           case None =>
             val h = crc(if (r.payload == null) Array.emptyByteArray
                         else r.payload)
@@ -395,13 +479,20 @@ object Multimodal {
   def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[FeatureRow] =
     media.mapPartitions { rows =>
       rows.map { r =>
-        val feat = decodeImage(r.payload) match {
-          case Some(img) => imageHistogram(img, dim)
-          case None => decodeAudioSamples(r.payload) match {
-            case Some((_, samples)) => audioRmsFeatures(samples, dim)
-            case None => decodeY4m(r.payload) match {
-              case Some((_, luma)) => videoLumaFeatures(luma, dim)
-              case None            => featureStub(r.payload, dim)
+        // MJPEG before image: an MJPEG stream leads with a valid JPEG,
+        // so the image decoder would swallow it as frame 1; the
+        // multi-frame precheck keeps the probe near-free for real
+        // images (single JPEG → None without any decode)
+        val feat = decodeMjpeg(r.payload) match {
+          case Some((_, luma)) => videoLumaFeatures(luma, dim)
+          case None => decodeImage(r.payload) match {
+            case Some(img) => imageHistogram(img, dim)
+            case None => decodeAudioSamples(r.payload) match {
+              case Some((_, samples)) => audioRmsFeatures(samples, dim)
+              case None => decodeY4m(r.payload) match {
+                case Some((_, luma)) => videoLumaFeatures(luma, dim)
+                case None            => featureStub(r.payload, dim)
+              }
             }
           }
         }

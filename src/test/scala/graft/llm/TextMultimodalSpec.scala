@@ -279,6 +279,55 @@ class TextMultimodalSpec extends SparkSpec {
     assert(decoded(1).decoder == "stub")
   }
 
+  test("real MJPEG video decode: concatenated JPEG frames parse with " +
+    "true dims/frame count and per-frame luma; a single JPEG stays an " +
+    "image; truncation keeps complete frames") {
+    def jpegFrame(gray: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val frames = Seq(jpegFrame(20), jpegFrame(128), jpegFrame(230))
+    val mjpeg = frames.flatten.toArray
+    val Some((info, luma)) = Multimodal.decodeMjpeg(mjpeg)
+    assert(info.width == 16 && info.height == 12 && info.nFrames == 3)
+    assert(info.fpsNum == 0 && info.durationSec == 0.0,
+      "raw MJPEG has no timing — must report absence, not a guess")
+    // JPEG is lossy but flat gray survives within a few levels
+    assert(math.abs(luma(0) - 20f / 255) < 0.03, luma.mkString(","))
+    assert(math.abs(luma(1) - 128f / 255) < 0.03)
+    assert(math.abs(luma(2) - 230f / 255) < 0.03)
+    // single JPEG: an image, not a 1-frame video
+    assert(Multimodal.decodeMjpeg(frames.head).isEmpty)
+    // truncated mid-frame: complete frames survive
+    val truncated = java.util.Arrays.copyOf(mjpeg, mjpeg.length - 7)
+    val Some((tInfo, _)) = Multimodal.decodeMjpeg(truncated)
+    assert(tInfo.nFrames == 2)
+    // decodeVideo routes the stream through the real path
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, mjpeg, "video/x-motion-jpeg"),
+      Multimodal.MediaRow(2L, frames.head, "image/jpeg"),
+      Multimodal.MediaRow(3L, "h264 bitstream".getBytes, "video/mp4")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val decoded = Multimodal.decodeVideo(ds).collect().sortBy(_.id)
+    assert(decoded(0).decoder == "mjpeg" && decoded(0).nFrames == 3 &&
+      decoded(0).width == 16)
+    assert(decoded(1).decoder == "stub") // one frame is not a video
+    assert(decoded(2).decoder == "stub")
+    // features(): the MJPEG stream takes the video luma envelope, the
+    // single JPEG still takes the image histogram
+    val feats = Multimodal.features(ds, dim = 3).collect().sortBy(_.id)
+    assert(math.abs(feats(0).feature(0) - 20f / 255) < 0.03 &&
+      math.abs(feats(0).feature(2) - 230f / 255) < 0.03,
+      feats(0).feature.mkString(","))
+  }
+
   test("Y4M odd dimensions under subsampled colorspaces are rejected " +
     "(stub path), not silently mis-framed") {
     // C420 halves both dims per chroma plane: a W5/H4 (or W4/H5)

@@ -566,6 +566,30 @@ object SparkEntry {
         t(s, dir, "events")
           .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
         "user_id", "ts", gapMs = 30L * 60 * 1000, "10 minutes")
+    }),
+    // LLM §quality — common-word ratio (Gopher-style cheap filter
+    // signal): per doc, the fraction of tokens inside the corpus
+    // top-100 vocabulary. Pass 1 is the q33 vocabulary cut
+    // (TakeOrderedAndProject); pass 2 is a pure map against the
+    // 100-entry literal vocab — the exploded tokens NEVER shuffle
+    // (plan-asserted in SamplingSpec).
+    "q41_common_ratio" -> ((s, dir) => {
+      import graft.llm.TextStats
+      TextStats.commonWordRatio(t(s, dir, "documents"),
+        "doc_id", "text", 100)
+    }),
+    // LLM §compliance — PII audit: the Find phase extended to
+    // unstructured text (per-doc detector counts; the same regexes run
+    // verbatim in the DuckDB oracle — the SQL is BUILT from
+    // PiiScrub.Detectors, so engine parity is by construction). One
+    // codegen'd projection, no shuffle (PiiScrubSpec).
+    "q42_pii_audit" -> ((s, dir) => {
+      import graft.llm.PiiScrub
+      val counts = t(s, dir, "documents")
+        .select(col("doc_id") +: PiiScrub.countColumns(col("text")): _*)
+      val total = PiiScrub.Detectors
+        .map { case (k, _, _) => col(s"n_$k") }.reduce(_ + _)
+      counts.withColumn("n_pii", total)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -999,7 +1023,47 @@ object SparkEntry {
         |  FROM f)
         | SELECT user_id, min(tms) AS start_ms, max(tms) AS end_ms,
         |   count(*) AS n_events
-        | FROM s2 GROUP BY user_id, sid""".stripMargin.replace("\n", " "))
+        | FROM s2 GROUP BY user_id, sid""".stripMargin.replace("\n", " "),
+    // ratio = m*1.0/n over two exactly-agreed BIGINTs — the same IEEE
+    // division the Spark side performs, no rounding epsilon needed
+    "q41_common_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(text, '\s+')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        | vocab AS (
+        |  SELECT token FROM toks GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 100),
+        | per AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    count(*) FILTER (WHERE token IN (SELECT token FROM vocab))
+        |      AS n_common
+        |  FROM toks GROUP BY doc_id)
+        | SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+        |   coalesce(p.n_common, 0) AS n_common,
+        |   CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+        |        ELSE p.n_common * 1.0 / p.n_tokens END AS common_ratio
+        | FROM documents d LEFT JOIN per p USING (doc_id)"""
+        .stripMargin.replace("\n", " "),
+    "q42_pii_audit" -> piiAuditOracleSql)
+
+  /** q42's oracle is BUILT from [[graft.llm.PiiScrub.Detectors]]: both
+    * engines run byte-identical patterns (the detector regexes restrict
+    * themselves to syntax Java regex and RE2 interpret identically). */
+  private def piiAuditOracleSql: String = {
+    val inner = graft.llm.PiiScrub.Detectors
+      .map { case (kind, pat, _) =>
+        s"len(regexp_extract_all(text, '$pat')) AS n_$kind"
+      }
+      .mkString(", ")
+    val total = graft.llm.PiiScrub.Detectors
+      .map { case (kind, _, _) => s"n_$kind" }.mkString(" + ")
+    s"SELECT doc_id, ${graft.llm.PiiScrub.Detectors.map(_._1)
+        .map(k => s"n_$k").mkString(", ")}, $total AS n_pii " +
+      s"FROM (SELECT doc_id, $inner FROM documents)"
+  }
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
     * side's double accumulation (both iterate the lists in order). */

@@ -97,4 +97,36 @@ object TextStats {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
   }
+
+  /** Common-word ratio — the classic cheap quality/filter signal (a
+    * Gopher-style repetitiousness proxy): per document, the fraction of
+    * its whitespace tokens that belong to the corpus's top-`k`
+    * vocabulary. Natural text sits in a predictable band; boilerplate
+    * and spam skew high, gibberish and non-text skew low.
+    *
+    * Scale shape: pass 1 is [[topTokens]] (explode → map-side-combined
+    * count → TakeOrderedAndProject); its `k` winners — a bounded,
+    * driver-safe handful like the IVF centroid sample — come back as a
+    * LITERAL array, so pass 2 is a pure map over the scan
+    * (`filter`/`array_contains` higher-order functions, codegen'd): the
+    * per-doc ratio never shuffles exploded tokens, the shape that holds
+    * when the corpus is 100 TB but the vocabulary cut is 100 entries.
+    * Ratio is m/n of two exactly-agreed ints (0.0 for empty docs) —
+    * bit-identical across engines, no rounding epsilon needed.
+    *
+    * Output: (<idCol>, n_tokens, n_common, common_ratio). */
+  def commonWordRatio(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val vocab = topTokens(df, textCol, k)
+      .collect().map(_.getString(0)).toSeq
+    val vocabArr = array(vocab.map(lit): _*)
+    // same tokenizer as pass 1 (\s+ with empties dropped), so the ratio
+    // denominates exactly the tokens the vocabulary was counted over
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val n = size(toks).cast("long")
+    val m = size(filter(toks, t => array_contains(vocabArr, t))).cast("long")
+    df.select(col(idCol), n.as("n_tokens"), m.as("n_common"),
+      when(n === 0, lit(0.0))
+        .otherwise(m.cast("double") / n.cast("double")).as("common_ratio"))
+  }
 }

@@ -1,0 +1,75 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** PII find/forget over free text: planted identifiers are found
+  * (audit shape), redacted exactly (rewrite shape), and the operation
+  * is idempotent; overlap order is pinned. */
+class PiiScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "contact jane.doe+test@mail.example.org or call 555-123-4567 now"),
+    (2L, "ssn 123-45-6789 on file, server at 10.0.254.3 port 443"),
+    (3L, "phones: (555) 123-4567 and +1 555-987-6543; also 555.111.2222"),
+    (4L, "clean document with no identifiers at all"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("scrubDocs redacts every planted identifier with exact counts; " +
+    "clean and empty docs pass through untouched") {
+    val out = PiiScrub.scrubDocs(docs, "text")
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        "n_pii")
+      .as[(Long, String, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(out(0) == ((1L,
+      "contact [EMAIL] or call [PHONE] now", 1, 0, 1, 0, 2)))
+    assert(out(1) == ((2L,
+      "ssn [SSN] on file, server at [IP] port 443", 0, 1, 0, 1, 2)))
+    assert(out(2) == ((3L,
+      "phones: [PHONE] and [PHONE]; also [PHONE]", 0, 0, 3, 0, 3)))
+    assert(out(3) == ((4L,
+      "clean document with no identifiers at all", 0, 0, 0, 0, 0)))
+    assert(out(4) == ((5L, "", 0, 0, 0, 0, 0)))
+  }
+
+  test("scrub is idempotent and order-safe: an SSN is never half-eaten " +
+    "as a phone, a digit run never matches mid-number") {
+    val once = PiiScrub.scrubDocs(docs, "text").select("doc_id", "text")
+    val twice = PiiScrub.scrubDocs(once, "text").select("doc_id", "text")
+    assert(once.orderBy("doc_id").collect().toSeq ==
+      twice.orderBy("doc_id").collect().toSeq)
+    // 3-2-4 digits is an SSN, not a phone prefix; 11 digits with no
+    // separators is neither
+    val tricky = Seq((1L, "id 999-88-7777 and raw 19991234567 stay"))
+      .toDF("doc_id", "text")
+    val row = PiiScrub.scrubDocs(tricky, "text")
+      .select("text", "n_ssn", "n_phone").collect()(0)
+    assert(row.getString(0) == "id [SSN] and raw 19991234567 stay")
+    assert(row.getInt(1) == 1 && row.getInt(2) == 0)
+  }
+
+  test("findings emits the audit manifest: one (doc, kind, value) row " +
+    "per occurrence, rows proportional to matches not documents") {
+    val got = PiiScrub.findings(docs, "doc_id", "text")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "email", "jane.doe+test@mail.example.org"),
+      (1L, "phone", "555-123-4567"),
+      (2L, "ssn", "123-45-6789"),
+      (2L, "ipv4", "10.0.254.3"),
+      (3L, "phone", "(555) 123-4567"),
+      // the matched span includes the +1 country prefix — the whole
+      // identifier is the finding (and the redacted region)
+      (3L, "phone", "+1 555-987-6543"),
+      (3L, "phone", "555.111.2222")))
+  }
+
+  test("plan is one codegen'd projection — no shuffle, no UDF") {
+    val plan = PiiScrub.scrubDocs(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan)
+  }
+}

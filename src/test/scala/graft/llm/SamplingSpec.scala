@@ -47,4 +47,25 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
+
+  test("commonWordRatio: exact per-doc fractions against the top-k " +
+    "vocabulary; empty docs rate 0; ratio pass is shuffle-free") {
+    // corpus counts: a=3 b=3 c=2 d=1 → top-2 vocab (freq desc, token
+    // asc tiebreak) = {a, b}
+    val df = Seq((1L, "b a a"), (2L, "c b a"), (3L, "d  c b"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextStats.commonWordRatio(df, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, 1.0),
+      (2L, 3L, 2L, 2.0 / 3.0),
+      (3L, 3L, 1L, 1.0 / 3.0),
+      (4L, 0L, 0L, 0.0)))
+    // pass 2 is a pure map over the scan: the per-doc ratio never
+    // shuffles exploded tokens (pass 1's vocabulary cut is a separate,
+    // already-collected job)
+    val plan = TextStats.commonWordRatio(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -96,6 +96,21 @@ class SessionizeSpec extends SparkSpec {
       ("3", 500000L, 500000L, 1L)), s"streamed=$streamed")
   }
 
+  test("batch plan shuffles exactly ONCE, on the user key (the window " +
+    "and the session aggregation share the partitioning)") {
+    // 100 TB contract: per-user window → per-(user, session) groupBy.
+    // HashPartitioning(user) satisfies the ClusteredDistribution of the
+    // (user, sid) aggregation (subset clustering), so Catalyst must not
+    // insert a second exchange — one shuffle for the whole operator.
+    val evs = Seq(Ev(1L, t(1000)), Ev(1L, t(30000)), Ev(2L, t(5000)))
+    val plan = Sessionize
+      .sessions(evs.toDF().repartition(4), "user_id", "ts", gap, "5 seconds")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?i)Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
   test("batch path is deterministic across partitionings and handles " +
     "an empty frame") {
     val evs = Seq(Ev(1L, t(1000)), Ev(1L, t(30000)), Ev(1L, t(200000)))

@@ -590,6 +590,22 @@ object SparkEntry {
       val total = PiiScrub.Detectors
         .map { case (k, _, _) => col(s"n_$k") }.reduce(_ + _)
       counts.withColumn("n_pii", total)
+    }),
+    // LLM §decontamination — token-window collision join (the GPT-3
+    // "13-gram dedup" shape, here 8-token windows on the synthetic
+    // corpus): contiguous-span contamination that whole-document
+    // Jaccard (q34) can miss. Same train/bench split as q34; join on
+    // 8-byte window hashes, exact string verify post-join, boilerplate
+    // windows (combined doc-freq > 1000) anti-joined out pre-join.
+    "q43_ngram_overlap" -> ((s, dir) => {
+      import graft.llm.Dedup
+      val docs = t(s, dir, "documents")
+      Dedup.ngramOverlapJoin(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", windowTokens = 8, minShared = 2)
+        .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+          col("n_shared"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1047,7 +1063,33 @@ object SparkEntry {
         |        ELSE p.n_common * 1.0 / p.n_tokens END AS common_ratio
         | FROM documents d LEFT JOIN per p USING (doc_id)"""
         .stripMargin.replace("\n", " "),
-    "q42_pii_audit" -> piiAuditOracleSql)
+    "q42_pii_audit" -> piiAuditOracleSql,
+    // same tokenizer (\s+, empties dropped), same per-doc-distinct
+    // windows, same combined-doc-freq cap — the oracle joins on the
+    // window STRING (DuckDB has no xxhash64; the Spark side's hash is
+    // only a shuffle key, string equality is verified post-join, so
+    // both engines count identical pairs)
+    "q43_ngram_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS toks
+        |  FROM documents),
+        | w AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(toks) - 8 + 1),
+        |    i -> array_to_string(toks[i:i+7], ' ')))) AS win
+        |  FROM d WHERE len(toks) >= 8),
+        | hot AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1000),
+        | wl AS (SELECT doc_id, win FROM w
+        |   WHERE doc_id % 5 <> 0 AND win NOT IN (SELECT win FROM hot)),
+        | wr AS (SELECT doc_id, win FROM w
+        |   WHERE doc_id % 5 = 0 AND win NOT IN (SELECT win FROM hot))
+        | SELECT wl.doc_id AS train_id, wr.doc_id AS bench_id,
+        |   count(*) AS n_shared
+        | FROM wl JOIN wr USING (win)
+        | GROUP BY 1, 2 HAVING count(*) >= 2"""
+        .stripMargin.replace("\n", " "))
 
   /** q42's oracle is BUILT from [[graft.llm.PiiScrub.Detectors]]: both
     * engines run byte-identical patterns (the detector regexes restrict

@@ -595,6 +595,74 @@ object Dedup {
     (out, () => { lIdx.unpersist(false); rIdx.unpersist(false); () })
   }
 
+  /** TOKEN-WINDOW collision decontamination join — the n-gram-overlap
+    * screen of the GPT-3 appendix (Brown et al. 2020, "13-gram
+    * dedup"): report every `(left, right)` document pair sharing at
+    * least `minShared` DISTINCT windows of `windowTokens` consecutive
+    * whitespace tokens. Complements [[jaccardJoinExact]]: Jaccard
+    * measures whole-document set overlap and misses a verbatim
+    * paragraph pasted into an otherwise-unrelated document; a token
+    * window catches exactly that contiguous-span contamination.
+    *
+    * Scale shape:
+    *   - each document explodes into its DISTINCT windows (≤ one per
+    *     token position — rows ∝ corpus tokens, the same bound as any
+    *     shingle pass), carrying an 8-byte `xxhash64` join key; the
+    *     join shuffles on the hash, and candidate pairs exact-verify
+    *     window-string equality after it (a 64-bit collision costs a
+    *     discarded candidate, never a wrong count).
+    *   - boilerplate guard: windows whose COMBINED document frequency
+    *     (both corpora) exceeds `commonWindowDocFreqCap` are dropped
+    *     from matching by per-side anti-joins BEFORE the cross join —
+    *     a license header in D_l train and D_r benchmark docs would
+    *     otherwise enumerate D_l·D_r pairs inside one join key. This
+    *     mirrors the standard practice of ignoring ubiquitous n-grams
+    *     in decontamination runs; the cap is on the join's INPUT, so
+    *     reported `n_shared` counts are exact over the kept windows.
+    *   - within-corpus pairs are never enumerated (left×right only —
+    *     the dominant saving when train ≫ benchmark).
+    *
+    * Output: (id_a from `left`, id_b from `right`, n_shared) with
+    * `n_shared` = distinct shared windows surviving the cap. */
+  def ngramOverlapJoin(left: DataFrame, right: DataFrame,
+                       idCol: String, textCol: String,
+                       windowTokens: Int = 13,
+                       minShared: Int = 1,
+                       commonWindowDocFreqCap: Int = 1000): DataFrame = {
+    require(windowTokens >= 1,
+      s"windowTokens must be >= 1, got $windowTokens")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(commonWindowDocFreqCap >= 1,
+      s"commonWindowDocFreqCap must be >= 1, got $commonWindowDocFreqCap")
+    def windows(df: DataFrame, idAs: String, winAs: String): DataFrame = {
+      val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+      df.select(col(idCol).as(idAs), toks.as("_t"))
+        .filter(size(col("_t")) >= windowTokens)
+        .select(col(idAs),
+          explode(array_distinct(transform(
+            sequence(lit(0), size(col("_t")) - windowTokens),
+            i => concat_ws(" ",
+              slice(col("_t"), i + 1, lit(windowTokens))))))
+            .as(winAs))
+        .withColumn("_h", xxhash64(col(winAs)))
+    }
+    val wl = windows(left, "id_a", "_win_a")
+    val wr = windows(right, "id_b", "_win_b")
+    // combined doc-frequency census on the hash only (windows are
+    // distinct per doc, so count(*) == doc frequency); kept as a frame
+    // and anti-joined — no driver-side collect, no size assumption
+    val hot = wl.select(col("_h")).unionAll(wr.select(col("_h")))
+      .groupBy("_h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > commonWindowDocFreqCap)
+      .select("_h")
+    wl.join(hot, Seq("_h"), "left_anti")
+      .join(wr.join(hot, Seq("_h"), "left_anti"), "_h")
+      .filter(col("_win_a") === col("_win_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Sampled document-frequency census over 64-bit shingle hashes —
     * seeds [[jaccardPairsExact]]'s prefix order and salt sizing.
     * Returns scaled df estimates for the top `commonShingleCap` hashes.

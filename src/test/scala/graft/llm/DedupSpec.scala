@@ -426,6 +426,64 @@ class DedupSpec extends SparkSpec {
     assert(got == exact, s"lsh=$got exact=$exact")
   }
 
+  test("ngramOverlapJoin: a verbatim span pasted into an unrelated doc " +
+    "is caught with the exact shared-window count; brute-force equal") {
+    // 12-token span shared verbatim → with k=4 that's 9 windows; the
+    // surrounding text differs completely (whole-doc Jaccard is low —
+    // the case q34-style screening misses at high thresholds)
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu"
+    val bench = Seq(
+      (10L, s"benchmark question preamble $span and the answer choices"),
+      (11L, "a completely unrelated benchmark prompt with other words"))
+      .toDF("id", "text")
+    val train = Seq(
+      (1L, s"training page header $span trailing boilerplate text"),
+      (2L, "ordinary training document body with its own words"),
+      (3L, s"another page quoting $span here"))
+      .toDF("id", "text")
+    val out = Dedup.ngramOverlapJoin(train, bench, "id", "text",
+      windowTokens = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L, 9L), (3L, 10L, 9L)), s"got=$out")
+
+    // brute-force differential: local window sets, same semantics
+    def wins(t: String) = t.split("\\s+").filter(_.nonEmpty)
+      .sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    val benchLocal = Seq(
+      10L -> s"benchmark question preamble $span and the answer choices",
+      11L -> "a completely unrelated benchmark prompt with other words")
+    val trainLocal = Seq(
+      1L -> s"training page header $span trailing boilerplate text",
+      2L -> "ordinary training document body with its own words",
+      3L -> s"another page quoting $span here")
+    val brute = (for {
+      (ta, txa) <- trainLocal
+      (tb, txb) <- benchLocal
+      n = (wins(txa) intersect wins(txb)).size
+      if n >= 2
+    } yield (ta, tb, n.toLong)).toSet
+    assert(out == brute, s"spark=$out brute=$brute")
+  }
+
+  test("ngramOverlapJoin boilerplate cap: a window above the combined " +
+    "doc-frequency cap is excluded from matching on BOTH sides") {
+    // the same 4-token window in every doc: combined df = 6 > cap 5 →
+    // no pair may be reported on its account
+    val boiler = "standard license header text"
+    val bench = (10L to 12L).map(i => (i, s"$boiler benchmark body $i"))
+      .toDF("id", "text")
+    val train = (1L to 3L).map(i => (i, s"$boiler training body $i"))
+      .toDF("id", "text")
+    val capped = Dedup.ngramOverlapJoin(train, bench, "id", "text",
+      windowTokens = 4, minShared = 1, commonWindowDocFreqCap = 5)
+    assert(capped.count() == 0, "capped boilerplate window still paired")
+    // with the cap relaxed the identical window links every cross pair
+    val uncapped = Dedup.ngramOverlapJoin(train, bench, "id", "text",
+      windowTokens = 4, minShared = 1, commonWindowDocFreqCap = 1000)
+    assert(uncapped.count() == 9, "3x3 cross pairs expected uncapped")
+  }
+
   test("simhashNearJoin: cross-corpus fingerprint screen — small-edit " +
     "contaminant found, identical doc at distance 0, within-side " +
     "pairs excluded") {

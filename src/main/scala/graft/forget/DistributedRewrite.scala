@@ -353,6 +353,34 @@ object DistributedRewrite {
   // The one-job driver entry
   // ------------------------------------------------------------------
 
+  /** Task-side per-object rewrite strategy: how ONE object's records
+    * are turned into its staged replacement. The surrounding machinery
+    * — staging paths, CSE envelope, versioned commit, idempotency
+    * markers, marker sweep, events — is identical for every strategy;
+    * [[run]] (row deletion) and a text-redaction rewrite
+    * ([[graft.llm.PiiForget]]) differ ONLY here. Implementations must
+    * be Serializable (they ship to executors). Returns
+    * (rowsProcessed, rowsChanged); `rowsChanged == 0` on a Found object
+    * is the Find/rewrite-inconsistency hard error (reference
+    * main.py:182-187), worded by [[zeroChangeMessage]]. */
+  private[graft] trait TaskRewrite extends Serializable {
+    def parquet(conf: Configuration, src: HPath, staged: HPath): (Long, Long)
+    def json(conf: Configuration, src: HPath, staged: HPath): (Long, Long)
+    def zeroChangeMessage(path: String): String
+  }
+
+  /** The deletion strategy behind [[run]]. */
+  private final class DeleteRewrite(pqSpecs: Seq[TaskGroupSpec],
+                                    jsonEval: JsonMatch.Evaluator)
+      extends TaskRewrite {
+    def parquet(conf: Configuration, src: HPath, staged: HPath): (Long, Long) =
+      rewriteParquetTaskTo(conf, src, staged, pqSpecs)
+    def json(conf: Configuration, src: HPath, staged: HPath): (Long, Long) =
+      rewriteJsonTaskTo(conf, src, staged, jsonEval)
+    def zeroChangeMessage(path: String): String =
+      s"$path was found by Find but Forget deleted 0 rows"
+  }
+
   /** Rewrite every work unit in ONE Spark job (one task per file).
     * Returns the job events (sorted by sk); live progress is visible on
     * the two accumulators (`graft.forget.rowsProcessed|rowsDeleted`).
@@ -361,9 +389,20 @@ object DistributedRewrite {
           groups: Seq[GroupMatches],
           outPathFor: String => Option[String] = _ => None,
           codec: PayloadCodec = PayloadCodec.Identity): Seq[JobEvent] = {
-    if (units.isEmpty) return Nil
     val pqSpecs = buildSpecs(spark, groups) // driver-side cast validation
     val jsonEval = new JsonMatch.Evaluator(groups.map(JsonMatch.spec))
+    runWith(spark, jobId, units, new DeleteRewrite(pqSpecs, jsonEval),
+      outPathFor, codec)
+  }
+
+  /** Generic job body shared by every [[TaskRewrite]] strategy. */
+  private[graft] def runWith(spark: SparkSession, jobId: String,
+                             units: Seq[ObjectWorkUnit],
+                             rewrite: TaskRewrite,
+                             outPathFor: String => Option[String] = _ => None,
+                             codec: PayloadCodec = PayloadCodec.Identity)
+      : Seq[JobEvent] = {
+    if (units.isEmpty) return Nil
     val accProcessed = spark.sparkContext.longAccumulator("graft.forget.rowsProcessed")
     val accDeleted = spark.sparkContext.longAccumulator("graft.forget.rowsDeleted")
 
@@ -425,9 +464,9 @@ object DistributedRewrite {
               plainLocal.map(f => new HPath(f.toURI)).getOrElse(src)
             val (processed, deleted) = u.format match {
               case DataFormat.Parquet =>
-                rewriteParquetTaskTo(conf, plainSrc, staged, pqSpecs)
+                rewrite.parquet(conf, plainSrc, staged)
               case DataFormat.JsonLines =>
-                rewriteJsonTaskTo(conf, plainSrc, staged, jsonEval)
+                rewrite.json(conf, plainSrc, staged)
             }
             if (!(codec eq PayloadCodec.Identity)) {
               val sfs = staged.getFileSystem(conf)
@@ -442,8 +481,7 @@ object DistributedRewrite {
             }
             if (deleted == 0L) {
               fs.delete(staged, false)
-              throw new ZeroDeletionError(
-                s"${u.path} was found by Find but Forget deleted 0 rows")
+              throw new ZeroDeletionError(rewrite.zeroChangeMessage(u.path))
             }
             commitTask(conf, src, dest, staged, srcLen, srcMtime,
               u.deleteOldVersions)

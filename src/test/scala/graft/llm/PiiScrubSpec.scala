@@ -65,6 +65,28 @@ class PiiScrubSpec extends SparkSpec {
       (3L, "phone", "555.111.2222")))
   }
 
+  test("scrubDocs is a stateless projection: it runs unchanged on a " +
+    "STREAMING frame (per-record redaction at ingest, no state store)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(Long, String)]
+    val query = PiiScrub
+      .scrubDocs(stream.toDF().toDF("doc_id", "text"), "text")
+      .select("doc_id", "text", "n_pii")
+      .writeStream.format("memory").queryName("pii_stream_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "mail me: a@b.example.com"), (2L, "clean"))
+      query.processAllAvailable()
+      stream.addData((3L, "ssn 123-45-6789"))
+      query.processAllAvailable()
+      val out = spark.table("pii_stream_out")
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      assert(out == Seq((1L, "mail me: [EMAIL]", 1), (2L, "clean", 0),
+        (3L, "ssn [SSN]", 1)))
+    } finally query.stop()
+  }
+
   test("plan is one codegen'd projection — no shuffle, no UDF") {
     val plan = PiiScrub.scrubDocs(docs, "text")
       .queryExecution.executedPlan.toString

@@ -166,6 +166,38 @@ object E2EDemo {
         s"docs 80 -> $survivors after dedup-forget (want 50)")
     }
 
+    // PROBE 4: PII-driven forget — find the objects whose text holds
+    // PII, redact IN PLACE through the same distributed rewrite job
+    // (rows survive, clean objects untouched)
+    locally {
+      import spark.implicits._
+      val piiDir = s"$lake/piidocs"
+      ((0 until 12).map(i =>
+          (i.toLong, s"plain corpus text body number $i " * 4)) ++
+        Seq((100L, "contact agent@corp.example.net or 555-123-4567 now"),
+            (101L, "ssn on file: 123-45-6789 from host 10.0.0.9")))
+        .toDF("doc_id", "text")
+        .repartition(4).write.mode(SaveMode.Overwrite).parquet(piiDir)
+      val before = spark.read.parquet(piiDir).count()
+      val found = graft.llm.PiiForget.findObjects(
+        spark.read.parquet(piiDir), "text")
+      val pEvents = graft.llm.PiiForget.scrubObjects(spark, "pii-e2e",
+        found.map(p => ObjectWorkUnit("pii-e2e", p, "pii",
+          DataFormat.Parquet, false)),
+        Seq("text"))
+      check(pEvents.nonEmpty &&
+        pEvents.forall(_.eventName == JobEventName.ObjectUpdated),
+        s"pii scrub updated ${pEvents.size} objects cleanly")
+      check(pEvents.map(_.statsDeleted).sum == 2,
+        s"pii scrub redacted ${pEvents.map(_.statsDeleted).sum} rows (want 2)")
+      val after = spark.read.parquet(piiDir)
+      check(after.count() == before,
+        "pii scrub preserves every row (scrub, not delete)")
+      val residual = after.filter(
+        graft.llm.PiiForget.anyPii(col("text"))).count()
+      check(residual == 0, s"no residual PII rows (got $residual)")
+    }
+
     // PROBE 2: uncastable match id ⇒ planning-time MatchIdCastingError
     val probe2 = try {
       val badGroups = Finder.plan(

@@ -292,6 +292,58 @@ object Bench {
       ok("forget_rewrite_10240obj") = okAll
     }
 
+    // facet (c): PII scrub throughput — the redaction counterpart of
+    // facet (b), through the same distributed rewrite machinery. The
+    // documents corpus is staged as 64 objects with identifiers
+    // planted on ~10% of rows (the corpus itself is PII-free); the
+    // scrub is NOT idempotent as a benchmark (a second pass over
+    // redacted text is a zero-change hard error by design), so every
+    // run — warm-up included — takes a fresh staged copy, and work
+    // units come from the Find pass exactly like facet (b).
+    var (piiSec, piiObjects, piiRows, piiRedacted) = (0.0, 0, 0L, 0L)
+    if (wanted("pii_scrub_64obj")) {
+      import graft.llm.PiiForget
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val master = s"$stage/pii-master"
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"),
+              lit(" contact agent@corp.example.net or 555-123-4567")))
+            .otherwise(col("text")))
+        .repartition(64).write.mode(SaveMode.Overwrite).parquet(master)
+      val matched = PiiForget
+        .findObjects(spark.read.parquet(master), "text")
+        .map(p => new java.io.File(p).getName).toSet
+      piiObjects = matched.size
+      var allOk = true
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (run <- 0 to 3) {
+        val dir = s"$stage/pii-run-$run/documents"
+        copyDir(master, dir)
+        val units = listParquet(dir)
+          .filter(p => matched(new java.io.File(p).getName))
+          .map(f => ObjectWorkUnit(s"pii-bench-$run", f, "docs",
+            DataFormat.Parquet, true))
+        val t0 = System.nanoTime()
+        val events = graft.llm.PiiForget.scrubObjects(spark,
+          s"pii-bench-$run", units, Seq("text"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val updated = events.count(_.eventName == JobEventName.ObjectUpdated)
+        if (updated != units.size) {
+          allOk = false
+          errors += s"pii_scrub_64obj(run $run): " +
+            s"only $updated/${units.size} objects updated"
+        }
+        if (run > 0) samples += sec // run 0 is the untimed warm-up
+        piiRows = events.map(_.statsProcessed).sum
+        piiRedacted = events.map(_.statsDeleted).sum
+      }
+      piiSec = samples.sorted.apply(samples.size / 2)
+      times("pii_scrub_64obj") = piiSec
+      ok("pii_scrub_64obj") = allOk
+    }
+
     def jd(d: Double): String = f"$d%.4f"
     // throughputs derive from the MEDIAN time (the published number) and
     // the per-run-identical row/object counts; 0 when a facet was
@@ -318,6 +370,9 @@ object Bench {
       s""""forget_1024_rows_per_sec":${jd(rate(rows1024.toDouble, forget1024Sec))},""" +
       s""""forget_10240_objects_per_min":${jd(rate(forget10240Objects * 60.0, forget10240Sec))},""" +
       s""""forget_10240_rows_per_sec":${jd(rate(rows10240.toDouble, forget10240Sec))},""" +
+      s""""pii_scrub_objects_per_min":${jd(rate(piiObjects * 60.0, piiSec))},""" +
+      s""""pii_scrub_rows_per_sec":${jd(rate(piiRows.toDouble, piiSec))},""" +
+      s""""pii_scrub_rows_redacted":$piiRedacted,""" +
       s""""sf":"$sfDir"}"""
     println(line)
     // also persist to a file: the driver captures a tail of stdout, and

@@ -591,6 +591,16 @@ object SparkEntry {
         .map { case (k, _, _) => col(s"n_$k") }.reduce(_ + _)
       counts.withColumn("n_pii", total)
     }),
+    // LLM §quality — intra-doc repetition (the Gopher duplicate/top
+    // n-gram fraction filters): per doc over its bigram windows,
+    // repeated-phrasing and single-phrase-dominance fractions. Two
+    // hash aggregations (map-side partial counts), fractions divide
+    // exactly-agreed ints.
+    "q44_repetition" -> ((s, dir) => {
+      import graft.llm.TextStats
+      TextStats.repetitionStats(t(s, dir, "documents"),
+        "doc_id", "text", n = 2)
+    }),
     // LLM §decontamination — token-window collision join (the GPT-3
     // "13-gram dedup" shape, here 8-token windows on the synthetic
     // corpus): contiguous-span contamination that whole-document
@@ -1064,6 +1074,33 @@ object SparkEntry {
         | FROM documents d LEFT JOIN per p USING (doc_id)"""
         .stripMargin.replace("\n", " "),
     "q42_pii_audit" -> piiAuditOracleSql,
+    // fractions divide exactly-agreed integers — bit-identical IEEE
+    // division on both engines, no epsilon
+    "q44_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS toks
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM d WHERE len(toks) >= 2),
+        | per AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        | st AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    count(*) AS n_distinct, max(c) AS top_c
+        |  FROM per GROUP BY 1)
+        | SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |   coalesce(n_distinct, 0) AS n_distinct,
+        |   CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+        |     ELSE (n_grams - n_distinct) * 1.0 / n_grams END AS dup_frac,
+        |   CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+        |     ELSE top_c * 1.0 / n_grams END AS top_frac
+        | FROM d LEFT JOIN st USING (doc_id)"""
+        .stripMargin.replace("\n", " "),
     // same tokenizer (\s+, empties dropped), same per-doc-distinct
     // windows, same combined-doc-freq cap — the oracle joins on the
     // window STRING (DuckDB has no xxhash64; the Spark side's hash is

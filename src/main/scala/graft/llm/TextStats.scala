@@ -98,6 +98,52 @@ object TextStats {
       .limit(k)
   }
 
+  /** Intra-document repetition stats — the Gopher repetition filters
+    * (Rae et al. 2021 §A1.1: "duplicate n-gram fraction" and "top
+    * n-gram fraction"): per document over its n-token windows,
+    *
+    *   - `dup_frac`  = (occurrences − distinct) / occurrences — how
+    *     much of the document is repeated phrasing;
+    *   - `top_frac`  = most-frequent window's occurrences / occurrences
+    *     — how much one phrase dominates (boilerplate/spam skews high).
+    *
+    * Scale shape: the per-doc window MODE needs a frequency table, so
+    * the windows explode and aggregate twice — (id, gram) with map-side
+    * partial counts, then per-id fold. Both stages hash-partition; rows
+    * ∝ corpus tokens, never pairs. The fractions divide exactly-agreed
+    * ints (0.0 for docs shorter than one window) — bit-identical across
+    * engines.
+    *
+    * Output: (<idCol>, n_grams, n_distinct, dup_frac, top_frac). */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val grams = df.select(col(idCol), toks.as("_t"))
+      .filter(size(col("_t")) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("_t")) - n),
+          i => concat_ws(" ", slice(col("_t"), i + 1, lit(n)))))
+          .as("_g"))
+    val st = grams
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("_c")).as("_top"))
+    df.select(col(idCol)).join(st, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise((col("n_grams") - col("n_distinct")).cast("double") /
+            col("n_grams").cast("double")).as("dup_frac"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("_top").cast("double") /
+            col("n_grams").cast("double")).as("top_frac"))
+  }
+
   /** Common-word ratio — the classic cheap quality/filter signal (a
     * Gopher-style repetitiousness proxy): per document, the fraction of
     * its whitespace tokens that belong to the corpus's top-`k`

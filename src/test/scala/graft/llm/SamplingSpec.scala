@@ -48,6 +48,23 @@ class SamplingSpec extends SparkSpec {
     assert(got == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("repetitionStats: exact duplicate/top bigram fractions; short " +
+    "and empty docs rate 0") {
+    val df = Seq(
+      (1L, "a b a b a"), // bigrams a-b,b-a,a-b,b-a: 4 total, 2 distinct
+      (2L, "x y z"),     // 2 distinct bigrams, no repeats
+      (3L, "w"),         // shorter than one window
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 2L, 0.5, 0.5),
+      (2L, 2L, 2L, 0.0, 0.5),
+      (3L, 0L, 0L, 0.0, 0.0),
+      (4L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("commonWordRatio: exact per-doc fractions against the top-k " +
     "vocabulary; empty docs rate 0; ratio pass is shuffle-free") {
     // corpus counts: a=3 b=3 c=2 d=1 → top-2 vocab (freq desc, token

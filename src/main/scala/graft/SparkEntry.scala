@@ -591,6 +591,20 @@ object SparkEntry {
         .map { case (k, _, _) => col(s"n_$k") }.reduce(_ + _)
       counts.withColumn("n_pii", total)
     }),
+    // LLM §embeddings — symmetric int8 scalar quantization (the 4×
+    // vector-store compression): per vec, scale = max|x|/127 and
+    // q = clamp(floor(x/scale + 0.5)) — floor-form so both engines'
+    // ints agree bit-exactly (round()'s tie behavior is
+    // engine-specific). Summarized as integer aggregates (+ the scale)
+    // so the oracle compares exactly.
+    "q45_quantize" -> ((s, dir) => {
+      import graft.llm.Similarity
+      Similarity.quantizeInt8(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          size(filter(col("q"), x => abs(x) === 127)).as("n_sat"))
+    }),
     // LLM §quality — intra-doc repetition (the Gopher duplicate/top
     // n-gram fraction filters): per doc over its bigram windows,
     // repeated-phrasing and single-phrase-dominance fractions. Two
@@ -1074,6 +1088,31 @@ object SparkEntry {
         | FROM documents d LEFT JOIN per p USING (doc_id)"""
         .stripMargin.replace("\n", " "),
     "q42_pii_audit" -> piiAuditOracleSql,
+    // floor(x/scale + 0.5) quantization replayed verbatim: every op
+    // (float→double cast, abs, max, /, floor, clamp) is the same IEEE
+    // operation on both engines, so the int aggregates match exactly
+    // and `scale` matches to the comparator's 6dp float rounding
+    "q45_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        |  FROM embeddings),
+        | s AS (
+        |  SELECT vec_id, xs,
+        |    list_max(list_transform(xs, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        | q AS (
+        |  SELECT vec_id, coalesce(scale, 0.0) AS scale,
+        |    CASE WHEN scale IS NULL OR scale = 0
+        |      THEN list_transform(xs, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(xs, x -> CAST(least(greatest(
+        |        floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT))
+        |    END AS qs
+        |  FROM s)
+        | SELECT vec_id, scale,
+        |   CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |   len(list_filter(qs, x -> abs(x) = 127)) AS n_sat
+        | FROM q""".stripMargin.replace("\n", " "),
     // fractions divide exactly-agreed integers — bit-identical IEEE
     // division on both engines, no epsilon
     "q44_repetition" ->

@@ -193,6 +193,32 @@ object Similarity {
       .withColumn("_sim", nativeCosine(data, col(vecCol), col("_q_vec")))
     rankTopK(scored, idCol, k)
   }
+
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4× storage/bandwidth reduction for vector stores and ANN
+    * shards: per vector, `scale = max|x| / 127` and
+    * `q_i = clamp(floor(x_i/scale + 0.5), -127, 127)` (dequantize as
+    * `q_i * scale`; max round-off is scale/2 per dimension, asserted in
+    * SimilaritySpec). The `floor(·+0.5)` form is deliberate: `round`'s
+    * tie behavior is engine-specific, `floor` is the same IEEE op
+    * everywhere, so the quantized ints agree bit-exactly with any SQL
+    * replica. A zero vector quantizes to zeros with scale 0. Pure
+    * map-side column arithmetic (`transform`/`array_max` builtins, no
+    * UDF), codegen'd in one projection over the scan.
+    *
+    * Output: (<idCol>, scale: double, q: array<bigint>). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xs = transform(col(vecCol), x => x.cast("double"))
+    val absmax = array_max(transform(xs, x => abs(x)))
+    def scale = absmax / lit(127.0)
+    val q = when(absmax.isNull || absmax === 0.0,
+        transform(xs, _ => lit(0L)))
+      .otherwise(transform(xs, x =>
+        least(greatest(floor(x / scale + lit(0.5)), lit(-127.0)),
+          lit(127.0)).cast("long")))
+    df.select(col(idCol),
+      coalesce(scale, lit(0.0)).as("scale"), q.as("q"))
+  }
 }
 
 /** Random-hyperplane (sign) LSH for cosine similarity.

@@ -165,4 +165,37 @@ class SimilaritySpec extends SparkSpec {
     val total = emb.count() * 3
     assert(nCand < total / 4, s"no pruning: $nCand of $total pairs")
   }
+
+  test("quantizeInt8: hand-checked codes, extremes hit ±127, zero " +
+    "vector quantizes to zeros, dequant error bounded by scale/2") {
+    // values chosen AWAY from half-integer ratios (a ratio like -63.5
+    // sits on the floor(·+0.5) boundary where float rounding error
+    // could flip the code): 2.54/scale = 127 exactly (it IS absmax),
+    // -1.0/0.02 ≈ -50, 0.02/0.02 ≈ 1
+    val d = Seq(
+      (1L, Seq(2.54f, -1.0f, 0f, 0.02f)), // scale = 2.54/127 = 0.02
+      (2L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .orderBy("vec_id").as[(Long, Double, Seq[Long])].collect().toSeq
+    val (_, s1, q1) = out(0)
+    assert(math.abs(s1 - 0.02) < 1e-7)
+    assert(q1 == Seq(127L, -50L, 0L, 1L), q1.mkString(","))
+    val (_, s2, q2) = out(1)
+    assert(s2 == 0.0 && q2.forall(_ == 0L))
+
+    // dequantization error bound on real embeddings: |x - q*scale| <=
+    // scale/2 + float-cast epsilon, per dimension
+    val checked = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .join(emb, "vec_id")
+      .select(col("vec_id"),
+        expr("""
+          aggregate(
+            zip_with(embedding, q, (x, qi) ->
+              abs(CAST(x AS DOUBLE) - qi * scale) - scale / 2 - 1e-9),
+            0.0D, (acc, v) -> greatest(acc, v))
+        """).as("worst"))
+      .agg(max(col("worst"))).as[Double].head()
+    assert(checked <= 0.0, s"dequant error exceeds scale/2 by $checked")
+  }
 }

@@ -591,6 +591,18 @@ object SparkEntry {
         .map { case (k, _, _) => col(s"n_$k") }.reduce(_ + _)
       counts.withColumn("n_pii", total)
     }),
+    // LLM §mixing — per-language data-mixing recipe via deterministic
+    // stratified sampling: keep all German, half the English, a quarter
+    // of French/Spanish, drop Chinese — the md5-prefix predicate is
+    // map-only, engine-portable, and stable across partitionings (the
+    // q32 machinery with a per-stratum cutoff).
+    "q46_mix_sample" -> ((s, dir) => {
+      import graft.llm.Sampling
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.0),
+        defaultFraction = 0.25)
+        .select(col("doc_id"), col("lang"))
+    }),
     // LLM §embeddings — symmetric int8 scalar quantization (the 4×
     // vector-store compression): per vec, scale = max|x|/127 and
     // q = clamp(floor(x/scale + 0.5)) — floor-form so both engines'
@@ -1088,6 +1100,15 @@ object SparkEntry {
         | FROM documents d LEFT JOIN per p USING (doc_id)"""
         .stripMargin.replace("\n", " "),
     "q42_pii_audit" -> piiAuditOracleSql,
+    // thresholds are round(fraction * 65536) as 5 hex digits (1.0 →
+    // '10000', hence the '0' prefix on the 4-digit md5 slice)
+    "q46_mix_sample" ->
+      """SELECT doc_id, lang FROM documents
+        | WHERE '0' || substr(md5(lang || '#' ||
+        |     CAST(doc_id AS VARCHAR)), 1, 4) <
+        |   CASE lang WHEN 'en' THEN '08000' WHEN 'de' THEN '10000'
+        |     WHEN 'zh' THEN '00000' ELSE '04000' END"""
+        .stripMargin.replace("\n", " "),
     // floor(x/scale + 0.5) quantization replayed verbatim: every op
     // (float→double cast, abs, max, /, floor, clamp) is the same IEEE
     // operation on both engines, so the int aggregates match exactly

@@ -591,6 +591,18 @@ object SparkEntry {
         .map { case (k, _, _) => col(s"n_$k") }.reduce(_ + _)
       counts.withColumn("n_pii", total)
     }),
+    // LLM §embeddings — ANN over the QUANTIZED shard (q45's output
+    // ranked without dequantizing): the per-vector scales cancel in
+    // the cosine, so scoring is exact integer dots/norms — the same
+    // broadcast + two-phase-rank plan as q22 with none of q22's
+    // float-summation sensitivity.
+    "q47_ann_int8" -> ((s, dir) => {
+      import graft.llm.Similarity
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+    }),
     // LLM §mixing — per-language data-mixing recipe via deterministic
     // stratified sampling: keep all German, half the English, a quarter
     // of French/Spanish, drop Chinese — the md5-prefix predicate is
@@ -1100,6 +1112,40 @@ object SparkEntry {
         | FROM documents d LEFT JOIN per p USING (doc_id)"""
         .stripMargin.replace("\n", " "),
     "q42_pii_audit" -> piiAuditOracleSql,
+    // quantized cosine = integer dots/norms (scales cancel): every
+    // number is an exactly-representable int before one double
+    // division — rank order agrees exactly, ties by vec_id
+    "q47_ann_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        |  FROM embeddings),
+        | s AS (
+        |  SELECT vec_id, xs,
+        |    list_max(list_transform(xs, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        | q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale IS NULL OR scale = 0
+        |      THEN list_transform(xs, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(xs, x -> CAST(least(greatest(
+        |        floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT))
+        |    END AS qs
+        |  FROM s),
+        | n AS (
+        |  SELECT vec_id, qs,
+        |    sqrt(CAST(list_sum(list_transform(qs, x -> x * x)) AS DOUBLE))
+        |      AS nrm
+        |  FROM q)
+        | SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |     CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |       ELSE CAST(list_dot_product(a.qs, b.qs) AS DOUBLE) /
+        |         (a.nrm * b.nrm) END DESC,
+        |     b.vec_id) AS rank
+        | FROM n a, n b
+        | WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+        | QUALIFY rank <= 10""".stripMargin.replace("\n", " "),
     // thresholds are round(fraction * 65536) as 5 hex digits (1.0 →
     // '10000', hence the '0' prefix on the 4-digit md5 slice)
     "q46_mix_sample" ->

@@ -194,6 +194,37 @@ object Similarity {
     rankTopK(scored, idCol, k)
   }
 
+  /** Exact cosine top-k over INT8-QUANTIZED vectors — the ranking a
+    * vector store runs over its compressed shard ([[quantizeInt8]]'s
+    * output) without dequantizing: the per-vector scales CANCEL in the
+    * cosine (sim = Σ q_a·q_b / (‖q_a‖·‖q_b‖)), so scoring is pure
+    * integer dot products and norms — exact, engine-portable arithmetic
+    * (the dots stay far under 2^53), with none of the float-summation
+    * order sensitivity of the full-precision path. Same plan shape as
+    * [[bruteForceTopK]]: broadcast query side, two-phase distributed
+    * rank, no data×data product. Output: (q_id, <idCol>, rank);
+    * self-pairs excluded, zero vectors score 0. */
+  def quantizedTopK(data: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qd = quantizeInt8(data, idCol, vecCol)
+      .select(col(idCol), col("q"))
+    val qq = broadcast(quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col("q").as("_qq")))
+    def inorm(c: Column): Column =
+      sqrt(aggregate(c, lit(0L), (a, x) => a + x * x).cast("double"))
+    val scored = qd.crossJoin(qq)
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("_dot",
+        aggregate(zip_with(col("q"), col("_qq"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x).cast("double"))
+      .withColumn("_na", inorm(col("q")))
+      .withColumn("_nb", inorm(col("_qq")))
+      .withColumn("_sim",
+        when(col("_na") === 0.0 || col("_nb") === 0.0, lit(0.0))
+          .otherwise(col("_dot") / (col("_na") * col("_nb"))))
+    rankTopK(scored, idCol, k)
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× storage/bandwidth reduction for vector stores and ANN
     * shards: per vector, `scale = max|x| / 127` and

@@ -166,6 +166,20 @@ class SimilaritySpec extends SparkSpec {
     assert(nCand < total / 4, s"no pruning: $nCand of $total pairs")
   }
 
+  test("quantizedTopK ranks by integer cosine over the quantized codes " +
+    "(scales cancel); hand-checked order, self-pair excluded") {
+    val d = Seq(
+      (0L, Seq(1f, 0f)),    // query
+      (1L, Seq(0.9f, 0.1f)), // nearest (cos ~ 0.994)
+      (2L, Seq(0f, 1f)),     // orthogonal (cos 0)
+      (3L, Seq(-1f, 0f)))    // opposite (cos -1)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizedTopK(d,
+      d.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 3)
+      .orderBy("rank").as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)), out)
+  }
+
   test("quantizeInt8: hand-checked codes, extremes hit ±127, zero " +
     "vector quantizes to zeros, dequant error bounded by scale/2") {
     // values chosen AWAY from half-integer ratios (a ratio like -63.5

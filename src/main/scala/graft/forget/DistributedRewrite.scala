@@ -384,7 +384,11 @@ object DistributedRewrite {
   /** Rewrite every work unit in ONE Spark job (one task per file).
     * Returns the job events (sorted by sk); live progress is visible on
     * the two accumulators (`graft.forget.rowsProcessed|rowsDeleted`).
-    */
+    * Match-group cast validation ([[buildSpecs]]) runs BEFORE the
+    * empty-units short-circuit — intentionally fail-fast: an
+    * uncastable match id is a configuration error worth surfacing
+    * even when the queue is empty (so `run(_, _, Nil, badGroups)`
+    * throws [[graft.model.MatchIdCastingError]], not Nil). */
   def run(spark: SparkSession, jobId: String, units: Seq[ObjectWorkUnit],
           groups: Seq[GroupMatches],
           outPathFor: String => Option[String] = _ => None,

@@ -355,35 +355,73 @@ object Multimodal {
     (acc / (img.getWidth.toDouble * img.getHeight) / 255.0).toFloat
   }
 
+  /** End index (exclusive) of the JPEG frame starting at `start`, or
+    * -1 if the frame is truncated/malformed. Walks marker SEGMENTS
+    * rather than scanning raw bytes for `FFD9`: byte-stuffing only
+    * protects entropy-coded data, so an APPn/COM payload (e.g. an
+    * EXIF thumbnail — itself a complete JPEG with its own EOI) would
+    * fool a raw scan into splitting the frame at the thumbnail's EOI.
+    * Header segments are skipped by their big-endian length fields;
+    * from SOS onward the scan looks for a bare `FFD9` (stuffed `FF00`
+    * and `FFD0`–`FFD7` restarts never match, and scanning THROUGH any
+    * inter-scan headers keeps progressive streams whole). */
+  private[llm] def jpegFrameEnd(payload: Array[Byte], start: Int): Int = {
+    val n = payload.length
+    if (start + 1 >= n || payload(start) != 0xff.toByte ||
+        payload(start + 1) != 0xd8.toByte) return -1
+    var p = start + 2
+    while (true) {
+      if (p >= n || payload(p) != 0xff.toByte) return -1 // malformed header
+      var m = p + 1 // skip fill bytes (padding 0xFF before a marker)
+      while (m < n && payload(m) == 0xff.toByte) m += 1
+      if (m >= n) return -1
+      (payload(m) & 0xff) match {
+        case 0xd9 => return m + 1 // EOI before any scan: degenerate frame
+        case 0x01 | 0xd8 => return -1 // TEM/SOI: not a header segment
+        case mk =>
+          if (m + 2 >= n) return -1
+          val len = ((payload(m + 1) & 0xff) << 8) | (payload(m + 2) & 0xff)
+          if (len < 2 || m + 1 + len > n) return -1
+          if (mk == 0xda) { // SOS: entropy data follows until bare FFD9
+            var q = m + 1 + len
+            while (q + 1 < n) {
+              if (payload(q) == 0xff.toByte && payload(q + 1) == 0xd9.toByte)
+                return q + 2
+              q += 1
+            }
+            return -1 // truncated mid-scan
+          }
+          p = m + 1 + len // APPn/COM/DQT/DHT/SOF/DRI…: skip by length
+      }
+    }
+    -1 // unreachable
+  }
+
   /** REAL motion-JPEG decode — the second compressed-video container a
     * codec-less JVM CAN read: a raw MJPEG stream is concatenated JPEG
-    * frames (each an SOI `FFD8` … EOI `FFD9` segment; inside valid
-    * entropy-coded data `FF` is byte-stuffed, so a bare `FFD9` only
-    * ever terminates a frame), each decoded with `javax.imageio`.
-    * Requires at least TWO frames — a single JPEG is an image and
-    * stays on the image path. Raw MJPEG carries no timing metadata, so
-    * fps is reported 0/1 and duration 0 (honest absence, not a guess);
-    * dimensions come from the first frame. Per-frame mean luma is
-    * computed like [[decodeY4m]]'s, so [[videoLumaFeatures]] applies
-    * unchanged. A stream truncated mid-frame keeps its complete
-    * frames. Inter-frame codecs (H.264/VP9/AV1…) remain the one stub
-    * path: those decoders genuinely are not in the JVM. */
+    * frames, each decoded with `javax.imageio`. Frame boundaries come
+    * from [[jpegFrameEnd]]'s marker-segment walk, so EXIF/APPn
+    * payloads carrying embedded thumbnails (their own `FFD9`) do not
+    * split a frame. Requires at least TWO frames — a single JPEG is
+    * an image and stays on the image path. Raw MJPEG carries no
+    * timing metadata, so fps is reported 0/1 and duration 0 (honest
+    * absence, not a guess); dimensions come from the first frame.
+    * Per-frame mean luma is computed like [[decodeY4m]]'s, so
+    * [[videoLumaFeatures]] applies unchanged. A stream truncated
+    * mid-frame (including one ending on a lone `0xFF`) keeps its
+    * complete frames. Inter-frame codecs (H.264/VP9/AV1…) remain the
+    * one stub path: those decoders genuinely are not in the JVM. */
   def decodeMjpeg(payload: Array[Byte]): Option[(VideoInfo, Array[Float])] = {
     if (payload == null || payload.length < 8) return None
     if (!(payload(0) == 0xff.toByte && payload(1) == 0xd8.toByte &&
           payload(2) == 0xff.toByte)) return None
-    // cheap multi-frame precheck: an EOI immediately followed by an
-    // SOI exists only in a concatenated stream — single JPEGs (the
-    // overwhelmingly common payload) exit here without any decode
-    var probe = 2
-    var boundary = -1
-    while (boundary < 0 && probe + 3 < payload.length) {
-      if (payload(probe) == 0xff.toByte && payload(probe + 1) == 0xd9.toByte &&
-          payload(probe + 2) == 0xff.toByte && payload(probe + 3) == 0xd8.toByte)
-        boundary = probe
-      probe += 1
-    }
-    if (boundary < 0) return None
+    // multi-frame precheck: a second SOI right after the first frame's
+    // true (segment-walked) end exists only in a concatenated stream —
+    // single JPEGs (the overwhelmingly common payload) exit here
+    val firstEnd = jpegFrameEnd(payload, 0)
+    if (firstEnd < 0 || firstEnd + 1 >= payload.length ||
+        !(payload(firstEnd) == 0xff.toByte &&
+          payload(firstEnd + 1) == 0xd8.toByte)) return None
     try {
       val luma = scala.collection.mutable.ArrayBuffer.empty[Float]
       var w = -1; var h = -1
@@ -394,23 +432,17 @@ object Multimodal {
               payload(pos + 2) == 0xff.toByte)) {
           ok = false // trailing garbage: keep complete frames
         } else {
-          var eoi = pos + 2
-          while (eoi + 1 < payload.length &&
-                 !(payload(eoi) == 0xff.toByte &&
-                   payload(eoi + 1) == 0xd9.toByte)) eoi += 1
-          if (eoi + 1 >= payload.length &&
-              !(payload(eoi) == 0xff.toByte &&
-                payload(eoi + 1) == 0xd9.toByte)) {
+          val end = jpegFrameEnd(payload, pos)
+          if (end < 0) {
             ok = false // truncated mid-frame
           } else {
             val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(
-                payload, pos, eoi + 2 - pos))
+              new java.io.ByteArrayInputStream(payload, pos, end - pos))
             if (img == null) ok = false
             else {
               if (w < 0) { w = img.getWidth; h = img.getHeight }
               luma += meanLuma(img)
-              pos = eoi + 2
+              pos = end
             }
           }
         }

@@ -81,14 +81,18 @@ object PiiForget {
       new ScrubRewrite(textPath), codec = codec)
   }
 
-  /** Find + Forget in one call for a single-directory table. */
+  /** Find + Forget in one call for a single-directory table. `textCol`
+    * takes the same dot-path semantics as [[findObjects]]'s
+    * `col(textCol)` resolution: "meta.text" names the `text` field
+    * inside the `meta` struct, so the task-side scrub path is the
+    * split segments, never the dotted string as one segment. */
   def scrubTable(spark: SparkSession, jobId: String, data: DataFrame,
                  textCol: String, format: DataFormat = DataFormat.Parquet)
       : Seq[JobEvent] = {
     val paths = findObjects(data, textCol)
     val units = paths.map(p =>
       ObjectWorkUnit(jobId, p, "pii", format, deleteOldVersions = false))
-    scrubObjects(spark, jobId, units, Seq(textCol))
+    scrubObjects(spark, jobId, units, textCol.split("\\.").toSeq)
   }
 
   // ------------------------------------------------------------------

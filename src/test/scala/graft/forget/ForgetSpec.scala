@@ -417,4 +417,20 @@ class ForgetSpec extends SparkSpec {
     assert(deleted == 1L)
     assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("run with EMPTY units still fail-fasts on an uncastable match " +
+    "group (documented contract: config errors surface before the " +
+    "empty-queue short-circuit)") {
+    val bad = Seq(Finder.GroupMatches(
+      Finder.ColumnGroup(Seq("k"), Seq(org.apache.spark.sql.types.LongType)),
+      Seq(("q1", Seq("not-a-number")))))
+    intercept[MatchIdCastingError] {
+      DistributedRewrite.run(spark, "j-empty", Nil, bad)
+    }
+    // and a castable group over an empty queue keeps the old Nil result
+    val good = Seq(Finder.GroupMatches(
+      Finder.ColumnGroup(Seq("k"), Seq(org.apache.spark.sql.types.LongType)),
+      Seq(("q1", Seq("42")))))
+    assert(DistributedRewrite.run(spark, "j-empty2", Nil, good) == Nil)
+  }
 }

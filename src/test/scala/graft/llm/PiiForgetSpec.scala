@@ -144,4 +144,27 @@ class PiiForgetSpec extends SparkSpec {
       java.util.regex.Pattern.compile(p).matcher(r._2).find()
     }), s"residual PII: $after")
   }
+
+  test("scrubTable takes a DOTTED nested column: the Find dot-path and " +
+    "the task-side scrub path resolve the same leaf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii-")
+    Seq((1L, "call 555-867-5309 today", 1.5), (2L, "clean", 2.5))
+      .toDF("id", "t", "score")
+      .select(col("id"), struct(col("t").as("text"),
+        col("score")).as("meta"))
+      .coalesce(1).write.parquet(s"$dir/nt")
+    val lake = spark.read.parquet(s"$dir/nt")
+    // before the split fix this was the zero-change hard error: Find
+    // matched via col("meta.text") but the scrub looked for a TOP-LEVEL
+    // column literally named "meta.text"
+    val events = PiiForget.scrubTable(spark, "pii-nt", lake, "meta.text")
+    assert(events.nonEmpty &&
+      events.forall(_.eventName == JobEventName.ObjectUpdated),
+      events.map(e => (e.eventName, e.error)).mkString(","))
+    val after = spark.read.parquet(s"$dir/nt")
+      .select(col("id"), col("meta.text"), col("meta.score"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(after == Seq((1L, "call [PHONE] today", 1.5),
+      (2L, "clean", 2.5)))
+  }
 }

@@ -328,6 +328,55 @@ class TextMultimodalSpec extends SparkSpec {
       feats(0).feature.mkString(","))
   }
 
+  test("MJPEG frame boundaries are segment-walked: EXIF thumbnails " +
+    "(embedded JPEGs with their own EOI) do not split frames, and a " +
+    "stream truncated on a lone 0xFF keeps its complete frames") {
+    def jpegFrame(gray: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    // splice an APP1 "Exif" segment (payload: a complete tiny JPEG —
+    // the thumbnail, carrying its own FFD9) right after the SOI
+    def withExifThumb(frame: Array[Byte], thumb: Array[Byte]): Array[Byte] = {
+      val body = "Exif  ".getBytes("ISO-8859-1") ++ thumb
+      val len = body.length + 2
+      val app1 = Array(0xff.toByte, 0xe1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ body
+      frame.take(2) ++ app1 ++ frame.drop(2)
+    }
+    val thumb = jpegFrame(90, 4, 4)
+    val f0 = withExifThumb(jpegFrame(30), thumb)
+    val f1 = withExifThumb(jpegFrame(200), thumb)
+    // the thumbnail EOI sits BEFORE the frame's real EOI: a raw FFD9
+    // byte scan would split here and fail ImageIO on the fragment
+    val stream = f0 ++ f1
+    val Some((info, luma)) = Multimodal.decodeMjpeg(stream)
+    assert(info.nFrames == 2 && info.width == 16 && info.height == 12,
+      s"EXIF thumbnail split a frame: $info")
+    assert(math.abs(luma(0) - 30f / 255) < 0.03 &&
+      math.abs(luma(1) - 200f / 255) < 0.03, luma.mkString(","))
+    // a single EXIF-bearing JPEG is still an image, not a 1-frame video
+    assert(Multimodal.decodeMjpeg(f0).isEmpty)
+    // truncation landing on a lone trailing 0xFF (partial frame
+    // SOI+APP0 prefix ending in FF): complete frames survive — the
+    // pre-fix boundary guard indexed past the end here (AIOOBE → None)
+    val partialEndingInFF = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xe0.toByte, 0xff.toByte)
+    val Some((tInfo, _)) = Multimodal.decodeMjpeg(stream ++ partialEndingInFF)
+    assert(tInfo.nFrames == 2, s"lost complete frames: $tInfo")
+    // jpegFrameEnd unit shape: walks to the true end on both frames
+    val e0 = Multimodal.jpegFrameEnd(stream, 0)
+    assert(e0 == f0.length)
+    assert(Multimodal.jpegFrameEnd(stream, e0) == stream.length)
+  }
+
   test("Y4M odd dimensions under subsampled colorspaces are rejected " +
     "(stub path), not silently mis-framed") {
     // C420 halves both dims per chroma plane: a W5/H4 (or W4/H5)

@@ -603,6 +603,26 @@ object SparkEntry {
         "vec_id", "embedding", k = 10)
         .select(col("q_id"), col("vec_id"), col("rank"))
     }),
+    // LLM §decontamination — the SimHash fingerprint screen, oracle-
+    // gated: same train/bench split as q34, pairs within Hamming<=3 of
+    // the 64-bit majority-vote fingerprint. The per-token hash is MD5
+    // precisely so the DuckDB oracle replays the ENTIRE pipeline
+    // (tokenize -> per-bit majority -> Hamming) in plain SQL from the
+    // same constants (Dedup.SimhashTokenRe, seed, nibble bit order) —
+    // the q42 parity-by-construction trick applied to a hash. The
+    // banding is the scale path (left×right buckets only); the oracle
+    // is the brute-force definition, so the gate also proves the
+    // pigeonhole banding loses no pair.
+    "q48_simhash_join" -> ((s, dir) => {
+      import graft.llm.Dedup
+      val docs = t(s, dir, "documents")
+      Dedup.simhashNearJoin(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", maxDistance = 3)
+        .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+          col("hamming"))
+    }),
     // LLM §mixing — per-language data-mixing recipe via deterministic
     // stratified sampling: keep all German, half the English, a quarter
     // of French/Spanish, drop Chinese — the md5-prefix predicate is
@@ -1146,6 +1166,7 @@ object SparkEntry {
         | FROM n a, n b
         | WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
         | QUALIFY rank <= 10""".stripMargin.replace("\n", " "),
+    "q48_simhash_join" -> simhashOracleSql,
     // thresholds are round(fraction * 65536) as 5 hex digits (1.0 →
     // '10000', hence the '0' prefix on the 4-digit md5 slice)
     "q46_mix_sample" ->
@@ -1248,6 +1269,46 @@ object SparkEntry {
     s"SELECT doc_id, ${graft.llm.PiiScrub.Detectors.map(_._1)
         .map(k => s"n_$k").mkString(", ")}, $total AS n_pii " +
       s"FROM (SELECT doc_id, $inner FROM documents)"
+  }
+
+  /** q48's oracle is the WHOLE SimHash pipeline in DuckDB SQL, built
+    * from the constants the Scala path uses ([[graft.llm.Dedup.SimhashTokenRe]]
+    * verbatim, the same `seed:token` MD5 preimage, the same hex-nibble
+    * bit order `(nibble(b/4) >> (b%4)) & 1`): tokenize, per-bit
+    * majority vote over token OCCURRENCES (duplicates counted, the
+    * FILTER keeps token-less docs at fingerprint 0 like the UDF),
+    * then brute-force Hamming over the train×bench cross — engine
+    * parity by construction, and exactness of the pigeonhole banding
+    * by comparison. */
+  private def simhashOracleSql: String = {
+    val re = graft.llm.Dedup.SimhashTokenRe
+    val seed = 42
+    // per-(token, bit) vote: +1 if bit b of the token's md5 is set
+    val vote = "CASE WHEN (((strpos('0123456789abcdef', " +
+      "substr(t.hx, CAST(b.b // 4 AS INT) + 1, 1)) - 1) " +
+      ">> (b.b % 4)) & 1) = 1 THEN 1 ELSE -1 END"
+    def side(name: String, pred: String) =
+      s"""${name}tk AS (SELECT doc_id, md5('$seed:' || tok) AS hx
+         |   FROM (SELECT doc_id, unnest(regexp_split_to_array(text,
+         |     '$re')) AS tok FROM documents WHERE $pred)
+         |   WHERE tok <> ''),
+         | ${name}b AS (SELECT d.doc_id, b.b AS b,
+         |     CASE WHEN COALESCE(SUM($vote)
+         |       FILTER (WHERE t.hx IS NOT NULL), 0) > 0
+         |     THEN 1 ELSE 0 END AS bit
+         |   FROM (SELECT doc_id FROM documents WHERE $pred) d
+         |   CROSS JOIN b LEFT JOIN ${name}tk t ON t.doc_id = d.doc_id
+         |   GROUP BY 1, 2)""".stripMargin
+    s"""WITH b AS (SELECT unnest(range(64)) AS b),
+       | ${side("l", "doc_id % 5 <> 0")},
+       | ${side("r", "doc_id % 5 = 0")}
+       | SELECT la.doc_id AS train_id, ra.doc_id AS bench_id,
+       |   CAST(SUM(CASE WHEN la.bit <> ra.bit THEN 1 ELSE 0 END) AS INT)
+       |     AS hamming
+       | FROM lb la JOIN rb ra ON la.b = ra.b
+       | GROUP BY 1, 2
+       | HAVING SUM(CASE WHEN la.bit <> ra.bit THEN 1 ELSE 0 END) <= 3"""
+      .stripMargin.replace("\n", " ")
   }
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark

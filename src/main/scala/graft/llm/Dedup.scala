@@ -830,19 +830,49 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over whitespace tokens. */
+  /** Token splitter shared VERBATIM between [[simhash64]]'s Java
+    * `String.split` and the q48 oracle's DuckDB `regexp_split_to_array`
+    * — spelled with escapes valid in both Java regex and RE2 (`\s`
+    * itself differs between the engines: Java's includes `\x0B`, RE2's
+    * does not). */
+  val SimhashTokenRe: String = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Lowercase MD5 hex of `seed:token` — the per-token hash behind
+    * [[simhash64]]. MD5 (not Murmur) deliberately: both engines of the
+    * correctness gate compute it bit-identically (`md5()` exists in
+    * DuckDB and every warehouse SQL), so the q48 oracle replays the
+    * WHOLE fingerprint in plain SQL — the q42 parity-by-construction
+    * trick applied to a hash instead of a regex. Uniformity is all
+    * SimHash needs from the hash; MD5's extra cost is irrelevant next
+    * to the banded join it feeds. */
+  private[llm] def tokenMd5Hex(seed: Int, tok: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest((seed + ":" + tok).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    digest.foreach { b => sb.append("0123456789abcdef".charAt((b >> 4) & 0xf))
+      .append("0123456789abcdef".charAt(b & 0xf)) }
+    sb.toString
+  }
+
+  /** 64-bit SimHash over whitespace tokens. Bit `b` of the fingerprint
+    * is the majority vote over token occurrences (duplicates counted)
+    * of bit `b` of the token's MD5, where bit `b` is read from hex
+    * char `b/4` as `(nibble >> (b%4)) & 1` — exactly the arithmetic
+    * the q48 oracle SQL spells out, so Spark and DuckDB fingerprints
+    * agree bit-for-bit. */
   def simhash64(seed: Int = 42)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
       val counts = new Array[Int](64)
-      text.split("\\s+").foreach { tok =>
+      text.split(SimhashTokenRe).foreach { tok =>
         if (tok.nonEmpty) {
-          val h1 = MurmurHash3.stringHash(tok, seed).toLong
-          val h2 = MurmurHash3.stringHash(tok, seed ^ 0x2545f491).toLong
-          val h = (h1 << 32) | (h2 & 0xffffffffL)
+          val hex = tokenMd5Hex(seed, tok)
           var b = 0
           while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            val nib = Character.digit(hex.charAt(b >> 2), 16)
+            if (((nib >> (b & 3)) & 1) == 1) counts(b) += 1
+            else counts(b) -= 1
             b += 1
           }
         }

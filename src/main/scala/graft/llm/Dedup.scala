@@ -754,7 +754,19 @@ object Dedup {
     *                write) but the run survives executor loss. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
                         maxIter: Int = 64,
-                        reliableCheckpoint: Boolean = false): DataFrame = {
+                        reliableCheckpoint: Boolean = false): DataFrame =
+    duplicateClustersWithRounds(pairs, aCol, bCol, maxIter,
+      reliableCheckpoint)._1
+
+  /** [[duplicateClusters]] plus the number of large-star/small-star
+    * rounds it took to converge (the loop is eager — each round ends in
+    * a driver-side signature — so the count is exact, not an estimate).
+    * O(log n) rounds is the scale guarantee; soak harnesses assert it
+    * stays flat as the corpus grows ([[graft.tools.DedupSoak]]). */
+  def duplicateClustersWithRounds(pairs: DataFrame, aCol: String,
+                                  bCol: String, maxIter: Int = 64,
+                                  reliableCheckpoint: Boolean = false)
+      : (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     if (reliableCheckpoint) require(
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
@@ -825,9 +837,9 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter rounds")
     // stars: every edge is (member, root); add the roots themselves
-    edges.select(col("src").as(aCol), col("dst").as("cluster_id"))
+    (edges.select(col("src").as(aCol), col("dst").as("cluster_id"))
       .union(edges.select(col("dst").as(aCol), col("dst").as("cluster_id")))
-      .distinct()
+      .distinct(), iter)
   }
 
   /** Token splitter shared VERBATIM between [[simhash64]]'s Java

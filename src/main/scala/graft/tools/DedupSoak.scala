@@ -1,0 +1,148 @@
+package graft.tools
+
+import graft.llm.Dedup
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-margin soak for the three heavy dedup shapes (q29 all-pairs
+  * Jaccard, q31 duplicate clusters, q34 cross-corpus decontamination)
+  * on a deliberately SKEWED synthetic corpus — the hot-shingle and
+  * convergence paths the 100 TB design leans on, exercised at growing
+  * scale so the growth curve (not a single point) is the evidence.
+  *
+  * The corpus plants exactly the two adversarial structures the
+  * operators guard against:
+  *
+  *   - a shared boilerplate prefix on 20% of docs — at 10× that is a
+  *     census-scale hot shingle set (tens of thousands of docs per
+  *     16-gram key), the shape that melts a naive shingle join; the
+  *     AllPairs prefix filter + census salting must keep candidate
+  *     counts bounded and output-invariant (no boilerplate pair
+  *     crosses the 0.8 threshold: ~65 shared windows of ~285).
+  *   - near-duplicate families of 3 (one base + two one-token edits)
+  *     every 50 docs, giving clusters whose COUNT grows linearly with
+  *     the corpus while each stays constant-size — duplicateClusters'
+  *     round count must stay flat (O(log n) bound, measured exactly
+  *     via [[Dedup.duplicateClustersWithRounds]]).
+  *
+  * Sub-quadratic growth criterion: all-pairs Jaccard over k× docs has
+  * k² naive pairs, so wall-time ratio t(k×)/t(1×) well under k² (and
+  * near k) demonstrates the candidate pruning holds; flat CC rounds
+  * demonstrate convergence does not degrade. Scales come from arg 1
+  * (comma-separated multipliers of the 5,000-doc sf0.1 documents
+  * shape, default "1,10"). Prints one JSON line per scale and a final
+  * `ratios` line. */
+object DedupSoak {
+
+  /** Deterministic skewed corpus: `n` docs of ~50 six-char tokens.
+    * Docs `f, f+1, f+2` for `f % 50 == 0` form a near-dup family
+    * (members differ from the base in the LAST token only); docs with
+    * `id % 5 == 3` carry the shared boilerplate prefix. Generation is
+    * per-partition deterministic (seeded by doc id) — no driver-side
+    * materialization, no global RNG. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val boiler = "standard corpus boilerplate header attached verbatim " +
+      "to one in five documents for the hot shingle census path"
+    spark.range(n).mapPartitions { ids =>
+      ids.map { boxed =>
+        val id: Long = boxed
+        val family = id - (id % 50) // base doc of the family, if any
+        val inFamily = (id % 50) < 3
+        val seedId = if (inFamily) family else id
+        val rnd = new java.util.Random(seedId * 0x9e3779b97f4a7c15L)
+        val toks = Array.fill(50) {
+          val w = new Array[Char](6)
+          var i = 0
+          while (i < 6) { w(i) = ('a' + rnd.nextInt(26)).toChar; i += 1 }
+          new String(w)
+        }
+        // family members perturb the final token (distinct per member)
+        if (inFamily && id != family) toks(49) = s"edit${id % 50}xx"
+        val body = toks.mkString(" ")
+        val text = if (id % 5 == 3) s"$boiler $body" else body
+        (id, text)
+      }
+    }.toDF("doc_id", "text")
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.getOrElse("1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val baseDocs = 5000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // warmup: codegen + noop sink
+    spark.range(1000000).selectExpr("sum(id)").write
+      .format("noop").mode(SaveMode.Overwrite).save()
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[Int, Map[String, Double]]
+    scales.foreach { k =>
+      val n = baseDocs * k
+      val docs = corpus(spark, n).persist()
+      docs.count() // materialize OUTSIDE the timed sections
+
+      val ((pairsDf, nPairs), tPairs) = timed {
+        val p = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+          shingleLen = 16, threshold = 0.8).persist()
+        (p, p.count())
+      }
+
+      val ((nClusters, rounds), tCc) = timed {
+        val (cc, r) = Dedup.duplicateClustersWithRounds(
+          pairsDf, "id_a", "id_b")
+        (cc.count(), r)
+      }
+
+      val (nCross, tCross) = timed {
+        Dedup.jaccardJoinExact(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", shingleLen = 16, threshold = 0.8).count()
+      }
+      pairsDf.unpersist()
+      docs.unpersist()
+      Dedup.releaseCaches()
+
+      results(k) = Map(
+        "docs" -> n.toDouble, "pairs_sec" -> tPairs,
+        "pairs_rows" -> nPairs.toDouble,
+        "cc_sec" -> tCc, "cc_rounds" -> rounds.toDouble,
+        "cc_clusters_rows" -> nClusters.toDouble,
+        "cross_sec" -> tCross, "cross_rows" -> nCross.toDouble)
+      println(s"""{"scale":$k,"docs":$n,""" +
+        s""""pairs_sec":${f"$tPairs%.2f"},"pairs_rows":$nPairs,""" +
+        s""""cc_sec":${f"$tCc%.2f"},"cc_rounds":$rounds,""" +
+        s""""cc_rows":$nClusters,""" +
+        s""""cross_sec":${f"$tCross%.2f"},"cross_rows":$nCross}""")
+    }
+
+    if (scales.size >= 2) {
+      val lo = results(scales.head); val hi = results(scales.last)
+      val kRatio = hi("docs") / lo("docs")
+      def ratio(m: String) = hi(m) / math.max(lo(m), 1e-9)
+      println(s"""{"metric":"soak_ratios","scale_ratio":$kRatio,""" +
+        s""""pairs_time_ratio":${f"${ratio("pairs_sec")}%.2f"},""" +
+        s""""cross_time_ratio":${f"${ratio("cross_sec")}%.2f"},""" +
+        s""""cc_time_ratio":${f"${ratio("cc_sec")}%.2f"},""" +
+        s""""cc_rounds_lo":${lo("cc_rounds").toInt},""" +
+        s""""cc_rounds_hi":${hi("cc_rounds").toInt},""" +
+        s""""subquadratic":${ratio("pairs_sec") < kRatio * kRatio &&
+          ratio("cross_sec") < kRatio * kRatio}}""")
+    }
+    spark.stop()
+  }
+}

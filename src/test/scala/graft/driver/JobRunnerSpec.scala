@@ -268,4 +268,102 @@ class JobRunnerSpec extends SparkSpec {
     assert(run.state.status == JobStatus.Completed)
     assert(run.state.stats.totalObjectUpdatedCount == 2)
   }
+
+  test("scenario-2 scale: ~1,024 mixed objects (flat + hive-partitioned " +
+    "parquet, JSON, gzip JSON) through ONE job — concurrent mappers, " +
+    "mixed simple+composite queue, folded stats equal per-object " +
+    "tallies exactly") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val dir = java.nio.file.Files.createTempDirectory("graft-s2-").toString
+    // 3,000 synthetic customers: unique id, 5 segments, 8 nations
+    val src = spark.range(3000).selectExpr(
+      "id AS c_id", "concat('S', id % 5) AS seg",
+      "CAST(id % 8 AS BIGINT) AS nation",
+      "concat('payload-', id) AS note")
+    src.repartition(640).write.parquet(s"$dir/flat")           // 640 objs
+    src.repartition(48).write.partitionBy("seg")
+      .parquet(s"$dir/part")                                   // 5*48=240
+    src.repartition(96).write.json(s"$dir/json")               //  96 objs
+    src.repartition(48).write
+      .option("compression", "gzip").json(s"$dir/json_gz")     //  48 objs
+    def objCount(sub: String, suffix: String): Long = {
+      val base = java.nio.file.Paths.get(s"$dir/$sub")
+      val s = java.nio.file.Files.walk(base)
+      try s.filter(p => p.toString.endsWith(suffix)).count()
+      finally s.close()
+    }
+    val staged = objCount("flat", ".parquet") +
+      objCount("part", ".parquet") + objCount("json", ".json") +
+      objCount("json_gz", ".json.gz")
+    assert(staged >= 1000 && staged <= 1100,
+      s"staged $staged objects, want ~1,024")
+
+    def table(name: String, sub: String, fmt: String): TableDef =
+      TableDef(name, s"$dir/$sub",
+        if (fmt == "parquet") DataFormat.Parquet else DataFormat.JsonLines,
+        (if (fmt == "parquet") spark.read.parquet(s"$dir/$sub")
+         else spark.read.json(s"$dir/$sub")).schema)
+    val tFlat = table("flat", "flat", "parquet")
+    val tPart = table("part", "part", "parquet")
+    val tJson = table("json", "json", "json")
+    val tGz = table("json_gz", "json_gz", "json")
+    val mappers = Seq(
+      DataMapper("m_flat", "flat", Seq("c_id", "nation", "seg")) -> tFlat,
+      DataMapper("m_part", "part", Seq("c_id")) -> tPart,
+      DataMapper("m_json", "json", Seq("c_id"),
+        format = DataFormat.JsonLines) -> tJson,
+      DataMapper("m_gz", "json_gz", Seq("c_id"),
+        format = DataFormat.JsonLines) -> tGz)
+    // mixed queue: 120 simple ids (unscoped: every mapper) + one
+    // composite (seg, nation) scoped to the flat table
+    val queue = (0 until 120).map(i =>
+        DeletionQueueItem(s"s$i", MatchId.Simple((i * 25).toString))) :+
+      DeletionQueueItem("c0", MatchId.Composite(
+        Map("seg" -> "S2", "nation" -> "3")), dataMappers = Seq("m_flat"))
+
+    // expected per-table row deltas + per-table matched OBJECT counts,
+    // computed BEFORE the rewrite from the same plan the job uses
+    val expect = mappers.map { case (m, t) =>
+      val groups = graft.find.Finder.plan(m, t, queue)
+      val data = JobRunner.readTable(spark, t)
+      val matched = graft.find.Finder.matchedRows(spark, data, groups)
+      val nRows = matched.count()
+      val nObjs = matched.select(input_file_name()).distinct().count()
+      (m.id, t, nRows, nObjs)
+    }
+    val beforeCounts = expect.map { case (_, t, _, _) =>
+      JobRunner.readTable(spark, t).count() }
+    assert(expect.map(_._3).sum > 200, "queue must hit a real spread")
+
+    val run = JobRunner.run(spark, "s2", mappers, queue)
+    assert(run.state.status == JobStatus.Completed, run.state.status)
+
+    // folded stats == per-object event tallies == pre-computed truth
+    val objEvents = run.events.filter(
+      _.eventName == JobEventName.ObjectUpdated)
+    assert(run.state.stats.totalObjectUpdatedCount == objEvents.size)
+    assert(run.state.stats.totalRowsDeletedCount ==
+      objEvents.map(_.statsDeleted).sum)
+    assert(run.state.stats.totalObjectUpdateFailedCount == 0)
+    assert(objEvents.size.toLong == expect.map(_._4).sum,
+      s"updated ${objEvents.size} objects, planned ${expect.map(_._4).sum}")
+    assert(run.state.stats.totalRowsDeletedCount == expect.map(_._3).sum)
+    // every mapper's Find ran and found objects (concurrent dispatch)
+    mappers.foreach { case (m, _) =>
+      assert(run.foundPaths.getOrElse(m.id, Nil).nonEmpty, m.id) }
+
+    // post-state: per-table deltas exact, zero surviving matches
+    expect.zip(beforeCounts).foreach {
+      case ((mid, t, nRows, _), before) =>
+        val after = JobRunner.readTable(spark, t)
+        assert(after.count() == before - nRows, s"$mid delta")
+    }
+    expect.foreach { case (mid, t, _, _) =>
+      val m = mappers.find(_._1.id == mid).get._1
+      val groups = graft.find.Finder.plan(m, t, queue)
+      assert(graft.find.Finder.matchedRows(spark,
+        JobRunner.readTable(spark, t), groups).count() == 0,
+        s"$mid survivors")
+    }
+  }
 }

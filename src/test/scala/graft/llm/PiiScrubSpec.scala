@@ -87,6 +87,41 @@ class PiiScrubSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("batch ≡ streaming differential: identical frames redact to " +
+    "identical FULL rows (text + every per-kind count) across " +
+    "micro-batch boundaries") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // one doc per detector kind, one multi-kind doc, one clean, one
+    // pathological overlap (digit run beside an SSN)
+    val frames = Seq(
+      Seq((1L, "reach ops@svc.example.org or cfo@hq.example.com"),
+        (2L, "ssn 987-65-4320 stored"), (3L, "dial (555) 234-5678 x9")),
+      Seq((4L, "host 192.168.7.250 then 10.1.2.3"),
+        (5L, "mixed: a@b.example.net, 555-111-2222, 172.16.0.9"),
+        (6L, "perfectly clean prose"),
+        (7L, "id 123-45-67890 is NOT an ssn; 123-45-6789 is")))
+    val batchOut = PiiScrub
+      .scrubDocs(frames.flatten.toDF("doc_id", "text"), "text")
+      .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val stream = MemoryStream[(Long, String)]
+    val query = PiiScrub
+      .scrubDocs(stream.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("pii_diff_out")
+      .outputMode("append").start()
+    try {
+      frames.foreach { f =>
+        stream.addData(f: _*) // one micro-batch per frame
+        query.processAllAvailable()
+      }
+      val streamOut = spark.table("pii_diff_out")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      assert(streamOut.toSeq == batchOut.toSeq,
+        s"stream:\n${streamOut.mkString("\n")}\nbatch:\n" +
+          batchOut.mkString("\n"))
+    } finally query.stop()
+  }
+
   test("plan is one codegen'd projection — no shuffle, no UDF") {
     val plan = PiiScrub.scrubDocs(docs, "text")
       .queryExecution.executedPlan.toString

@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print ONE machine-parsed JSON line; keep stdout clean of
+// harness framing around it: forked mains write to the real stdout (no
+// "[info] " prefix) and sbt's trailing "[success] Total time" banner is
+// off, so the JSON line is the LAST stdout line of `sbt runMain`.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by sbt's logger, lint can't see it
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

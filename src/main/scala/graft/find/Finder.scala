@@ -54,12 +54,38 @@ object Finder {
   val PathCol = "_file_path"
 
   /** Above this many match keys in a group, the predicate strategy yields
-    * to the broadcast semi-join strategy. */
-  val InSetMaxKeys = 100000
+    * to the broadcast semi-join strategy.
+    *
+    * Evidence, not folklore ([[graft.tools.FindStrategyBench]], sf0.1
+    * lineitem ~600k rows, local[32], median-of-3, both strategies
+    * returning identical row counts): predicate wins small queues
+    * (1k keys: 0.30 s vs 0.64 s — the semi-join pays a fixed broadcast
+    * + join-plan overhead), the curves cross at ≈20k keys (25k: 1.04
+    * vs 0.91), and the semi-join wins widening from there (100k: 3.09
+    * vs 1.76; 200k: 6.37 vs 2.84 — ≈2× and growing, the per-row
+    * literal-set evaluation loses to the broadcast hash join). The
+    * asymmetry is structural, so it survives scale-up: parquet only
+    * pushes an `In` down as OR-of-eq below
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (≈10 values),
+    * beyond which the scan-side filter degrades to the keys' min/max
+    * RANGE — a scattered 100k-key queue prunes nothing, erasing the
+    * predicate strategy's one advantage while its evaluation cost
+    * keeps climbing. 32768 sits above the measured crossover (small
+    * inversion there is within noise) and caps the wrong-side penalty
+    * at ~1.2×; re-derive on new hardware by running the bench. */
+  val InSetMaxKeys = 32768
 
   /** Composite groups with at most this many tuples use an OR-of-ANDs
     * native predicate (row-group-stats friendly); larger ones use a single
-    * token-joined string `InSet`. */
+    * token-joined string `InSet`. The cap is a CODEGEN guard more than a
+    * perf tunable: each tuple contributes an `(a = x AND b = y)` branch
+    * to one giant disjunction, and past a few hundred branches the
+    * generated evaluator risks the JVM's 64KB method limit /
+    * whole-stage-codegen fallback to interpreted mode — whereas the
+    * token-joined `InSet` stays O(1) per row regardless of tuple count.
+    * 256 keeps the OR form (and its row-group-stat pruning) for every
+    * realistic manual queue while routing bulk composite queues to the
+    * flat form the q02 gate covers. */
   val CompositeOrMaxTuples = 256
 
   /** A canonical column group: lexicographically sorted identifier

@@ -623,6 +623,14 @@ object SparkEntry {
         .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
           col("hamming"))
     }),
+    // LLM §text-analysis — the quality-filter DECISION stage
+    // (Gopher/C4 shape): keep/drop per doc with one auditable flag per
+    // rule, thresholds compared as integer cross-products (no float
+    // anywhere) — one codegen'd map-side projection.
+    "q49_quality_filter" -> ((s, dir) => {
+      import graft.llm.TextStats
+      TextStats.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
+    }),
     // LLM §mixing — per-language data-mixing recipe via deterministic
     // stratified sampling: keep all German, half the English, a quarter
     // of French/Spanish, drop Chinese — the md5-prefix predicate is
@@ -1167,6 +1175,26 @@ object SparkEntry {
         | WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
         | QUALIFY rank <= 10""".stripMargin.replace("\n", " "),
     "q48_simhash_join" -> simhashOracleSql,
+    // the q25 token-count fragments + integer cross-product thresholds:
+    // 30<=n<=400 tokens, distinct fraction >= 40%, stopword fraction
+    // >= 20 permille — all-int comparisons, flags as 0/1 ints
+    "q49_quality_filter" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    len(list_filter(string_split(text, ' '), t -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','on','for'], t)))
+        |      AS n_stop
+        |  FROM documents)
+        | SELECT doc_id, n_tokens, n_distinct, n_stop,
+        |  CAST(n_tokens >= 30 AND n_tokens <= 400 AS INT) AS ok_length,
+        |  CAST(n_distinct * 100 >= n_tokens * 40 AS INT) AS ok_distinct,
+        |  CAST(n_stop * 1000 >= n_tokens * 20 AS INT) AS ok_stopwords,
+        |  CAST((n_tokens >= 30 AND n_tokens <= 400) AND
+        |       n_distinct * 100 >= n_tokens * 40 AND
+        |       n_stop * 1000 >= n_tokens * 20 AS INT) AS keep
+        | FROM s""".stripMargin.replace("\n", " "),
     // thresholds are round(fraction * 65536) as 5 hex digits (1.0 →
     // '10000', hence the '0' prefix on the 4-digit md5 slice)
     "q46_mix_sample" ->

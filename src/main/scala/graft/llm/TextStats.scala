@@ -175,4 +175,39 @@ object TextStats {
       when(n === 0, lit(0.0))
         .otherwise(m.cast("double") / n.cast("double")).as("common_ratio"))
   }
+
+  /** The quality-filter PIPELINE stage (the decision, not just the
+    * signals): Gopher/C4-shape keep/drop per doc with a flag per rule,
+    * so the drop REASONS are auditable downstream (Rae et al. 2021
+    * §A1.1 applies rules exactly this way — each with its own
+    * accounting). Three rules over the per-doc token counts:
+    * length window (`minTokens <= n <= maxTokens`), repetition proxy
+    * (distinct-token fraction >= `minDistinctPct`%), and C4's
+    * has-stopwords rule (stopword fraction >= `minStopPermille`‰).
+    * Thresholds compare as INTEGER cross-products (`nd*100 >= n*pct`)
+    * — no float division anywhere, so the q49 oracle agrees
+    * bit-exactly by arithmetic, not by epsilon. Flags emit as 0/1
+    * ints. Map-side only: one codegen'd projection, no shuffle (the
+    * 100 TB filter pass is scan-shaped by construction). */
+  def qualityFilter(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    minTokens: Int = 30, maxTokens: Int = 400,
+                    minDistinctPct: Int = 40,
+                    minStopPermille: Int = 20)
+      : org.apache.spark.sql.DataFrame = {
+    val txt = col(textCol)
+    val n = size(tokens(txt))
+    val nd = size(array_distinct(tokens(txt)))
+    val ns = size(filter(tokens(txt),
+      t => t.isin(EnglishStopwords.map(_.asInstanceOf[Any]): _*)))
+    val okLen = n >= minTokens && n <= maxTokens
+    val okDist = nd * 100 >= n * minDistinctPct
+    val okStop = ns * 1000 >= n * minStopPermille
+    df.select(col(idCol),
+      n.as("n_tokens"), nd.as("n_distinct"), ns.as("n_stop"),
+      okLen.cast("int").as("ok_length"),
+      okDist.cast("int").as("ok_distinct"),
+      okStop.cast("int").as("ok_stopwords"),
+      (okLen && okDist && okStop).cast("int").as("keep"))
+  }
 }

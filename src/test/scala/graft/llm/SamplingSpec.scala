@@ -85,4 +85,41 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("qualityFilter: each rule flips independently at its integer " +
+    "threshold, keep is their conjunction, plan is shuffle-free") {
+    val good = ("the quick brown fox jumps over a lazy dog on " +
+      "of to in is it for and then some more words here " +
+      "alpha beta gamma delta epsilon zeta eta theta").trim
+    val df = Seq(
+      (1L, good),                              // all rules pass
+      (2L, "too short a doc"),                 // length fails (4 < 30)
+      (3L, Seq.fill(15)("the rep").mkString(" ")), // distinct fails (2/30)
+      (4L, ("word" + " unique") * 1 + " " +    // stopwords fail: none
+        (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextStats.qualityFilter(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "ok_length", "ok_distinct", "ok_stopwords", "keep")
+      .as[(Long, Int, Int, Int, Int)].collect().toSeq
+    assert(out(0) == ((1L, 1, 1, 1, 1)), out(0))
+    assert(out(1)._2 == 0 && out(1)._5 == 0, out(1)) // short -> dropped
+    assert(out(2)._3 == 0 && out(2)._5 == 0, out(2)) // repetitive -> dropped
+    assert(out(3)._4 == 0 && out(3)._5 == 0, out(3)) // no stopwords -> drop
+    // boundary exactness: n=30 tokens sits ON the length floor and
+    // 12/30 distinct is EXACTLY 40% — both pass on integer equality
+    val edge = Seq(
+      // 30 tokens: 11 distinct non-stop + 'the' + 18 repeats of 't1'
+      (20L, ((1 to 11).map(i => s"t$i") ++ Seq("the") ++
+        Seq.fill(18)("t1")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = TextStats.qualityFilter(edge, "doc_id", "text")
+      .select("n_tokens", "n_distinct", "ok_length", "ok_distinct")
+      .as[(Int, Int, Int, Int)].head()
+    assert(e == ((30, 12, 1, 1)), e) // 12*100 == 30*40 exactly -> pass
+    val plan = TextStats.qualityFilter(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }

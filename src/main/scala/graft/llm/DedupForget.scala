@@ -64,12 +64,28 @@ object DedupForget {
                        pairs: DataFrame,
                        aCol: String = "id_a", bCol: String = "id_b",
                        settings: JobSettings = JobSettings(),
-                       batchSize: Int = DefaultBatchSize): Run = {
+                       batchSize: Int = DefaultBatchSize): Run =
+    forgetIds(spark, jobId, table, idCol, losers(pairs, aCol, bCol),
+      settings, batchSize)
+
+  /** The generic batched-deletion feed: remove every id in the
+    * single-column frame `ids` from `table` via bounded per-batch
+    * Find/Forget jobs. This is the seam every "X-driven forget"
+    * composition shares — dedup losers ([[forgetDuplicates]]) and
+    * contamination screens ([[DecontaminateForget]]) differ only in
+    * how they produce the id frame. */
+  def forgetIds(spark: SparkSession, jobId: String,
+                table: TableDef, idCol: String,
+                ids: DataFrame,
+                settings: JobSettings = JobSettings(),
+                batchSize: Int = DefaultBatchSize): Run = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
-    // sorted stream of loser ids: orderBy range-partitions, so the open
+    require(ids.columns.length == 1,
+      s"ids frame must have exactly one column, got ${ids.columns.toSeq}")
+    // sorted stream of ids: orderBy range-partitions, so the open
     // iterator holds at most one range partition driver-side; batches
     // are contiguous sorted id slices (deterministic across reruns)
-    val it = losers(pairs, aCol, bCol).orderBy(col(aCol)).toLocalIterator()
+    val it = ids.orderBy(col(ids.columns.head)).toLocalIterator()
     val batches = scala.collection.mutable.ArrayBuffer.empty[JobRunner.JobRun]
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     var failed = false

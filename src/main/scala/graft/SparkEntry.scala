@@ -631,6 +631,29 @@ object SparkEntry {
       import graft.llm.TextStats
       TextStats.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
     }),
+    // LLM §similarity — recall@k of the QUANTIZED ranking (q47) vs the
+    // exact full-precision ranking (q22): the measurement every ANN
+    // tuning loop turns on, here also quantifying what int8
+    // compression costs in retrieval quality. Both rankings are
+    // SQL-replayable, so the metric itself is oracle-gated.
+    "q50_ann_recall" -> ((s, dir) => {
+      import graft.llm.{Similarity, SimilarityEval}
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      SimilarityEval.recallAtK(
+        Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 10),
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10),
+        "vec_id", 10)
+    }),
+    // LLM §packing — token-budget shard assignment (the balanced
+    // export planner): ascending-id docs split at every `target`
+    // cumulative tokens via the q37 distributed prefix sum — one range
+    // shuffle, exact integer div, deterministic across partitionings.
+    "q51_shard_assign" -> ((s, dir) => {
+      import graft.llm.{Packing, TextStats}
+      Packing.shardAssignments(t(s, dir, "documents"), "doc_id",
+        TextStats.tokenCount(col("text")), targetTokens = 2048)
+    }),
     // LLM §mixing — per-language data-mixing recipe via deterministic
     // stratified sampling: keep all German, half the English, a quarter
     // of French/Spanish, drop Chinese — the md5-prefix predicate is
@@ -1143,37 +1166,7 @@ object SparkEntry {
     // quantized cosine = integer dots/norms (scales cancel): every
     // number is an exactly-representable int before one double
     // division — rank order agrees exactly, ties by vec_id
-    "q47_ann_int8" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
-        |  FROM embeddings),
-        | s AS (
-        |  SELECT vec_id, xs,
-        |    list_max(list_transform(xs, x -> abs(x))) / 127.0 AS scale
-        |  FROM e),
-        | q AS (
-        |  SELECT vec_id,
-        |    CASE WHEN scale IS NULL OR scale = 0
-        |      THEN list_transform(xs, x -> CAST(0 AS BIGINT))
-        |      ELSE list_transform(xs, x -> CAST(least(greatest(
-        |        floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT))
-        |    END AS qs
-        |  FROM s),
-        | n AS (
-        |  SELECT vec_id, qs,
-        |    sqrt(CAST(list_sum(list_transform(qs, x -> x * x)) AS DOUBLE))
-        |      AS nrm
-        |  FROM q)
-        | SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
-        |   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-        |     CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
-        |       ELSE CAST(list_dot_product(a.qs, b.qs) AS DOUBLE) /
-        |         (a.nrm * b.nrm) END DESC,
-        |     b.vec_id) AS rank
-        | FROM n a, n b
-        | WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
-        | QUALIFY rank <= 10""".stripMargin.replace("\n", " "),
+    "q47_ann_int8" -> quantizedAnnOracleSql,
     "q48_simhash_join" -> simhashOracleSql,
     // the q25 token-count fragments + integer cross-product thresholds:
     // 30<=n<=400 tokens, distinct fraction >= 40%, stopword fraction
@@ -1195,6 +1188,34 @@ object SparkEntry {
         |       n_distinct * 100 >= n_tokens * 40 AND
         |       n_stop * 1000 >= n_tokens * 20 AS INT) AS keep
         | FROM s""".stripMargin.replace("\n", " "),
+    // both rankings replayed as CTEs (q22's exact + q47's quantized),
+    // joined per query: hits is an int count, recall one exact division
+    "q50_ann_recall" ->
+      s"""WITH ex AS ($annOracleSql),
+         | ap AS ($quantizedAnnOracleSql),
+         | h AS (SELECT ex.q_id, count(*) AS hits
+         |   FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+         |   GROUP BY 1)
+         | SELECT q.q_id, COALESCE(h.hits, 0) AS hits,
+         |   CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0 AS recall
+         | FROM (SELECT DISTINCT q_id FROM ex) q
+         | LEFT JOIN h ON h.q_id = q.q_id"""
+      .stripMargin.replace("\n", " "),
+    // the q37 prefix-sum window + integer floor-div shard id
+    "q51_shard_assign" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | o AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tok_offset
+        |  FROM s)
+        | SELECT doc_id, n_tokens, tok_offset,
+        |   tok_offset // 2048 AS shard_id
+        | FROM o""".stripMargin.replace("\n", " "),
     // thresholds are round(fraction * 65536) as 5 hex digits (1.0 →
     // '10000', hence the '0' prefix on the 4-digit md5 slice)
     "q46_mix_sample" ->
@@ -1338,6 +1359,41 @@ object SparkEntry {
        | HAVING SUM(CASE WHEN la.bit <> ra.bit THEN 1 ELSE 0 END) <= 3"""
       .stripMargin.replace("\n", " ")
   }
+
+  /** q47's oracle (also a CTE inside q50's): the quantized ranking
+    * replayed — floor-form int8 codes, integer dots/norms, one double
+    * division per pair. */
+  private def quantizedAnnOracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      |  FROM embeddings),
+      | s AS (
+      |  SELECT vec_id, xs,
+      |    list_max(list_transform(xs, x -> abs(x))) / 127.0 AS scale
+      |  FROM e),
+      | q AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale IS NULL OR scale = 0
+      |      THEN list_transform(xs, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(xs, x -> CAST(least(greatest(
+      |        floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT))
+      |    END AS qs
+      |  FROM s),
+      | n AS (
+      |  SELECT vec_id, qs,
+      |    sqrt(CAST(list_sum(list_transform(qs, x -> x * x)) AS DOUBLE))
+      |      AS nrm
+      |  FROM q)
+      | SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+      |   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |     CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+      |       ELSE CAST(list_dot_product(a.qs, b.qs) AS DOUBLE) /
+      |         (a.nrm * b.nrm) END DESC,
+      |     b.vec_id) AS rank
+      | FROM n a, n b
+      | WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+      | QUALIFY rank <= 10""".stripMargin.replace("\n", " ")
 
   /** Exact cosine top-10 in DuckDB; double-precision to match the Spark
     * side's double accumulation (both iterate the lists in order). */

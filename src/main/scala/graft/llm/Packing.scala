@@ -123,6 +123,32 @@ object Packing {
           greatest(col("_off"), col("seq_id") * seqLen)).as("n_toks"))
   }
 
+  /** Token-budget SHARD assignment — the balanced-output-shard writer's
+    * planning step: documents go to shards in ascending-id order, each
+    * shard targeting `targetTokens` tokens, via
+    * `shard_id = tok_offset div targetTokens` over the exclusive
+    * prefix sum ([[withTokenOffsets]] — ONE range shuffle, exact
+    * integer arithmetic). A document whose tokens straddle a boundary
+    * belongs to the shard its OFFSET falls in (shards balance to
+    * ±1 document), and the assignment is deterministic for any input
+    * partitioning — re-running the export yields identical shards.
+    * Downstream this is `.write.partitionBy("shard_id")` or a
+    * `repartition(col("shard_id"))`; the assignment itself never
+    * shuffles beyond the prefix sum's single range exchange.
+    *
+    * Output: (id, `n_tokens`, `tok_offset`, `shard_id`). */
+  def shardAssignments(df: DataFrame, idCol: String, tokensOf: Column,
+                       targetTokens: Long,
+                       numPartitions: Int = 0): DataFrame = {
+    require(targetTokens >= 1,
+      s"targetTokens must be >= 1, got $targetTokens")
+    withTokenOffsets(
+      df.select(col(idCol), tokensOf.as("n_tokens")),
+      idCol, "n_tokens", "tok_offset", numPartitions)
+      .select(col(idCol), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $targetTokens").as("shard_id"))
+  }
+
   /** Overlapping-window chunking: each document yields character
     * windows of `width` starting every `stride` characters — the
     * retrieval-index / embedding-input shape (with `stride < width`

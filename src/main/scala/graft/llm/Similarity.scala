@@ -405,3 +405,32 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
       idCol, k)
   }
 }
+
+/** Shared-shape helpers over ranked ANN outputs. */
+object SimilarityEval {
+
+  /** Recall@k of an approximate ranking against the exact one — the
+    * measurement every ANN tuning loop (LSH bits/tables, IVF nprobe,
+    * quantization) turns on. Both inputs are `(q_id, <idCol>, rank)`
+    * frames (any of [[Similarity]]'s top-k shapes); output one row per
+    * exact-side query: (q_id, hits, recall = hits/k). Integer hit
+    * counts and one exact IEEE division — cross-engine
+    * hash-comparable. Ranked frames are queries×k rows, so the join
+    * cost is negligible at any corpus scale (the expensive part
+    * already happened upstream). */
+  def recallAtK(approx: org.apache.spark.sql.DataFrame,
+                exact: org.apache.spark.sql.DataFrame,
+                idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.filter(col("rank") <= k).select(col("q_id"), col(idCol))
+    val e = exact.filter(col("rank") <= k).select(col("q_id"), col(idCol))
+    val hits = a.join(e, Seq("q_id", idCol))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    e.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("recall"))
+  }
+}

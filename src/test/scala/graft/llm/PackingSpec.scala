@@ -143,4 +143,27 @@ class PackingSpec extends SparkSpec {
     assert(acc.value == 2000L,
       s"upstream scanned ${acc.value} rows — range shuffle not reused")
   }
+
+  test("shardAssignments: ascending-id fill, boundary docs take their " +
+    "OFFSET's shard, shards balance to ~target, deterministic across " +
+    "partitionings") {
+    // ids 0..99, 10 tokens each: target 25 ⇒ docs 0,1 in shard 0 (off
+    // 0,10), doc 2 (off 20, straddles 25) still shard 0, doc 3 (off
+    // 30) shard 1, ...
+    val d = spark.range(100).selectExpr("id", "10L AS toks")
+    val out = Packing.shardAssignments(d, "id", col("toks"), 25)
+      .orderBy("id").select("id", "shard_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out.take(4) == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L)),
+      out.take(4).mkString(","))
+    // every shard holds 2-3 docs (20-30 tokens against target 25)
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.forall(s => s >= 2 && s <= 3), sizes.toString)
+    // deterministic: any input partitioning yields the same assignment
+    val shuffled = Packing.shardAssignments(
+      d.repartition(7), "id", col("toks"), 25)
+      .orderBy("id").select("id", "shard_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(shuffled == out)
+  }
 }

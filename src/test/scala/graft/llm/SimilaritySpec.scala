@@ -212,4 +212,22 @@ class SimilaritySpec extends SparkSpec {
       .agg(max(col("worst"))).as[Double].head()
     assert(checked <= 0.0, s"dequant error exceeds scale/2 by $checked")
   }
+
+  test("recallAtK: exact hand-checked overlaps, a query missing from " +
+    "the approx side scores 0, ranks beyond k ignored") {
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3))
+      .toDF("q_id", "vec_id", "rank")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),   // perfect
+      (2L, 20L, 1), (2L, 99L, 2), (2L, 22L, 3),   // 2 of 3
+      (2L, 21L, 4))                               // right id, rank > k
+      .toDF("q_id", "vec_id", "rank")             // q3 absent entirely
+    val out = SimilarityEval.recallAtK(approx, exact, "vec_id", 3)
+      .orderBy("q_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 1.0), (2L, 2L, 2.0 / 3.0), (3L, 0L, 0.0)),
+      out.mkString(","))
+  }
 }

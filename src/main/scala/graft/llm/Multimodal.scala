@@ -452,20 +452,110 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** `decoder` records the path: "y4m" / "mjpeg" (real) or "stub". */
+  /** REAL AVI-container motion-JPEG decode — the third video container
+    * a codec-less JVM can read, and unlike raw MJPEG one that CARRIES
+    * TIMING: RIFF chunk walk (word-aligned, sub-LIST recursion) pulls
+    * fps from the `vids` stream header (`dwRate/dwScale`, falling back
+    * to `avih`'s `dwMicroSecPerFrame`) and the `##dc`/`##db` frame
+    * chunks from `movi`, each frame a complete JPEG decoded with
+    * `javax.imageio` (chunk boundaries delimit frames — no marker
+    * scanning needed here). WAV files are RIFF too; the `AVI ` form
+    * fourcc keeps them on the audio path. A malformed/truncated chunk
+    * ends the walk: complete frames survive. Non-JPEG payloads (e.g.
+    * uncompressed `00db` DIBs or a true inter-frame codec) fail
+    * ImageIO and the stream falls back to the stub — honestly, since
+    * those decoders are not in the JVM. */
+  def decodeAvi(payload: Array[Byte]): Option[(VideoInfo, Array[Float])] = {
+    if (payload == null || payload.length < 24) return None
+    def fourcc(off: Int): String =
+      if (off + 4 <= payload.length)
+        new String(payload, off, 4, "US-ASCII") else ""
+    def u32(off: Int): Long =
+      if (off + 4 > payload.length) -1L
+      else (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) |
+        ((payload(off + 3) & 0xffL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    try {
+      var fpsNum = 0
+      var fpsDen = 1
+      val frameChunks =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        var ok = true
+        while (ok && p + 8 <= end) {
+          val id = fourcc(p)
+          val sz = u32(p + 4)
+          if (sz < 0) ok = false
+          else {
+            val body = p + 8
+            val truncated = body + sz > end
+            // a truncated LIST is still DESCENDED into (its complete
+            // leading children — e.g. whole frames — survive); a
+            // truncated leaf chunk is dropped; either way the walk
+            // stops at the damage
+            if (id == "LIST" && body + 4 <= end)
+              walk(body + 4, math.min(body + sz, end.toLong).toInt)
+            else if (!truncated) {
+              if (id == "strh" && fourcc(body) == "vids") {
+                val scale = u32(body + 20); val rate = u32(body + 24)
+                if (rate > 0 && scale > 0) {
+                  fpsNum = rate.toInt; fpsDen = scale.toInt
+                }
+              } else if (id == "avih" && fpsNum == 0) {
+                val usPerFrame = u32(body) // dwMicroSecPerFrame
+                if (usPerFrame > 0) {
+                  fpsNum = 1000000; fpsDen = usPerFrame.toInt
+                }
+              } else if (id.length == 4 && sz > 0 &&
+                         (id.endsWith("dc") || id.endsWith("db"))) {
+                frameChunks += ((body, sz.toInt))
+              }
+            }
+            if (truncated) ok = false
+            else p = body + sz.toInt + (sz.toInt & 1) // word-aligned
+          }
+        }
+      }
+      walk(12, math.min(payload.length.toLong, 8L + u32(4)).toInt)
+      if (frameChunks.isEmpty) return None
+      val luma = scala.collection.mutable.ArrayBuffer.empty[Float]
+      var w = -1; var h = -1
+      var ok = true
+      frameChunks.foreach { case (off, sz) =>
+        if (ok) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off, sz))
+          if (img == null) ok = false // undecodable frame: keep prefix
+          else {
+            if (w < 0) { w = img.getWidth; h = img.getHeight }
+            luma += meanLuma(img)
+          }
+        }
+      }
+      if (luma.isEmpty) None
+      else Some((VideoInfo(w, h, fpsNum, fpsDen, luma.length),
+        luma.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** `decoder` records the path: "y4m" / "avi" / "mjpeg" (real) or
+    * "stub". */
   final case class DecodedVideoRow(id: Long, width: Int, height: Int,
                                    fpsNum: Int, fpsDen: Int, nFrames: Int,
                                    durationSec: Double, decoder: String)
 
   /** Partition-local video decode — the video counterpart of [[decode]].
-    * Y4M and MJPEG payloads decode for true dimensions/frame count
-    * (and, for Y4M, rate); anything else takes a deterministic
-    * CRC-derived fallback row (decoder="stub") so mixed batches keep
-    * the column contract. */
+    * Y4M, AVI and raw MJPEG payloads decode for true dimensions/frame
+    * count (and, for Y4M and AVI, rate); anything else takes a
+    * deterministic CRC-derived fallback row (decoder="stub") so mixed
+    * batches keep the column contract. */
   def decodeVideo(media: Dataset[MediaRow]): Dataset[DecodedVideoRow] =
     media.mapPartitions { rows =>
       rows.map { r =>
         decodeY4m(r.payload).map(_ -> "y4m")
+          .orElse(decodeAvi(r.payload).map(_ -> "avi"))
           .orElse(decodeMjpeg(r.payload).map(_ -> "mjpeg")) match {
           case Some(((info, _), dec)) =>
             DecodedVideoRow(r.id, info.width, info.height, info.fpsNum,
@@ -515,7 +605,7 @@ object Multimodal {
         // so the image decoder would swallow it as frame 1; the
         // multi-frame precheck keeps the probe near-free for real
         // images (single JPEG → None without any decode)
-        val feat = decodeMjpeg(r.payload) match {
+        val feat = decodeAvi(r.payload).orElse(decodeMjpeg(r.payload)) match {
           case Some((_, luma)) => videoLumaFeatures(luma, dim)
           case None => decodeImage(r.payload) match {
             case Some(img) => imageHistogram(img, dim)

@@ -377,6 +377,80 @@ class TextMultimodalSpec extends SparkSpec {
     assert(Multimodal.jpegFrameEnd(stream, e0) == stream.length)
   }
 
+  test("real AVI (MJPEG-in-RIFF) decode: frames AND true fps/duration " +
+    "from the stream header; WAV stays on the audio path; a truncated " +
+    "file keeps its complete frames") {
+    def jpegFrame(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, 16, 12)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ u32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(kind) ++ children)
+    // strh: fccType(0) fccHandler(4) flags(8) prio(12) init(16)
+    //       dwScale(20)=1 dwRate(24)=25 → 25 fps
+    val strh = chunk("strh", cc("vids") ++ cc("MJPG") ++
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(25) ++
+      Array.fill(28)(0.toByte))
+    val strf = chunk("strf", Array.fill(40)(0.toByte))
+    val avih = chunk("avih", u32(40000) ++ Array.fill(52)(0.toByte))
+    val frames = Seq(jpegFrame(20), jpegFrame(128), jpegFrame(230))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    val avi = cc("RIFF") ++ u32(body.length) ++ body
+
+    val Some((info, luma)) = Multimodal.decodeAvi(avi)
+    assert(info.width == 16 && info.height == 12 && info.nFrames == 3)
+    assert(info.fpsNum == 25 && info.fpsDen == 1, info)
+    assert(math.abs(info.durationSec - 0.12) < 1e-9,
+      s"3 frames at 25fps must be 0.12s, got ${info.durationSec}")
+    assert(math.abs(luma(0) - 20f / 255) < 0.03 &&
+      math.abs(luma(2) - 230f / 255) < 0.03, luma.mkString(","))
+    // no vids strh → avih dwMicroSecPerFrame fallback (40000us = 25fps)
+    val noStrh = {
+      val b = cc("AVI ") ++ list("hdrl", avih) ++ movi
+      cc("RIFF") ++ u32(b.length) ++ b
+    }
+    val Some((fbInfo, _)) = Multimodal.decodeAvi(noStrh)
+    assert(fbInfo.fpsNum == 1000000 && fbInfo.fpsDen == 40000, fbInfo)
+    assert(math.abs(fbInfo.durationSec - 0.12) < 1e-9)
+    // truncation mid-frame-chunk: complete frames survive
+    val Some((tInfo, _)) =
+      Multimodal.decodeAvi(java.util.Arrays.copyOf(avi, avi.length - 9))
+    assert(tInfo.nFrames == 2, tInfo)
+    // WAV is RIFF too — the 'AVI ' form check keeps audio on its path
+    val wav = cc("RIFF") ++ u32(36) ++ cc("WAVE") ++
+      Array.fill(30)(0.toByte)
+    assert(Multimodal.decodeAvi(wav).isEmpty)
+    // decodeVideo routes with decoder="avi"
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, avi, "video/x-msvideo")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val decoded = Multimodal.decodeVideo(ds).collect()
+    assert(decoded(0).decoder == "avi" && decoded(0).nFrames == 3 &&
+      decoded(0).fpsNum == 25, decoded(0))
+    // features(): the AVI takes the real video luma envelope
+    val feats = Multimodal.features(ds, dim = 3).collect()
+    assert(math.abs(feats(0).feature(0) - 20f / 255) < 0.03 &&
+      math.abs(feats(0).feature(2) - 230f / 255) < 0.03,
+      feats(0).feature.mkString(","))
+  }
+
   test("Y4M odd dimensions under subsampled colorspaces are rejected " +
     "(stub path), not silently mis-framed") {
     // C420 halves both dims per chroma plane: a W5/H4 (or W4/H5)

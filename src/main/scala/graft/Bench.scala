@@ -344,6 +344,37 @@ object Bench {
       ok("pii_scrub_64obj") = allOk
     }
 
+    // facet (d): ANN recall at the BENCH sf. The q23/q30 oracles pin
+    // EXACT-equality at the gate's sf0.01 only — this facet measures
+    // whether the recall-tuned parameters (LSH bits/tables, IVF
+    // nprobe) hold as the corpus scales, the number a production
+    // tuning loop would watch. Reported as the MINIMUM recall@10 over
+    // the query set (worst query, not an average that hides one).
+    var (recallLsh, recallIvf) = (-1.0, -1.0)
+    if (wanted("ann_recall")) {
+      import graft.llm.{RandomHyperplaneLsh, Similarity, SimilarityEval}
+      import org.apache.spark.sql.functions.col
+      try {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val queries = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(
+          emb, queries, "vec_id", "embedding", 10).cache()
+        exact.count()
+        def minRecall(approx: org.apache.spark.sql.DataFrame): Double =
+          SimilarityEval.recallAtK(approx, exact, "vec_id", 10)
+            .agg(org.apache.spark.sql.functions.min(col("recall")))
+            .head().getDouble(0)
+        recallLsh = minRecall(RandomHyperplaneLsh(dim = 64, bits = 2,
+          tables = 32).topK(emb, queries, "vec_id", "embedding", 10))
+        recallIvf = minRecall(Similarity.ivfTopK(emb, queries,
+          "vec_id", "embedding", 10, nlist = 16, nprobe = 14,
+          sampleSeed = 6))
+        exact.unpersist()
+      } catch {
+        case NonFatal(e) => errors += s"ann_recall: ${e.getMessage}"
+      }
+    }
+
     def jd(d: Double): String = f"$d%.4f"
     // throughputs derive from the MEDIAN time (the published number) and
     // the per-run-identical row/object counts; 0 when a facet was
@@ -373,6 +404,8 @@ object Bench {
       s""""pii_scrub_objects_per_min":${jd(rate(piiObjects * 60.0, piiSec))},""" +
       s""""pii_scrub_rows_per_sec":${jd(rate(piiRows.toDouble, piiSec))},""" +
       s""""pii_scrub_rows_redacted":$piiRedacted,""" +
+      s""""ann_recall_lsh_min":${jd(recallLsh)},""" +
+      s""""ann_recall_ivf_min":${jd(recallIvf)},""" +
       s""""sf":"$sfDir"}"""
     println(line)
     // also persist to a file: the driver captures a tail of stdout, and

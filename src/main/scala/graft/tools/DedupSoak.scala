@@ -130,6 +130,26 @@ object DedupSoak {
         s""""cross_sec":${f"$tCross%.2f"},"cross_rows":$nCross}""")
     }
 
+    // CC round-count growth on the ADVERSARIAL cluster shape: one long
+    // CHAIN (diameter n-1, the worst case for star-contraction; the
+    // family corpus above converges in 2 rounds regardless of scale).
+    // Expect rounds ~ O(log n): doubling the chain adds ~1 round.
+    val chainRounds = Seq(1000, 10000, 100000).map { n =>
+      val pairs = spark.range(n - 1)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val ((rows, rounds), sec) = timed {
+        val (cc, r) = Dedup.duplicateClustersWithRounds(
+          pairs, "id_a", "id_b")
+        (cc.count(), r)
+      }
+      require(rows == n, s"chain($n) lost members: $rows")
+      println(s"""{"metric":"cc_chain","n":$n,"rounds":$rounds,""" +
+        s""""sec":${f"$sec%.2f"}}""")
+      rounds
+    }
+    println(s"""{"metric":"cc_chain_rounds","series":""" +
+      s"""[${chainRounds.mkString(",")}]}""")
+
     if (scales.size >= 2) {
       val lo = results(scales.head); val hi = results(scales.last)
       val kRatio = hi("docs") / lo("docs")

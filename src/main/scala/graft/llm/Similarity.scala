@@ -118,7 +118,15 @@ object Similarity {
     * index in a vector store: clustered real embeddings concentrate true
     * neighbors in few lists (small nprobe suffices); near-uniform
     * vectors (the synthetic testdata) need nprobe close to nlist for
-    * full recall. Output: (q_id, <idCol>, rank), self-pairs excluded. */
+    * full recall. Measure the margin with [[SimilarityEval.recallAtK]]
+    * against [[bruteForceTopK]] (the bench's `ann_recall_ivf_min`
+    * facet does exactly this): nprobe=14/16 is exact at sf0.01 but
+    * measures worst-query recall 0.9 at sf0.1 — recall erodes as the
+    * corpus outgrows a tuning, so re-measure (and raise nprobe, or
+    * scale nlist with √n and retune) after major corpus growth;
+    * nprobe == nlist is the exact-by-construction fallback
+    * (spec-pinned full-probe ≡ brute). Output: (q_id, <idCol>, rank),
+    * self-pairs excluded. */
   def ivfTopK(data: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nlist: Int, nprobe: Int, sampleSeed: Int = 0): DataFrame = {

@@ -654,6 +654,20 @@ object SparkEntry {
       Packing.shardAssignments(t(s, dir, "documents"), "doc_id",
         TextStats.tokenCount(col("text")), targetTokens = 2048)
     }),
+    // T-family — TUMBLING time-window aggregation (the q39/q40 gap
+    // sessions' fixed-window sibling, and the shape Structured
+    // Streaming's window() aggregations take): 1-hour buckets by
+    // integer division of the micro-truncated epoch (the q39
+    // precision contract — DuckDB reads TIMESTAMP(NANOS) at micros),
+    // one hash aggregation with map-side partials.
+    "q52_tumbling" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("win",
+          expr("(ts - ts % 1000) div 3600000000000"))
+        .groupBy(col("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // LLM §mixing — per-language data-mixing recipe via deterministic
     // stratified sampling: keep all German, half the English, a quarter
     // of French/Spanish, drop Chinese — the md5-prefix predicate is
@@ -1201,6 +1215,13 @@ object SparkEntry {
          | FROM (SELECT DISTINCT q_id FROM ex) q
          | LEFT JOIN h ON h.q_id = q.q_id"""
       .stripMargin.replace("\n", " "),
+    // epoch_ns is micro-truncated by DuckDB's TIMESTAMP read — the
+    // same truncation the Spark side applies before the hour division
+    "q52_tumbling" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS win, event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     // the q37 prefix-sum window + integer floor-div shard id
     "q51_shard_assign" ->
       """WITH s AS (

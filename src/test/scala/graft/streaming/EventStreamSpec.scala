@@ -238,4 +238,35 @@ class EventStreamSpec extends SparkSpec {
     query.stop()
     assert(triggered.synchronized(triggered.toSeq) == Seq("j2"))
   }
+
+  test("tumbling buckets: the integer-div shape (q52, oracle-gated) is " +
+    "EXACTLY Spark's window() semantics — alignment and boundary " +
+    "inclusivity agree on epoch-aligned hour windows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hourUs = 3600L * 1000000
+    // nanos timestamps straddling two hour boundaries, including the
+    // exact boundary instant (belongs to the LATER window) and one
+    // nanosecond before it (truncation keeps it in the earlier one)
+    val tsNs = Seq(
+      0L, 1L, hourUs * 1000 - 1000, // hour 0 (last = boundary - 1us)
+      hourUs * 1000,                // exactly on the boundary: hour 1
+      hourUs * 1000 + 999,         // sub-micro past it: still hour 1
+      2 * hourUs * 1000 + 5)       // hour 2
+    val df = tsNs.zipWithIndex
+      .map { case (ns, i) => (ns, s"u${i % 2}") }.toDF("ts", "user_id")
+    val viaDiv = df
+      .withColumn("win", expr("(ts - ts % 1000) div 3600000000000"))
+      .groupBy("win").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val viaWindow = df
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("t"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("startUs"), col("n"))
+      .as[(Long, Long)].collect()
+      .map { case (startUs, n) => (startUs / hourUs, n) }.toMap
+    assert(viaDiv == viaWindow, s"div=$viaDiv window=$viaWindow")
+    assert(viaDiv == Map(0L -> 3L, 1L -> 2L, 2L -> 1L), viaDiv.toString)
+  }
 }

@@ -481,7 +481,12 @@ object Multimodal {
       var fpsDen = 1
       val frameChunks =
         scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      def walk(start: Int, end: Int): Unit = {
+      // depth cap: real AVIs nest LISTs ~3 deep; a crafted file with
+      // thousands of nested LISTs would otherwise overflow the stack —
+      // and StackOverflowError is not NonFatal, so it would kill the
+      // executor task instead of falling back to the stub row
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 16) return
         var p = start
         var ok = true
         while (ok && p + 8 <= end) {
@@ -496,7 +501,8 @@ object Multimodal {
             // truncated leaf chunk is dropped; either way the walk
             // stops at the damage
             if (id == "LIST" && body + 4 <= end)
-              walk(body + 4, math.min(body + sz, end.toLong).toInt)
+              walk(body + 4, math.min(body + sz, end.toLong).toInt,
+                depth + 1)
             else if (!truncated) {
               if (id == "strh" && fourcc(body) == "vids") {
                 val scale = u32(body + 20); val rate = u32(body + 24)
@@ -518,7 +524,7 @@ object Multimodal {
           }
         }
       }
-      walk(12, math.min(payload.length.toLong, 8L + u32(4)).toInt)
+      walk(12, math.min(payload.length.toLong, 8L + u32(4)).toInt, 0)
       if (frameChunks.isEmpty) return None
       val luma = scala.collection.mutable.ArrayBuffer.empty[Float]
       var w = -1; var h = -1

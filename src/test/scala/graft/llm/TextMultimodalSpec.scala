@@ -437,6 +437,18 @@ class TextMultimodalSpec extends SparkSpec {
     val wav = cc("RIFF") ++ u32(36) ++ cc("WAVE") ++
       Array.fill(30)(0.toByte)
     assert(Multimodal.decodeAvi(wav).isEmpty)
+    // hostile nesting: thousands of nested LISTs must return None (or
+    // frames), never StackOverflowError — SOE is not NonFatal and
+    // would kill the executor task
+    val hostile = {
+      var inner: Array[Byte] = chunk("00dc", frames.head)
+      (1 to 5000).foreach { _ => inner = list("rec ", inner) }
+      val b = cc("AVI ") ++ inner
+      cc("RIFF") ++ u32(b.length) ++ b
+    }
+    // the depth cap stops the descent long before the buried frame:
+    // None, and crucially no throw
+    assert(Multimodal.decodeAvi(hostile).isEmpty)
     // decodeVideo routes with decoder="avi"
     val ds = spark.createDataset(Seq(
       Multimodal.MediaRow(1L, avi, "video/x-msvideo")))(

@@ -654,6 +654,21 @@ object SparkEntry {
       Packing.shardAssignments(t(s, dir, "documents"), "doc_id",
         TextStats.tokenCount(col("text")), targetTokens = 2048)
     }),
+    // LLM §dedup — quality-aware KEEPER selection (the dedup policy
+    // knob): within each q31 cluster keep the longest member (token
+    // count, ties to smallest id) — aggregation argmax via
+    // max(struct(score, -id)), no per-cluster window.
+    "q53_quality_keeper" -> ((s, dir) => {
+      import graft.llm.{Dedup, TextStats}
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
+        shingleLen = 16, threshold = 0.8)
+      val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+        .select(col("id_a").as("doc_id"), col("cluster_id"))
+      val scores = docs.select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("score"))
+      Dedup.qualityKeepers(clusters, "doc_id", scores, "score")
+    }),
     // T-family — TUMBLING time-window aggregation (the q39/q40 gap
     // sessions' fixed-window sibling, and the shape Structured
     // Streaming's window() aggregations take): 1-hour buckets by
@@ -1042,26 +1057,27 @@ object SparkEntry {
     // q29's exact pair set, transitively closed by a recursive CTE:
     // every (node, reachable root) pair enumerates, min root wins
     "q31_dedup_clusters" ->
-      """WITH RECURSIVE
-        | d AS (SELECT doc_id, text, len(text) AS lt FROM documents),
-        | idx AS (SELECT unnest(range(1, 2000)) AS i),
-        | sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 16) AS g
-        |   FROM d JOIN idx ON i <= lt - 15 GROUP BY 1, 2),
-        | sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        | inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
-        |   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |   GROUP BY 1, 2),
-        | pairs AS (SELECT da, db
-        |   FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
-        |   WHERE i * 1.0 / (x.n + y.n - i) >= 0.8),
-        | edges AS (SELECT da AS src, db AS dst FROM pairs
-        |   UNION SELECT db, da FROM pairs),
-        | cc(id, root) AS (
-        |   SELECT DISTINCT src, src FROM edges
-        |   UNION
-        |   SELECT e.dst, cc.root FROM cc JOIN edges e ON e.src = cc.id)
-        | SELECT id AS doc_id, min(root) AS cluster_id FROM cc
-        | GROUP BY id""".stripMargin.replace("\n", " "),
+      s"""$clusterOracleCtes
+        | SELECT id AS doc_id, cluster_id FROM cl"""
+        .stripMargin.replace("\n", " "),
+    // q31's cluster CTEs + the longest-member argmax: ROW_NUMBER over
+    // (score DESC, doc_id) replays max(struct(score, -id)) exactly —
+    // integer score, deterministic tiebreak
+    "q53_quality_keeper" ->
+      s"""$clusterOracleCtes,
+        | tok AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |   FROM documents),
+        | j AS (SELECT cl.cluster_id, cl.id AS jid, tok.score
+        |   FROM cl JOIN tok ON tok.doc_id = cl.id),
+        | r AS (SELECT cluster_id, jid, score,
+        |   ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |     ORDER BY score DESC, jid) AS rn,
+        |   count(*) OVER (PARTITION BY cluster_id) AS n
+        |   FROM j)
+        | SELECT cluster_id, jid AS keeper_id, score AS keeper_score,
+        |   CAST(n AS BIGINT) AS n_members
+        | FROM r WHERE rn = 1""".stripMargin.replace("\n", " "),
     // same md5-prefix predicate verbatim; 0.25 * 65536 = 16384 = 0x4000
     "q32_det_sample" ->
       """SELECT doc_id, LENGTH(text) AS text_chars FROM documents
@@ -1380,6 +1396,31 @@ object SparkEntry {
        | HAVING SUM(CASE WHEN la.bit <> ra.bit THEN 1 ELSE 0 END) <= 3"""
       .stripMargin.replace("\n", " ")
   }
+
+  /** q31's cluster pipeline as a reusable WITH-block (also the base of
+    * q53's): exact shingle Jaccard pairs, symmetric edges, recursive
+    * reachability, min-root cluster ids in `cl(id, cluster_id)`. */
+  private def clusterOracleCtes: String =
+    """WITH RECURSIVE
+      | d AS (SELECT doc_id, text, len(text) AS lt FROM documents),
+      | idx AS (SELECT unnest(range(1, 2000)) AS i),
+      | sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 16) AS g
+      |   FROM d JOIN idx ON i <= lt - 15 GROUP BY 1, 2),
+      | sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      | inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+      |   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |   GROUP BY 1, 2),
+      | pairs AS (SELECT da, db
+      |   FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+      |   WHERE i * 1.0 / (x.n + y.n - i) >= 0.8),
+      | edges AS (SELECT da AS src, db AS dst FROM pairs
+      |   UNION SELECT db, da FROM pairs),
+      | cc(id, root) AS (
+      |   SELECT DISTINCT src, src FROM edges
+      |   UNION
+      |   SELECT e.dst, cc.root FROM cc JOIN edges e ON e.src = cc.id),
+      | cl AS (SELECT id, min(root) AS cluster_id FROM cc GROUP BY id)"""
+      .stripMargin
 
   /** q47's oracle (also a CTE inside q50's): the quantized ranking
     * replayed — floor-form int8 codes, integer dots/norms, one double

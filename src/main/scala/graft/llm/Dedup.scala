@@ -842,6 +842,34 @@ object Dedup {
       .distinct(), iter)
   }
 
+  /** Quality-aware keeper selection over duplicate clusters — the
+    * dedup POLICY knob: instead of [[DedupForget.losers]]' min-id rule,
+    * keep the member that maximizes `scoreCol` (ties to the smallest
+    * id), e.g. token count (longest = most complete copy) or a
+    * [[TextStats.qualityFilter]]-style signal. Aggregation-based
+    * argmax — `max` of a `(score, -id)` struct with map-side partials,
+    * no per-cluster window, so a pathological million-member cluster
+    * never serializes through one task. Feed the non-keepers to
+    * [[DedupForget.forgetIds]] via
+    * `clusters.join(keepers, "cluster_id").filter(id =!= keeper_id)`.
+    *
+    * @param clusters (member id, `cluster_id`) frame from
+    *                 [[duplicateClusters]] (idCol = its first column)
+    * @param scores   per-id scores; `scoreCol` must cast to long (the
+    *                 integer-exact contract the q53 oracle relies on)
+    * Output: (`cluster_id`, `keeper_id`, `keeper_score`, `n_members`).
+    */
+  def qualityKeepers(clusters: DataFrame, idCol: String,
+                     scores: DataFrame, scoreCol: String): DataFrame =
+    clusters
+      .join(scores.select(col(idCol), col(scoreCol)), idCol)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).cast("long").as("_s"),
+          (-col(idCol)).cast("long").as("_nid"))).as("_b"))
+      .select(col("cluster_id"), (-col("_b._nid")).as("keeper_id"),
+        col("_b._s").as("keeper_score"), col("n_members"))
+
   /** Token splitter shared VERBATIM between [[simhash64]]'s Java
     * `String.split` and the q48 oracle's DuckDB `regexp_split_to_array`
     * — spelled with escapes valid in both Java regex and RE2 (`\s`

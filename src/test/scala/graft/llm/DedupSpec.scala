@@ -340,6 +340,22 @@ class DedupSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(4L)) > 16)
   }
 
+  test("qualityKeepers: per-cluster argmax on the score, ties to the " +
+    "SMALLEST id; member counts exact") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (4L, 1L),   // cluster 1: scores 5, 9, 9
+      (7L, 7L), (8L, 7L))             // cluster 7: equal scores 3, 3
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (4L, 9L), (7L, 3L), (8L, 3L))
+      .toDF("doc_id", "score")
+    val out = Dedup.qualityKeepers(clusters, "doc_id", scores, "score")
+      .orderBy("cluster_id")
+      .select("cluster_id", "keeper_id", "keeper_score", "n_members")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 1: 2 and 4 tie at 9 -> smallest id 2 wins (not min-id 1!)
+    assert(out == Seq((1L, 2L, 9L, 3L), (7L, 7L, 3L, 2L)), out)
+  }
+
   test("simhashNearDuplicates finds exact copies at distance 0") {
     val d = Seq((1L, base), (2L, base),
       (3L, "entirely unrelated words frog moon satellite " * 10))

@@ -669,6 +669,23 @@ object SparkEntry {
         TextStats.tokenCount(col("text")).as("score"))
       Dedup.qualityKeepers(clusters, "doc_id", scores, "score")
     }),
+    // LLM §text-analysis — distributed BPE tokenizer TRAINING + encode
+    // (vocabulary induction, the step before token counting): the
+    // corpus collapses ONCE to a word-frequency table, then each of
+    // the 24 merge rounds is a vocabulary-sized job (weighted pair
+    // counts with map-side partials + a top-1 argmax), and encode is
+    // pure map-side against the broadcast merge list. Merge learning
+    // is iterative — not SQL-expressible — so this entry takes the
+    // driver's rows-only check; the correctness gate is BpeSpec's
+    // merge-for-merge differential against an independent single-node
+    // reference implementation (+ partitioning determinism).
+    "q54_bpe_encode" -> ((s, dir) => {
+      import graft.llm.Bpe
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learn(docs, "text", numMerges = 24)
+      Bpe.encode(docs, "text", merges)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+    }),
     // T-family — TUMBLING time-window aggregation (the q39/q40 gap
     // sessions' fixed-window sibling, and the shape Structured
     // Streaming's window() aggregations take): 1-hour buckets by

@@ -686,6 +686,17 @@ object SparkEntry {
       Bpe.encode(docs, "text", merges)
         .select(col("doc_id"), col("n_bpe_tokens"))
     }),
+    // LLM §dedup — repeated-span REMOVAL (the excision counterpart of
+    // q43's detection; RefinedWeb-style boilerplate strip): 8-token
+    // windows in more than 2 distinct docs are cut everywhere they
+    // appear; docs rebuild map-side from surviving tokens. Integer
+    // positions + exact strings end to end — the oracle replays the
+    // whole pipeline.
+    "q55_span_removal" -> ((s, dir) => {
+      import graft.llm.Dedup
+      Dedup.removeRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 8, docFreqCap = 2)
+    }),
     // T-family — TUMBLING time-window aggregation (the q39/q40 gap
     // sessions' fixed-window sibling, and the shape Structured
     // Streaming's window() aggregations take): 1-hour buckets by
@@ -1248,6 +1259,34 @@ object SparkEntry {
          | FROM (SELECT DISTINCT q_id FROM ex) q
          | LEFT JOIN h ON h.q_id = q.q_id"""
       .stripMargin.replace("\n", " "),
+    // 1-based list positions mirror the Spark side's 0-based ones;
+    // covered = every position under a hot window, rebuild =
+    // string_agg of surviving tokens in position order
+    "q55_span_removal" ->
+      """WITH t1 AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |   FROM documents),
+        | idx AS (SELECT unnest(range(1, 2000)) AS i),
+        | w AS (SELECT doc_id, CAST(i AS INT) AS s,
+        |     array_to_string(ts[i:i+7], ' ') AS w
+        |   FROM t1 JOIN idx ON i + 7 <= len(ts)),
+        | hot AS (SELECT w FROM w GROUP BY w
+        |   HAVING count(DISTINCT doc_id) > 2),
+        | cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(s, s + 8))
+        |     AS INT) AS p
+        |   FROM w JOIN hot USING (w)),
+        | tp AS (SELECT doc_id, CAST(i AS INT) AS p, ts[i] AS tok
+        |   FROM t1 JOIN idx ON i <= len(ts)),
+        | keep AS (SELECT tp.doc_id, tp.p, tp.tok
+        |   FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id
+        |     AND cov.p = tp.p
+        |   WHERE cov.p IS NULL),
+        | cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p)
+        |     AS text_clean FROM keep GROUP BY doc_id),
+        | nr AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id)
+        | SELECT d.doc_id, COALESCE(cl.text_clean, '') AS text_clean,
+        |   CAST(COALESCE(nr.n, 0) AS INT) AS n_tokens_removed
+        | FROM documents d LEFT JOIN cl USING (doc_id)
+        | LEFT JOIN nr USING (doc_id)""".stripMargin.replace("\n", " "),
     // epoch_ns is micro-truncated by DuckDB's TIMESTAMP read — the
     // same truncation the Spark side applies before the hour division
     "q52_tumbling" ->

@@ -842,6 +842,60 @@ object Dedup {
       .distinct(), iter)
   }
 
+  /** Repeated-span REMOVAL — the excision counterpart of
+    * [[ngramOverlapJoin]]'s detection (the RefinedWeb/Falcon-style
+    * boilerplate strip): every `windowTokens`-token window whose
+    * distinct-document frequency exceeds `docFreqCap` is cut from
+    * every document containing it (all covered token positions go),
+    * and each document is rebuilt from its surviving tokens in order.
+    *
+    * Scale shape: window rows ∝ corpus tokens (one row per window
+    * start, the q43 shape); the hot-window cut is one aggregation
+    * with map-side partials; covered positions explode only for
+    * windows that ARE hot (rare by construction — that's what the cap
+    * means); the rebuild is pure map-side array arithmetic
+    * (`transform` + `filter` + `concat_ws`, codegen'd — no UDF).
+    * Everything is integer positions and exact strings, so the q55
+    * oracle replays the whole pipeline in SQL.
+    *
+    * Output: (id, `text_clean`, `n_tokens_removed`) — one row per
+    * input document (a fully-boilerplate document comes back as the
+    * empty string, not a dropped row). */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 8,
+                          docFreqCap: Int = 2): DataFrame = {
+    require(windowTokens >= 1,
+      s"windowTokens must be >= 1, got $windowTokens")
+    require(docFreqCap >= 1, s"docFreqCap must be >= 1, got $docFreqCap")
+    val k = windowTokens
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val base = df.select(col(idCol), toks.as("_ts"))
+    val wins = base
+      .select(col(idCol), explode(
+        when(size(col("_ts")) >= k,
+          expr(s"transform(sequence(0, size(_ts) - $k), " +
+            s"i -> struct(i AS s, concat_ws(' ', slice(_ts, i + 1, $k)) AS w))"))
+          .otherwise(expr(
+            "CAST(array() AS array<struct<s:int,w:string>>)")))
+        .as("_win"))
+      .select(col(idCol), col("_win.s").as("_s"), col("_win.w").as("_w"))
+    val hot = wins.groupBy("_w")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > docFreqCap).select("_w")
+    val covered = wins.join(hot, "_w")
+      .select(col(idCol),
+        explode(expr(s"sequence(_s, _s + $k - 1)")).as("_p"))
+      .distinct()
+      .groupBy(col(idCol)).agg(collect_set(col("_p")).as("_cov"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", expr(
+          "filter(transform(_ts, (t, i) -> " +
+            "IF(_cov IS NOT NULL AND array_contains(_cov, i), NULL, t)), " +
+            "x -> x IS NOT NULL)")).as("text_clean"),
+        coalesce(size(col("_cov")), lit(0)).as("n_tokens_removed"))
+  }
+
   /** Quality-aware keeper selection over duplicate clusters — the
     * dedup POLICY knob: instead of [[DedupForget.losers]]' min-id rule,
     * keep the member that maximizes `scoreCol` (ties to the smallest

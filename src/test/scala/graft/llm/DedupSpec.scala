@@ -340,6 +340,34 @@ class DedupSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(4L)) > 16)
   }
 
+  test("removeRepeatedSpans: boilerplate above the doc-freq cap is cut " +
+    "everywhere, unique text survives verbatim, an all-boilerplate doc " +
+    "becomes the empty row (never a dropped row)") {
+    val boiler = "standard header one two three four five six" // 8 toks
+    val d = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon"),
+      (2L, s"$boiler zeta eta theta iota kappa"),
+      (3L, s"$boiler lambda mu nu xi omicron"),
+      (4L, boiler),                               // nothing survives
+      (5L, "completely unrelated text with no repeats at all here"),
+      // a span shared by only TWO docs stays (cap = 2 means > 2)
+      (6L, "dual shared span aa bb cc dd ee plus six"),
+      (7L, "dual shared span aa bb cc dd ee plus seven"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(d, "doc_id", "text",
+      windowTokens = 8, docFreqCap = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out(0) == ((1L, "alpha beta gamma delta epsilon", 8)), out(0))
+    assert(out(1)._2 == "zeta eta theta iota kappa")
+    assert(out(3) == ((4L, "", 8)), out(3))
+    assert(out(4) == ((5L,
+      "completely unrelated text with no repeats at all here", 0)))
+    assert(out(5)._3 == 0 && out(6)._3 == 0,
+      s"under-cap span must survive: ${out(5)} ${out(6)}")
+    assert(out.size == 7, "every input doc must come back")
+  }
+
   test("qualityKeepers: per-cluster argmax on the score, ties to the " +
     "SMALLEST id; member counts exact") {
     val clusters = Seq(

@@ -407,10 +407,13 @@ object Bench {
       s""""ann_recall_lsh_min":${jd(recallLsh)},""" +
       s""""ann_recall_ivf_min":${jd(recallIvf)},""" +
       s""""sf":"$sfDir"}"""
-    println(line)
-    // also persist to a file: the driver captures a tail of stdout, and
-    // a long run's log truncation has eaten the early per-query timings
-    // (BENCH_r08's tail started mid-q25) — the file survives regardless
+    // The FULL per-query series goes to the file only: the driver
+    // captures a bounded tail of stdout, and at 60 entries the full
+    // line overflows it (BENCH_r09/r10 both came back truncated →
+    // parsed:null). stdout gets a ≲1 KB summary — total, counts, the
+    // headline facets, and only the top-8 most expensive queries —
+    // printed as the BARE LAST line so the driver's JSON parse always
+    // lands.
     try {
       val out = java.nio.file.Paths.get("target/bench-latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -420,6 +423,19 @@ object Bench {
       case NonFatal(e) =>
         System.err.println(s"[bench] could not write bench-latest.json: $e")
     }
+    val topQs = times.toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${jd(total)},"unit":"sec",""" +
+      s""""n_queries":${times.size},"n_ok":${ok.values.count(identity)},""" +
+      s""""n_errors":${errors.size},"queries":$topQs,""" +
+      s""""find_runtime_scan_ratio":${jd(findRuntimeRatio)},""" +
+      s""""forget_10240_objects_per_min":${jd(rate(forget10240Objects * 60.0, forget10240Sec))},""" +
+      s""""pii_scrub_objects_per_min":${jd(rate(piiObjects * 60.0, piiSec))},""" +
+      s""""ann_recall_lsh_min":${jd(recallLsh)},""" +
+      s""""ann_recall_ivf_min":${jd(recallIvf)},""" +
+      s""""detail":"target/bench-latest.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
     if (ok.values.exists(v => !v)) sys.exit(1)
   }

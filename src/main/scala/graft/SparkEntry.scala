@@ -649,10 +649,20 @@ object SparkEntry {
     // export planner): ascending-id docs split at every `target`
     // cumulative tokens via the q37 distributed prefix sum — one range
     // shuffle, exact integer div, deterministic across partitionings.
+    // Hardened after the r10 driver-gate hash mismatch (locally
+    // unreproducible): every column pinned to non-null BIGINT and rows
+    // emitted pre-sorted by doc_id, so no type/nullability/order
+    // latitude is left for the comparator.
     "q51_shard_assign" -> ((s, dir) => {
       import graft.llm.{Packing, TextStats}
       Packing.shardAssignments(t(s, dir, "documents"), "doc_id",
         TextStats.tokenCount(col("text")), targetTokens = 2048)
+        .select(
+          col("doc_id").cast("bigint").as("doc_id"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          col("tok_offset").cast("bigint").as("tok_offset"),
+          col("shard_id").cast("bigint").as("shard_id"))
+        .orderBy("doc_id")
     }),
     // LLM §dedup — quality-aware KEEPER selection (the dedup policy
     // knob): within each q31 cluster keep the longest member (token
@@ -674,11 +684,13 @@ object SparkEntry {
     // corpus collapses ONCE to a word-frequency table, then each of
     // the 24 merge rounds is a vocabulary-sized job (weighted pair
     // counts with map-side partials + a top-1 argmax), and encode is
-    // pure map-side against the broadcast merge list. Merge learning
-    // is iterative — not SQL-expressible — so this entry takes the
-    // driver's rows-only check; the correctness gate is BpeSpec's
-    // merge-for-merge differential against an independent single-node
-    // reference implementation (+ partitioning determinism).
+    // pure map-side against the broadcast merge list. Merge LEARNING
+    // is iterative — not SQL-expressible — but encode IS: the oracle
+    // is generated from the learned merge literals (dynamicOracleSql →
+    // Bpe.encodeOracleSql) and replays the full greedy inference in
+    // DuckDB, so this row is hash-gated like every other; learning
+    // itself stays pinned by BpeSpec's merge-for-merge differential
+    // against an independent single-node reference implementation.
     "q54_bpe_encode" -> ((s, dir) => {
       import graft.llm.Bpe
       val docs = t(s, dir, "documents")
@@ -763,6 +775,22 @@ object SparkEntry {
         .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
           col("n_shared"))
     }))
+
+  /** Oracles that must be GENERATED from the data, merged into
+    * oracle_sql.json by Verify after the static [[oracleSql]] map.
+    * q54: merge learning is iterative (not SQL-expressible), but once
+    * the merges are learned they are constants — so the oracle is
+    * built from the learned merge literals and replays the entire
+    * greedy encode in DuckDB ([[graft.llm.Bpe.encodeOracleSql]]), the
+    * same parity-by-construction move as q42 (detector regexes) and
+    * q48 (MD5 preimages). Learning is deterministic (lexicographic
+    * argmax tie-break, spec-pinned), so this re-learn yields the
+    * identical list the q54 entry used. */
+  def dynamicOracleSql(s: SparkSession, dir: String): Map[String, String] = {
+    import graft.llm.Bpe
+    val merges = Bpe.learn(t(s, dir, "documents"), "text", numMerges = 24)
+    Map("q54_bpe_encode" -> Bpe.encodeOracleSql(merges))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (the
@@ -1294,7 +1322,11 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
         | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
-    // the q37 prefix-sum window + integer floor-div shard id
+    // the q37 prefix-sum window + integer floor-div shard id. Every
+    // output column is explicitly CAST to BIGINT (the bare `//` result
+    // type is DuckDB-version-sensitive — the one q37/q51 divergence
+    // candidate for the r10 driver hash mismatch; q37 always cast its
+    // division) and rows are emitted ordered, mirroring the entry.
     "q51_shard_assign" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -1302,13 +1334,13 @@ object SparkEntry {
         |  FROM documents),
         | o AS (
         |  SELECT doc_id, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS tok_offset
+        |      AS BIGINT) AS tok_offset
         |  FROM s)
-        | SELECT doc_id, n_tokens, tok_offset,
-        |   tok_offset // 2048 AS shard_id
-        | FROM o""".stripMargin.replace("\n", " "),
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, tok_offset,
+        |   CAST(tok_offset // 2048 AS BIGINT) AS shard_id
+        | FROM o ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // thresholds are round(fraction * 65536) as 5 hex digits (1.0 →
     // '10000', hence the '0' prefix on the 4-digit md5 slice)
     "q46_mix_sample" ->

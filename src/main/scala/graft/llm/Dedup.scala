@@ -910,13 +910,26 @@ object Dedup {
     * @param clusters (member id, `cluster_id`) frame from
     *                 [[duplicateClusters]] (idCol = its first column)
     * @param scores   per-id scores; `scoreCol` must cast to long (the
-    *                 integer-exact contract the q53 oracle relies on)
+    *                 integer-exact contract the q53 oracle relies on).
+    *                 EVERY cluster member must be scored: a member with
+    *                 no score row (or a null score) fails the job
+    *                 loudly rather than being silently dropped — an
+    *                 inner join here would undercount `n_members` and
+    *                 could vanish a whole cluster from the output,
+    *                 silently exempting it from keeper-based deletion
+    *                 feeds. The guard is a map-side `raise_error`
+    *                 branch, free on the happy path.
     * Output: (`cluster_id`, `keeper_id`, `keeper_score`, `n_members`).
     */
   def qualityKeepers(clusters: DataFrame, idCol: String,
                      scores: DataFrame, scoreCol: String): DataFrame =
     clusters
-      .join(scores.select(col(idCol), col(scoreCol)), idCol)
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
+      .select(col("cluster_id"), col(idCol),
+        when(col(scoreCol).isNotNull, col(scoreCol))
+          .otherwise(raise_error(concat(
+            lit(s"qualityKeepers: no score for $idCol="),
+            col(idCol).cast("string")))).as(scoreCol))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col(scoreCol).cast("long").as("_s"),

@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupForget {
 
-  /** Ids per batch. Each batch's queue drives one deletion job; at the
-    * default the queue stays under [[graft.find.Finder.InSetMaxKeys]],
-    * so each batch Finds via the native pushed-down InSet predicate. */
+  /** Ids per batch. Each batch's queue drives one deletion job. At the
+    * default (100k > [[graft.find.Finder.InSetMaxKeys]] = 32,768) a
+    * batch Finds via the broadcast semi-join strategy — the measured
+    * crossover (STATUS r10: InSet pushdown wins below ~32k keys,
+    * semi-join above) makes that the RIGHT plan at this size; shrink
+    * below `InSetMaxKeys` only if a workload wants the pushed-down
+    * InSet predicate path instead. */
   val DefaultBatchSize = 100000
 
   /** Aggregate result of a (possibly multi-batch) dedup-forget run.

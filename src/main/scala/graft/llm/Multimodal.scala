@@ -504,14 +504,18 @@ object Multimodal {
               walk(body + 4, math.min(body + sz, end.toLong).toInt,
                 depth + 1)
             else if (!truncated) {
+              // u32 reads are unsigned Longs: values above Int.MaxValue
+              // would narrow to NEGATIVE fps num/den, so the range guard
+              // must bound both ends before .toInt
               if (id == "strh" && fourcc(body) == "vids") {
                 val scale = u32(body + 20); val rate = u32(body + 24)
-                if (rate > 0 && scale > 0) {
+                if (rate > 0 && rate <= Int.MaxValue &&
+                    scale > 0 && scale <= Int.MaxValue) {
                   fpsNum = rate.toInt; fpsDen = scale.toInt
                 }
               } else if (id == "avih" && fpsNum == 0) {
                 val usPerFrame = u32(body) // dwMicroSecPerFrame
-                if (usPerFrame > 0) {
+                if (usPerFrame > 0 && usPerFrame <= Int.MaxValue) {
                   fpsNum = 1000000; fpsDen = usPerFrame.toInt
                 }
               } else if (id.length == 4 && sz > 0 &&

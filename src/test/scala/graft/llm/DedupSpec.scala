@@ -384,6 +384,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 9L, 3L), (7L, 7L, 3L, 2L)), out)
   }
 
+  test("qualityKeepers FAILS LOUDLY on an unscored cluster member " +
+    "(no silent drop that would exempt a cluster from deletion feeds)") {
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 5L)).toDF("doc_id", "score") // 2 unscored
+    val e = intercept[Exception] {
+      Dedup.qualityKeepers(clusters, "doc_id", scores, "score").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no score for doc_id=2")), e)
+  }
+
   test("simhashNearDuplicates finds exact copies at distance 0") {
     val d = Seq((1L, base), (2L, base),
       (3L, "entirely unrelated words frog moon satellite " * 10))

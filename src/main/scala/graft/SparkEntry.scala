@@ -645,6 +645,44 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10),
         "vec_id", 10)
     }),
+    // LLM §similarity — recall-driven IVF auto-tuning (the production
+    // re-probe loop as an operator): nprobe doubles until measured
+    // recall@k on the probe sample reaches the target. At target 1.0
+    // with the full query set as sample, the tuned output provably
+    // EQUALS the exact ranking (candidates re-score by exact cosine,
+    // same id tie-break) — which is what lets an adaptive-approximate
+    // operator be hash-gated against the exact SQL oracle.
+    "q56_ann_autotune" -> ((s, dir) => {
+      import graft.llm.Similarity
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity.ivfTopKAutoTuned(emb, queries, "vec_id", "embedding",
+        10, nlist = 16, targetRecall = 1.0, initialNprobe = 2)._1
+    }),
+    // LLM §clustering — deterministic Lloyd k-means over the embedding
+    // column (the coarse-structure pass behind semantic dedup and
+    // mixture balancing): seeded-sample init, codegen'd cosine argmax
+    // assignment, EXACT-decimal mean updates (order-independent, so
+    // centroids are identical for any partitioning). The oracle
+    // replays the final assignment from the learned centroid literals
+    // (dynamicOracleSql — the q54 parity-by-construction move).
+    "q57_kmeans" -> ((s, dir) => {
+      import graft.llm.Clustering
+      Clustering.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 4)._1
+    }),
+    // LLM §dedup — SemDeDup-style semantic dedup (Abbas et al. 2023):
+    // within each k-means cluster drop every row with a lower-id
+    // member at cosine >= tau; pairs never leave a cluster. tau=0.42
+    // is corpus-tuned to the near-uniform synthetic vectors (max pair
+    // cosine 0.51 — real embedding corpora sit at 0.9+); the full
+    // pipeline (clustering + in-cluster dominance) replays in SQL
+    // from the centroid literals.
+    "q58_semantic_dedup" -> ((s, dir) => {
+      import graft.llm.Clustering
+      Clustering.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 4, tau = 0.42)
+    }),
     // LLM §packing — token-budget shard assignment (the balanced
     // export planner): ascending-id docs split at every `target`
     // cumulative tokens via the q37 distributed prefix sum — one range
@@ -787,9 +825,16 @@ object SparkEntry {
     * argmax tie-break, spec-pinned), so this re-learn yields the
     * identical list the q54 entry used. */
   def dynamicOracleSql(s: SparkSession, dir: String): Map[String, String] = {
-    import graft.llm.Bpe
+    import graft.llm.{Bpe, Clustering}
     val merges = Bpe.learn(t(s, dir, "documents"), "text", numMerges = 24)
-    Map("q54_bpe_encode" -> Bpe.encodeOracleSql(merges))
+    // deterministic re-learn — identical centroids to the q57/q58 runs
+    val (_, centroids) = Clustering.kmeans(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 4)
+    Map(
+      "q54_bpe_encode" -> Bpe.encodeOracleSql(merges),
+      "q57_kmeans" -> Clustering.kmeansOracleSql(centroids),
+      "q58_semantic_dedup" ->
+        Clustering.semanticDedupOracleSql(centroids, tau = 0.42))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -944,6 +989,8 @@ object SparkEntry {
         .stripMargin.replace("\n", " "),
     "q22_ann_brute" -> annOracleSql,
     "q23_ann_lsh" -> annOracleSql,
+    // auto-tuned to recall 1.0 over the full query sample ≡ exact
+    "q56_ann_autotune" -> annOracleSql,
     "q24_near_dedup" ->
       """WITH d AS (SELECT doc_id, text, len(text) AS lt FROM documents),
         | idx AS (SELECT unnest(range(1, 2000)) AS i),

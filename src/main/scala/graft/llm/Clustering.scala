@@ -1,0 +1,222 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding-space clustering for training-data curation — the coarse
+  * structure pass behind semantic dedup (SemDeDup, Abbas et al. 2023),
+  * data-mixture balancing, and per-cluster sampling.
+  *
+  * Everything here is DETERMINISTIC across runs AND partitionings —
+  * the property that makes clustering usable inside a correctness-
+  * gated pipeline:
+  *
+  *   - init: centroids are the first `k` vectors in a seeded
+  *     xxhash64(id) order (the [[Similarity.ivfTopK]] sampled-centroid
+  *     trick — a uniform pseudo-random permutation that depends only
+  *     on ids, one `TakeOrderedAndProject`).
+  *   - assignment: argmax of the codegen'd
+  *     [[graft.functions.GraftFunctions.cosine]] over the broadcast
+  *     centroid literals, ties to the lower cluster index
+  *     (`array_position` finds the FIRST max) — a pure projection, no
+  *     shuffle, no UDF.
+  *   - update: per-dimension means are computed in EXACT decimal
+  *     arithmetic (each float is cast to `decimal(30,12)` — a
+  *     deterministic per-value rounding — then summed exactly), so
+  *     the result is independent of partition/summation order; a
+  *     float-sum mean here would make centroids, and therefore
+  *     assignments, drift run to run. The aggregate collapses to
+  *     k·dim rows (map-side partials), driver memory O(k·dim).
+  *
+  * Scale shape at 100 TB: each Lloyd iteration is one scan — the
+  * assignment projection feeds a `posexplode` + hash aggregation of
+  * n·dim rows reduced map-side to k·dim partials per partition. No
+  * per-iteration driver traffic beyond the k·dim centroid table, and
+  * lineage stays flat (each iteration re-reads the source, not the
+  * previous iteration's plan).
+  */
+object Clustering {
+
+  /** Assign every row to its nearest centroid by cosine (ties to the
+    * lower cluster index). Pure projection over the broadcast centroid
+    * literals — shuffle-free, whole-stage-codegen'd.
+    * Output: (idCol, `cluster_id` int). */
+  def assignClusters(data: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[Array[Float]]): DataFrame =
+    assignWith(data, idCol, vecCol, centroids).select(
+      col(idCol), col("cluster_id"))
+
+  /** [[assignClusters]] keeping the vector column (internal shape for
+    * the update step and [[semanticDedup]]'s pair join). */
+  private def assignWith(data: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[Array[Float]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    graft.functions.GraftFunctions.register(data.sparkSession)
+    val sims = array(centroids.map(c =>
+      graft.functions.GraftFunctions.cosine(
+        col(vecCol), typedLit(c.toSeq))): _*)
+    data.select(col(idCol), col(vecCol), sims.as("_sims"))
+      .select(col(idCol), col(vecCol),
+        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
+          .cast("int").as("cluster_id"))
+  }
+
+  /** Deterministic farthest-first init (the k-means++ idea without the
+    * randomness): the min-id vector seeds the set, then each round
+    * adds the point with the LOWEST max-cosine to the chosen set
+    * (= angularly farthest; ties to the smaller id). One
+    * TakeOrderedAndProject scan per centroid — use for coarse k; at
+    * SemDeDup-scale k (tens of thousands) pass a pre-sampled `init`
+    * to [[kmeans]] instead. Deterministic for any partitioning: each
+    * round is a global (score, id) argmin. Well-separated groups are
+    * recovered by construction — the next pick always comes from the
+    * group farthest from everything chosen so far, which a one-shot
+    * sample cannot guarantee. */
+  def farthestFirstInit(data: DataFrame, idCol: String, vecCol: String,
+                        k: Int): Seq[Array[Float]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.GraftFunctions.register(data.sparkSession)
+    val first = data.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(1).collect()
+    require(first.nonEmpty, "k-means needs a non-empty corpus")
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      first(0).getSeq[Float](1).toArray)
+    while (chosen.length < k) {
+      val maxSim = array_max(array(chosen.toSeq.map(c =>
+        graft.functions.GraftFunctions.cosine(
+          col(vecCol), typedLit(c.toSeq))): _*))
+      val next = data.select(col(idCol), col(vecCol), maxSim.as("_m"))
+        .orderBy(col("_m"), col(idCol)).limit(1).collect()
+      chosen += next(0).getSeq[Float](1).toArray
+    }
+    chosen.toSeq
+  }
+
+  /** Deterministic Lloyd k-means: `iters` assignment/update rounds
+    * from [[farthestFirstInit]] (or the supplied `init` centroids).
+    * Returns (assignments under the FINAL centroids, the final
+    * centroids) — the assignment frame is exactly what
+    * [[kmeansOracleSql]] replays from the centroid literals.
+    *
+    * An empty cluster keeps its previous centroid (the standard
+    * fixed-k behavior; with a data-point init every centroid starts
+    * on a data point, so round-1 clusters are non-empty by
+    * construction).
+    */
+  def kmeans(data: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int, init: Seq[Array[Float]] = Nil)
+      : (DataFrame, Seq[Array[Float]]) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var centroids: Seq[Array[Float]] =
+      if (init.nonEmpty) init
+      else farthestFirstInit(data, idCol, vecCol, k)
+    val dim = centroids.head.length
+    for (_ <- 0 until iters) {
+      // exact decimal per-dimension sums: order-independent, so the
+      // new centroids are identical for any partitioning of `data`
+      val rows = assignWith(data, idCol, vecCol, centroids)
+        .select(col("cluster_id"),
+          posexplode(col(vecCol)).as(Seq("_d", "_x")))
+        .groupBy("cluster_id", "_d")
+        .agg(sum(col("_x").cast(DecimalType(30, 12))).as("_s"),
+          count(lit(1)).as("_n"))
+        .collect() // k·dim tiny rows
+      val next = centroids.map(_.clone()).toArray
+      rows.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        val s = r.getDecimal(2); val n = r.getLong(3)
+        next(c)(d) = s
+          .divide(java.math.BigDecimal.valueOf(n), 12,
+            java.math.RoundingMode.HALF_EVEN)
+          .floatValue()
+      }
+      centroids = next.toSeq
+    }
+    (assignClusters(data, idCol, vecCol, centroids), centroids)
+  }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus
+    * ([[kmeans]]), then within each cluster drop every row that has a
+    * LOWER-id member at cosine ≥ `tau` (the kept row is the earliest
+    * copy — the same keep-min-id convention as
+    * [[DedupForget.losers]]). The pair test never leaves a cluster:
+    * candidate pairs are Σ|cluster|² — pick `k` so clusters stay
+    * bounded (k ≈ n / targetClusterSize; SemDeDup runs k in the tens
+    * of thousands at web scale for exactly this reason). The
+    * dominance relation is one self-join on `cluster_id` (a single
+    * key shuffle) + the codegen'd cosine filter; survivors come back
+    * via left-anti join.
+    *
+    * Output: (idCol, `cluster_id`) — the KEPT rows. */
+  def semanticDedup(data: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, tau: Double,
+                    init: Seq[Array[Float]] = Nil): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be in [-1,1], got $tau")
+    val (_, centroids) =
+      kmeans(data, idCol, vecCol, k, iters, init)
+    val av = assignWith(data, idCol, vecCol, centroids)
+    val dominated = av
+      .select(col("cluster_id"), col(idCol).as("_id_a"),
+        col(vecCol).as("_va"))
+      .join(av.select(col("cluster_id"), col(idCol).as("_id_b"),
+        col(vecCol).as("_vb")), "cluster_id")
+      .filter(col("_id_b") < col("_id_a"))
+      .filter(graft.functions.GraftFunctions.cosine(
+        col("_va"), col("_vb")) >= tau)
+      .select(col("_id_a").as(idCol)).distinct()
+    av.join(dominated, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+  }
+
+  // ---- oracle generation (parity by construction: the learned
+  // centroids become SQL literals, exactly the q54-BPE / q48-SimHash
+  // move). Floats are printed as their EXACT double value
+  // (Double.toString(f.toDouble)) — the shortest FLOAT repr would
+  // re-parse as a different double on the DuckDB side.
+
+  private def centroidLit(c: Array[Float]): String =
+    c.map(f => java.lang.Double.toString(f.toDouble))
+      .mkString("[", ", ", "]")
+
+  /** Assignment CTEs replaying [[assignClusters]]'s argmax: `s` builds
+    * the per-row sims list ONCE (one list_cosine_similarity per
+    * centroid — IEEE-identical to the Spark cosine, pinned by the q22
+    * oracle), `a` takes the first-max position (= the lower-index
+    * tie-break). `extraCols` carries columns downstream queries need. */
+  private def assignCtes(centroids: Seq[Array[Float]], table: String,
+                         idCol: String, vecCol: String,
+                         extraCols: String): String = {
+    val sims = centroids.map(c =>
+      s"list_cosine_similarity(CAST($vecCol AS DOUBLE[])," +
+        s" CAST(${centroidLit(c)} AS DOUBLE[]))").mkString("[", ", ", "]")
+    s"WITH s AS (SELECT $idCol$extraCols, $sims AS sims FROM $table)," +
+      s" a AS (SELECT $idCol$extraCols," +
+      s" CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER)" +
+      s" AS cluster_id FROM s)"
+  }
+
+  /** DuckDB replay of [[kmeans]]'s final assignment from the learned
+    * centroid literals. */
+  def kmeansOracleSql(centroids: Seq[Array[Float]],
+                      table: String = "embeddings",
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): String =
+    s"${assignCtes(centroids, table, idCol, vecCol, "")}" +
+      s" SELECT $idCol, cluster_id FROM a"
+
+  /** DuckDB replay of [[semanticDedup]] from the learned centroid
+    * literals: assignment CTEs, then NOT EXISTS a lower-id same-cluster
+    * member at cosine ≥ tau. */
+  def semanticDedupOracleSql(centroids: Seq[Array[Float]], tau: Double,
+                             table: String = "embeddings",
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): String =
+    s"${assignCtes(centroids, table, idCol, vecCol, s", $vecCol")}" +
+      s" SELECT x.$idCol, x.cluster_id FROM a x" +
+      s" WHERE NOT EXISTS (SELECT 1 FROM a y" +
+      s" WHERE y.cluster_id = x.cluster_id AND y.$idCol < x.$idCol" +
+      s" AND list_cosine_similarity(CAST(x.$vecCol AS DOUBLE[])," +
+      s" CAST(y.$vecCol AS DOUBLE[])) >= ${java.lang.Double.toString(tau)})"
+}

@@ -189,6 +189,58 @@ object Similarity {
       idCol, k)
   }
 
+  /** Recall-driven IVF — the production tuning loop as an operator:
+    * [[ivfTopK]] with `nprobe` AUTO-RAISED (doubling from
+    * `initialNprobe`, capped at `nlist`) until measured recall@k on a
+    * probe sample reaches `targetRecall`. This is the standing answer
+    * to recall EROSION: a fixed nprobe tuned at corpus size n silently
+    * loses neighbors at 10n (the bench's `ann_recall_ivf_min` facet
+    * measured exactly that, 1.0 at sf0.01 → 0.9 at sf0.1), while the
+    * re-measuring loop pays a bounded probe cost and keeps the
+    * guarantee.
+    *
+    * Probe cost is bounded: the sample is the first
+    * `maxTuneQueries` queries in id order (deterministic), its ground
+    * truth is ONE brute-force pass (sample × corpus, broadcast
+    * map-only), and each tuning iteration scans only the sample's
+    * candidate lists. The worst case walks nprobe up to `nlist`, where
+    * [[ivfTopK]] probes every list — exact by construction — so
+    * termination at the target is guaranteed when the sample covers
+    * the query set; with the full query set as sample and
+    * `targetRecall = 1.0` the OUTPUT equals [[bruteForceTopK]]'s
+    * (candidates are re-scored by exact cosine with the same id
+    * tie-break, so equal top-k sets rank identically) — which is what
+    * lets the q56 gate hash-compare this operator against the exact
+    * SQL oracle.
+    *
+    * Returns (ranked top-k frame for ALL queries, chosen nprobe). */
+  def ivfTopKAutoTuned(data: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nlist: Int, targetRecall: Double,
+                       initialNprobe: Int = 1, sampleSeed: Int = 0,
+                       maxTuneQueries: Int = 16): (DataFrame, Int) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0,1], got $targetRecall")
+    require(initialNprobe >= 1 && initialNprobe <= nlist,
+      s"need 1 <= initialNprobe <= nlist, got $initialNprobe")
+    val sample = queries.orderBy(col(idCol)).limit(maxTuneQueries)
+    val exact = bruteForceTopK(data, sample, idCol, vecCol, k)
+      .localCheckpoint(true)
+    var nprobe = initialNprobe
+    var done = false
+    while (!done) {
+      val approx = ivfTopK(data, sample, idCol, vecCol, k,
+        nlist, nprobe, sampleSeed)
+      val minRecall = SimilarityEval.recallAtK(approx, exact, idCol, k)
+        .agg(min(col("recall"))).head().getDouble(0)
+      if (minRecall >= targetRecall || nprobe >= nlist) done = true
+      else nprobe = math.min(nlist, nprobe * 2)
+    }
+    exact.unpersist()
+    (ivfTopK(data, queries, idCol, vecCol, k, nlist, nprobe, sampleSeed),
+      nprobe)
+  }
+
   /** Exact cosine top-k of `data` rows for each `queries` row.
     * Output: (q_id, <idCol>, rank) — rank 1 = nearest, ties broken by id.
     * Self-pairs (same id) are excluded. */

@@ -119,6 +119,23 @@ class SimilaritySpec extends SparkSpec {
       "partial probing missed true neighbors on the clustered corpus")
   }
 
+  test("ivfTopKAutoTuned raises nprobe until the recall target holds; " +
+    "at target 1.0 the output equals brute-force exactly") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", 5).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val (tuned, nprobe) = Similarity.ivfTopKAutoTuned(emb, queries,
+      "vec_id", "embedding", 5, nlist = 8, targetRecall = 1.0,
+      initialNprobe = 1)
+    // near-uniform synthetic vectors need deep probing — the tuner must
+    // have RAISED nprobe from 1, and the tuned output is exact
+    assert(nprobe > 1, s"expected a raise from nprobe=1, got $nprobe")
+    val got = tuned.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+  }
+
   test("rankTopK reproduces the global rank order (sim desc, id asc " +
     "ties) on a multi-partition frame") {
     val rows = for (q <- 0 until 3; i <- 0 until 500)

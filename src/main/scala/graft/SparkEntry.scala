@@ -24,6 +24,31 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  // ---- gate-time frame reuse: q29/q31/q53 all start from the
+  // identical jaccardPairsExact(documents, 16, 0.8) frame, and
+  // q31/q53 from its connected components — ~2× the same heavy
+  // pipeline re-run per gate. Verify opts in via the system property
+  // (set in Verify.main); Bench and library callers never set it, so
+  // per-query bench timings keep their standalone definition.
+  private val sharedFrames =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def sharingFrames: Boolean =
+    sys.props.get("graft.gate.shareFrames").contains("1")
+  private def docPairs(s: SparkSession, dir: String): DataFrame = {
+    def mk = graft.llm.Dedup.jaccardPairsExact(t(s, dir, "documents"),
+      "doc_id", "text", shingleLen = 16, threshold = 0.8)
+    if (!sharingFrames) mk
+    else sharedFrames.getOrElseUpdate(s"pairs:$dir",
+      mk.localCheckpoint(true))
+  }
+  private def docClusters(s: SparkSession, dir: String): DataFrame = {
+    def mk = graft.llm.Dedup.duplicateClusters(
+      docPairs(s, dir), "id_a", "id_b")
+    if (!sharingFrames) mk
+    else sharedFrames.getOrElseUpdate(s"clusters:$dir",
+      mk.localCheckpoint(true))
+  }
+
   // ---- canonical deletion-queue fixtures used by the find/forget queries
   private val simpleQueue = Seq(
     DeletionQueueItem("s1", MatchId.Simple("7")),
@@ -440,13 +465,10 @@ object SparkEntry {
     // which starves ANY exact prefix scheme of rare shingles; 16-char
     // windows restore a discriminative vocabulary, and the filters'
     // pruning power also scales with t.
-    "q29_jaccard_exact" -> ((s, dir) => {
-      import graft.llm.Dedup
-      Dedup.jaccardPairsExact(t(s, dir, "documents"), "doc_id", "text",
-        shingleLen = 16, threshold = 0.8)
+    "q29_jaccard_exact" -> ((s, dir) =>
+      docPairs(s, dir)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-          col("jaccard"))
-    }),
+          col("jaccard"))),
     // LLM §decontamination — EXACT cross-corpus Jaccard JOIN: the
     // train/test contamination screen. The 1-in-5 doc_id slice plays
     // the benchmark corpus; the rest is the training corpus. Same
@@ -482,13 +504,9 @@ object SparkEntry {
     // (O(log n) rounds — never diameter-many), cluster label = min
     // doc_id of the component. The oracle recomputes the same pairs in
     // SQL and closes them transitively with a recursive CTE.
-    "q31_dedup_clusters" -> ((s, dir) => {
-      import graft.llm.Dedup
-      val pairs = Dedup.jaccardPairsExact(t(s, dir, "documents"),
-        "doc_id", "text", shingleLen = 16, threshold = 0.8)
-      Dedup.duplicateClusters(pairs, "id_a", "id_b")
-        .select(col("id_a").as("doc_id"), col("cluster_id"))
-    }),
+    "q31_dedup_clusters" -> ((s, dir) =>
+      docClusters(s, dir)
+        .select(col("id_a").as("doc_id"), col("cluster_id"))),
     // LLM §sampling — deterministic md5-keyed subsample: map-only,
     // shuffle-free, reproducible across engines/runs/partitionings
     // (rand(seed) is none of those); the oracle states the identical
@@ -709,9 +727,7 @@ object SparkEntry {
     "q53_quality_keeper" -> ((s, dir) => {
       import graft.llm.{Dedup, TextStats}
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text",
-        shingleLen = 16, threshold = 0.8)
-      val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      val clusters = docClusters(s, dir)
         .select(col("id_a").as("doc_id"), col("cluster_id"))
       val scores = docs.select(col("doc_id"),
         TextStats.tokenCount(col("text")).as("score"))

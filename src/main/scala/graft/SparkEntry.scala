@@ -701,6 +701,37 @@ object SparkEntry {
       Clustering.semanticDedup(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, iters = 4, tau = 0.42)
     }),
+    // LLM §text-analysis — distinctive-keyword extraction: tf-idf's
+    // ranking with NO floats (tf desc, corpus doc-freq asc, token asc
+    // — integer lexicographic, bit-identical in any engine); per-doc
+    // top-3 via the two-phase rankTopK pattern, no per-doc window.
+    "q59_keywords" -> ((s, dir) => {
+      import graft.llm.TextStats
+      TextStats.keywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+    // LLM §sampling — per-stratum CAP sampling (the mixture builder's
+    // "exactly n docs per domain"): deterministic md5 order, two-phase
+    // per-partition cap + merge — a hot stratum never serializes
+    // through one task the way ROW_NUMBER OVER (PARTITION BY) would.
+    "q60_cap_sample" -> ((s, dir) => {
+      import graft.llm.Sampling
+      Sampling.capSample(t(s, dir, "documents"), "doc_id", "lang",
+        n = 10)
+    }),
+    // LLM §mixing — the lang × embedding-cluster mixture matrix (the
+    // table a data-mixture rebalancer reads): q57's deterministic
+    // clusters joined onto documents (doc_id = vec_id on the shared
+    // synthetic keyspace), counted per cell. Oracle replays the
+    // clustering from centroid literals + the same join/group.
+    "q61_mixture_matrix" -> ((s, dir) => {
+      import graft.llm.Clustering
+      val (assigned, _) = Clustering.kmeans(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 4)
+      t(s, dir, "documents")
+        .join(assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .groupBy(col("lang"), col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     // LLM §packing — token-budget shard assignment (the balanced
     // export planner): ascending-id docs split at every `target`
     // cumulative tokens via the q37 distributed prefix sum — one range
@@ -850,7 +881,9 @@ object SparkEntry {
       "q54_bpe_encode" -> Bpe.encodeOracleSql(merges),
       "q57_kmeans" -> Clustering.kmeansOracleSql(centroids),
       "q58_semantic_dedup" ->
-        Clustering.semanticDedupOracleSql(centroids, tau = 0.42))
+        Clustering.semanticDedupOracleSql(centroids, tau = 0.42),
+      "q61_mixture_matrix" ->
+        Clustering.mixtureMatrixOracleSql(centroids))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1404,6 +1437,29 @@ object SparkEntry {
         | SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, tok_offset,
         |   CAST(tok_offset // 2048 AS BIGINT) AS shard_id
         | FROM o ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // tf-idf's ranking as pure integers: tf desc, doc-freq asc, token
+    // asc — df counts rows of the per-doc-distinct tf table
+    "q59_keywords" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS t FROM documents),
+        | tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY 1, 2),
+        | df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1)
+        | SELECT tf.doc_id, tf.t AS token, tf.tf, df.df,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |     ORDER BY tf.tf DESC, df.df, tf.t) AS INTEGER) AS rank
+        | FROM tf JOIN df USING (t)
+        | QUALIFY rank <= 3""".stripMargin.replace("\n", " "),
+    // the same md5(stratum#key) order as q46's fraction path, capped
+    // at n per stratum (the window here is the ORACLE's luxury — the
+    // engine side runs the two-phase cap instead)
+    "q60_cap_sample" ->
+      """SELECT lang, doc_id,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |     ORDER BY md5(lang || '#' || CAST(doc_id AS VARCHAR)),
+        |       doc_id) AS INTEGER) AS rank
+        | FROM documents
+        | QUALIFY rank <= 10""".stripMargin.replace("\n", " "),
     // thresholds are round(fraction * 65536) as 5 hex digits (1.0 →
     // '10000', hence the '0' prefix on the 4-digit md5 slice)
     "q46_mix_sample" ->

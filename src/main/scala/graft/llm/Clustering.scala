@@ -206,6 +206,21 @@ object Clustering {
     s"${assignCtes(centroids, table, idCol, vecCol, "")}" +
       s" SELECT $idCol, cluster_id FROM a"
 
+  /** DuckDB replay of the q61 mixture matrix: assignment CTEs from the
+    * centroid literals, joined onto the document table on the shared
+    * synthetic keyspace, counted per (stratum, cluster) cell. */
+  def mixtureMatrixOracleSql(centroids: Seq[Array[Float]],
+                             docTable: String = "documents",
+                             docIdCol: String = "doc_id",
+                             strataCol: String = "lang",
+                             embTable: String = "embeddings",
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): String =
+    s"${assignCtes(centroids, embTable, idCol, vecCol, "")}" +
+      s" SELECT d.$strataCol, a.cluster_id, count(*) AS n_docs" +
+      s" FROM a JOIN $docTable d ON d.$docIdCol = a.$idCol" +
+      s" GROUP BY 1, 2"
+
   /** DuckDB replay of [[semanticDedup]] from the learned centroid
     * literals: assignment CTEs, then NOT EXISTS a lower-id same-cluster
     * member at cosine ≥ tau. */

@@ -53,4 +53,40 @@ object Sampling {
       substring(md5(concat_ws("#", col(strataCol).cast("string"),
         col(keyCol).cast("string"))), 1, 4)) < cutoff)
   }
+
+  /** Per-stratum CAP sampling — the mixture builder's other half:
+    * where [[stratifiedSample]] draws a FRACTION per stratum, this
+    * takes EXACTLY `min(n, |stratum|)` rows per stratum ("10k docs per
+    * domain"), selected in deterministic md5 order (same
+    * `md5(stratum#key)` input as the fraction path, so both sampling
+    * modes agree on what "the first rows of a stratum" means; md5
+    * ties — practically impossible — break by key).
+    *
+    * Scale shape: NO per-stratum single-task window. Phase 1 caps each
+    * (stratum, input-partition) to its n smallest hashes map-side
+    * (groupBy partition id + sorted-slice, the [[Similarity.rankTopK]]
+    * two-phase pattern); phase 2 merges ≤ n·P rows per stratum — so a
+    * billion-row hot stratum never serializes through one task, which
+    * a bare `ROW_NUMBER() OVER (PARTITION BY stratum)` would do.
+    *
+    * Output: (strataCol, keyCol, `rank` 1..n) — semi-join back on the
+    * key for full rows. */
+  def capSample(df: DataFrame, keyCol: String, strataCol: String,
+                n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val entry = struct(
+      md5(concat_ws("#", col(strataCol).cast("string"),
+        col(keyCol).cast("string"))).as("h"),
+      col(keyCol).as("k"))
+    val partial = df
+      .groupBy(col(strataCol), spark_partition_id().as("_p"))
+      .agg(slice(array_sort(collect_list(entry)), 1, n).as("_top"))
+    partial
+      .groupBy(col(strataCol))
+      .agg(slice(array_sort(flatten(collect_list(col("_top")))), 1, n)
+        .as("_top"))
+      .select(col(strataCol), posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(col(strataCol), col("_e.k").as(keyCol),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
 }

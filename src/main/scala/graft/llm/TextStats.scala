@@ -210,4 +210,45 @@ object TextStats {
       okStop.cast("int").as("ok_stopwords"),
       (okLen && okDist && okStop).cast("int").as("keep"))
   }
+
+  /** Per-document distinctive-KEYWORD extraction — tf-idf's ranking
+    * with NO floats anywhere: per doc, tokens ordered by (tf desc,
+    * corpus doc-frequency asc, token asc) and cut to the top `k`. The
+    * float tf·idf score and this order agree on what they exist to
+    * express (frequent-here, rare-elsewhere) while the integer
+    * lexicographic form is bit-identical in any engine — same move as
+    * [[qualityFilter]]'s integer cross-products.
+    *
+    * Shape: tf = one (id, token) hash aggregation (rows ∝ distinct
+    * doc-token pairs); df = one token aggregation over tf (already
+    * per-doc-distinct, so `count(*)` IS document frequency); the
+    * per-doc top-k is the [[Similarity.rankTopK]] two-phase pattern —
+    * no per-doc single-task window even for a pathological
+    * million-distinct-token document.
+    *
+    * Output: (idCol, `token`, `tf`, `df`, `rank` 1..k). Token-less
+    * documents emit no rows. */
+  def keywords(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df
+      .select(col(idCol), explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("_t"))
+      .groupBy(col(idCol), col("_t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("_t")).agg(count(lit(1)).as("df"))
+    val entry = struct((-col("tf")).as("ntf"), col("df"),
+      col("_t").as("t"), col("tf"))
+    val partial = tf.join(dfreq, "_t")
+      .groupBy(col(idCol), spark_partition_id().as("_p"))
+      .agg(slice(array_sort(collect_list(entry)), 1, k).as("_top"))
+    partial
+      .groupBy(col(idCol))
+      .agg(slice(array_sort(flatten(collect_list(col("_top")))), 1, k)
+        .as("_top"))
+      .select(col(idCol), posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(col(idCol), col("_e.t").as("token"), col("_e.tf").as("tf"),
+        col("_e.df").as("df"), (col("_pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -122,4 +122,64 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("capSample: exactly min(n, |stratum|) per stratum, ranks 1..n, " +
+    "identical selection across partitionings, md5-order determinism") {
+    val rows = (1L to 100L).map(i =>
+      (i, if (i <= 60) "a" else if (i <= 95) "b" else "c"))
+    val df = rows.toDF("id", "grp")
+    val out = Sampling.capSample(df, "id", "grp", n = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byGrp = out.groupBy(_._1)
+    assert(byGrp("a").length == 10 && byGrp("b").length == 10)
+    assert(byGrp("c").length == 5, "small stratum takes ALL its rows")
+    assert(byGrp("a").map(_._3).sorted.toSeq == (1 to 10),
+      "ranks are dense 1..n")
+    val out2 = Sampling.capSample(df.repartition(13), "id", "grp", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.sortBy(r => (r._1, r._3)).toSeq ==
+      out2.sortBy(r => (r._1, r._3)).toSeq,
+      "selection and ranks must not depend on partitioning")
+    // the rank order IS ascending md5(grp#id) order
+    def h(g: String, i: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$g#$i".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val aRanked = out.filter(_._1 == "a").sortBy(_._3).map(_._2).toSeq
+    val aExpect = (1L to 60L).sortBy(h("a", _)).take(10)
+    assert(aRanked == aExpect)
+  }
+
+  test("keywords: (tf desc, df asc, token asc) integer ranking, top-k " +
+    "cut, token-less docs emit nothing, partitioning-invariant") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry cherry cherry"),
+      (2L, "banana banana apple date"),
+      (3L, "   "), // token-less
+      (4L, "cherry date date")).toDF("doc_id", "text")
+    val out = TextStats.keywords(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(3L))
+    // doc 1: cherry tf=3 wins; apple tf=2 df=2 beats banana? both tf,
+    // df equal (apple df=2, banana df=2) -> token asc: apple
+    assert(byDoc(1L).sortBy(_._5).map(t => (t._2, t._3, t._5)).toSeq ==
+      Seq(("cherry", 3L, 1), ("apple", 2L, 2)))
+    // doc 2: banana tf=2 rank 1; apple vs date tf=1: df apple=2 <
+    // date=2? apple df=2, date df=2 -> token asc: apple
+    assert(byDoc(2L).sortBy(_._5).map(_._2).toSeq ==
+      Seq("banana", "apple"))
+    // doc 4: date tf=2 rank 1; cherry tf=1 rank 2
+    assert(byDoc(4L).sortBy(_._5).map(_._2).toSeq ==
+      Seq("date", "cherry"))
+    val out2 = TextStats.keywords(docs.repartition(7), "doc_id",
+      "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(out.sortBy(r => (r._1, r._5)).toSeq ==
+      out2.sortBy(r => (r._1, r._5)).toSeq)
+  }
 }

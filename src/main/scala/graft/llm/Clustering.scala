@@ -47,19 +47,60 @@ object Clustering {
     assignWith(data, idCol, vecCol, centroids).select(
       col(idCol), col("cluster_id"))
 
+  /** Above this k the assignment switches from the k-literal
+    * expression array (whole-stage codegen'd — but the plan holds one
+    * cosine EXPRESSION per centroid, and codegen cost grows with k:
+    * the 30× soak measured a 66× blowup at k=240) to a single UDF
+    * looping over the broadcast centroid matrix (same arithmetic, flat
+    * plan). Both paths compute the IDENTICAL argmax — the UDF mirrors
+    * [[graft.functions.FloatVectorCosine]] op-for-op (double
+    * accumulation in element order, `sqrt(na)*sqrt(nb)` denominator,
+    * 0.0 on zero norm), so the q57/q58/q61 oracles replay either. */
+  val ExprAssignMaxK = 32
+
   /** [[assignClusters]] keeping the vector column (internal shape for
     * the update step and [[semanticDedup]]'s pair join). */
   private def assignWith(data: DataFrame, idCol: String, vecCol: String,
                          centroids: Seq[Array[Float]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    graft.functions.GraftFunctions.register(data.sparkSession)
-    val sims = array(centroids.map(c =>
-      graft.functions.GraftFunctions.cosine(
-        col(vecCol), typedLit(c.toSeq))): _*)
-    data.select(col(idCol), col(vecCol), sims.as("_sims"))
-      .select(col(idCol), col(vecCol),
-        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
-          .cast("int").as("cluster_id"))
+    val assigned =
+      if (centroids.length <= ExprAssignMaxK) {
+        graft.functions.GraftFunctions.register(data.sparkSession)
+        val sims = array(centroids.map(c =>
+          graft.functions.GraftFunctions.cosine(
+            col(vecCol), typedLit(c.toSeq))): _*)
+        data.select(col(idCol), col(vecCol), sims.as("_sims"))
+          .select(col(idCol), col(vecCol),
+            (array_position(col("_sims"), array_max(col("_sims"))) - 1)
+              .cast("int").as("cluster_id"))
+      } else {
+        val cents = centroids.toArray
+        val assign = udf { (vec: Seq[Float]) =>
+          val v = vec.toArray
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            val cv = cents(c)
+            val m = math.min(v.length, cv.length)
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < m) {
+              val x = v(i).toDouble; val y = cv(i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            val denom = math.sqrt(na) * math.sqrt(nb)
+            val sim = if (denom == 0.0) 0.0 else dot / denom
+            // strict > keeps the FIRST max — the lower-index tie-break
+            if (sim > bestSim) { bestSim = sim; best = c }
+            c += 1
+          }
+          best
+        }
+        data.select(col(idCol), col(vecCol),
+          assign(col(vecCol)).as("cluster_id"))
+      }
+    assigned
   }
 
   /** Deterministic farthest-first init (the k-means++ idea without the

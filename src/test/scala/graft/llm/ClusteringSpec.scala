@@ -79,6 +79,52 @@ class ClusteringSpec extends SparkSpec {
     assert(kept == Set(10L, 20L), kept)
   }
 
+  test("large-k UDF assignment path ≡ the expression path's argmax " +
+    "(differential vs a driver-side replay of the exact formula)") {
+    val rnd = new scala.util.Random(3)
+    val cents = Seq.fill(Clustering.ExprAssignMaxK + 8)(
+      Array.fill(64)(rnd.nextGaussian().toFloat))
+    val got = Clustering.assignClusters(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(a: Seq[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val m = math.min(a.length, b.length)
+      var i = 0
+      while (i < m) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    emb.collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      val sims = cents.map(cos(v, _))
+      val want = sims.indexOf(sims.max) // first max = lower-index ties
+      assert(got(r.getLong(0)) == want)
+    }
+  }
+
+  test("assignClusters plans as a pure projection: no Exchange, no " +
+    "UDF, inside whole-stage codegen") {
+    val cents = Seq(Array.fill(64)(0.1f), Array.fill(64)(-0.1f))
+    val plan = Clustering.assignClusters(emb, "vec_id", "embedding",
+      cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    // the "*(1)" stage markers are how executedPlan.toString renders
+    // whole-stage-codegen membership
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("semanticDedup plan: no Window operator and no cartesian — the " +
+    "pair stage is a cluster_id equi-join") {
+    val plan = Clustering.semanticDedup(emb, "vec_id", "embedding",
+      k = 4, iters = 1, tau = 0.9).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
   test("oracle SQL embeds exact double literals and one sim per " +
     "centroid (shape check; value parity is the q57/q58 gate)") {
     val sql = Clustering.kmeansOracleSql(

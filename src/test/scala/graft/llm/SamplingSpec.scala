@@ -151,6 +151,18 @@ class SamplingSpec extends SparkSpec {
     assert(aRanked == aExpect)
   }
 
+  test("capSample and keywords plan WITHOUT a Window operator (the " +
+    "two-phase cap replaces ROW_NUMBER OVER (PARTITION BY))") {
+    val df = (1L to 50L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val p1 = Sampling.capSample(df, "id", "grp", 5)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Window"), p1)
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p2 = TextStats.keywords(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Window"), p2)
+  }
+
   test("keywords: (tf desc, df asc, token asc) integer ranking, top-k " +
     "cut, token-less docs emit nothing, partitioning-invariant") {
     val docs = Seq(

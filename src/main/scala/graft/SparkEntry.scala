@@ -718,6 +718,30 @@ object SparkEntry {
       Sampling.capSample(t(s, dir, "documents"), "doc_id", "lang",
         n = 10)
     }),
+    // LLM §fingerprinting — winnowing (MOSS) fingerprints: per-window
+    // min gram hash, the guaranteed-coverage sparse fingerprint set
+    // (any ≥ w+k-1-token shared run shares a fingerprint) at ~2/(w+1)
+    // storage; entirely map-side/codegen'd, shuffle-free.
+    "q62_winnow" -> ((s, dir) => {
+      import graft.llm.TextStats
+      TextStats.winnow(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4)
+    }),
+    // LLM §decontamination — the winnowed overlap screen: q43's
+    // contamination join over the SPARSE fingerprint set (~2/(w+1) of
+    // the windows ever shuffle), with the coverage guarantee that any
+    // ≥ w+k-1-token shared run still collides. Same 1-in-5 bench
+    // split as q34/q43.
+    "q63_winnow_overlap" -> ((s, dir) => {
+      import graft.llm.TextStats
+      val docs = t(s, dir, "documents")
+      TextStats.winnowOverlapJoin(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", k = 4, w = 4, minShared = 2)
+        .select(col("id_l").as("train_id"), col("id_r").as("bench_id"),
+          col("n_shared"))
+    }),
     // LLM §mixing — the lang × embedding-cluster mixture matrix (the
     // table a data-mixture rebalancer reads): q57's deterministic
     // clusters joined onto documents (doc_id = vec_id on the shared
@@ -1450,6 +1474,42 @@ object SparkEntry {
         |     ORDER BY tf.tf DESC, df.df, tf.t) AS INTEGER) AS rank
         | FROM tf JOIN df USING (t)
         | QUALIFY rank <= 3""".stripMargin.replace("\n", " "),
+    // winnowing replayed with list comprehension primitives: same
+    // 1-based inclusive slices, same md5 grams, same per-window min
+    // (lexicographic over hex = the same total order both engines)
+    "q62_winnow" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |    list_transform(range(1, len(ts) - 2),
+        |      i -> md5(array_to_string(ts[i:i+3], ' '))) AS gh
+        |  FROM d WHERE len(ts) >= 4)
+        | SELECT doc_id,
+        |   unnest(list_distinct(list_transform(
+        |     range(1, greatest(len(gh) - 3, 1) + 1),
+        |     j -> list_min(gh[j:j+3])))) AS fp
+        | FROM g""".stripMargin.replace("\n", " "),
+    // the q62 winnow CTE on both split sides + one fp equi-join
+    "q63_winnow_overlap" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |    list_transform(range(1, len(ts) - 2),
+        |      i -> md5(array_to_string(ts[i:i+3], ' '))) AS gh
+        |  FROM d WHERE len(ts) >= 4),
+        | f AS (SELECT doc_id,
+        |   unnest(list_distinct(list_transform(
+        |     range(1, greatest(len(gh) - 3, 1) + 1),
+        |     j -> list_min(gh[j:j+3])))) AS fp
+        | FROM g)
+        | SELECT l.doc_id AS train_id, r.doc_id AS bench_id,
+        |   count(*) AS n_shared
+        | FROM f l JOIN f r ON l.fp = r.fp
+        |   AND l.doc_id % 5 <> 0 AND r.doc_id % 5 = 0
+        | GROUP BY 1, 2 HAVING count(*) >= 2"""
+        .stripMargin.replace("\n", " "),
     // the same md5(stratum#key) order as q46's fraction path, capped
     // at n per stratum (the window here is the ORACLE's luxury — the
     // engine side runs the two-phase cap instead)

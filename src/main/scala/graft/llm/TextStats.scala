@@ -211,6 +211,74 @@ object TextStats {
       (okLen && okDist && okStop).cast("int").as("keep"))
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et
+    * al. 2003): hash every `k`-token gram, slide a `w`-gram window,
+    * and keep each window's MINIMUM hash — any two documents sharing
+    * a run of ≥ `w + k - 1` tokens are GUARANTEED to share a selected
+    * fingerprint (the winnowing coverage theorem), at ~2/(w+1) the
+    * storage of the full gram set. The practical overlap-detection
+    * form: per doc, the DISTINCT selected hashes.
+    *
+    * Engine shape: entirely map-side — token split, gram
+    * construction, per-window `array_min`, `array_distinct`, one
+    * `explode` — codegen'd, shuffle-free (plan-asserted), so it
+    * composes with a scan at any scale. The hash is the md5 hex of
+    * the gram text (engine-portable; lexicographic min over the hex
+    * strings is the same total order in any engine — the same reason
+    * the sampling family keys on md5).
+    *
+    * Output: (idCol, `fp` — one row per distinct selected hash).
+    * Documents with fewer than `k` tokens emit no rows (no gram), and
+    * with fewer than `k + w - 1` tokens emit the min over their single
+    * short window. */
+  def winnow(df: org.apache.spark.sql.DataFrame, idCol: String,
+             textCol: String, k: Int, w: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol), toks.as("_ts"))
+      // explicit short-doc guard: Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0], not empty
+      .filter(size(col("_ts")) >= k)
+      .select(col(idCol),
+        expr(s"transform(sequence(1, size(_ts) - ${k - 1})," +
+          s" i -> md5(concat_ws(' ', slice(_ts, i, $k))))").as("_gh"))
+      .select(col(idCol),
+        explode(array_distinct(
+          expr(s"transform(sequence(1, greatest(size(_gh) - ${w - 1}, 1))," +
+            s" j -> array_min(slice(_gh, j, $w)))"))).as("fp"))
+  }
+
+  /** Cross-corpus overlap screen over WINNOWED fingerprints — the
+    * sparse, scalable cousin of [[Dedup.ngramOverlapJoin]]'s
+    * full-window screen: (left, right) pairs sharing ≥ `minShared`
+    * selected fingerprints. The winnowing guarantee carries over —
+    * a shared run of ≥ `w + k - 1` tokens always shares a selected
+    * fingerprint — at ~2/(w+1) of the full screen's join rows, which
+    * is the difference between shuffling every window and shuffling a
+    * sparse sample of them at 100 TB. (The full screen remains the
+    * exact-count tool; this is the cheap first pass.)
+    *
+    * Output: (`id_l`, `id_r`, `n_shared` — DISTINCT shared selected
+    * fingerprints). One fingerprint-key equi-join, counts aggregated
+    * with map-side partials. */
+  def winnowOverlapJoin(left: org.apache.spark.sql.DataFrame,
+                        right: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int, w: Int, minShared: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val l = winnow(left, idCol, textCol, k, w)
+      .select(col(idCol).as("id_l"), col("fp"))
+    val r = winnow(right, idCol, textCol, k, w)
+      .select(col(idCol).as("id_r"), col("fp"))
+    l.join(r, "fp")
+      .groupBy(col("id_l"), col("id_r"))
+      .agg(count(lit(1)).as("n_shared")) // winnow emits DISTINCT fps
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-document distinctive-KEYWORD extraction — tf-idf's ranking
     * with NO floats anywhere: per doc, tokens ordered by (tf desc,
     * corpus doc-frequency asc, token asc) and cut to the top `k`. The

@@ -151,6 +151,52 @@ class SamplingSpec extends SparkSpec {
     assert(aRanked == aExpect)
   }
 
+  test("winnow: coverage guarantee (a shared >= w+k-1-token run " +
+    "shares a fingerprint), sparser than the full gram set, short " +
+    "docs emit nothing, plan is shuffle-free") {
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 = w+k-1
+    val docs = Seq(
+      (1L, s"one two three four five six $shared onex twox"),
+      (2L, s"$shared red blue green yellow purple orange"),
+      (3L, "tiny doc"), // < k tokens -> nothing
+      (4L, "completely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val out = TextStats.winnow(docs, "doc_id", "text", k = 4, w = 4)
+    val byDoc = out.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!byDoc.contains(3L))
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "winnowing must guarantee a shared fingerprint on a shared run")
+    assert((byDoc(4L) & byDoc(1L)).isEmpty)
+    // sparsity: selected fingerprints < full gram count (density ~2/(w+1))
+    val fullGrams = docs.filter($"doc_id" === 1L).select(
+      expr("size(split(text, ' ')) - 3")).as[Int].head()
+    assert(byDoc(1L).size < fullGrams,
+      s"${byDoc(1L).size} selected vs $fullGrams grams — not sparse")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("winnowOverlapJoin: finds a planted contiguous contamination " +
+    "run across corpora, clean pairs absent, counts are DISTINCT fps") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val train = Seq(
+      (1L, s"filler one two three $run tail words here"),
+      (3L, "completely unrelated training text with many other words"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (2L, s"$run benchmark continuation with extra content"),
+      (4L, "spotless benchmark document nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = TextStats.winnowOverlapJoin(train, bench, "doc_id",
+      "text", k = 4, w = 4, minShared = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(out.keySet == Set((1L, 2L)), out)
+    assert(out((1L, 2L)) >= 1)
+  }
+
   test("capSample and keywords plan WITHOUT a Window operator (the " +
     "two-phase cap replaces ROW_NUMBER OVER (PARTITION BY))") {
     val df = (1L to 50L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")

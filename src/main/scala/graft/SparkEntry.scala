@@ -718,6 +718,16 @@ object SparkEntry {
       Sampling.capSample(t(s, dir, "documents"), "doc_id", "lang",
         n = 10)
     }),
+    // LLM §packing — length-grouped batching (the padding minimizer):
+    // docs sorted by (token count, id), cut into 32-doc batches —
+    // global rank via the q37 prefix-sum machinery over a packed
+    // (len<<40)|id key, one range shuffle, no global window.
+    "q64_length_batches" -> ((s, dir) => {
+      import graft.llm.{Packing, TextStats}
+      Packing.lengthGroupedBatches(t(s, dir, "documents"), "doc_id",
+        TextStats.tokenCount(col("text")), batchSize = 32)
+        .orderBy("doc_id")
+    }),
     // LLM §fingerprinting — winnowing (MOSS) fingerprints: per-window
     // min gram hash, the guaranteed-coverage sparse fingerprint set
     // (any ≥ w+k-1-token shared run shares a fingerprint) at ~2/(w+1)
@@ -1490,6 +1500,15 @@ object SparkEntry {
         |     range(1, greatest(len(gh) - 3, 1) + 1),
         |     j -> list_min(gh[j:j+3])))) AS fp
         | FROM g""".stripMargin.replace("\n", " "),
+    // global (len, id) rank → integer div; all BIGINT
+    "q64_length_batches" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+        |   CAST((ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1)
+        |     // 32 AS BIGINT) AS batch_id
+        | FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // the q62 winnow CTE on both split sides + one fp equi-join
     "q63_winnow_overlap" ->
       """WITH d AS (SELECT doc_id,

@@ -149,6 +149,43 @@ object Packing {
         expr(s"tok_offset div $targetTokens").as("shard_id"))
   }
 
+  /** Length-grouped batch assignment — the padding-minimizing layout
+    * op (dynamic batching): documents sorted by (token count, id) and
+    * cut into consecutive batches of `batchSize`, so each batch holds
+    * near-equal-length documents and per-batch padding (`batch max −
+    * doc len`) collapses, the standard inference/training batching
+    * trick. The global rank comes from the same distributed machinery
+    * as [[withTokenOffsets]] — counting 1 per row over a surrogate
+    * `(n_tokens << 40) | id` order key (ONE range shuffle, no
+    * single-partition window) and decoding id/len back from the key,
+    * so nothing joins and nothing collects.
+    *
+    * Bounds (map-side guarded, fail loudly): `0 ≤ id < 2^40` and
+    * `0 ≤ tokens < 2^23` so the surrogate key packs losslessly.
+    *
+    * Output: (id, `n_tokens`, `batch_id`), all BIGINT; the last batch
+    * may be short. */
+  def lengthGroupedBatches(df: DataFrame, idCol: String,
+                           tokensOf: Column, batchSize: Int,
+                           numPartitions: Int = 0): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = df.select(col(idCol).cast(LongType).as("_id"),
+      coalesce(tokensOf.cast(LongType), lit(0L)).as("_n"))
+    val guarded = base.select(
+      when(col("_id") >= 0 && col("_id") < lit(1L << 40) &&
+           col("_n") >= 0 && col("_n") < lit(1L << 23),
+        (col("_n") * lit(1L << 40)) + col("_id"))
+        .otherwise(raise_error(concat(
+          lit("lengthGroupedBatches: id/token count out of packable " +
+            "range for id="), col("_id").cast("string")))).as("_ord"),
+      lit(1L).as("_one"))
+    withTokenOffsets(guarded, "_ord", "_one", "_rank0", numPartitions)
+      .select(
+        col("_ord").bitwiseAND(lit((1L << 40) - 1)).as(idCol),
+        shiftright(col("_ord"), 40).as("n_tokens"),
+        expr(s"_rank0 div $batchSize").as("batch_id"))
+  }
+
   /** Overlapping-window chunking: each document yields character
     * windows of `width` starting every `stride` characters — the
     * retrieval-index / embedding-input shape (with `stride < width`

@@ -166,4 +166,42 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(shuffled == out)
   }
+
+  test("lengthGroupedBatches: (len, id) order, exact batch cuts, " +
+    "padding collapses vs id-order batching, partitioning-invariant, " +
+    "out-of-range ids fail loudly") {
+    // lengths chosen so id order and length order disagree hard
+    val d = (1L to 20L).map(i => (i, if (i % 2 == 0) 100L + i else i))
+      .toDF("id", "toks")
+    val out = Packing.lengthGroupedBatches(d, "id", col("toks"), 5)
+      .orderBy("n_tokens", "id")
+      .select("id", "n_tokens", "batch_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // rank order is (len, id); batch = rank0 div 5
+    val expect = (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) 100L + i else i))
+      .sortBy { case (i, n) => (n, i) }.zipWithIndex
+      .map { case ((i, n), r) => (i, n, r.toLong / 5) }
+    assert(out == expect)
+    // every batch holds only odd-length (small) or only even (large)
+    // docs — lengths grouped, padding per batch = max-min stays tiny
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val lens = rows.map(_._2)
+      assert(lens.max - lens.min <= 8,
+        s"batch mixes length regimes: $lens")
+    }
+    val shuffled = Packing.lengthGroupedBatches(
+      d.repartition(7), "id", col("toks"), 5)
+      .orderBy("n_tokens", "id").select("id", "n_tokens", "batch_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(shuffled == out)
+    val bad = Seq((-1L, 5L)).toDF("id", "toks")
+    val e = intercept[Exception] {
+      Packing.lengthGroupedBatches(bad, "id", col("toks"), 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("out of packable range")), e)
+  }
 }

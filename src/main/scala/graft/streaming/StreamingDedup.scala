@@ -180,4 +180,115 @@ object StreamingDedup {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }
   }
+
+  // ---- streaming EMBEDDING near-dedup (hyperplane-LSH-banded) ----
+
+  private[streaming] final case class BandedVec(band: Long, id: String,
+                                                vec: Seq[Float],
+                                                ts: java.sql.Timestamp)
+  private[streaming] final case class VecRep(id: String, vec: Seq[Float],
+                                             tsMs: Long)
+  private[streaming] final case class CosPair(id_a: String, id_b: String,
+                                              cosine: Double)
+
+  /** Streaming EMBEDDING near-duplicate pairs — streaming SemDeDup:
+    * the incremental counterpart of
+    * [[graft.llm.RandomHyperplaneLsh.nearPairs]], built exactly like
+    * [[nearDuplicatePairs]] with hyperplane-LSH buckets in place of
+    * MinHash bands. Each vector explodes into `lsh.tables` bucket
+    * keys; every BUCKET is a state key holding its first-arrival
+    * vector (the representative); a later vector colliding with the
+    * bucket exact-verifies (true double-accumulation cosine, the
+    * [[graft.functions.FloatVectorCosine]] arithmetic op-for-op) and
+    * emits `(id_a = representative, id_b = newcomer, cosine)` at
+    * `tau`. Bucket state evicts on an event-time timeout
+    * `watermarkDelayMs` past the bucket's last activity — state ∝
+    * distinct buckets inside the window, one representative VECTOR
+    * per entry (the embedding analog of one text per band).
+    *
+    * Star semantics and the per-batch `dropDuplicates` contract match
+    * [[nearDuplicatePairs]]. A BATCH frame takes the identical star
+    * shape declaratively — the spec's differential oracle. */
+  def embeddingNearPairs(events: DataFrame, idCol: String,
+                         vecCol: String, tsCol: String,
+                         watermarkDelayMs: Long,
+                         lsh: graft.llm.RandomHyperplaneLsh,
+                         tau: Double): DataFrame = {
+    require(watermarkDelayMs > 0, "watermarkDelayMs must be > 0")
+    val banded = events.select(
+      explode(lsh.signature(col(vecCol))).as("_band0"),
+      col(idCol).cast("string").as("id"),
+      col(vecCol).as("vec"),
+      col(tsCol).cast("timestamp").as("ts"))
+      .select(col("_band0").cast("long").as("band"),
+        col("id"), col("vec"), col("ts"))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val m = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    if (events.isStreaming) {
+      banded
+        .withWatermark("ts", s"$watermarkDelayMs milliseconds")
+        .as[BandedVec](Encoders.product[BandedVec])
+        .groupByKey(_.band)(Encoders.scalaLong)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+          (_: Long, it: Iterator[BandedVec], state: GroupState[VecRep]) => {
+            if (state.hasTimedOut) {
+              state.remove()
+              Iterator.empty
+            } else {
+              val arrivals = it.toSeq.sortBy(r => (r.ts.getTime, r.id))
+              val out = Seq.newBuilder[CosPair]
+              var rep = state.getOption
+              var lastMs = 0L
+              arrivals.foreach { r =>
+                lastMs = math.max(lastMs, r.ts.getTime)
+                rep match {
+                  case None =>
+                    rep = Some(VecRep(r.id, r.vec, r.ts.getTime))
+                  case Some(rp) if rp.id != r.id =>
+                    val c = cos(rp.vec, r.vec)
+                    if (c >= tau) out += CosPair(rp.id, r.id, c)
+                  case _ => ()
+                }
+              }
+              rep.foreach { rp =>
+                state.update(rp)
+                state.setTimeoutTimestamp(math.max(lastMs,
+                  state.getCurrentWatermarkMs + 1) + watermarkDelayMs)
+              }
+              out.result().iterator
+            }
+          })(Encoders.product[VecRep], Encoders.product[CosPair])
+        .toDF()
+    } else {
+      val reps = banded.groupBy(col("band"))
+        .agg(min(struct(col("ts"), col("id"))).as("_r"))
+        .select(col("band"), col("_r.id").as("id_a"))
+      val candidates = banded.join(reps, "band")
+        .filter(col("id") =!= col("id_a"))
+        .select(col("id_a"), col("id").as("id_b"))
+        .distinct()
+      val vecs = events.select(col(idCol).cast("string").as("_vid"),
+        col(vecCol).as("_v"))
+      graft.functions.GraftFunctions.register(events.sparkSession)
+      candidates
+        .join(vecs.withColumnRenamed("_vid", "id_a")
+          .withColumnRenamed("_v", "_va"), "id_a")
+        .join(vecs.withColumnRenamed("_vid", "id_b")
+          .withColumnRenamed("_v", "_vb"), "id_b")
+        .withColumn("cosine",
+          graft.functions.GraftFunctions.cosine(col("_va"), col("_vb")))
+        .filter(col("cosine") >= tau)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+  }
 }

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+case class Vec(vec_id: Long, embedding: Seq[Float], ts: java.sql.Timestamp)
 
 /** Streaming exact dedup: first arrival per digest passes, later copies
   * within the watermark drop, state stays bounded by the window. */
@@ -118,6 +119,57 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
     assert(got.toSet == Set.empty,
       s"evicted band state must not pair: $got")
+  }
+
+  test("embeddingNearPairs (streaming SemDeDup) finds vector near-dups " +
+    "planted ACROSS micro-batches and matches the batch operator " +
+    "(differential); unrelated vectors never pair") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(9)
+    def v(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(32)(r.nextGaussian().toFloat)
+    }
+    def perturb(base: Seq[Float]): Seq[Float] =
+      base.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+    val a = v(1); val b = v(2); val c = v(3)
+    val vecs = Seq(
+      Vec(1L, a, t(1000)),            // batch 1
+      Vec(2L, b, t(2000)),            // batch 1
+      Vec(3L, perturb(a), t(61000)),  // batch 2: near-dup of 1
+      Vec(4L, c, t(62000)),           // batch 2
+      Vec(5L, perturb(b), t(121000))) // batch 3: near-dup of 2
+    val batches = Seq(vecs.take(2), vecs.slice(2, 4), vecs.drop(4))
+    val lsh = graft.llm.RandomHyperplaneLsh(dim = 32, bits = 2,
+      tables = 24)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val stream = MemoryStream[Vec]
+    val query = StreamingDedup
+      .embeddingNearPairs(stream.toDF(), "vec_id", "embedding", "ts",
+        watermarkDelayMs = 10 * 60 * 1000L, lsh = lsh, tau = 0.95)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= batch.dropDuplicates("id_a", "id_b")
+            .collect().map(r => (r.getString(0), r.getString(1)))
+        }
+        ()
+      }.start()
+    try {
+      batches.foreach { bt =>
+        stream.addData(bt: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = got.toSet
+    assert(streamed == Set(("1", "3"), ("2", "5")), s"streamed=$streamed")
+
+    val batchPairs = StreamingDedup
+      .embeddingNearPairs(vecs.toDF(), "vec_id", "embedding", "ts",
+        watermarkDelayMs = 10 * 60 * 1000L, lsh = lsh, tau = 0.95)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(batchPairs == streamed,
+      s"batch=$batchPairs != streamed=$streamed")
   }
 
   test("firstArrivals on a batch frame keeps the EARLIEST row per " +

@@ -62,31 +62,63 @@ object Sampling {
     * modes agree on what "the first rows of a stratum" means; md5
     * ties — practically impossible — break by key).
     *
-    * Scale shape: NO per-stratum single-task window. Phase 1 caps each
-    * (stratum, input-partition) to its n smallest hashes map-side
-    * (groupBy partition id + sorted-slice, the [[Similarity.rankTopK]]
-    * two-phase pattern); phase 2 merges ≤ n·P rows per stratum — so a
-    * billion-row hot stratum never serializes through one task, which
-    * a bare `ROW_NUMBER() OVER (PARTITION BY stratum)` would do.
+    * Scale shape: NO per-stratum single-task window, and no
+    * partition-sized buffers either. Phase 1 streams each partition
+    * through per-stratum BOUNDED max-heaps (memory O(strata·n) — one
+    * of the rare genuinely per-partition imperative computations, like
+    * [[graft.llm.Packing.withTokenOffsets]]); phase 2 merges ≤ n·P
+    * rows per stratum — so a billion-row hot stratum never serializes
+    * through one task (a bare `ROW_NUMBER() OVER (PARTITION BY
+    * stratum)` would) and never sits in one aggregation buffer (a
+    * `collect_list` partial would).
     *
-    * Output: (strataCol, keyCol, `rank` 1..n) — semi-join back on the
-    * key for full rows. */
+    * Output: (strataCol AS STRING — the engine-wide cast contract,
+    * keyCol, `rank` 1..n) — semi-join back on the key for full rows. */
   def capSample(df: DataFrame, keyCol: String, strataCol: String,
                 n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val entry = struct(
+    val spark = df.sparkSession
+    // phase 1: per-partition BOUNDED heaps (one n-entry max-heap per
+    // stratum seen in the partition) — streaming, memory O(strata·n).
+    // A collect_list partial here would instead buffer a hot stratum's
+    // whole partition slice in one aggregation buffer before sorting.
+    val hashed = df.select(
+      col(strataCol).cast("string").as("_s"),
       md5(concat_ws("#", col(strataCol).cast("string"),
-        col(keyCol).cast("string"))).as("h"),
-      col(keyCol).as("k"))
-    val partial = df
-      .groupBy(col(strataCol), spark_partition_id().as("_p"))
-      .agg(slice(array_sort(collect_list(entry)), 1, n).as("_top"))
-    partial
-      .groupBy(col(strataCol))
-      .agg(slice(array_sort(flatten(collect_list(col("_top")))), 1, n)
-        .as("_top"))
-      .select(col(strataCol), posexplode(col("_top")).as(Seq("_pos", "_e")))
-      .select(col(strataCol), col("_e.k").as(keyCol),
+        col(keyCol).cast("string"))).as("_h"),
+      col(keyCol).as("_k"))
+    val keyField = hashed.schema("_k")
+    val pruned = hashed.rdd.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.PriorityQueue[(String, Any)]]
+      implicit val ord: Ordering[(String, Any)] =
+        Ordering.by[(String, Any), String](_._1) // max-heap on hash hex
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.getString(0),
+          scala.collection.mutable.PriorityQueue.empty[(String, Any)])
+        h.enqueue((r.getString(1), r.get(2)))
+        if (h.size > n) h.dequeue() // drop the largest hash
+      }
+      heaps.iterator.flatMap { case (s, h) =>
+        h.iterator.map { case (hash, k) =>
+          org.apache.spark.sql.Row(s, hash, k)
+        }
+      }
+    }
+    val prunedDf = spark.createDataFrame(pruned,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_s",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("_h",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        keyField)))
+    // phase 2: ≤ n·P rows per stratum — exact global order + cut
+    prunedDf
+      .groupBy(col("_s"))
+      .agg(slice(array_sort(collect_list(struct(col("_h").as("h"),
+        col("_k").as("k")))), 1, n).as("_top"))
+      .select(col("_s"), posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(col("_s").as(strataCol), col("_e.k").as(keyCol),
         (col("_pos") + 1).cast("int").as("rank"))
   }
 }

@@ -48,6 +48,17 @@ object SparkEntry {
     else sharedFrames.getOrElseUpdate(s"clusters:$dir",
       mk.localCheckpoint(true))
   }
+  // q57/q58/q61 + the dynamic oracles all need the SAME deterministic
+  // k-means fit — under the gate flag the centroids learn once per dir
+  private val sharedCentroids =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Float]]]
+  private def kmeansCentroids(s: SparkSession, dir: String)
+      : Seq[Array[Float]] = {
+    def mk = graft.llm.Clustering.kmeans(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 4)._2
+    if (!sharingFrames) mk
+    else sharedCentroids.getOrElseUpdate(s"centroids:$dir", mk)
+  }
 
   // ---- canonical deletion-queue fixtures used by the find/forget queries
   private val simpleQueue = Seq(
@@ -686,8 +697,8 @@ object SparkEntry {
     // (dynamicOracleSql — the q54 parity-by-construction move).
     "q57_kmeans" -> ((s, dir) => {
       import graft.llm.Clustering
-      Clustering.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 4)._1
+      Clustering.assignClusters(t(s, dir, "embeddings"), "vec_id",
+        "embedding", kmeansCentroids(s, dir))
     }),
     // LLM §dedup — SemDeDup-style semantic dedup (Abbas et al. 2023):
     // within each k-means cluster drop every row with a lower-id
@@ -698,8 +709,12 @@ object SparkEntry {
     // from the centroid literals.
     "q58_semantic_dedup" -> ((s, dir) => {
       import graft.llm.Clustering
+      // learned centroids as init + iters=0 ≡ the full k=8/iters=4 fit
+      // (learning is deterministic); under the gate flag the fit runs
+      // once for q57/q58/q61 + the dynamic oracles
       Clustering.semanticDedup(t(s, dir, "embeddings"), "vec_id",
-        "embedding", k = 8, iters = 4, tau = 0.42)
+        "embedding", k = 8, iters = 0, tau = 0.42,
+        init = kmeansCentroids(s, dir))
     }),
     // LLM §text-analysis — distinctive-keyword extraction: tf-idf's
     // ranking with NO floats (tf desc, corpus doc-freq asc, token asc
@@ -759,8 +774,8 @@ object SparkEntry {
     // clustering from centroid literals + the same join/group.
     "q61_mixture_matrix" -> ((s, dir) => {
       import graft.llm.Clustering
-      val (assigned, _) = Clustering.kmeans(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 8, iters = 4)
+      val assigned = Clustering.assignClusters(t(s, dir, "embeddings"),
+        "vec_id", "embedding", kmeansCentroids(s, dir))
       t(s, dir, "documents")
         .join(assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id")
         .groupBy(col("lang"), col("cluster_id"))
@@ -908,9 +923,9 @@ object SparkEntry {
   def dynamicOracleSql(s: SparkSession, dir: String): Map[String, String] = {
     import graft.llm.{Bpe, Clustering}
     val merges = Bpe.learn(t(s, dir, "documents"), "text", numMerges = 24)
-    // deterministic re-learn — identical centroids to the q57/q58 runs
-    val (_, centroids) = Clustering.kmeans(t(s, dir, "embeddings"),
-      "vec_id", "embedding", k = 8, iters = 4)
+    // identical centroids to the q57/q58/q61 runs (memoized under the
+    // gate flag; deterministic re-learn otherwise)
+    val centroids = kmeansCentroids(s, dir)
     Map(
       "q54_bpe_encode" -> Bpe.encodeOracleSql(merges),
       "q57_kmeans" -> Clustering.kmeansOracleSql(centroids),

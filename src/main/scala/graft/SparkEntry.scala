@@ -518,6 +518,19 @@ object SparkEntry {
     "q31_dedup_clusters" -> ((s, dir) =>
       docClusters(s, dir)
         .select(col("id_a").as("doc_id"), col("cluster_id"))),
+    // LLM §dedup — the duplication PROFILE (the audit artifact a dedup
+    // run reports): cluster-size histogram over the q31 components —
+    // (size, how many clusters, how many docs they hold). Two hash
+    // aggregations with map-side partials; shares the gate's cluster
+    // frame.
+    "q65_dup_profile" -> ((s, dir) =>
+      docClusters(s, dir)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))),
     // LLM §sampling — deterministic md5-keyed subsample: map-only,
     // shuffle-free, reproducible across engines/runs/partitionings
     // (rand(seed) is none of those); the oracle states the identical
@@ -1261,6 +1274,14 @@ object SparkEntry {
       s"""$clusterOracleCtes
         | SELECT id AS doc_id, cluster_id FROM cl"""
         .stripMargin.replace("\n", " "),
+    // q31's cluster CTEs aggregated twice: the duplication PROFILE
+    "q65_dup_profile" ->
+      s"""$clusterOracleCtes,
+        | csize AS (SELECT cluster_id, count(*) AS cluster_size
+        |   FROM cl GROUP BY 1)
+        | SELECT cluster_size, count(*) AS n_clusters,
+        |   cluster_size * count(*) AS n_docs
+        | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
     // q31's cluster CTEs + the longest-member argmax: ROW_NUMBER over
     // (score DESC, doc_id) replays max(struct(score, -id)) exactly —
     // integer score, deterministic tiebreak

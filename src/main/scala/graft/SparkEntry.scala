@@ -794,6 +794,24 @@ object SparkEntry {
         .groupBy(col("lang"), col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // LLM §pipeline — the CURATION PIPELINE as ONE declarative plan
+    // (what the whole llm package exists for): quality gate ∧ dedup
+    // keeper-or-unclustered ∧ deterministic 50% sample, composed as
+    // joins/anti-joins so Catalyst fuses the stages — no
+    // materialization between "filter", "dedup" and "sample".
+    "q66_curation_pipeline" -> ((s, dir) => {
+      import graft.llm.{Sampling, TextStats}
+      val docs = t(s, dir, "documents")
+      val keep = TextStats.qualityFilter(docs, "doc_id", "text")
+        .filter(col("keep") === 1).select("doc_id")
+      val losers = docClusters(s, dir)
+        .filter(col("id_a") =!= col("cluster_id"))
+        .select(col("id_a").as("doc_id"))
+      val kept = docs.join(keep, "doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
+      Sampling.deterministicSample(kept, "doc_id", fraction = 0.5)
+        .select(col("doc_id"), col("lang"))
+    }),
     // LLM §packing — token-budget shard assignment (the balanced
     // export planner): ascending-id docs split at every `target`
     // cumulative tokens via the q37 distributed prefix sum — one range
@@ -1282,6 +1300,27 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // the full pipeline: q49's integer quality gate ∧ NOT a q31
+    // cluster loser ∧ the q32 md5 predicate at 0.5 (0x8000)
+    "q66_curation_pipeline" ->
+      s"""$clusterOracleCtes,
+        | q AS (SELECT doc_id FROM (
+        |   SELECT doc_id,
+        |     len(string_split(text, ' ')) AS n_tokens,
+        |     len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |     len(list_filter(string_split(text, ' '),
+        |       t -> list_contains(
+        |         ['the','a','of','and','to','in','is','it','on','for'],
+        |         t))) AS n_stop
+        |   FROM documents)
+        |  WHERE n_tokens >= 30 AND n_tokens <= 400
+        |    AND n_distinct * 100 >= n_tokens * 40
+        |    AND n_stop * 1000 >= n_tokens * 20)
+        | SELECT d.doc_id, d.lang FROM documents d
+        | JOIN q USING (doc_id)
+        | WHERE d.doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)
+        |   AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < '8000'"""
+        .stripMargin.replace("\n", " "),
     // q31's cluster CTEs + the longest-member argmax: ROW_NUMBER over
     // (score DESC, doc_id) replays max(struct(score, -id)) exactly —
     // integer score, deterministic tiebreak

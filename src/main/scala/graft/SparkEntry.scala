@@ -59,6 +59,16 @@ object SparkEntry {
     if (!sharingFrames) mk
     else sharedCentroids.getOrElseUpdate(s"centroids:$dir", mk)
   }
+  // likewise the 24-round BPE merge list (q54 entry + its oracle)
+  private val sharedMerges = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[graft.llm.Bpe.Merge]]
+  private def bpeMerges(s: SparkSession, dir: String)
+      : Seq[graft.llm.Bpe.Merge] = {
+    def mk = graft.llm.Bpe.learn(t(s, dir, "documents"), "text",
+      numMerges = 24)
+    if (!sharingFrames) mk
+    else sharedMerges.getOrElseUpdate(s"merges:$dir", mk)
+  }
 
   // ---- canonical deletion-queue fixtures used by the find/forget queries
   private val simpleQueue = Seq(
@@ -859,8 +869,7 @@ object SparkEntry {
     "q54_bpe_encode" -> ((s, dir) => {
       import graft.llm.Bpe
       val docs = t(s, dir, "documents")
-      val merges = Bpe.learn(docs, "text", numMerges = 24)
-      Bpe.encode(docs, "text", merges)
+      Bpe.encode(docs, "text", bpeMerges(s, dir))
         .select(col("doc_id"), col("n_bpe_tokens"))
     }),
     // LLM §dedup — repeated-span REMOVAL (the excision counterpart of
@@ -953,7 +962,7 @@ object SparkEntry {
     * identical list the q54 entry used. */
   def dynamicOracleSql(s: SparkSession, dir: String): Map[String, String] = {
     import graft.llm.{Bpe, Clustering}
-    val merges = Bpe.learn(t(s, dir, "documents"), "text", numMerges = 24)
+    val merges = bpeMerges(s, dir)
     // identical centroids to the q57/q58/q61 runs (memoized under the
     // gate flag; deterministic re-learn otherwise)
     val centroids = kmeansCentroids(s, dir)

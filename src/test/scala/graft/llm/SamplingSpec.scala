@@ -178,6 +178,32 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("winnow coverage theorem holds over randomized corpora: every " +
+    "planted >= w+k-1-token shared run yields a shared fingerprint, " +
+    "for random run positions and lengths") {
+    val rnd = new scala.util.Random(31)
+    def word() = (1 to 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val cases = (1 to 20).map { i =>
+      val runLen = 7 + rnd.nextInt(6) // >= w+k-1 = 7
+      val run = Seq.fill(runLen)(word()).mkString(" ")
+      def doc(pre: Int, post: Int) =
+        (Seq.fill(pre)(word()) ++ Seq(run) ++ Seq.fill(post)(word()))
+          .mkString(" ")
+      (2L * i, doc(rnd.nextInt(15), rnd.nextInt(15)),
+        2L * i + 1, doc(rnd.nextInt(15), rnd.nextInt(15)))
+    }
+    val docs = cases.flatMap { case (ia, ta, ib, tb) =>
+      Seq((ia, ta), (ib, tb))
+    }.toDF("doc_id", "text")
+    val fps = TextStats.winnow(docs, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    cases.foreach { case (ia, _, ib, _) =>
+      assert((fps(ia) & fps(ib)).nonEmpty,
+        s"pair ($ia,$ib) shares a ${7}+-token run but no fingerprint")
+    }
+  }
+
   test("winnowOverlapJoin: finds a planted contiguous contamination " +
     "run across corpora, clean pairs absent, counts are DISTINCT fps") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

@@ -812,12 +812,12 @@ object SparkEntry {
     "q66_curation_pipeline" -> ((s, dir) => {
       import graft.llm.{Sampling, TextStats}
       val docs = t(s, dir, "documents")
-      val keep = TextStats.qualityFilter(docs, "doc_id", "text")
-        .filter(col("keep") === 1).select("doc_id")
       val losers = docClusters(s, dir)
         .filter(col("id_a") =!= col("cluster_id"))
         .select(col("id_a").as("doc_id"))
-      val kept = docs.join(keep, "doc_id")
+      // quality gate INLINE on the one scan (a join against the
+      // qualityFilter frame would scan the corpus twice)
+      val kept = docs.filter(TextStats.qualityKeep(col("text")))
         .join(losers, Seq("doc_id"), "left_anti")
       Sampling.deterministicSample(kept, "doc_id", fraction = 0.5)
         .select(col("doc_id"), col("lang"))

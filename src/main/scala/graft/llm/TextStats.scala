@@ -211,6 +211,24 @@ object TextStats {
       (okLen && okDist && okStop).cast("int").as("keep"))
   }
 
+  /** [[qualityFilter]]'s keep decision as a single boolean COLUMN —
+    * for composing the gate INLINE into a wider pipeline (a
+    * `df.filter(qualityKeep(col(text)))` rides the existing scan;
+    * joining against the [[qualityFilter]] frame would scan the
+    * corpus twice). Identical thresholds and integer arithmetic. */
+  def qualityKeep(text: Column,
+                  minTokens: Int = 30, maxTokens: Int = 400,
+                  minDistinctPct: Int = 40,
+                  minStopPermille: Int = 20): Column = {
+    val n = size(tokens(text))
+    val nd = size(array_distinct(tokens(text)))
+    val ns = size(filter(tokens(text),
+      t => t.isin(EnglishStopwords.map(_.asInstanceOf[Any]): _*)))
+    n >= minTokens && n <= maxTokens &&
+      nd * 100 >= n * minDistinctPct &&
+      ns * 1000 >= n * minStopPermille
+  }
+
   /** Winnowing document fingerprints (the MOSS scheme, Schleimer et
     * al. 2003): hash every `k`-token gram, slide a `w`-gram window,
     * and keep each window's MINIMUM hash — any two documents sharing

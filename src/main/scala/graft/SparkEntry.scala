@@ -804,6 +804,25 @@ object SparkEntry {
         .groupBy(col("lang"), col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // §events — AS-OF JOIN (the temporal-state lookup Spark lacks,
+    // composed from union + one per-key window): for each probe (every
+    // 10th event), the latest event at-or-before its timestamp by the
+    // (ts, event_id) total order, plus how many preceded it. ts is
+    // micro-truncated on both engines (the q39 NANOS-read parity rule).
+    "q67_asof_join" -> ((s, dir) => {
+      import graft.operators.AsofJoin
+      val ev = t(s, dir, "events")
+        .withColumn("ts", col("ts") - col("ts") % 1000L)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val probes = ev.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("probe_id"))
+      AsofJoin.lastEventAsOf(ev, probes, "user_id", "ts",
+        tieCols = Seq("event_id"),
+        payload = Seq("event_id", "event_type"),
+        probeCols = Seq("probe_id"))
+    }),
     // LLM §pipeline — the CURATION PIPELINE as ONE declarative plan
     // (what the whole llm package exists for): quality gate ∧ dedup
     // keeper-or-unclustered ∧ deterministic 50% sample, composed as
@@ -1309,6 +1328,35 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // the window replay: inequality join + ROW_NUMBER over
+    // (tsn DESC, event_id DESC) — the same (ts, id) total order as
+    // the Spark struct-max; probes with no prior event union in with
+    // null state
+    "q67_asof_join" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_ns(ts) - epoch_ns(ts) % 1000 AS tsn,
+        |    event_id, event_type FROM events),
+        | p AS (SELECT user_id, tsn AS probe_ts, event_id AS probe_id
+        |   FROM e WHERE event_id % 10 = 0),
+        | j AS (SELECT p.user_id, p.probe_id, p.probe_ts,
+        |     e2.tsn, e2.event_id, e2.event_type,
+        |     ROW_NUMBER() OVER (PARTITION BY p.user_id, p.probe_id
+        |       ORDER BY e2.tsn DESC, e2.event_id DESC) AS rn,
+        |     count(*) OVER (PARTITION BY p.user_id, p.probe_id)
+        |       AS n_before
+        |   FROM p JOIN e e2 ON e2.user_id = p.user_id
+        |     AND e2.tsn <= p.probe_ts)
+        | SELECT user_id, probe_id, probe_ts, tsn AS last_ts,
+        |   event_id AS last_event_id, event_type AS last_event_type,
+        |   n_before
+        | FROM j WHERE rn = 1
+        | UNION ALL
+        | SELECT p.user_id, p.probe_id, p.probe_ts,
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS VARCHAR), CAST(0 AS BIGINT)
+        | FROM p WHERE NOT EXISTS (SELECT 1 FROM e e2
+        |   WHERE e2.user_id = p.user_id AND e2.tsn <= p.probe_ts)"""
+        .stripMargin.replace("\n", " "),
     // the full pipeline: q49's integer quality gate ∧ NOT a q31
     // cluster loser ∧ the q32 md5 predicate at 0.5 (0x8000)
     "q66_curation_pipeline" ->

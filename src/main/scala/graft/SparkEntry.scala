@@ -804,6 +804,26 @@ object SparkEntry {
         .groupBy(col("lang"), col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // §events — RANGE JOIN (the interval lookup Spark compiles to a
+    // nested loop): every 100th event joined to ALL concurrent q39
+    // sessions (cross-user, no equi-key) via the bucketed shape — 1-h
+    // buckets, intervals exploded to covered buckets, one hash
+    // equi-join, exact re-check; a pair meets only in the point's
+    // bucket so no dedup.
+    "q68_range_join" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val sessions = queries("q39_sessionize")(s, dir)
+        .select(col("user_id"), col("session_id"),
+          col("start_ns"), col("end_ns"))
+      val points = t(s, dir, "events")
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("point_id"),
+          (col("ts") - col("ts") % 1000L).as("pt"))
+      RangeJoin.pointInInterval(points, "pt", sessions,
+        "start_ns", "end_ns", bucketWidth = 3600L * 1000000000L)
+        .select(col("point_id"), col("pt"), col("user_id"),
+          col("session_id"), col("start_ns"), col("end_ns"))
+    }),
     // §events — AS-OF JOIN (the temporal-state lookup Spark lacks,
     // composed from union + one per-key window): for each probe (every
     // 10th event), the latest event at-or-before its timestamp by the
@@ -1328,6 +1348,33 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // the q39 session CTEs + a plain BETWEEN join (the oracle may
+    // nested-loop; the engine side is the bucketed equi-join)
+    "q68_range_join" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        | f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+        |    THEN 1 ELSE 0 END AS nw FROM o),
+        | s2 AS (
+        |  SELECT user_id, tns, CAST(sum(nw) OVER (
+        |    PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f),
+        | sess AS (
+        |  SELECT user_id, session_id,
+        |    min(tns) AS start_ns, max(tns) AS end_ns
+        |  FROM s2 GROUP BY 1, 2),
+        | p AS (SELECT event_id AS point_id, epoch_ns(ts) AS pt
+        |   FROM events WHERE event_id % 100 = 0)
+        | SELECT p.point_id, p.pt, s.user_id, s.session_id,
+        |   s.start_ns, s.end_ns
+        | FROM p JOIN sess s
+        |   ON p.pt BETWEEN s.start_ns AND s.end_ns"""
+        .stripMargin.replace("\n", " "),
     // the window replay: inequality join + ROW_NUMBER over
     // (tsn DESC, event_id DESC) — the same (ts, id) total order as
     // the Spark struct-max; probes with no prior event union in with

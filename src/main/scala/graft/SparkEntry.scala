@@ -804,6 +804,25 @@ object SparkEntry {
         .groupBy(col("lang"), col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // LLM §sketching — Count-Min frequency sketch (the sub-linear
+    // vocabulary summary): depth×width exact-integer counters over
+    // md5-derived buckets, point estimate = min over rows; the true
+    // top-20 tokens get (true freq, CMS estimate) side by side —
+    // estimates can never undercount, and the whole construction
+    // hash-replays in SQL from the same md5 arithmetic.
+    "q69_cms" -> ((s, dir) => {
+      import graft.llm.{Bpe, Sketch}
+      val docs = t(s, dir, "documents")
+      val counters = Sketch.countMinCounters(docs, "text",
+        depth = 4, width = 1024)
+      val top = Bpe.wordFrequencies(docs, "text")
+        .orderBy(col("freq").desc, col("w")).limit(20)
+      Sketch.cmsEstimates(counters, top.select("w"), depth = 4,
+          width = 1024)
+        .join(top, "w")
+        .select(col("w").as("token"), col("freq"),
+          col("cms_estimate"))
+    }),
     // §events — RANGE JOIN (the interval lookup Spark compiles to a
     // nested loop): every 100th event joined to ALL concurrent q39
     // sessions (cross-user, no equi-key) via the bucketed shape — 1-h
@@ -1348,6 +1367,29 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // full CMS replay: same md5 buckets ('0x'||hex cast ≡ conv(,16,10)),
+    // same exact-integer counters, same min-over-rows estimate
+    "q69_cms" ->
+      """WITH tf AS (SELECT t AS w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS t
+        |    FROM documents) WHERE t <> '' GROUP BY 1),
+        | r AS (SELECT unnest([0, 1, 2, 3]) AS row),
+        | c AS (SELECT row,
+        |    ('0x' || substr(md5(row::VARCHAR || '#' || w), 1, 8))::BIGINT
+        |      % 1024 AS bucket,
+        |    sum(freq) AS cnt
+        |   FROM tf, r GROUP BY 1, 2),
+        | top AS (SELECT w, freq FROM tf
+        |   ORDER BY freq DESC, w LIMIT 20),
+        | probe AS (SELECT top.w, top.freq, r.row,
+        |    ('0x' || substr(md5(r.row::VARCHAR || '#' || top.w), 1, 8))
+        |      ::BIGINT % 1024 AS bucket
+        |   FROM top, r)
+        | SELECT probe.w AS token, probe.freq,
+        |   min(COALESCE(c.cnt, 0)) AS cms_estimate
+        | FROM probe LEFT JOIN c
+        |   ON c.row = probe.row AND c.bucket = probe.bucket
+        | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     // the q39 session CTEs + a plain BETWEEN join (the oracle may
     // nested-loop; the engine side is the bucketed equi-join)
     "q68_range_join" ->

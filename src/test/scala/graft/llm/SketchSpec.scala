@@ -1,0 +1,52 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch: never-undercount invariant, exactness without
+  * collisions, bounded counter state, unseen-token zero. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("estimates NEVER undercount and are exact on a corpus far " +
+    "smaller than the width (no collisions expected at d=4)") {
+    val docs = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "epsilon alpha")).toDF("doc_id", "text")
+    val counters = Sketch.countMinCounters(docs, "text", 4, 4096)
+    val truth = Map("alpha" -> 4L, "beta" -> 2L, "gamma" -> 1L,
+      "delta" -> 1L, "epsilon" -> 1L)
+    val probes = truth.keys.toSeq.toDF("w")
+    val est = Sketch.cmsEstimates(counters, probes, 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (w, n) =>
+      assert(est(w) >= n, s"$w undercounted: ${est(w)} < $n")
+      assert(est(w) == n, s"$w collided at width 4096: ${est(w)} != $n")
+    }
+  }
+
+  test("counter state is bounded by depth*width however large the " +
+    "vocabulary; a colliding narrow sketch still never undercounts") {
+    val docs = (1 to 400).map(i => (i.toLong, s"tok$i tok$i"))
+      .toDF("doc_id", "text")
+    val counters = Sketch.countMinCounters(docs, "text", 2, 16)
+    assert(counters.count() <= 2 * 16)
+    val probes = (1 to 400).map(i => s"tok$i").toDF("w")
+    val est = Sketch.cmsEstimates(counters, probes, 2, 16)
+      .agg(min(col("cms_estimate"))).head().getLong(0)
+    assert(est >= 2L, s"narrow sketch undercounted: $est < 2")
+  }
+
+  test("a token the counters never saw estimates 0") {
+    val docs = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val counters = Sketch.countMinCounters(docs, "text", 4, 8)
+    val est = Sketch.cmsEstimates(counters,
+      Seq("never_seen_zzz").toDF("w"), 4, 8)
+      .head().getLong(1)
+    // width 8: "never_seen_zzz" may collide with alpha's bucket in a
+    // row, but the MIN over 4 rows only reaches 0 if ANY row misses —
+    // assert the invariant that holds either way: estimate <= 1
+    assert(est <= 1L, s"unseen token over-estimated past all mass: $est")
+  }
+}

@@ -804,6 +804,17 @@ object SparkEntry {
         .groupBy(col("lang"), col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // LLM §sketching — HyperLogLog distinct-token estimate: integer
+    // registers (bin()-length leading zeros — no float log), exact
+    // scaled harmonic sum, ONE double division — even the float
+    // estimate hash-compares. True distinct count rides along.
+    "q70_hll" -> ((s, dir) => {
+      import graft.llm.{Bpe, Sketch}
+      val docs = t(s, dir, "documents")
+      val truth = Bpe.wordFrequencies(docs, "text")
+        .agg(count(lit(1)).as("n_distinct_true"))
+      Sketch.hllDistinct(docs, "text", b = 6).crossJoin(truth)
+    }),
     // LLM §sketching — Count-Min frequency sketch (the sub-linear
     // vocabulary summary): depth×width exact-integer counters over
     // md5-derived buckets, point estimate = min over rows; the true
@@ -1367,6 +1378,29 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // full HLL replay: same md5 slices, same bin()-length ranks, same
+    // exact scaled sum, the same left-assoc double arithmetic
+    "q70_hll" ->
+      """WITH tf AS (SELECT DISTINCT t AS w FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        | h AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv
+        |   FROM tf),
+        | r0 AS (SELECT hv % 64 AS bucket,
+        |   (hv // 64) % 16777216 AS win FROM h),
+        | r1 AS (SELECT bucket, CASE WHEN win = 0 THEN 25
+        |   ELSE 25 - length(bin(win)) END AS rank FROM r0),
+        | regs AS (SELECT bucket, max(rank) AS reg FROM r1 GROUP BY 1),
+        | agg AS (SELECT count(*) AS n_registers_set,
+        |    sum(CAST(1 AS BIGINT) << CAST(25 - reg AS INT)) AS sum_set
+        |   FROM regs)
+        | SELECT CAST(64 AS BIGINT) AS m, n_registers_set,
+        |   sum_set + (64 - n_registers_set) * 33554432 AS sum_scaled,
+        |   0.7213 / (1 + 1.079 / 64) * 64 * 64 * 33554432 /
+        |     CAST(sum_set + (64 - n_registers_set) * 33554432
+        |       AS DOUBLE) AS hll_estimate,
+        |   (SELECT count(*) FROM tf) AS n_distinct_true
+        | FROM agg""".stripMargin.replace("\n", " "),
     // full CMS replay: same md5 buckets ('0x'||hex cast ≡ conv(,16,10)),
     // same exact-integer counters, same min-over-rows estimate
     "q69_cms" ->

@@ -60,4 +60,48 @@ object Sketch {
       .groupBy(col("w"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
+
+  /** HyperLogLog distinct-token estimate (Flajolet 2007), built so
+    * every step is EXACT and engine-portable — the register table and
+    * the scaled harmonic sum are pure integers, and the estimate is
+    * ONE double division over identical integers, so even the float
+    * hash-compares:
+    *
+    *   - 32 md5 bits split into a `2^b`-way bucket and a 24-bit
+    *     window `w`; rank = leading zeros of `w` + 1, computed WITHOUT
+    *     float log as `24 - length(bin(w)) + 1` (`bin` strips leading
+    *     zeros identically in Spark and DuckDB; w = 0 → 25).
+    *   - registers = max rank per bucket (empty buckets count rank 0).
+    *   - harmonic sum Σ 2^-reg scaled by 2^25 → an exact BIGINT;
+    *     estimate = α·m²·2^25 / that sum (the RAW HLL estimator —
+    *     no small/large-range corrections, deterministically the same
+    *     formula both engines).
+    *
+    * Output: one row (`m`, `n_registers_set`, `sum_scaled`,
+    * `hll_estimate`). */
+  def hllDistinct(df: DataFrame, textCol: String, b: Int): DataFrame = {
+    require(b >= 2 && b <= 12, s"b must be in [2,12], got $b")
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val hash = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+    val regs = Bpe.wordFrequencies(df, textCol).select(col("w"))
+      .select((hash % m).as("bucket"),
+        (hash.divide(m).cast("long") % (1 << 24)).as("win"))
+      .select(col("bucket"),
+        when(col("win") === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("win")))).as("rank"))
+      .groupBy(col("bucket")).agg(max(col("rank")).as("reg"))
+    regs.agg(
+        count(lit(1)).as("n_registers_set"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(25 - reg as int))"))
+          .as("_sum_set"))
+      .select(lit(m.toLong).as("m"), col("n_registers_set"),
+        // empty buckets contribute 2^25 each (rank 0)
+        (col("_sum_set") +
+          (lit(m.toLong) - col("n_registers_set")) * lit(1L << 25))
+          .as("sum_scaled"))
+      .select(col("m"), col("n_registers_set"), col("sum_scaled"),
+        (lit(alpha * m.toDouble * m.toDouble * (1L << 25).toDouble) /
+          col("sum_scaled").cast("double")).as("hll_estimate"))
+  }
 }

@@ -38,6 +38,25 @@ class SketchSpec extends SparkSpec {
     assert(est >= 2L, s"narrow sketch undercounted: $est < 2")
   }
 
+  test("hllDistinct: estimate lands within the expected relative error " +
+    "band (~1.04/sqrt(m) ≈ 13% at m=64) and the state is one row of " +
+    "integers; distinct count not corpus size drives it") {
+    // 2000 distinct tokens, each appearing twice (frequency must not
+    // matter — HLL sees the distinct set)
+    val docs = (1 to 2000).map(i => (i.toLong, s"tok$i tok$i"))
+      .toDF("doc_id", "text")
+    val out = Sketch.hllDistinct(docs, "text", b = 6).head()
+    val m = out.getLong(0); val est = out.getDouble(3)
+    assert(m == 64L)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.4,
+      s"estimate $est too far from 2000")
+    // doubling copies of the SAME tokens must not move the registers
+    val doubled = docs.union(docs)
+    val est2 = Sketch.hllDistinct(doubled, "text", b = 6)
+      .head().getDouble(3)
+    assert(est2 == est, "duplicate occurrences moved the estimate")
+  }
+
   test("a token the counters never saw estimates 0") {
     val docs = Seq((1L, "alpha")).toDF("doc_id", "text")
     val counters = Sketch.countMinCounters(docs, "text", 4, 8)

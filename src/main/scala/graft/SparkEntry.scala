@@ -804,6 +804,28 @@ object SparkEntry {
         .groupBy(col("lang"), col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // LLM §sketching — Bloom-filter join prune: the bench side's
+    // head-gram keys build a 4096-bit bitmap (bit_or aggregation →
+    // broadcastable literal), and the train side probes it MAP-SIDE
+    // before any shuffle — never a false negative (oracle-checked:
+    // every is_actual=1 row has might_contain=1), false positives at
+    // the standard rate. The prune a 100 TB contamination join runs
+    // first.
+    "q71_bloom_prune" -> ((s, dir) => {
+      import graft.llm.Sketch
+      val docs = t(s, dir, "documents").withColumn("_key",
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+      val bm = Sketch.bloomBuild(bench, "_key", k = 3, mBits = 4096)
+      val probed = Sketch.bloomProbe(
+        docs.filter(col("doc_id") % 5 =!= 0), "_key", bm, k = 3)
+      probed
+        .join(bench.select(col("_key")).distinct()
+          .withColumn("_hit", lit(1)), Seq("_key"), "left")
+        .select(col("doc_id"),
+          col("might_contain").cast("int").as("might_contain"),
+          coalesce(col("_hit"), lit(0)).as("is_actual"))
+    }),
     // LLM §sketching — HyperLogLog distinct-token estimate: integer
     // registers (bin()-length leading zeros — no float log), exact
     // scaled harmonic sum, ONE double division — even the float
@@ -1378,6 +1400,29 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // bitmap-free replay: the SET of positions any bench key sets,
+    // probed per train key with the same md5 arithmetic
+    "q71_bloom_prune" ->
+      """WITH d AS (SELECT doc_id,
+        |    array_to_string((string_split(text, ' '))[1:3], ' ') AS key
+        |  FROM documents),
+        | bs AS (SELECT DISTINCT
+        |    ('0x' || substr(md5('b' || r.r || '#' || d.key), 1, 8))
+        |      ::BIGINT % 4096 AS pos
+        |   FROM d, (SELECT unnest([0, 1, 2]) AS r) r
+        |   WHERE d.doc_id % 5 = 0),
+        | bk AS (SELECT DISTINCT key FROM d WHERE doc_id % 5 = 0)
+        | SELECT d.doc_id,
+        |  CAST(
+        |   ('0x' || substr(md5('b0#' || d.key), 1, 8))::BIGINT % 4096
+        |     IN (SELECT pos FROM bs) AND
+        |   ('0x' || substr(md5('b1#' || d.key), 1, 8))::BIGINT % 4096
+        |     IN (SELECT pos FROM bs) AND
+        |   ('0x' || substr(md5('b2#' || d.key), 1, 8))::BIGINT % 4096
+        |     IN (SELECT pos FROM bs) AS INT) AS might_contain,
+        |  CAST(d.key IN (SELECT key FROM bk) AS INT) AS is_actual
+        | FROM d WHERE d.doc_id % 5 <> 0"""
+        .stripMargin.replace("\n", " "),
     // full HLL replay: same md5 slices, same bin()-length ranks, same
     // exact scaled sum, the same left-assoc double arithmetic
     "q70_hll" ->

@@ -61,6 +61,58 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
+  /** Row-`r` Bloom bit position of a key column (same engine-portable
+    * md5 arithmetic as [[cmsBucket]]). */
+  def bloomPos(key: Column, row: Int, mBits: Int): Column =
+    conv(substring(md5(concat(lit(s"b$row#"), key)), 1, 8), 16, 10)
+      .cast("long") % mBits
+
+  /** Build a Bloom filter over `keyCol`'s values: `k` md5-derived bit
+    * positions per key, packed into an `mBits`-bit bitmap of longs via
+    * a `bit_or` aggregation (map-side partials; the aggregate state is
+    * mBits/64 longs however many keys stream through). Returned as the
+    * driver-side bitmap — small by construction (mBits/64 longs), the
+    * thing a 100 TB join broadcasts to prune its probe side before the
+    * shuffle. */
+  def bloomBuild(df: DataFrame, keyCol: String, k: Int,
+                 mBits: Int): Array[Long] = {
+    require(k >= 1 && mBits >= 64 && mBits % 64 == 0,
+      s"need k >= 1 and mBits a positive multiple of 64; got $k, $mBits")
+    val positions = (0 until k).map { r =>
+      df.select(bloomPos(col(keyCol), r, mBits).as("_p"))
+    }.reduce(_ unionByName _)
+    val words = positions
+      .select(expr("_p div 64").as("_w"),
+        expr("shiftleft(cast(1 as bigint), cast(_p % 64 as int))")
+          .as("_bit"))
+      .groupBy(col("_w"))
+      .agg(expr("bit_or(_bit)").as("_word"))
+      .collect()
+    val bitmap = new Array[Long](mBits / 64)
+    words.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
+    bitmap
+  }
+
+  /** Probe `keyCol` against a built bitmap: adds `might_contain`
+    * (true iff ALL `k` positions are set — never a false negative,
+    * false positives at the standard (1-e^(-kn/m))^k rate). Pure
+    * expressions over the bitmap LITERAL riding in the plan —
+    * map-side, codegen'd, the prune a probe side applies BEFORE
+    * shuffling toward an expensive join. */
+  def bloomProbe(df: DataFrame, keyCol: String, bitmap: Array[Long],
+                 k: Int): DataFrame = {
+    require(k >= 1 && bitmap.nonEmpty, "need k >= 1 and a bitmap")
+    val mBits = bitmap.length * 64
+    var out = df.withColumn("_bm", typedLit(bitmap.toSeq))
+    val tests = (0 until k).map { r =>
+      out = out.withColumn(s"_bp$r", bloomPos(col(keyCol), r, mBits))
+      s"(shiftright(element_at(_bm, cast(_bp$r div 64 as int) + 1)," +
+        s" cast(_bp$r % 64 as int)) & 1) = 1"
+    }
+    out.withColumn("might_contain", expr(tests.mkString(" AND ")))
+      .drop("_bm" +: (0 until k).map(i => s"_bp$i"): _*)
+  }
+
   /** HyperLogLog distinct-token estimate (Flajolet 2007), built so
     * every step is EXACT and engine-portable — the register table and
     * the scaled harmonic sum are pure integers, and the estimate is

@@ -57,6 +57,23 @@ class SketchSpec extends SparkSpec {
     assert(est2 == est, "duplicate occurrences moved the estimate")
   }
 
+  test("bloom filter: NEVER a false negative, false-positive rate in " +
+    "the expected band, probe plan is map-side (no shuffle)") {
+    val members = (1 to 200).map(i => s"member$i")
+    val bm = Sketch.bloomBuild(members.toDF("k"), "k",
+      k = 3, mBits = 4096)
+    val probes = (members ++ (1 to 2000).map(i => s"other$i")).toDF("k")
+    val probed = Sketch.bloomProbe(probes, "k", bm, k = 3)
+    val res = probed.collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    members.foreach(m => assert(res(m), s"FALSE NEGATIVE on $m"))
+    // fp rate at n=200, k=3, m=4096: (1-e^-0.146)^3 ~ 0.25%; allow 2%
+    val fps = (1 to 2000).count(i => res(s"other$i"))
+    assert(fps <= 40, s"$fps false positives of 2000 — rate too high")
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("a token the counters never saw estimates 0") {
     val docs = Seq((1L, "alpha")).toDF("doc_id", "text")
     val counters = Sketch.countMinCounters(docs, "text", 4, 8)

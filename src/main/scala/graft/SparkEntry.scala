@@ -804,6 +804,16 @@ object SparkEntry {
         .groupBy(col("lang"), col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // LLM §retrieval — inverted-index build (posting lists): sorted
+    // distinct doc lists per token inside a [5, 400] df window (the
+    // two knobs that bound every posting list); deterministic
+    // postings for any partitioning; stopword-scale lists never
+    // enter an aggregation buffer (df filter BEFORE collect).
+    "q72_inverted_index" -> ((s, dir) => {
+      import graft.llm.TextStats
+      TextStats.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 5, maxDf = 400)
+    }),
     // LLM §sketching — Bloom-filter join prune: the bench side's
     // head-gram keys build a 4096-bit bitmap (bit_or aggregation →
     // broadcastable literal), and the train side probes it MAP-SIDE
@@ -1400,6 +1410,19 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // postings replay: DISTINCT (token, doc) + df window +
+    // list(ORDER BY) — identical sorted arrays stringify identically
+    "q72_inverted_index" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(text, ' '), x -> x <> '')) AS t
+        |    FROM documents)),
+        | dfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1
+        |   HAVING count(*) >= 5 AND count(*) <= 400)
+        | SELECT dt.token, dfs.df,
+        |   list(dt.doc_id ORDER BY dt.doc_id) AS postings
+        | FROM dt JOIN dfs USING (token)
+        | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     // bitmap-free replay: the SET of positions any bench key sets,
     // probed per train key with the same md5 arithmetic
     "q71_bloom_prune" ->

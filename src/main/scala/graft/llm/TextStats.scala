@@ -297,6 +297,44 @@ object TextStats {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Inverted-index build — the retrieval-side structure (posting
+    * lists): one row per qualifying token with its SORTED distinct
+    * document list and document frequency. `minDf` drops the long
+    * tail (hapax tokens dominate a web vocabulary; a retrieval index
+    * usually keeps df ≥ 2 terms), `maxDf` drops stopword-like terms
+    * whose posting lists are corpus-sized — the two knobs that bound
+    * every posting list.
+    *
+    * Shape: explode → per-(token, doc) distinct → one token
+    * aggregation (`collect_set` + `sort_array` — deterministic
+    * postings for any partitioning). Posting-list memory per
+    * aggregation buffer is capped by `maxDf` BY CONSTRUCTION only
+    * after the df filter — the df computation itself is counts, so
+    * the guard orders: count first, filter, then collect only
+    * surviving tokens' lists.
+    *
+    * Output: (`token`, `df`, `postings` sorted array). */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, minDf: Long = 2,
+                    maxDf: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf; got $minDf, $maxDf")
+    val docTok = df
+      .select(col(idCol), explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+      .distinct()
+    val dfs = docTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    // collect postings ONLY for tokens that survive the df window —
+    // a stopword's corpus-sized list never enters a buffer
+    docTok.join(dfs, "token")
+      .groupBy(col("token"), col("df"))
+      .agg(sort_array(collect_list(col(idCol))).as("postings"))
+      .select(col("token"), col("df"), col("postings"))
+  }
+
   /** Per-document distinctive-KEYWORD extraction — tf-idf's ranking
     * with NO floats anywhere: per doc, tokens ordered by (tf desc,
     * corpus doc-frequency asc, token asc) and cut to the top `k`. The

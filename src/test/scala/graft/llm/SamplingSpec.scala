@@ -178,6 +178,29 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("invertedIndex: sorted distinct postings, df window inclusive " +
+    "both ends, repeated in-doc tokens count once, " +
+    "partitioning-invariant") {
+    val docs = Seq(
+      (3L, "apple apple banana"), // apple df counts this doc ONCE
+      (1L, "apple cherry"),
+      (2L, "apple banana"),
+      (4L, "cherry")).toDF("doc_id", "text")
+    val out = TextStats.invertedIndex(docs, "doc_id", "text",
+      minDf = 2, maxDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2))).sortBy(_._1).toSeq
+    // apple df=3 > maxDf -> out; cherry df=2, banana df=2 stay
+    assert(out == Seq(
+      ("banana", 2L, Seq(2L, 3L)),
+      ("cherry", 2L, Seq(1L, 4L))), out)
+    val out2 = TextStats.invertedIndex(docs.repartition(5), "doc_id",
+      "text", minDf = 2, maxDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2))).sortBy(_._1).toSeq
+    assert(out2 == out)
+  }
+
   test("winnow coverage theorem holds over randomized corpora: every " +
     "planted >= w+k-1-token shared run yields a shared fingerprint, " +
     "for random run positions and lengths") {

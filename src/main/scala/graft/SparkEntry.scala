@@ -814,6 +814,22 @@ object SparkEntry {
       TextStats.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
         minDf = 5, maxDf = 400)
     }),
+    // LLM §retrieval — conjunctive (AND) query over the q72 index:
+    // the two highest-df in-window terms (deterministic pick), docs
+    // holding BOTH via explode + count — posting-list intersection as
+    // one aggregation, the index's query-side counterpart.
+    "q73_conjunctive_search" -> ((s, dir) => {
+      import graft.llm.TextStats
+      val idx = TextStats.invertedIndex(t(s, dir, "documents"),
+        "doc_id", "text", minDf = 5, maxDf = 400)
+      val terms = idx.orderBy(col("df").desc, col("token")).limit(2)
+        .select("token")
+      idx.join(terms, "token")
+        .select(col("token"), explode(col("postings")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matched")) // postings are distinct
+        .filter(col("n_matched") === 2)
+    }),
     // LLM §sketching — Bloom-filter join prune: the bench side's
     // head-gram keys build a 4096-bit bitmap (bit_or aggregation →
     // broadcastable literal), and the train side probes it MAP-SIDE
@@ -1410,6 +1426,20 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // the q72 CTEs + the same deterministic 2-term pick + intersection
+    "q73_conjunctive_search" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(text, ' '), x -> x <> '')) AS t
+        |    FROM documents)),
+        | dfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1
+        |   HAVING count(*) >= 5 AND count(*) <= 400),
+        | terms AS (SELECT token FROM dfs
+        |   ORDER BY df DESC, token LIMIT 2)
+        | SELECT dt.doc_id, count(*) AS n_matched
+        | FROM dt JOIN terms USING (token)
+        | GROUP BY 1 HAVING count(*) = 2"""
+        .stripMargin.replace("\n", " "),
     // postings replay: DISTINCT (token, doc) + df window +
     // list(ORDER BY) — identical sorted arrays stringify identically
     "q72_inverted_index" ->

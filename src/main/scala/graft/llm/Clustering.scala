@@ -12,15 +12,14 @@ import org.apache.spark.sql.types.DecimalType
   * the property that makes clustering usable inside a correctness-
   * gated pipeline:
   *
-  *   - init: centroids are the first `k` vectors in a seeded
-  *     xxhash64(id) order (the [[Similarity.ivfTopK]] sampled-centroid
-  *     trick — a uniform pseudo-random permutation that depends only
-  *     on ids, one `TakeOrderedAndProject`).
-  *   - assignment: argmax of the codegen'd
-  *     [[graft.functions.GraftFunctions.cosine]] over the broadcast
-  *     centroid literals, ties to the lower cluster index
-  *     (`array_position` finds the FIRST max) — a pure projection, no
-  *     shuffle, no UDF.
+  *   - init: deterministic farthest-first traversal
+  *     ([[farthestFirstInit]] — min-id seed, then per-round global
+  *     (score, id) argmins), or any caller-supplied centroid list
+  *     (pass a hash-sampled one at SemDeDup-scale k).
+  *   - assignment: cosine argmax with ties to the lower cluster
+  *     index — a pure shuffle-free projection (codegen'd expression
+  *     array at coarse k, one flat UDF over the broadcast centroid
+  *     matrix above [[ExprAssignMaxK]]; identical argmax either way).
   *   - update: per-dimension means are computed in EXACT decimal
   *     arithmetic (each float is cast to `decimal(30,12)` — a
   *     deterministic per-value rounding — then summed exactly), so
@@ -63,8 +62,7 @@ object Clustering {
   private def assignWith(data: DataFrame, idCol: String, vecCol: String,
                          centroids: Seq[Array[Float]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val assigned =
-      if (centroids.length <= ExprAssignMaxK) {
+    if (centroids.length <= ExprAssignMaxK) {
         graft.functions.GraftFunctions.register(data.sparkSession)
         val sims = array(centroids.map(c =>
           graft.functions.GraftFunctions.cosine(
@@ -100,7 +98,6 @@ object Clustering {
         data.select(col(idCol), col(vecCol),
           assign(col(vecCol)).as("cluster_id"))
       }
-    assigned
   }
 
   /** Deterministic farthest-first init (the k-means++ idea without the

@@ -345,7 +345,7 @@ class TextMultimodalSpec extends SparkSpec {
     // splice an APP1 "Exif" segment (payload: a complete tiny JPEG —
     // the thumbnail, carrying its own FFD9) right after the SOI
     def withExifThumb(frame: Array[Byte], thumb: Array[Byte]): Array[Byte] = {
-      val body = "Exif  ".getBytes("ISO-8859-1") ++ thumb
+      val body = "Exif\u0000\u0000".getBytes("ISO-8859-1") ++ thumb
       val len = body.length + 2
       val app1 = Array(0xff.toByte, 0xe1.toByte,
         ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ body

@@ -38,6 +38,42 @@ for name in sorted(p.name for p in outdir.iterdir() if p.is_dir()):
     except Exception as e:
         fails.append(name); print(f"{name}: ORACLE_ERR {e}"); continue
 
+    # Driver-strictness mirror (VERDICT r11 task 8): the driver's
+    # comparator grants no type latitude — pandas sort_values crashes
+    # on list cells, and a DuckDB HUGEINT (decimal128) never hash-equals
+    # a Spark int64. Fail here on anything the driver would fail on,
+    # BEFORE the lenient value compare.
+    def type_hazards(tbl, side):
+        out = []
+        for field in tbl.schema:
+            t = field.type
+            if (pa.types.is_decimal(t) or pa.types.is_list(t)
+                    or pa.types.is_large_list(t) or pa.types.is_struct(t)
+                    or pa.types.is_map(t)):
+                out.append(f"{side}.{field.name}:{t}")
+        return out
+
+    def kind(t):
+        if pa.types.is_integer(t): return "int"
+        if pa.types.is_floating(t): return "float"
+        if pa.types.is_decimal(t): return "decimal"
+        if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+        if pa.types.is_boolean(t): return "bool"
+        return str(t)
+
+    hazards = type_hazards(spark_tbl, "spark") + type_hazards(duck_tbl, "duck")
+    common = set(spark_tbl.column_names) & set(duck_tbl.column_names)
+    for c in sorted(common):
+        ks = kind(spark_tbl.schema.field(c).type)
+        kd = kind(duck_tbl.schema.field(c).type)
+        if ks != kd:
+            hazards.append(f"kind({c}): spark={ks} duck={kd}")
+    if hazards:
+        fails.append(name)
+        print(f"{name}: TYPE_HAZARD {hazards}  <- driver comparator "
+              "would crash or hash-mismatch here")
+        continue
+
     def canon(tbl):
         cols = sorted(tbl.column_names)
         tbl = tbl.select(cols)

@@ -808,11 +808,16 @@ object SparkEntry {
     // distinct doc lists per token inside a [5, 400] df window (the
     // two knobs that bound every posting list); deterministic
     // postings for any partitioning; stopword-scale lists never
-    // enter an aggregation buffer (df filter BEFORE collect).
+    // enter an aggregation buffer (df filter BEFORE collect). The
+    // gate row stringifies the sorted list (the comparator can't
+    // sort array cells); the operator API keeps the typed array.
     "q72_inverted_index" -> ((s, dir) => {
       import graft.llm.TextStats
       TextStats.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
-        minDf = 5, maxDf = 400)
+          minDf = 5, maxDf = 400)
+        .select(col("token"), col("df"),
+          concat_ws(",", transform(col("postings"), _.cast("string")))
+            .as("postings"))
     }),
     // LLM §retrieval — conjunctive (AND) query over the q72 index:
     // the two highest-df in-window terms (deterministic pick), docs
@@ -854,14 +859,21 @@ object SparkEntry {
     }),
     // LLM §sketching — HyperLogLog distinct-token estimate: integer
     // registers (bin()-length leading zeros — no float log), exact
-    // scaled harmonic sum, ONE double division — even the float
-    // estimate hash-compares. True distinct count rides along.
+    // scaled harmonic sum. The gate row carries the estimate in
+    // integer MICRO units (round(est·1e6) as BIGINT) — both engines
+    // divide the same double numerator by the same integer, so the
+    // micro value is bit-identical and no raw float is hashed. True
+    // distinct count rides along.
     "q70_hll" -> ((s, dir) => {
       import graft.llm.{Bpe, Sketch}
       val docs = t(s, dir, "documents")
       val truth = Bpe.wordFrequencies(docs, "text")
         .agg(count(lit(1)).as("n_distinct_true"))
-      Sketch.hllDistinct(docs, "text", b = 6).crossJoin(truth)
+      Sketch.hllDistinct(docs, "text", b = 6)
+        .withColumn("hll_est_micro",
+          round(col("hll_estimate") * lit(1e6)).cast("long"))
+        .drop("hll_estimate")
+        .crossJoin(truth)
     }),
     // LLM §sketching — Count-Min frequency sketch (the sub-linear
     // vocabulary summary): depth×width exact-integer counters over
@@ -1440,8 +1452,9 @@ object SparkEntry {
         | FROM dt JOIN terms USING (token)
         | GROUP BY 1 HAVING count(*) = 2"""
         .stripMargin.replace("\n", " "),
-    // postings replay: DISTINCT (token, doc) + df window +
-    // list(ORDER BY) — identical sorted arrays stringify identically
+    // postings replay: DISTINCT (token, doc) + df window + a sorted
+    // list STRINGIFIED (comma-joined) — scalar cells the comparator
+    // can sort; identical sorted lists stringify identically
     "q72_inverted_index" ->
       """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
         |    SELECT doc_id, unnest(list_filter(
@@ -1450,7 +1463,8 @@ object SparkEntry {
         | dfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1
         |   HAVING count(*) >= 5 AND count(*) <= 400)
         | SELECT dt.token, dfs.df,
-        |   list(dt.doc_id ORDER BY dt.doc_id) AS postings
+        |   array_to_string(list(dt.doc_id ORDER BY dt.doc_id), ',')
+        |     AS postings
         | FROM dt JOIN dfs USING (token)
         | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     // bitmap-free replay: the SET of positions any bench key sets,
@@ -1477,7 +1491,13 @@ object SparkEntry {
         | FROM d WHERE d.doc_id % 5 <> 0"""
         .stripMargin.replace("\n", " "),
     // full HLL replay: same md5 slices, same bin()-length ranks, same
-    // exact scaled sum, the same left-assoc double arithmetic
+    // exact scaled sum. The numerator literal 97491078487.97049 is the
+    // exact shortest-round-trip repr of the Scala-folded double
+    // alpha*m*m*2^25 (Sketch.scala:137,156) typed DOUBLE — both
+    // engines then run the identical IEEE divide/multiply/round, so
+    // the BIGINT micro estimate matches bit-for-bit (the q57
+    // centroid-literal trick). Every sum is CAST BIGINT (DuckDB sum
+    // widens to HUGEINT — the q51 hardening).
     "q70_hll" ->
       """WITH tf AS (SELECT DISTINCT t AS w FROM (
         |    SELECT unnest(string_split_regex(text, '\s+')) AS t
@@ -1490,13 +1510,15 @@ object SparkEntry {
         |   ELSE 25 - length(bin(win)) END AS rank FROM r0),
         | regs AS (SELECT bucket, max(rank) AS reg FROM r1 GROUP BY 1),
         | agg AS (SELECT count(*) AS n_registers_set,
-        |    sum(CAST(1 AS BIGINT) << CAST(25 - reg AS INT)) AS sum_set
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(25 - reg AS INT))
+        |      AS BIGINT) AS sum_set
         |   FROM regs)
         | SELECT CAST(64 AS BIGINT) AS m, n_registers_set,
-        |   sum_set + (64 - n_registers_set) * 33554432 AS sum_scaled,
-        |   0.7213 / (1 + 1.079 / 64) * 64 * 64 * 33554432 /
+        |   CAST(sum_set + (64 - n_registers_set) * 33554432
+        |     AS BIGINT) AS sum_scaled,
+        |   CAST(round(CAST(97491078487.97049 AS DOUBLE) /
         |     CAST(sum_set + (64 - n_registers_set) * 33554432
-        |       AS DOUBLE) AS hll_estimate,
+        |       AS DOUBLE) * 1e6) AS BIGINT) AS hll_est_micro,
         |   (SELECT count(*) FROM tf) AS n_distinct_true
         | FROM agg""".stripMargin.replace("\n", " "),
     // full CMS replay: same md5 buckets ('0x'||hex cast ≡ conv(,16,10)),
@@ -1509,7 +1531,7 @@ object SparkEntry {
         | c AS (SELECT row,
         |    ('0x' || substr(md5(row::VARCHAR || '#' || w), 1, 8))::BIGINT
         |      % 1024 AS bucket,
-        |    sum(freq) AS cnt
+        |    CAST(sum(freq) AS BIGINT) AS cnt
         |   FROM tf, r GROUP BY 1, 2),
         | top AS (SELECT w, freq FROM tf
         |   ORDER BY freq DESC, w LIMIT 20),
@@ -1518,7 +1540,7 @@ object SparkEntry {
         |      ::BIGINT % 1024 AS bucket
         |   FROM top, r)
         | SELECT probe.w AS token, probe.freq,
-        |   min(COALESCE(c.cnt, 0)) AS cms_estimate
+        |   CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_estimate
         | FROM probe LEFT JOIN c
         |   ON c.row = probe.row AND c.bucket = probe.bucket
         | GROUP BY 1, 2""".stripMargin.replace("\n", " "),

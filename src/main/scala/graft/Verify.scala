@@ -22,8 +22,14 @@ object Verify {
     System.setProperty("graft.gate.shareFrames", "1")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // non-fatal here (GateLintSpec is the hard gate) — but loud,
+        // so a violating row is visible in the driver log too
+        GateLint.schemaViolations(name, df.schema)
+          .foreach(v => System.err.println(s"[verify][lint] $v"))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -51,7 +57,12 @@ object Verify {
         System.err.println(s"[verify] dynamic oracle failed: ${e.getMessage}")
         Map.empty[String, String]
       }
-    val json = (SparkEntry.oracleSql ++ dynamic)
+    val oracles = SparkEntry.oracleSql ++ dynamic
+    oracles.foreach { case (k, v) =>
+      GateLint.oracleViolations(k, v)
+        .foreach(w => System.err.println(s"[verify][lint] $w"))
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

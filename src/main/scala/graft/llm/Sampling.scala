@@ -88,11 +88,27 @@ object Sampling {
         col(keyCol).cast("string"))).as("_h"),
       col(keyCol).as("_k"))
     val keyField = hashed.schema("_k")
+    // the heap's eviction order must MATCH phase 2's (hash, key) sort
+    // (array_sort on struct(h, k)) — on a hash tie at the cut boundary
+    // a hash-only heap could evict the row phase 2 keeps. Numeric keys
+    // compare numerically (exact via BigDecimal), like the struct sort.
+    val keyOrd: Ordering[Any] = {
+      val base: Ordering[Any] = keyField.dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          Ordering.by[Any, BigDecimal](v => BigDecimal(v.toString))
+        case _ => Ordering.by[Any, String](_.toString)
+      }
+      (a: Any, b: Any) =>
+        if (a == null && b == null) 0
+        else if (a == null) -1 // nulls smallest, matching struct sort
+        else if (b == null) 1
+        else base.compare(a, b)
+    }
     val pruned = hashed.rdd.mapPartitions { it =>
       val heaps = scala.collection.mutable.HashMap
         .empty[String, scala.collection.mutable.PriorityQueue[(String, Any)]]
-      implicit val ord: Ordering[(String, Any)] =
-        Ordering.by[(String, Any), String](_._1) // max-heap on hash hex
+      implicit val ord: Ordering[(String, Any)] = // max-heap on (hash, key)
+        Ordering.Tuple2(Ordering.String, keyOrd)
       it.foreach { r =>
         val h = heaps.getOrElseUpdate(r.getString(0),
           scala.collection.mutable.PriorityQueue.empty[(String, Any)])

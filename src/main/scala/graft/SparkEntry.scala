@@ -69,6 +69,30 @@ object SparkEntry {
     if (!sharingFrames) mk
     else sharedMerges.getOrElseUpdate(s"merges:$dir", mk)
   }
+  // and the q75 BM25 query terms: the 3 highest-df in-window terms
+  // with their idf in integer micro units (Lucene log1p idf — the
+  // ONE float op, folded driver-side into a shared literal so the
+  // entry and its dynamic oracle replay identical integers)
+  private val sharedBm25Terms = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Long)]]
+  private def bm25Terms(s: SparkSession, dir: String)
+      : Seq[(String, Long)] = {
+    def mk: Seq[(String, Long)] = {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      graft.llm.TextStats
+        .invertedIndex(docs, "doc_id", "text", minDf = 5, maxDf = 400)
+        .orderBy(col("df").desc, col("token")).limit(3)
+        .select(col("token"), col("df")).collect()
+        .map { r =>
+          val df = r.getLong(1)
+          (r.getString(0),
+            math.round(math.log1p((n - df + 0.5) / (df + 0.5)) * 1e6))
+        }.toSeq
+    }
+    if (!sharingFrames) mk
+    else sharedBm25Terms.getOrElseUpdate(s"bm25:$dir", mk)
+  }
 
   // ---- canonical deletion-queue fixtures used by the find/forget queries
   private val simpleQueue = Seq(
@@ -835,6 +859,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_matched")) // postings are distinct
         .filter(col("n_matched") === 2)
     }),
+    // LLM §retrieval — k-term conjunctive search (the q73 pick
+    // generalized to k = 4 via the library operator): intersection of
+    // the 4 largest in-window posting lists as one aggregation, the
+    // exploded frame bounded by 4·maxDf rows whatever the corpus.
+    "q74_conjunctive_k" -> ((s, dir) => {
+      import graft.llm.TextStats
+      TextStats.conjunctiveSearch(
+        TextStats.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+          minDf = 5, maxDf = 400), nTerms = 4)
+    }),
+    // LLM §retrieval — BM25-scored top-20 over the q72 term pick:
+    // disjunctive scoring of the 3 highest-df in-window terms,
+    // k1 = 1.2, b = 0.75. Float-free under the gate contract: idf is
+    // a driver-folded integer micro literal (shared with the dynamic
+    // oracle), tf saturation is an exact BIGINT rational, the doc
+    // score a sum of exact integers — the q59 integer-rank move
+    // extended to a real scoring function.
+    "q75_bm25" -> ((s, dir) => {
+      import graft.llm.TextStats
+      TextStats.bm25TopKMicro(t(s, dir, "documents"), "doc_id", "text",
+        bm25Terms(s, dir), k = 20)
+    }),
     // LLM §sketching — Bloom-filter join prune: the bench side's
     // head-gram keys build a 4096-bit bitmap (bit_or aggregation →
     // broadcastable literal), and the train side probes it MAP-SIDE
@@ -1101,7 +1147,11 @@ object SparkEntry {
       "q58_semantic_dedup" ->
         Clustering.semanticDedupOracleSql(centroids, tau = 0.42),
       "q61_mixture_matrix" ->
-        Clustering.mixtureMatrixOracleSql(centroids))
+        Clustering.mixtureMatrixOracleSql(centroids),
+      // same (term, idf_micro) literals as the q75 entry — the q54
+      // parity-by-construction move applied to the one float BM25 has
+      "q75_bm25" ->
+        graft.llm.TextStats.bm25OracleSql(bm25Terms(s, dir), k = 20))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1451,6 +1501,20 @@ object SparkEntry {
         | SELECT dt.doc_id, count(*) AS n_matched
         | FROM dt JOIN terms USING (token)
         | GROUP BY 1 HAVING count(*) = 2"""
+        .stripMargin.replace("\n", " "),
+    // the q73 replay with the pick widened to 4 terms (AND of 4 lists)
+    "q74_conjunctive_k" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(text, ' '), x -> x <> '')) AS t
+        |    FROM documents)),
+        | dfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1
+        |   HAVING count(*) >= 5 AND count(*) <= 400),
+        | terms AS (SELECT token FROM dfs
+        |   ORDER BY df DESC, token LIMIT 4)
+        | SELECT dt.doc_id, count(*) AS n_matched
+        | FROM dt JOIN terms USING (token)
+        | GROUP BY 1 HAVING count(*) = 4"""
         .stripMargin.replace("\n", " "),
     // postings replay: DISTINCT (token, doc) + df window + a sorted
     // list STRINGIFIED (comma-joined) — scalar cells the comparator

@@ -335,6 +335,160 @@ object TextStats {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** Conjunctive (AND) search over an [[invertedIndex]] frame: the
+    * documents containing ALL of the `nTerms` highest-df in-window
+    * terms (df desc, token asc — a deterministic pick for any data).
+    * Posting-list intersection as ONE aggregation: explode the k
+    * selected lists, count per doc, keep count == k. Postings are
+    * distinct by construction, so the count IS the number of matched
+    * terms; k lists are each ≤ maxDf docs, so the exploded frame is
+    * ≤ k·maxDf rows no matter the corpus size.
+    *
+    * Output: (`doc_id`, `n_matched` == nTerms). */
+  def conjunctiveSearch(index: org.apache.spark.sql.DataFrame,
+                        nTerms: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(nTerms >= 1, s"nTerms must be >= 1, got $nTerms")
+    val terms = index.orderBy(col("df").desc, col("token"))
+      .limit(nTerms).select("token")
+    index.join(terms, "token")
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === nTerms)
+  }
+
+  /** Shared BM25 plumbing: token occurrences, per-doc length, and the
+    * single-row (total token count L, corpus size N) frame — one
+    * corpus scan feeds all three via Catalyst's plan reuse. */
+  private def bm25Frames(docs: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String) = {
+    val toks = docs.select(col(idCol), explode(filter(
+      tokens(col(textCol)), t => length(t) > 0)).as("_t"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("_dl"))
+    val nl = toks.agg(count(lit(1)).as("_L"))
+      .crossJoin(docs.agg(count(lit(1)).as("_N")))
+    (toks, dl, nl)
+  }
+
+  /** BM25-scored top-k retrieval (Robertson/Sparck Jones; the Lucene
+    * `log1p` idf, which is positive for every df) — the library API:
+    * DOUBLE scores, arbitrary `k1`/`b`. Docs matching ≥ 1 query term
+    * are scored disjunctively, ranked (score desc, id asc), cut to k.
+    *
+    * Shape: the query-term filter is an `isin` over a literal list —
+    * pushed to the scan — so `tf` aggregates only matching (doc,
+    * term) pairs; per-doc length joins against those docs only; the
+    * (L, N) scalars broadcast as a 1-row frame. No corpus-sized
+    * shuffle beyond the one `dl` aggregation BM25's length
+    * normalization inherently needs.
+    *
+    * Output: (idCol, `n_matched`, `score` double, `rank` 1..k). */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, queryTerms: Seq[String],
+               k1: Double = 1.2, b: Double = 0.75, k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1, "need query terms and k >= 1")
+    val (toks, dl, nl) = bm25Frames(docs, idCol, textCol)
+    val tf = toks.filter(col("_t").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val idf = log1p((col("_N") - col("_df") + lit(0.5)) /
+      (col("_df") + lit(0.5)))
+    val sat = (col("_tf") * lit(k1 + 1)) / (col("_tf") +
+      lit(k1) * (lit(1 - b) + lit(b) * col("_dl") * col("_N") / col("_L")))
+    val scored = tf.join(dfreq, "_t").join(dl, idCol)
+      .crossJoin(broadcast(nl))
+      .withColumn("_s", idf * sat)
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("_s")).as("score"))
+    rankTop(agg, idCol, col("score"), k)
+  }
+
+  /** BM25 top-k under the hash-gate contract — NO floats anywhere:
+    * `terms` carries each query term's idf pre-scaled to integer
+    * MICRO units (round(idf·1e6), computed once where the terms are
+    * picked), and the tf-saturation factor is an EXACT rational in
+    * BIGINTs. With k1 = 6/5 and b = 3/4 (the standard 1.2/0.75 —
+    * exactly representable):
+    *
+    *   tf(k1+1) / (tf + k1(1−b + b·dl/avgdl))      with avgdl = L/N
+    *     = 44·tf·L / (20·L·tf + 6·L + 18·dl·N)     (×20·L·N/5 top+bottom)
+    *
+    * so the per-term score is one integer `div` — truncation toward
+    * zero in both Spark and DuckDB, and every operand is positive —
+    * and the doc score is a SUM of exact integers: bit-identical in
+    * any engine (score_micro/1e6 recovers the float to < |terms|/1e6).
+    * Operand bound: idf_micro·44·tf·L < 9.2e18 holds to ~1e9 total
+    * corpus tokens; past that, pre-divide L/N or use [[bm25TopK]].
+    *
+    * Output: (idCol, `n_matched`, `score_micro` long, `rank` 1..k). */
+  def bm25TopKMicro(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, terms: Seq[(String, Long)], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && k >= 1, "need (term, idfMicro) and k >= 1")
+    val (toks, dl, nl) = bm25Frames(docs, idCol, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termDf = terms.toDF("_qt", "_idf_micro")
+    val tf = toks.filter(col("_t").isin(terms.map(_._1): _*))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val scored = tf
+      .join(broadcast(termDf), col("_t") === col("_qt"))
+      .join(dl, idCol)
+      .crossJoin(broadcast(nl))
+      .withColumn("_s", expr("(_idf_micro * 44 * _tf * _L) div " +
+        "(20 * _L * _tf + 6 * _L + 18 * _dl * _N)"))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("_s")).as("score_micro"))
+    rankTop(agg, idCol, col("score_micro"), k)
+  }
+
+  /** DuckDB replay of [[bm25TopKMicro]] from the SAME (term,
+    * idf_micro) literals the entry used — every arithmetic step is
+    * BIGINT (`//` and `div` both truncate toward zero; all operands
+    * positive), so the replay is exact by construction. */
+  def bm25OracleSql(terms: Seq[(String, Long)], k: Int): String = {
+    require(terms.nonEmpty && k >= 1, "need (term, idfMicro) and k >= 1")
+    val esc = terms.map { case (t, m) => (t.replace("'", "''"), m) }
+    val values = esc.map { case (t, m) =>
+      s"(CAST('$t' AS VARCHAR), CAST($m AS BIGINT))" }.mkString(", ")
+    val inList = esc.map { case (t, _) => s"'$t'" }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split(text, ' '), x -> x <> '')) AS t
+      |    FROM documents) u(doc_id, t)),
+      | terms(token, idf_micro) AS (VALUES $values),
+      | nl AS (SELECT CAST((SELECT count(*) FROM tok) AS BIGINT) AS l,
+      |   CAST((SELECT count(*) FROM documents) AS BIGINT) AS n),
+      | dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |   FROM tok GROUP BY 1),
+      | tf AS (SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf
+      |   FROM tok WHERE t IN ($inList) GROUP BY 1, 2),
+      | s AS (SELECT tf.doc_id, (terms.idf_micro * 44 * tf.tf * nl.l) //
+      |     (20 * nl.l * tf.tf + 6 * nl.l + 18 * dl.dl * nl.n) AS s
+      |   FROM tf JOIN terms USING (token) JOIN dl USING (doc_id)
+      |   CROSS JOIN nl),
+      | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+      |     CAST(sum(s) AS BIGINT) AS score_micro FROM s GROUP BY 1)
+      | SELECT doc_id, n_matched, score_micro,
+      |   CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+      |     AS INTEGER) AS rank
+      | FROM agg ORDER BY score_micro DESC, doc_id LIMIT $k"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** (score desc, id asc) top-k with a 1..k rank: TakeOrderedAndProject
+    * does the global cut, then the k survivors (a handful of rows)
+    * rank in one trivial window. */
+  private def rankTop(agg: org.apache.spark.sql.DataFrame, idCol: String,
+                      score: Column, k: Int) =
+    agg.orderBy(score.desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(score.desc, col(idCol))).cast("int"))
+
   /** Per-document distinctive-KEYWORD extraction — tf-idf's ranking
     * with NO floats anywhere: per doc, tokens ordered by (tf desc,
     * corpus doc-frequency asc, token asc) and cut to the top `k`. The

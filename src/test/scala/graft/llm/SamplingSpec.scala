@@ -289,4 +289,65 @@ class SamplingSpec extends SparkSpec {
     assert(out.sortBy(r => (r._1, r._5)).toSeq ==
       out2.sortBy(r => (r._1, r._5)).toSeq)
   }
+
+  test("conjunctiveSearch: docs holding ALL of the k top-df terms, " +
+    "deterministic term pick, k widens monotonically") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "a b"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val idx = TextStats.invertedIndex(docs, "doc_id", "text",
+      minDf = 1, maxDf = 10)
+    def hits(k: Int) = TextStats.conjunctiveSearch(idx, k)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // dfs: a=4 b=3 c=2 d=1; top-2 = {a,b}, top-3 = {a,b,c}
+    assert(hits(2) == Seq(1L, 2L, 3L))
+    assert(hits(3) == Seq(1L, 2L))
+    assert(hits(4) == Seq(1L))
+  }
+
+  test("bm25TopKMicro: exact hand-computed integer scores, rank by " +
+    "(score desc, id), n_matched counts query terms only") {
+    val docs = Seq(
+      (1L, "x x y"), (2L, "x z"), (3L, "y z z z"))
+      .toDF("doc_id", "text")
+    // N=3, L=9, dl=(3,2,4); k1=6/5, b=3/4:
+    //   s = idf_micro*44*tf*L div (20*L*tf + 6*L + 18*dl*N)
+    // (1,x): 500000*44*2*9 div (360+54+162=576) = 687500
+    // (1,y): 1000000*44*9  div (180+54+162=396) = 1000000
+    // (2,x): 500000*44*9   div (180+54+108=342) = 578947 (floor)
+    // (3,y): 1000000*44*9  div (180+54+216=450) = 880000
+    val out = TextStats.bm25TopKMicro(docs, "doc_id", "text",
+      Seq(("x", 500000L), ("y", 1000000L)), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._4).toSeq
+    assert(out == Seq(
+      (1L, 2L, 1687500L, 1),
+      (3L, 1L, 880000L, 2),
+      (2L, 1L, 578947L, 3)), out)
+  }
+
+  test("bm25TopK (double) and bm25TopKMicro agree on ranking when " +
+    "the micro idf is the rounded double idf") {
+    val docs = Seq(
+      (1L, "q q r s t"), (2L, "q r r"), (3L, "r s s q"),
+      (4L, "t t t q r"), (5L, "u v w"))
+      .toDF("doc_id", "text")
+    val terms = Seq("q", "r", "s")
+    val n = docs.count()
+    val dfs = TextStats.invertedIndex(docs, "doc_id", "text",
+        minDf = 1, maxDf = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val micro = terms.map { t =>
+      (t, math.round(
+        math.log1p((n - dfs(t) + 0.5) / (dfs(t) + 0.5)) * 1e6))
+    }
+    val a = TextStats.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).sortBy(_._2)
+    val b = TextStats.bm25TopKMicro(docs, "doc_id", "text", micro,
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).sortBy(_._2)
+    assert(a.toSeq == b.toSeq, s"double rank ${a.toSeq} vs micro ${b.toSeq}")
+    assert(!a.map(_._1).contains(5L), "doc with no query term scored")
+  }
 }

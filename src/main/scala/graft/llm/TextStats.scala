@@ -359,14 +359,23 @@ object TextStats {
   }
 
   /** Shared BM25 plumbing: token occurrences, per-doc length, and the
-    * single-row (total token count L, corpus size N) frame — one
-    * corpus scan feeds all three via Catalyst's plan reuse. */
+    * single-row (total token count L, corpus size N) frame. L is
+    * derived as sum(dl) — the same integer as count(toks), but the
+    * identical dl subtree lets ReuseExchange serve both the length
+    * join and the L scalar from ONE tokenization pass (N's count
+    * reads no columns at all), so the corpus text is tokenized twice
+    * total (tf + dl), not three times. */
   private def bm25Frames(docs: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String) = {
-    val toks = docs.select(col(idCol), explode(filter(
-      tokens(col(textCol)), t => length(t) > 0)).as("_t"))
+    // the explicit null-id filter (a join would inject it on its own
+    // branch anyway) keeps BOTH dl consumers' subtrees canonically
+    // equal — without it the L branch lacks the join's isnotnull and
+    // ReuseExchange can't unify them
+    val toks = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(filter(
+        tokens(col(textCol)), t => length(t) > 0)).as("_t"))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("_dl"))
-    val nl = toks.agg(count(lit(1)).as("_L"))
+    val nl = dl.agg(sum(col("_dl")).as("_L"))
       .crossJoin(docs.agg(count(lit(1)).as("_N")))
     (toks, dl, nl)
   }
@@ -458,7 +467,7 @@ object TextStats {
     s"""WITH tok AS (SELECT doc_id, t FROM (
       |    SELECT doc_id, unnest(list_filter(
       |      string_split(text, ' '), x -> x <> '')) AS t
-      |    FROM documents) u(doc_id, t)),
+      |    FROM documents WHERE doc_id IS NOT NULL) u(doc_id, t)),
       | terms(token, idf_micro) AS (VALUES $values),
       | nl AS (SELECT CAST((SELECT count(*) FROM tok) AS BIGINT) AS l,
       |   CAST((SELECT count(*) FROM documents) AS BIGINT) AS n),

@@ -120,4 +120,37 @@ class PlanAuditSpec extends SparkSpec {
         .findFirstIn(plan).isDefined,
       s"global sort in:\n$plan")
   }
+
+  test("bm25 (q75) broadcasts the term table, reuses the dl exchange " +
+    "for the L scalar, tokenizes the corpus at most twice, and cuts " +
+    "top-k via TakeOrdered") {
+    val df = SparkEntry.queries("q75_bm25")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no BHJ in:\n$plan")
+    // L = sum(dl) must ride the SAME shuffle as the dl length join —
+    // the canonical-subtree contract bm25Frames pins with its
+    // explicit null-id filter
+    assert(plan.contains("ReusedExchange"),
+      s"dl exchange not reused for L in:\n$plan")
+    // corpus text feeds exactly tf + dl — a third tokenizing scan
+    // means the reuse regressed (count the AQE FINAL plan only; the
+    // string also embeds the pre-reuse initial plan)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val textScans = "ReadSchema: [^\\n]*text:string".r
+      .findAllIn(finalPlan).size
+    assert(textScans <= 2, s"$textScans text scans in:\n$finalPlan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not TakeOrdered in:\n$plan")
+  }
+
+  test("k-term conjunctive search (q74) broadcasts the k-term pick " +
+    "into the postings join") {
+    val df = SparkEntry.queries("q74_conjunctive_k")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no BHJ in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }

@@ -881,6 +881,27 @@ object SparkEntry {
       TextStats.bm25TopKMicro(t(s, dir, "documents"), "doc_id", "text",
         bm25Terms(s, dir), k = 20)
     }),
+    // LLM §text-analysis — corpus top-k BIGRAM table (the n-gram
+    // counterpart of the q33 vocabulary cut): per-doc gram arrays are
+    // a pure codegen'd expression, one explode + one hash aggregation,
+    // TakeOrdered cut at (freq desc, gram asc) — never a global sort
+    // of the n-gram vocabulary.
+    "q76_top_bigrams" -> ((s, dir) =>
+      graft.llm.TextStats.topNgrams(t(s, dir, "documents"), "text",
+        n = 2, k = 15)),
+    // LLM §retrieval — exact-PHRASE search (the adjacency query an
+    // inverted index alone cannot answer): per-doc occurrence count of
+    // the corpus's most frequent bigram (deterministic (freq desc,
+    // gram) pick, a bounded 1-row collect). The count itself is pure
+    // map — one filtered gram array against a literal, no shuffle.
+    "q77_phrase_search" -> ((s, dir) => {
+      import graft.llm.TextStats
+      val docs = t(s, dir, "documents")
+      val top = TextStats.topNgrams(docs, "text", n = 2, k = 1)
+        .head().getString(0)
+      TextStats.phraseCount(docs, "doc_id", "text",
+        top.split(" ").toIndexedSeq)
+    }),
     // LLM §sketching — Bloom-filter join prune: the bench side's
     // head-gram keys build a 4096-bit bitmap (bit_or aggregation →
     // broadcastable literal), and the train side probes it MAP-SIDE
@@ -1515,6 +1536,32 @@ object SparkEntry {
         | SELECT dt.doc_id, count(*) AS n_matched
         | FROM dt JOIN terms USING (token)
         | GROUP BY 1 HAVING count(*) = 4"""
+        .stripMargin.replace("\n", " "),
+    // bigram table replay: 1-based list slices (the q62 idiom), same
+    // (freq desc, gram asc) deterministic cut
+    "q76_top_bigrams" ->
+      """WITH d AS (SELECT list_filter(
+        |     string_split(text, ' '), x -> x <> '') AS ts
+        |   FROM documents),
+        | g AS (SELECT unnest(list_transform(range(1, len(ts)),
+        |     i -> ts[i] || ' ' || ts[i+1])) AS ngram
+        |   FROM d WHERE len(ts) >= 2)
+        | SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+        | FROM g GROUP BY 1 ORDER BY freq DESC, ngram LIMIT 15"""
+        .stripMargin.replace("\n", " "),
+    // the q76 grams + the same deterministic top-1 pick, then the
+    // per-doc adjacency count as a gram-table join
+    "q77_phrase_search" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |     string_split(text, ' '), x -> x <> '') AS ts
+        |   FROM documents),
+        | g AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |     i -> ts[i] || ' ' || ts[i+1])) AS ngram
+        |   FROM d WHERE len(ts) >= 2),
+        | top AS (SELECT ngram, count(*) AS c FROM g GROUP BY 1
+        |   ORDER BY c DESC, ngram LIMIT 1)
+        | SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        | FROM g JOIN top USING (ngram) GROUP BY 1"""
         .stripMargin.replace("\n", " "),
     // postings replay: DISTINCT (token, doc) + df window + a sorted
     // list STRINGIFIED (comma-joined) — scalar cells the comparator

@@ -454,6 +454,57 @@ object TextStats {
     rankTop(agg, idCol, col("score_micro"), k)
   }
 
+  /** The document's n-gram array: space-joined runs of `n` consecutive
+    * tokens (empty tokens dropped first, so the grams match the
+    * tokenizer every other operator uses). Documents shorter than `n`
+    * tokens yield an empty array — `sequence` must never see a
+    * descending range. Pure `Column` expression: codegen'd, map-side. */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ts = filter(tokens(text), t => length(t) > 0)
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - lit(n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
+      .otherwise(array())
+  }
+
+  /** Corpus-wide top-k n-gram frequency table — the n-gram-level
+    * counterpart of the token vocabulary cut (q33): one explode + one
+    * hash aggregation with map-side partials, ranked (freq desc, gram
+    * asc — deterministic) via TakeOrderedAndProject, never a global
+    * sort of the n-gram vocabulary.
+    *
+    * Output: (`ngram`, `freq`) — the k most frequent. */
+  def topNgrams(df: org.apache.spark.sql.DataFrame,
+                textCol: String, n: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(ngrams(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram")).limit(k)
+  }
+
+  /** Exact-phrase occurrence count per document: how many times the
+    * tokens of `phrase` appear CONSECUTIVELY (the adjacency query an
+    * inverted index alone cannot answer). Docs with zero occurrences
+    * are dropped.
+    *
+    * Shape: pure map — the per-doc n-gram array is filtered against
+    * one literal, no shuffle, no join, full codegen. The 100 TB cost
+    * is exactly one corpus scan.
+    *
+    * Output: (idCol, `n_occurrences`). */
+  def phraseCount(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, phrase: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val p = phrase.mkString(" ")
+    df.select(col(idCol),
+        size(filter(ngrams(col(textCol), phrase.length),
+          g => g === lit(p))).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
   /** DuckDB replay of [[bm25TopKMicro]] from the SAME (term,
     * idf_micro) literals the entry used — every arithmetic step is
     * BIGINT (`//` and `div` both truncate toward zero; all operands

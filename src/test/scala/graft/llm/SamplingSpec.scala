@@ -350,4 +350,33 @@ class SamplingSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, s"double rank ${a.toSeq} vs micro ${b.toSeq}")
     assert(!a.map(_._1).contains(5L), "doc with no query term scored")
   }
+
+  test("topNgrams: overlapping grams counted, (freq desc, gram asc) " +
+    "cut, short and empty docs contribute nothing") {
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams: ab, ba, ab, ba
+      (2L, "a b"), (3L, "c"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextStats.topNgrams(docs, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a b", 3L), ("b a", 2L)), out)
+    val tri = TextStats.topNgrams(docs, "text", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tri == Seq(("a b a", 2L), ("b a b", 1L)), tri)
+  }
+
+  test("phraseCount: consecutive-only matches, overlaps counted, " +
+    "zero-hit docs dropped, no shuffle in the count plan") {
+    val docs = Seq(
+      (1L, "x y z x y"),   // "x y" twice
+      (2L, "x z y"),       // x and y present but never adjacent
+      (3L, "y x"))         // reversed order is no match
+      .toDF("doc_id", "text")
+    val out = TextStats.phraseCount(docs, "doc_id", "text",
+      Seq("x", "y"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 2L)), rows)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"phrase count shuffled:\n$plan")
+  }
 }

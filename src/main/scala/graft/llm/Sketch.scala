@@ -131,18 +131,36 @@ object Sketch {
     *
     * Output: one row (`m`, `n_registers_set`, `sum_scaled`,
     * `hll_estimate`). */
-  def hllDistinct(df: DataFrame, textCol: String, b: Int): DataFrame = {
+  def hllDistinct(df: DataFrame, textCol: String, b: Int): DataFrame =
+    hllSummarize(
+      hllRegisters(Bpe.wordFrequencies(df, textCol).select(col("w")), b),
+      b)
+
+  /** The HLL register table (`bucket`, `reg`) from a token frame
+    * (single column `w`). Works unchanged on a STREAMING frame:
+    * bucket and rank are per-row map-side expressions and `max` is
+    * idempotent — repeated tokens can't move a register, so the
+    * stream needs no distinct pass, and state is m registers however
+    * long it runs. */
+  def hllRegisters(tokens: DataFrame, b: Int): DataFrame = {
     require(b >= 2 && b <= 12, s"b must be in [2,12], got $b")
     val m = 1 << b
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val hash = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
-    val regs = Bpe.wordFrequencies(df, textCol).select(col("w"))
+    tokens
       .select((hash % m).as("bucket"),
         (hash.divide(m).cast("long") % (1 << 24)).as("win"))
       .select(col("bucket"),
         when(col("win") === 0L, lit(25L))
           .otherwise(lit(25L) - length(bin(col("win")))).as("rank"))
       .groupBy(col("bucket")).agg(max(col("rank")).as("reg"))
+  }
+
+  /** Fold a register table to the one-row HLL summary (see
+    * [[hllDistinct]] for the estimator contract). */
+  def hllSummarize(regs: DataFrame, b: Int): DataFrame = {
+    require(b >= 2 && b <= 12, s"b must be in [2,12], got $b")
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
     regs.agg(
         count(lit(1)).as("n_registers_set"),
         sum(expr("shiftleft(cast(1 as bigint), cast(25 - reg as int))"))

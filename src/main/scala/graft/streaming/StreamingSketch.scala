@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.llm.Sketch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the sketching summaries over a STREAM —
+  * the monitoring side of [[graft.llm.Sketch]]: a pipeline that keeps
+  * a Count-Min frequency table, HyperLogLog registers, or a Bloom
+  * bitmap over an unbounded document feed, continuously.
+  *
+  * Each surface is a plain streaming AGGREGATION whose state IS the
+  * sketch — depth×width counters, m registers, mBits/64 bitmap words —
+  * never per-document or per-token row state, so the query runs
+  * forever in bounded memory with no watermark/eviction tuning. All
+  * bucket/rank/bit arithmetic reuses the exact batch expressions
+  * ([[Sketch.cmsBucket]], [[Sketch.hllRegisters]],
+  * [[Sketch.bloomPos]]), so a snapshot of the streaming state equals
+  * the batch sketch of the rows seen so far — the differential the
+  * spec pins.
+  *
+  * The per-row fan-out (depth CMS rows, k Bloom positions) is ONE
+  * `explode` of a literal-sized array — map-side, no self-union of
+  * the stream, codegen-friendly.
+  */
+object StreamingSketch {
+
+  /** The same whitespace tokenization as [[graft.llm.Bpe.wordFrequencies]]
+    * (the batch sketches' input), as a streaming-safe projection. */
+  private def toks(stream: DataFrame, textCol: String): DataFrame =
+    stream.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+
+  /** Continuously-maintained CMS counter table (`row`, `bucket`,
+    * `cnt`) — state bounded at depth×width rows. Occurrences count
+    * directly (no word-frequency pre-collapse: a stream can't
+    * re-aggregate its past), which sums to the identical counters. */
+  def cmsCounters(stream: DataFrame, textCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"need depth, width >= 1; got $depth, $width")
+    toks(stream, textCol)
+      .select(explode(array((0 until depth).map { r =>
+        struct(lit(r).as("row"),
+          Sketch.cmsBucket(col("w"), r, width).as("bucket"))
+      }: _*)).as("_f"))
+      .groupBy(col("_f.row").as("row"), col("_f.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Continuously-maintained HLL register table (`bucket`, `reg`) —
+    * state bounded at 2^b rows. Repeated tokens are absorbed by the
+    * `max`, so no distinct pass is needed on the stream. */
+  def hllRegisters(stream: DataFrame, textCol: String, b: Int): DataFrame =
+    Sketch.hllRegisters(toks(stream, textCol), b)
+
+  /** Continuously-maintained Bloom bitmap words (`word_idx`, `word`)
+    * — state bounded at mBits/64 rows. `bit_or` is idempotent and
+    * commutative, so any arrival order yields the batch bitmap. */
+  def bloomWords(stream: DataFrame, keyCol: String, k: Int,
+                 mBits: Int): DataFrame = {
+    require(k >= 1 && mBits >= 64 && mBits % 64 == 0,
+      s"need k >= 1 and mBits a positive multiple of 64; got $k, $mBits")
+    stream
+      .select(explode(array((0 until k).map { r =>
+        Sketch.bloomPos(col(keyCol), r, mBits)
+      }: _*)).as("_p"))
+      .select(expr("_p div 64").as("word_idx"),
+        expr("shiftleft(cast(1 as bigint), cast(_p % 64 as int))")
+          .as("_bit"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(_bit)").as("word"))
+  }
+}

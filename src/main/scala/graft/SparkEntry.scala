@@ -902,6 +902,15 @@ object SparkEntry {
       TextStats.phraseCount(docs, "doc_id", "text",
         top.split(" ").toIndexedSeq)
     }),
+    // LLM §corpus-stats — EXACT length percentiles (what
+    // percentile_approx approximates): value at 1-based rank
+    // ceil(p·n/100) of the (tokens, id) total order, via the q64
+    // packed-key prefix sum — one range shuffle, never a single-task
+    // global window, all-integer so any engine agrees bit-for-bit.
+    "q78_length_percentiles" -> ((s, dir) =>
+      graft.llm.Packing.orderStatistics(t(s, dir, "documents"),
+        "doc_id", size(split(col("text"), " ")).cast("long"),
+        Seq(5, 25, 50, 75, 95, 99))),
     // LLM §sketching — Bloom-filter join prune: the bench side's
     // head-gram keys build a 4096-bit bitmap (bit_or aggregation →
     // broadcastable literal), and the train side probes it MAP-SIDE
@@ -1562,6 +1571,19 @@ object SparkEntry {
         |   ORDER BY c DESC, ngram LIMIT 1)
         | SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
         | FROM g JOIN top USING (ngram) GROUP BY 1"""
+        .stripMargin.replace("\n", " "),
+    // the q64 (len, id) rank + integer ceil target ranks
+    "q78_length_percentiles" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | r AS (SELECT n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS rank0
+        |  FROM s),
+        | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+        | SELECT p, n_tokens
+        | FROM (VALUES (5),(25),(50),(75),(95),(99)) ps(p), r, n
+        | WHERE r.rank0 = (p * n.n + 99) // 100 - 1"""
         .stripMargin.replace("\n", " "),
     // postings replay: DISTINCT (token, doc) + df window + a sorted
     // list STRINGIFIED (comma-joined) — scalar cells the comparator

@@ -186,6 +186,42 @@ object Packing {
         expr(s"_rank0 div $batchSize").as("batch_id"))
   }
 
+  /** EXACT distributed order statistics of the per-doc token count —
+    * the length percentiles a curation run reports (and the thing
+    * `percentile_approx` only approximates): for each integer
+    * percentile p, the value at 1-based rank ceil(p·n/100) of the
+    * (tokens, id) total order. Every step is integer arithmetic on an
+    * agreed total order, so the result is bit-identical in any engine.
+    *
+    * Shape: the global rank is [[lengthGroupedBatches]]'s packed-key
+    * prefix sum (ONE range shuffle, no single-task global window); the
+    * corpus size rides in as a broadcast 1-row frame; the target-rank
+    * membership test is a map-side expression over a literal array, so
+    * at most |percentiles| rows survive to the final explode.
+    *
+    * Output: (`p`, `n_tokens`) — one row per requested percentile. */
+  def orderStatistics(df: DataFrame, idCol: String, tokensOf: Column,
+                      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100]; got $percentiles")
+    val ps = percentiles.distinct.sorted
+    val psLit = ps.mkString(", ")
+    val ranked = lengthGroupedBatches(df, idCol, tokensOf, batchSize = 1)
+      .select(col("n_tokens"), col("batch_id").as("_rank0"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .filter(array_contains(
+        expr(s"transform(array($psLit)," +
+          " p -> (cast(p as bigint) * _n + 99) div 100 - 1)"),
+        col("_rank0")))
+      .select(explode(expr(s"array($psLit)")).as("p"),
+        col("n_tokens"), col("_rank0"), col("_n"))
+      .filter(expr("(cast(p as bigint) * _n + 99) div 100 - 1")
+        === col("_rank0"))
+      .select(col("p"), col("n_tokens"))
+  }
+
   /** Overlapping-window chunking: each document yields character
     * windows of `width` starting every `stride` characters — the
     * retrieval-index / embedding-input shape (with `stride < width`

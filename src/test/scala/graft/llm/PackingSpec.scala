@@ -204,4 +204,23 @@ class PackingSpec extends SparkSpec {
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("out of packable range")), e)
   }
+
+  test("orderStatistics: exact rank-ceil percentiles against a local " +
+    "sort, id tie-break, partitioning-invariant, p=100 is the max") {
+    val lens = Seq(7L, 3L, 9L, 3L, 5L, 1L, 9L, 2L, 8L, 6L)
+    val df = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Packing.orderStatistics(d, "id", $"n", Seq(10, 50, 90, 100))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    // local oracle: sorted by (n, id), value at ceil(p*n/100)
+    val sorted = lens.zipWithIndex.sortBy { case (n, i) => (n, i) }
+      .map(_._1)
+    val want = Seq(10, 50, 90, 100).map { p =>
+      (p, sorted((p * lens.size + 99) / 100 - 1))
+    }
+    assert(got(df) == want, s"${got(df)} vs $want")
+    assert(got(df.repartition(7)) == want)
+  }
 }

@@ -69,6 +69,18 @@ object SparkEntry {
     if (!sharingFrames) mk
     else sharedMerges.getOrElseUpdate(s"merges:$dir", mk)
   }
+  // the PQ codebooks (q79 encode + q80 search + their oracles): m=4
+  // subspaces × ksub=8 centroids over the 64-dim embeddings, each a
+  // deterministic per-slice k-means fit
+  private val sharedCodebooks = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[Seq[Array[Float]]]]
+  private def pqCodebooks(s: SparkSession, dir: String)
+      : Seq[Seq[Array[Float]]] = {
+    def mk = graft.llm.Pq.train(t(s, dir, "embeddings"),
+      "vec_id", "embedding", m = 4, ksub = 8, iters = 3)
+    if (!sharingFrames) mk
+    else sharedCodebooks.getOrElseUpdate(s"pq:$dir", mk)
+  }
   // and the q75 BM25 query terms: the 3 highest-df in-window terms
   // with their idf in integer micro units (Lucene log1p idf — the
   // ONE float op, folded driver-side into a shared literal so the
@@ -911,6 +923,27 @@ object SparkEntry {
       graft.llm.Packing.orderStatistics(t(s, dir, "documents"),
         "doc_id", size(split(col("text"), " ")).cast("long"),
         Seq(5, 25, 50, 75, 95, 99))),
+    // LLM §similarity — product-quantization ENCODE (Jégou 2011, the
+    // engine's angular geometry): 64-dim embeddings → 4 codes, each
+    // the per-subspace cosine argmax against 8 learned centroids —
+    // the m-bytes-per-vector compressed index a 100 TB ANN corpus
+    // actually stores. Codegen'd projection, no shuffle; codebooks are
+    // deterministic per-slice k-means fits shared with the oracle.
+    "q79_pq_encode" -> ((s, dir) =>
+      graft.llm.Pq.encode(t(s, dir, "embeddings"), "vec_id",
+          "embedding", pqCodebooks(s, dir))
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))),
+    // LLM §similarity — asymmetric PQ top-k: exact queries scored
+    // against RECONSTRUCTED database vectors (code ↦ centroid,
+    // concatenated map-side from the codebook literal — the original
+    // vectors are never re-read), ranked by the shared two-phase
+    // top-k with the (sim desc, id) tie-break reconstruction demands.
+    "q80_pq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Pq.reconstructTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", pqCodebooks(s, dir), k = 10)
+    }),
     // LLM §sketching — Bloom-filter join prune: the bench side's
     // head-gram keys build a 4096-bit bitmap (bit_or aggregation →
     // broadcastable literal), and the train side probes it MAP-SIDE
@@ -1181,7 +1214,18 @@ object SparkEntry {
       // same (term, idf_micro) literals as the q75 entry — the q54
       // parity-by-construction move applied to the one float BM25 has
       "q75_bm25" ->
-        graft.llm.TextStats.bm25OracleSql(bm25Terms(s, dir), k = 20))
+        graft.llm.TextStats.bm25OracleSql(bm25Terms(s, dir), k = 20),
+      // q57's centroid-literal move per subspace: codes, then the
+      // reconstruction-ranked search, from the SAME learned codebooks
+      "q79_pq_encode" -> {
+        val cb = pqCodebooks(s, dir)
+        graft.llm.Pq.encodeOracleSql(cb, dsub = cb.head.head.length)
+      },
+      "q80_pq_search" -> {
+        val cb = pqCodebooks(s, dir)
+        graft.llm.Pq.searchOracleSql(cb, dsub = cb.head.head.length,
+          k = 10, queryPred = "q.vec_id < 3")
+      })
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,167 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011) in the engine's angular
+  * geometry — the vector-compression scale path for ANN beyond
+  * [[Similarity.quantizeInt8]]: a D-dim embedding becomes `m` small
+  * integer codes (one per D/m-dim subspace), so a 100 TB vector corpus
+  * shrinks to m bytes/vector of index state while search re-scores
+  * against RECONSTRUCTED vectors (the asymmetric mode: queries stay
+  * exact, the database side is its codebook approximation).
+  *
+  * Every stage reuses the proven deterministic machinery:
+  *
+  *   - codebooks train per subspace with [[Clustering.kmeans]] on the
+  *     SLICED vectors (exact-decimal means — partition-invariant), so
+  *     training is deterministic end to end;
+  *   - encoding is the [[Clustering.assignClusters]] argmax shape —
+  *     per-subspace cosine against ksub broadcast centroid literals,
+  *     first-max tie-break, pure codegen'd projection, no shuffle;
+  *   - search reconstructs map-side from the 3-level codebook literal
+  *     (m × ksub × D/m floats riding in the plan) and ranks with the
+  *     shared two-phase [[Similarity.rankTopK]] — never a per-query
+  *     single-task window.
+  *
+  * Reconstruction collapses same-code vectors to identical
+  * approximations by design, so ranking MUST tie-break (sim desc, id
+  * asc) to stay deterministic — rankTopK's contract.
+  */
+object Pq {
+
+  /** Validated (m, dsub) for a training frame: D must split evenly. */
+  private def subDims(data: DataFrame, vecCol: String, m: Int): Int = {
+    val d = data.select(size(col(vecCol))).head().getInt(0)
+    require(m >= 1 && d % m == 0,
+      s"dim $d must be divisible by m=$m subspaces")
+    d / m
+  }
+
+  private def sliceCol(vecCol: String, j: Int, dsub: Int): Column =
+    slice(col(vecCol), j * dsub + 1, dsub)
+
+  /** Train per-subspace codebooks: `m` independent deterministic
+    * k-means fits ([[Clustering.kmeans]], farthest-first init) over
+    * the subvector slices. Returns codebooks(j)(c) = the c-th centroid
+    * of subspace j (each of length D/m). */
+  def train(data: DataFrame, idCol: String, vecCol: String,
+            m: Int, ksub: Int, iters: Int): Seq[Seq[Array[Float]]] = {
+    require(ksub >= 1 && iters >= 0,
+      s"need ksub >= 1, iters >= 0; got $ksub, $iters")
+    val dsub = subDims(data, vecCol, m)
+    (0 until m).map { j =>
+      Clustering.kmeans(
+        data.select(col(idCol), sliceCol(vecCol, j, dsub).as(vecCol)),
+        idCol, vecCol, ksub, iters)._2
+    }
+  }
+
+  /** The per-row PQ code array (`codes`(j) = nearest subspace-j
+    * centroid by cosine, first-max tie-break): one codegen'd
+    * projection, no shuffle. Output: (idCol, `codes` array<int>). */
+  def encode(data: DataFrame, idCol: String, vecCol: String,
+             codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    require(codebooks.nonEmpty, "need codebooks")
+    graft.functions.GraftFunctions.register(data.sparkSession)
+    val m = codebooks.length
+    val dsub = subDims(data, vecCol, m)
+    val codes = array((0 until m).map { j =>
+      val sims = array(codebooks(j).map(c =>
+        graft.functions.GraftFunctions.cosine(
+          sliceCol(vecCol, j, dsub), typedLit(c.toSeq))): _*)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }: _*)
+    data.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Asymmetric PQ top-k: exact queries against RECONSTRUCTED database
+    * vectors (code j ↦ its subspace centroid, concatenated). The
+    * reconstruction is a map-side expression over the codebook literal
+    * — the compressed corpus never re-reads the original vectors — and
+    * ranking is the shared two-phase top-k.
+    * Output: (`q_id`, idCol, `rank` 1..k), self-pairs excluded. */
+  def reconstructTopK(data: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String,
+                      codebooks: Seq[Seq[Array[Float]]],
+                      k: Int): DataFrame = {
+    require(codebooks.nonEmpty && k >= 1, "need codebooks and k >= 1")
+    graft.functions.GraftFunctions.register(data.sparkSession)
+    val m = codebooks.length
+    val cb = typedLit(codebooks.map(_.map(_.toSeq)))
+    val recon = concat((0 until m).map { j =>
+      element_at(element_at(cb, j + 1),
+        element_at(col("codes"), j + 1) + 1)
+    }: _*)
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("_q_vec")))
+    val scored = encode(data, idCol, vecCol, codebooks)
+      .withColumn("_recon", recon)
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("_sim", graft.functions.GraftFunctions.cosine(
+        col("_q_vec"), col("_recon")))
+    Similarity.rankTopK(scored, idCol, k)
+  }
+
+  // ---- DuckDB replay (the q57 centroid-literal move, per subspace) --
+
+  private def centroidLit(c: Array[Float]): String =
+    c.map(f => java.lang.Double.toString(f.toDouble))
+      .mkString("[", ", ", "]")
+
+  /** The per-subspace code CTE body: `sims_j` lists + first-max codes
+    * from the SAME codebook literals the entry used. 1-based inclusive
+    * DuckDB list slices mirror [[sliceCol]]. */
+  private def codeCtes(codebooks: Seq[Seq[Array[Float]]], dsub: Int,
+                       table: String, idCol: String,
+                       vecCol: String): String = {
+    val m = codebooks.length
+    val simCols = (0 until m).map { j =>
+      val lo = j * dsub + 1; val hi = (j + 1) * dsub
+      codebooks(j).map(c =>
+        s"list_cosine_similarity(CAST($vecCol[$lo:$hi] AS DOUBLE[])," +
+          s" CAST(${centroidLit(c)} AS DOUBLE[]))")
+        .mkString("[", ", ", "]") + s" AS sims_$j"
+    }.mkString(", ")
+    val codeCols = (0 until m).map(j =>
+      s"CAST(list_position(sims_$j, list_max(sims_$j)) - 1 AS INTEGER)" +
+        s" AS code_$j").mkString(", ")
+    s"WITH s AS (SELECT $idCol, $vecCol, $simCols FROM $table)," +
+      s" c AS (SELECT $idCol, $vecCol, $codeCols FROM s)"
+  }
+
+  /** DuckDB replay of [[encode]] exploded to (idCol, `sub`, `code`). */
+  def encodeOracleSql(codebooks: Seq[Seq[Array[Float]]], dsub: Int,
+                      table: String = "embeddings",
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): String = {
+    val branches = codebooks.indices.map(j =>
+      s"SELECT $idCol, $j AS sub, code_$j AS code FROM c").mkString(
+      " UNION ALL ")
+    s"${codeCtes(codebooks, dsub, table, idCol, vecCol)} $branches"
+  }
+
+  /** DuckDB replay of [[reconstructTopK]]: codes from the literals,
+    * reconstruction by literal-list indexing, the annOracle ranking. */
+  def searchOracleSql(codebooks: Seq[Seq[Array[Float]]], dsub: Int,
+                      k: Int, queryPred: String,
+                      table: String = "embeddings",
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): String = {
+    val recon = codebooks.indices.map { j =>
+      val lit = codebooks(j).map(centroidLit)
+        .mkString("[", ", ", "]")
+      s"($lit)[code_$j + 1]"
+    }.mkString(" || ")
+    s"${codeCtes(codebooks, dsub, table, idCol, vecCol)}," +
+      s" r AS (SELECT $idCol, $recon AS recon FROM c)" +
+      s" SELECT q.$idCol AS q_id, r.$idCol AS $idCol," +
+      s" ROW_NUMBER() OVER (PARTITION BY q.$idCol ORDER BY" +
+      s" list_cosine_similarity(CAST(q.$vecCol AS DOUBLE[])," +
+      s" CAST(r.recon AS DOUBLE[])) DESC, r.$idCol) AS rank" +
+      s" FROM $table q, r" +
+      s" WHERE ($queryPred) AND r.$idCol <> q.$idCol" +
+      s" QUALIFY rank <= $k"
+  }
+}

@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Product quantization: per-subspace argmax encoding, deterministic
+  * training, and exact agreement of reconstruction-ranked search with
+  * brute force when the corpus sits ON the codebook (reconstruction
+  * is lossless there). */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cb: Seq[Seq[Array[Float]]] = Seq(
+    Seq(Array(1f, 0f), Array(0f, 1f)), // subspace 0
+    Seq(Array(1f, 1f), Array(1f, -1f))) // subspace 1
+
+  test("encode picks the per-subspace cosine argmax (scale-invariant), " +
+    "first-max tie to the lower code, partitioning-invariant") {
+    val vecs = Seq(
+      (1L, Seq(5f, 0f, 2f, 2f)), // -> (0, 0)
+      (2L, Seq(0f, 3f, 4f, -4f)), // -> (1, 1)
+      (3L, Seq(2f, 2f, 1f, 0f))) // both subspaces tie -> (0, 0)
+    val df = vecs.toDF("vec_id", "embedding")
+    def codes(d: org.apache.spark.sql.DataFrame) =
+      Pq.encode(d, "vec_id", "embedding", cb)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+        .sortBy(_._1).toSeq
+    assert(codes(df) == Seq(
+      (1L, Seq(0, 0)), (2L, Seq(1, 1)), (3L, Seq(0, 0))), codes(df))
+    assert(codes(df.repartition(5)) == codes(df))
+  }
+
+  test("train is deterministic for any partitioning and shapes to " +
+    "m x ksub x D/m") {
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 24L).map(i =>
+      (i, Seq.fill(4)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val a = Pq.train(data, "vec_id", "embedding", m = 2, ksub = 3,
+      iters = 2)
+    val b = Pq.train(data.repartition(7), "vec_id", "embedding", m = 2,
+      ksub = 3, iters = 2)
+    assert(a.length == 2 && a.forall(_.length == 3) &&
+      a.forall(_.forall(_.length == 2)))
+    assert(a.map(_.map(_.toSeq)) == b.map(_.map(_.toSeq)))
+  }
+
+  test("reconstructTopK equals brute force when vectors sit on the " +
+    "codebook (lossless reconstruction)") {
+    val data = (for {
+      (c0, i0) <- cb(0).zipWithIndex
+      (c1, i1) <- cb(1).zipWithIndex
+    } yield ((i0 * 2 + i1).toLong, (c0 ++ c1).toSeq)).toSeq
+      .toDF("vec_id", "embedding")
+    val queries = data.filter($"vec_id" < 2)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val pq = Pq.reconstructTopK(data, queries, "vec_id", "embedding",
+      cb, k = 3)
+    val brute = Similarity.bruteForceTopK(data, queries, "vec_id",
+      "embedding", k = 3)
+    assert(rows(pq) == rows(brute), s"${rows(pq)} vs ${rows(brute)}")
+  }
+}

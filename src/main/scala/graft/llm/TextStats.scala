@@ -459,14 +459,27 @@ object TextStats {
     * tokenizer every other operator uses). Documents shorter than `n`
     * tokens yield an empty array — `sequence` must never see a
     * descending range. Pure `Column` expression: codegen'd, map-side. */
-  def ngrams(text: Column, n: Int): Column = {
+  def ngrams(text: Column, n: Int): Column =
+    gramsOf(filter(tokens(text), t => length(t) > 0), n)
+
+  /** Gram array over an ALREADY-MATERIALIZED token-array column.
+    * Callers should project the token array into its own column first
+    * (`select(...as("_ts"))`) and gram over that attribute: a Column
+    * expression passed here inlines into EVERY reference inside the
+    * transform lambda (higher-order lambdas see no subexpression
+    * elimination), which re-tokenizes per gram — the A/B at sf0.1
+    * measured the projected form at ~2.5× the inlined one. */
+  private def gramsOf(ts: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val ts = filter(tokens(text), t => length(t) > 0)
     when(size(ts) >= n,
       transform(sequence(lit(1), size(ts) - lit(n - 1)),
-        i => array_join(slice(ts, i, lit(n)), " ")))
+        i => concat_ws(" ",
+          (0 until n).map(o => element_at(ts, i + lit(o))): _*)))
       .otherwise(array())
   }
+
+  private def tokenArray(textCol: String): Column =
+    filter(tokens(col(textCol)), t => length(t) > 0)
 
   /** Corpus-wide top-k n-gram frequency table — the n-gram-level
     * counterpart of the token vocabulary cut (q33): one explode + one
@@ -479,7 +492,8 @@ object TextStats {
                 textCol: String, n: Int, k: Int)
       : org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    df.select(explode(ngrams(col(textCol), n)).as("ngram"))
+    df.select(tokenArray(textCol).as("_ts"))
+      .select(explode(gramsOf(col("_ts"), n)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram")).limit(k)
   }
@@ -498,10 +512,23 @@ object TextStats {
                   textCol: String, phrase: Seq[String])
       : org.apache.spark.sql.DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
-    val p = phrase.mkString(" ")
-    df.select(col(idCol),
-        size(filter(ngrams(col(textCol), phrase.length),
-          g => g === lit(p))).cast("long").as("n_occurrences"))
+    val n = phrase.length
+    // count by POSITION-WISE token equality, not by materializing the
+    // gram-string array and filtering it: higher-order lambdas run
+    // interpreted (no codegen), so per-position work must be a few
+    // cheap comparisons, not n string concats — and Catalyst pushes
+    // the >0 filter below the project, evaluating the expression
+    // twice, which doubles whatever it costs (A/B at sf0.1: ~4× off
+    // the gram-string form)
+    val ts = col("_ts")
+    val hits = filter(sequence(lit(1), size(ts) - lit(n - 1)),
+      i => phrase.zipWithIndex.map { case (w, o) =>
+        element_at(ts, i + lit(o)) === lit(w)
+      }.reduce(_ && _))
+    df.select(col(idCol), tokenArray(textCol).as("_ts"))
+      .select(col(idCol),
+        when(size(ts) >= n, size(hits))
+          .otherwise(lit(0)).cast("long").as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
   }
 

@@ -357,6 +357,8 @@ object Bench {
     // fixed-nprobe reading (the r10 erosion signal, 1.0 at sf0.01 →
     // 0.9 at sf0.1) and ann_ivf_nprobe reports what the tuner paid.
     var (recallLsh, recallIvf, recallIvfFixed) = (-1.0, -1.0, -1.0)
+    var recallPq = -1.0
+    var recallPqRefined = -1.0
     var ivfNprobe = -1
     if (wanted("ann_recall")) {
       import graft.llm.{RandomHyperplaneLsh, Similarity, SimilarityEval}
@@ -381,6 +383,21 @@ object Bench {
           initialNprobe = 8, sampleSeed = 6)
         recallIvf = minRecall(tuned)
         ivfNprobe = nprobe
+        // PQ is LOSSY, and near-uniform synthetic vectors are its
+        // pathological case (no cluster structure for the codebook to
+        // exploit — same story as IVF's nprobe≈nlist above): the raw
+        // reconstruction recall is the honest compression-error
+        // signal, the refined number (PQ shortlist + exact re-rank of
+        // shortlist/n of the corpus) is what production watches.
+        // Tuned by A/B at sf0.01 (refined@100): m=4/ksub=8 0.3,
+        // m=8/8 0.6, m=16/8 0.8, m=16/16 0.9 — clustered real
+        // embeddings would reach these numbers at far smaller codes.
+        val cb = graft.llm.Pq.train(emb, "vec_id", "embedding",
+          m = 16, ksub = 16, iters = 3)
+        recallPq = minRecall(graft.llm.Pq.reconstructTopK(emb, queries,
+          "vec_id", "embedding", cb, 10))
+        recallPqRefined = minRecall(graft.llm.Pq.refinedTopK(emb,
+          queries, "vec_id", "embedding", cb, shortlist = 100, k = 10))
         exact.unpersist()
       } catch {
         case NonFatal(e) => errors += s"ann_recall: ${e.getMessage}"
@@ -419,6 +436,8 @@ object Bench {
       s""""ann_recall_lsh_min":${jd(recallLsh)},""" +
       s""""ann_recall_ivf_min":${jd(recallIvf)},""" +
       s""""ann_recall_ivf_fixed14_min":${jd(recallIvfFixed)},""" +
+      s""""ann_recall_pq_min":${jd(recallPq)},""" +
+      s""""ann_recall_pq_refined_min":${jd(recallPqRefined)},""" +
       s""""ann_ivf_nprobe":$ivfNprobe,""" +
       s""""sf":"$sfDir"}"""
     // The FULL per-query series goes to the file only: the driver
@@ -448,6 +467,8 @@ object Bench {
       s""""pii_scrub_objects_per_min":${jd(rate(piiObjects * 60.0, piiSec))},""" +
       s""""ann_recall_lsh_min":${jd(recallLsh)},""" +
       s""""ann_recall_ivf_min":${jd(recallIvf)},""" +
+      s""""ann_recall_pq_min":${jd(recallPq)},""" +
+      s""""ann_recall_pq_refined_min":${jd(recallPqRefined)},""" +
       s""""ann_ivf_nprobe":$ivfNprobe,""" +
       s""""detail":"target/bench-latest.json","sf":"$sfDir"}"""
     println(compact)

@@ -42,18 +42,33 @@ object Pq {
     slice(col(vecCol), j * dsub + 1, dsub)
 
   /** Train per-subspace codebooks: `m` independent deterministic
-    * k-means fits ([[Clustering.kmeans]], farthest-first init) over
-    * the subvector slices. Returns codebooks(j)(c) = the c-th centroid
-    * of subspace j (each of length D/m). */
+    * k-means fits ([[Clustering.kmeans]]) over the subvector slices,
+    * seeded from ONE hash-ordered sample of ksub full vectors (the
+    * [[Similarity.ivfTopK]] sampled-centroid move, sliced per
+    * subspace driver-side) — farthest-first init would cost m·ksub
+    * driver jobs here, one per centroid per subspace, where the
+    * sample is a single TakeOrdered job for the whole codebook.
+    * Deterministic across runs and partitionings (the order depends
+    * only on ids). Returns codebooks(j)(c) = the c-th centroid of
+    * subspace j (each of length D/m). */
   def train(data: DataFrame, idCol: String, vecCol: String,
             m: Int, ksub: Int, iters: Int): Seq[Seq[Array[Float]]] = {
     require(ksub >= 1 && iters >= 0,
       s"need ksub >= 1, iters >= 0; got $ksub, $iters")
     val dsub = subDims(data, vecCol, m)
+    val seeds: Array[Array[Float]] = data
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(0)), col(idCol))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.length == ksub,
+      s"corpus has only ${seeds.length} rows for ksub=$ksub centroids")
     (0 until m).map { j =>
       Clustering.kmeans(
         data.select(col(idCol), sliceCol(vecCol, j, dsub).as(vecCol)),
-        idCol, vecCol, ksub, iters)._2
+        idCol, vecCol, ksub, iters,
+        init = seeds.toSeq.map(_.slice(j * dsub, (j + 1) * dsub)))._2
     }
   }
 
@@ -101,6 +116,33 @@ object Pq {
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("_sim", graft.functions.GraftFunctions.cosine(
         col("_q_vec"), col("_recon")))
+    Similarity.rankTopK(scored, idCol, k)
+  }
+
+  /** PQ-shortlist + EXACT re-rank — the production refine step: the
+    * compressed index proposes `shortlist` candidates per query
+    * (reconstruction ranking — cheap, code-only), and ONLY those rows
+    * re-read their exact vectors for a true cosine top-k. At 100 TB
+    * the exact pass touches shortlist/n of the corpus per query;
+    * recall is whatever fraction of true neighbors survives the
+    * shortlist (the bench's `ann_recall_pq_refined_min` facet watches
+    * exactly that — raise `shortlist` or ksub when it erodes).
+    * Output: (`q_id`, idCol, `rank` 1..k). */
+  def refinedTopK(data: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String,
+                  codebooks: Seq[Seq[Array[Float]]],
+                  shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    graft.functions.GraftFunctions.register(data.sparkSession)
+    val cand = reconstructTopK(data, queries, idCol, vecCol,
+      codebooks, shortlist).select(col("q_id"), col(idCol))
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("_q_vec")))
+    val scored = cand
+      .join(data.select(col(idCol), col(vecCol)), idCol)
+      .join(q, "q_id")
+      .withColumn("_sim", graft.functions.GraftFunctions.cosine(
+        col("_q_vec"), col(vecCol)))
     Similarity.rankTopK(scored, idCol, k)
   }
 

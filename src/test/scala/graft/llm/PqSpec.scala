@@ -60,4 +60,23 @@ class PqSpec extends SparkSpec {
       "embedding", k = 3)
     assert(rows(pq) == rows(brute), s"${rows(pq)} vs ${rows(brute)}")
   }
+
+  test("refinedTopK with a corpus-sized shortlist equals brute force " +
+    "even when reconstruction is lossy") {
+    val rnd = new scala.util.Random(23)
+    val data = (0L until 30L).map(i =>
+      (i, Seq.fill(4)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val queries = data.filter($"vec_id" < 2)
+    val cbs = Pq.train(data, "vec_id", "embedding", m = 2, ksub = 2,
+      iters = 2) // 4 reconstructions for 30 vectors: heavily lossy
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val refined = Pq.refinedTopK(data, queries, "vec_id", "embedding",
+      cbs, shortlist = 29, k = 5)
+    val brute = Similarity.bruteForceTopK(data, queries, "vec_id",
+      "embedding", k = 5)
+    assert(rows(refined) == rows(brute),
+      s"${rows(refined)} vs ${rows(brute)}")
+  }
 }

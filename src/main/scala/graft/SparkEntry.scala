@@ -81,6 +81,18 @@ object SparkEntry {
     if (!sharingFrames) mk
     else sharedCodebooks.getOrElseUpdate(s"pq:$dir", mk)
   }
+  // the IVF-PQ model (q81 encode + q82 search + their oracles):
+  // nlist=4 inverted lists, residual PQ m=4 × ksub=8 — both levels
+  // deterministic fits, so the gate re-learn replays identically
+  private val sharedIvfPq = scala.collection.concurrent.TrieMap
+    .empty[String, graft.llm.IvfPq.Model]
+  private def ivfPqModel(s: SparkSession, dir: String)
+      : graft.llm.IvfPq.Model = {
+    def mk = graft.llm.IvfPq.train(t(s, dir, "embeddings"),
+      "vec_id", "embedding", nlist = 4, m = 4, ksub = 8, iters = 3)
+    if (!sharingFrames) mk
+    else sharedIvfPq.getOrElseUpdate(s"ivfpq:$dir", mk)
+  }
   // and the q75 BM25 query terms: the 3 highest-df in-window terms
   // with their idf in integer micro units (Lucene log1p idf — the
   // ONE float op, folded driver-side into a shared literal so the
@@ -944,6 +956,28 @@ object SparkEntry {
       graft.llm.Pq.reconstructTopK(emb, emb.filter(col("vec_id") < 3),
         "vec_id", "embedding", pqCodebooks(s, dir), k = 10)
     }),
+    // LLM §similarity — IVF-PQ ENCODE (IVFADC, Jégou 2011 §IV): the
+    // composed index a production vector store persists at 100 TB —
+    // 4 bytes of cell + m codes per vector, quantizing the RESIDUAL
+    // v − coarse(v) so codebook resolution is spent inside the cell.
+    // One codegen'd projection (assignment argmax + zip_with
+    // subtraction + per-subspace argmax), no shuffle.
+    "q81_ivfpq_encode" -> ((s, dir) =>
+      graft.llm.IvfPq.encode(t(s, dir, "embeddings"), "vec_id",
+          "embedding", ivfPqModel(s, dir))
+        .select(col("vec_id"), col("cell"),
+          posexplode(col("codes")).as(Seq("sub", "code")))),
+    // LLM §similarity — IVF-PQ ADC search: queries probe their
+    // nprobe=2 (of 4) nearest cells, candidates meet the broadcast
+    // probe list in ONE equi-join on cell (the scan shrinks to
+    // ~nprobe/nlist of the corpus), reconstruction
+    // coarse(cell) + decode(codes) is map-side from the model
+    // literals, ranking the shared two-phase top-k.
+    "q82_ivfpq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.IvfPq.search(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", ivfPqModel(s, dir), nprobe = 2, k = 10)
+    }),
     // LLM §sketching — Bloom-filter join prune: the bench side's
     // head-gram keys build a 4096-bit bitmap (bit_or aggregation →
     // broadcastable literal), and the train side probes it MAP-SIDE
@@ -1225,7 +1259,15 @@ object SparkEntry {
         val cb = pqCodebooks(s, dir)
         graft.llm.Pq.searchOracleSql(cb, dsub = cb.head.head.length,
           k = 10, queryPred = "q.vec_id < 3")
-      })
+      },
+      // both IVF-PQ levels replay from the learned model literals:
+      // coarse assignment, float-rounded residuals, per-subspace
+      // codes, reconstruction, probe ranking
+      "q81_ivfpq_encode" ->
+        graft.llm.IvfPq.encodeOracleSql(ivfPqModel(s, dir)),
+      "q82_ivfpq_search" ->
+        graft.llm.IvfPq.searchOracleSql(ivfPqModel(s, dir),
+          k = 10, nprobe = 2, queryPred = "a.vec_id < 3"))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -58,9 +58,10 @@ object Clustering {
   val ExprAssignMaxK = 32
 
   /** [[assignClusters]] keeping the vector column (internal shape for
-    * the update step and [[semanticDedup]]'s pair join). */
-  private def assignWith(data: DataFrame, idCol: String, vecCol: String,
-                         centroids: Seq[Array[Float]]): DataFrame = {
+    * the update step, [[semanticDedup]]'s pair join, and
+    * [[IvfPq]]'s residual projection). */
+  private[llm] def assignWith(data: DataFrame, idCol: String, vecCol: String,
+                              centroids: Seq[Array[Float]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     if (centroids.length <= ExprAssignMaxK) {
         graft.functions.GraftFunctions.register(data.sparkSession)

@@ -41,6 +41,36 @@ object Pq {
   private def sliceCol(vecCol: String, j: Int, dsub: Int): Column =
     slice(col(vecCol), j * dsub + 1, dsub)
 
+  /** ONE hash-ordered deterministic sample of `n` full vectors — the
+    * [[Similarity.ivfTopK]] sampled-centroid move as a shared helper
+    * (a single TakeOrdered job; order depends only on ids, so it is
+    * identical for any partitioning). */
+  private[llm] def seedSample(data: DataFrame, idCol: String,
+                              vecCol: String, n: Int): Seq[Array[Float]] = {
+    val seeds: Array[Array[Float]] = data
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(0)), col(idCol))
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.length == n,
+      s"corpus has only ${seeds.length} rows for $n seed centroids")
+    seeds.toSeq
+  }
+
+  /** The per-row PQ code ARRAY expression (`codes`(j) = nearest
+    * subspace-j centroid by cosine, first-max tie-break) — shared by
+    * [[encode]] and [[IvfPq.encode]] (which keeps its cell column
+    * alongside). Pure codegen'd projection. */
+  private[llm] def codesCol(vecCol: String, dsub: Int,
+                            codebooks: Seq[Seq[Array[Float]]]): Column =
+    array(codebooks.indices.map { j =>
+      val sims = array(codebooks(j).map(c =>
+        graft.functions.GraftFunctions.cosine(
+          sliceCol(vecCol, j, dsub), typedLit(c.toSeq))): _*)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }: _*)
+
   /** Train per-subspace codebooks: `m` independent deterministic
     * k-means fits ([[Clustering.kmeans]]) over the subvector slices,
     * seeded from ONE hash-ordered sample of ksub full vectors (the
@@ -56,19 +86,12 @@ object Pq {
     require(ksub >= 1 && iters >= 0,
       s"need ksub >= 1, iters >= 0; got $ksub, $iters")
     val dsub = subDims(data, vecCol, m)
-    val seeds: Array[Array[Float]] = data
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol), lit(0)), col(idCol))
-      .limit(ksub)
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
-    require(seeds.length == ksub,
-      s"corpus has only ${seeds.length} rows for ksub=$ksub centroids")
+    val seeds = seedSample(data, idCol, vecCol, ksub)
     (0 until m).map { j =>
       Clustering.kmeans(
         data.select(col(idCol), sliceCol(vecCol, j, dsub).as(vecCol)),
         idCol, vecCol, ksub, iters,
-        init = seeds.toSeq.map(_.slice(j * dsub, (j + 1) * dsub)))._2
+        init = seeds.map(_.slice(j * dsub, (j + 1) * dsub)))._2
     }
   }
 
@@ -79,15 +102,9 @@ object Pq {
              codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
     require(codebooks.nonEmpty, "need codebooks")
     graft.functions.GraftFunctions.register(data.sparkSession)
-    val m = codebooks.length
-    val dsub = subDims(data, vecCol, m)
-    val codes = array((0 until m).map { j =>
-      val sims = array(codebooks(j).map(c =>
-        graft.functions.GraftFunctions.cosine(
-          sliceCol(vecCol, j, dsub), typedLit(c.toSeq))): _*)
-      (array_position(sims, array_max(sims)) - 1).cast("int")
-    }: _*)
-    data.select(col(idCol), codes.as("codes"))
+    val dsub = subDims(data, vecCol, codebooks.length)
+    data.select(col(idCol),
+      codesCol(vecCol, dsub, codebooks).as("codes"))
   }
 
   /** Asymmetric PQ top-k: exact queries against RECONSTRUCTED database
@@ -133,17 +150,9 @@ object Pq {
                   codebooks: Seq[Seq[Array[Float]]],
                   shortlist: Int, k: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    graft.functions.GraftFunctions.register(data.sparkSession)
     val cand = reconstructTopK(data, queries, idCol, vecCol,
       codebooks, shortlist).select(col("q_id"), col(idCol))
-    val q = broadcast(queries.select(
-      col(idCol).as("q_id"), col(vecCol).as("_q_vec")))
-    val scored = cand
-      .join(data.select(col(idCol), col(vecCol)), idCol)
-      .join(q, "q_id")
-      .withColumn("_sim", graft.functions.GraftFunctions.cosine(
-        col("_q_vec"), col(vecCol)))
-    Similarity.rankTopK(scored, idCol, k)
+    Similarity.exactRerank(cand, data, queries, idCol, vecCol, k)
   }
 
   // ---- DuckDB replay (the q57 centroid-literal move, per subspace) --

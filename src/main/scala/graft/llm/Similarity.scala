@@ -101,6 +101,26 @@ object Similarity {
         (col("_pos") + 1).as("rank"))
   }
 
+  /** Exact re-rank of a (`q_id`, idCol) candidate frame — the shared
+    * refine step ([[Pq.refinedTopK]], [[IvfPq.refinedSearch]]): ONLY
+    * the candidates re-read their true vectors (the join is
+    * candidate-sized, never a corpus scan), queries stay broadcast,
+    * scoring is true cosine, ranking the shared two-phase top-k.
+    * Output: (`q_id`, idCol, `rank` 1..k). */
+  private[llm] def exactRerank(cand: DataFrame, data: DataFrame,
+                               queries: DataFrame, idCol: String,
+                               vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(data.sparkSession)
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("_q_vec")))
+    val scored = cand
+      .join(data.select(col(idCol), col(vecCol)), idCol)
+      .join(q, "q_id")
+      .withColumn("_sim", graft.functions.GraftFunctions.cosine(
+        col("_q_vec"), col(vecCol)))
+    rankTopK(scored, idCol, k)
+  }
+
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
     * complementing [[RandomHyperplaneLsh.topK]]:
     *

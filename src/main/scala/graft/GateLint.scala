@@ -86,17 +86,28 @@ object GateLint {
     case _ => false
   }
 
-  /** Oracle-SQL lint: each `sum(` (incl. `list_sum(`) must be wrapped
-    * in a `CAST(...)` — checked as "a `cast(` opens within the 24
-    * chars before the sum", which covers `CAST(sum(...))` and
-    * `CAST(COALESCE(sum(...)))` while still catching the bare
-    * `sum(freq) AS cnt` that turned q69 red. */
+  /** Oracle-SQL lint: each `sum(` (incl. `list_sum(`) must be the
+    * DIRECT argument of a `CAST(...)` (whitespace and `COALESCE(`
+    * wrappers allowed in between). A mere "cast( appears nearby"
+    * window would false-negative on `CAST(a AS INT), sum(b)` — an
+    * unrelated cast masking exactly the q69-class HUGEINT hazard. */
   def oracleViolations(name: String, sql: String): Seq[String] =
     if (allowedOracles.contains(name)) Seq.empty
-    else "(?i)[a-z_]*sum\\(".r.findAllMatchIn(sql).toSeq.collect {
-      case m if !sql.substring(math.max(0, m.start - 24), m.start)
-          .toLowerCase.contains("cast(") =>
-        s"$name: bare `${m.matched}` at offset ${m.start} — DuckDB " +
-          "widens sum to HUGEINT/decimal128; wrap in CAST(... AS BIGINT)"
+    else {
+      val lower = sql.toLowerCase
+      "(?i)[a-z_]*sum\\(".r.findAllMatchIn(sql).toSeq.collect {
+        case m if !castEncloses(lower, m.start) =>
+          s"$name: bare `${m.matched}` at offset ${m.start} — DuckDB " +
+            "widens sum to HUGEINT/decimal128; wrap in CAST(... AS BIGINT)"
+      }
     }
+
+  /** True iff the text just before `sumStart` is `cast(` possibly
+    * followed by `coalesce(` wrappers — i.e. the sum call really is
+    * enclosed by the cast, not merely near one. */
+  private def castEncloses(lowerSql: String, sumStart: Int): Boolean =
+    java.util.regex.Pattern
+      .compile("(?s).*cast\\(\\s*(?:coalesce\\(\\s*)*$")
+      .matcher(lowerSql.substring(0, sumStart))
+      .matches()
 }

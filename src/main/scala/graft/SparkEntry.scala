@@ -922,7 +922,10 @@ object SparkEntry {
       import graft.llm.TextStats
       val docs = t(s, dir, "documents")
       val top = TextStats.topNgrams(docs, "text", n = 2, k = 1)
-        .head().getString(0)
+        .collect().headOption.map(_.getString(0))
+        .getOrElse(throw new IllegalArgumentException(
+          "q77: corpus has no multi-token documents to pick a top " +
+            "bigram from"))
       TextStats.phraseCount(docs, "doc_id", "text",
         top.split(" ").toIndexedSeq)
     }),

@@ -121,7 +121,13 @@ object IvfPq {
         }
         val denom = math.sqrt(na) * math.sqrt(nb)
         (if (denom == 0.0) 0.0 else dot / denom, c)
-      }.sortBy { case (s, c) => (-s, c) }.take(nprobe).map(_._2)
+      }.sortWith { case ((sa, ca), (sb, cb)) =>
+        // primitive >/== comparator, NOT sortBy(-s): negation (and
+        // Double.compare) make -0.0 and 0.0 distinct, diverging from
+        // the SQL replay's ORDER BY sim DESC where -0.0 = 0.0 and the
+        // tie breaks by cell asc. NaN is impossible (zero-norm guard).
+        if (sa == sb) ca < cb else sa > sb
+      }.take(nprobe).map(_._2)
     }
     val q = broadcast(queries
       .select(col(idCol).as("q_id"), col(vecCol).as("_q_vec"))

@@ -32,7 +32,10 @@ object Pq {
 
   /** Validated (m, dsub) for a training frame: D must split evenly. */
   private def subDims(data: DataFrame, vecCol: String, m: Int): Int = {
-    val d = data.select(size(col(vecCol))).head().getInt(0)
+    val d = data.select(size(col(vecCol))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"empty training frame: cannot infer $vecCol dimension"))
     require(m >= 1 && d % m == 0,
       s"dim $d must be divisible by m=$m subspaces")
     d / m

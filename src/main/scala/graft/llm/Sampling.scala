@@ -94,6 +94,16 @@ object Sampling {
     // compare numerically (exact via BigDecimal), like the struct sort.
     val keyOrd: Ordering[Any] = {
       val base: Ordering[Any] = keyField.dataType match {
+        // Float/Double must NOT go through BigDecimal(toString): NaN and
+        // Infinity throw NumberFormatException, and -0.0 has no BigDecimal
+        // form. java.lang.Double.compare matches Spark's sort semantics
+        // (NaN largest, -0.0 < 0.0 — same as the phase-2 struct sort).
+        case org.apache.spark.sql.types.DoubleType =>
+          (a: Any, b: Any) => java.lang.Double.compare(
+            a.asInstanceOf[Double], b.asInstanceOf[Double])
+        case org.apache.spark.sql.types.FloatType =>
+          (a: Any, b: Any) => java.lang.Float.compare(
+            a.asInstanceOf[Float], b.asInstanceOf[Float])
         case _: org.apache.spark.sql.types.NumericType =>
           Ordering.by[Any, BigDecimal](v => BigDecimal(v.toString))
         case _ => Ordering.by[Any, String](_.toString)

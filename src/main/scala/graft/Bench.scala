@@ -359,7 +359,12 @@ object Bench {
     var (recallLsh, recallIvf, recallIvfFixed) = (-1.0, -1.0, -1.0)
     var recallPq = -1.0
     var recallPqRefined = -1.0
+    var recallPqRefinedFixed = -1.0
+    var recallIvfPqRefined = -1.0
     var ivfNprobe = -1
+    var pqShortlist = -1
+    var ivfPqNprobe = -1
+    var ivfPqShortlist = -1
     if (wanted("ann_recall")) {
       import graft.llm.{RandomHyperplaneLsh, Similarity, SimilarityEval}
       import org.apache.spark.sql.functions.col
@@ -396,8 +401,30 @@ object Bench {
           m = 16, ksub = 16, iters = 3)
         recallPq = minRecall(graft.llm.Pq.reconstructTopK(emb, queries,
           "vec_id", "embedding", cb, 10))
-        recallPqRefined = minRecall(graft.llm.Pq.refinedTopK(emb,
+        // fixed shortlist=100: the r12 erosion signal (0.9 at sf0.01
+        // → 0.5 at sf0.1) kept as the raw reading; the headline
+        // refined facet is now the AUTO-TUNED operator (target 0.95,
+        // shortlist doubled until the probe sample hits it — ≥0.95 at
+        // any sf by construction), with ann_pq_shortlist reporting
+        // what the tuner paid — the r12 verdict's "close the loop".
+        recallPqRefinedFixed = minRecall(graft.llm.Pq.refinedTopK(emb,
           queries, "vec_id", "embedding", cb, shortlist = 100, k = 10))
+        val (pqTuned, paidShortlist) = graft.llm.Pq.refinedTopKAutoTuned(
+          emb, queries, "vec_id", "embedding", cb, k = 10,
+          targetRecall = 0.95, initialShortlist = 100)
+        recallPqRefined = minRecall(pqTuned)
+        pqShortlist = paidShortlist
+        // IVF-PQ tuned refine (the composed index's production path):
+        // nprobe + shortlist walk in lockstep to the same target.
+        val model = graft.llm.IvfPq.train(emb, "vec_id", "embedding",
+          nlist = 16, m = 16, ksub = 16, iters = 3)
+        val (ivfPqTuned, paidNprobe, paidSl) =
+          graft.llm.IvfPq.refinedSearchAutoTuned(emb, queries,
+            "vec_id", "embedding", model, k = 10, targetRecall = 0.95,
+            initialNprobe = 4, initialShortlist = 100)
+        recallIvfPqRefined = minRecall(ivfPqTuned)
+        ivfPqNprobe = paidNprobe
+        ivfPqShortlist = paidSl
         exact.unpersist()
       } catch {
         case NonFatal(e) => errors += s"ann_recall: ${e.getMessage}"
@@ -438,7 +465,12 @@ object Bench {
       s""""ann_recall_ivf_fixed14_min":${jd(recallIvfFixed)},""" +
       s""""ann_recall_pq_min":${jd(recallPq)},""" +
       s""""ann_recall_pq_refined_min":${jd(recallPqRefined)},""" +
+      s""""ann_recall_pq_refined_fixed100_min":${jd(recallPqRefinedFixed)},""" +
+      s""""ann_recall_ivfpq_refined_min":${jd(recallIvfPqRefined)},""" +
       s""""ann_ivf_nprobe":$ivfNprobe,""" +
+      s""""ann_pq_shortlist":$pqShortlist,""" +
+      s""""ann_ivfpq_nprobe":$ivfPqNprobe,""" +
+      s""""ann_ivfpq_shortlist":$ivfPqShortlist,""" +
       s""""sf":"$sfDir"}"""
     // The FULL per-query series goes to the file only: the driver
     // captures a bounded tail of stdout, and at 60 entries the full
@@ -469,7 +501,11 @@ object Bench {
       s""""ann_recall_ivf_min":${jd(recallIvf)},""" +
       s""""ann_recall_pq_min":${jd(recallPq)},""" +
       s""""ann_recall_pq_refined_min":${jd(recallPqRefined)},""" +
+      s""""ann_recall_ivfpq_refined_min":${jd(recallIvfPqRefined)},""" +
       s""""ann_ivf_nprobe":$ivfNprobe,""" +
+      s""""ann_pq_shortlist":$pqShortlist,""" +
+      s""""ann_ivfpq_nprobe":$ivfPqNprobe,""" +
+      s""""ann_ivfpq_shortlist":$ivfPqShortlist,""" +
       s""""detail":"target/bench-latest.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()

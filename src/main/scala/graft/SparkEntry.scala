@@ -981,6 +981,29 @@ object SparkEntry {
       graft.llm.IvfPq.search(emb, emb.filter(col("vec_id") < 3),
         "vec_id", "embedding", ivfPqModel(s, dir), nprobe = 2, k = 10)
     }),
+    // LLM §similarity — recall-driven PQ refine (the r12 verdict's
+    // "close the loop": shortlist doubles until measured recall@k on
+    // the probe sample reaches the target, capped at the corpus size
+    // where refine ≡ brute). At target 1.0 with the full query set as
+    // sample the output provably equals the exact ranking (the q56
+    // argument), hash-gating the adaptive path against the exact
+    // oracle.
+    "q83_pq_refined_tuned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Pq.refinedTopKAutoTuned(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        pqCodebooks(s, dir), k = 10, targetRecall = 1.0)._1
+    }),
+    // LLM §similarity — recall-driven IVF-PQ refine: nprobe and
+    // shortlist walk in lockstep (caps nlist / corpus size, where the
+    // composed index provably equals brute force) until the probe
+    // sample hits the target; same q56 hash-gate argument.
+    "q84_ivfpq_refined_tuned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.IvfPq.refinedSearchAutoTuned(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        ivfPqModel(s, dir), k = 10, targetRecall = 1.0)._1
+    }),
     // LLM §sketching — Bloom-filter join prune: the bench side's
     // head-gram keys build a 4096-bit bitmap (bit_or aggregation →
     // broadcastable literal), and the train side probes it MAP-SIDE
@@ -1427,6 +1450,9 @@ object SparkEntry {
     "q23_ann_lsh" -> annOracleSql,
     // auto-tuned to recall 1.0 over the full query sample ≡ exact
     "q56_ann_autotune" -> annOracleSql,
+    // tuned refines at target 1.0 + full query sample ≡ exact (q56)
+    "q83_pq_refined_tuned" -> annOracleSql,
+    "q84_ivfpq_refined_tuned" -> annOracleSql,
     "q24_near_dedup" ->
       """WITH d AS (SELECT doc_id, text, len(text) AS lt FROM documents),
         | idx AS (SELECT unnest(range(1, 2000)) AS i),

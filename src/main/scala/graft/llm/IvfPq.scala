@@ -166,6 +166,66 @@ object IvfPq {
     Similarity.exactRerank(cand, data, queries, idCol, vecCol, k)
   }
 
+  /** Recall-driven IVF-PQ refine — the [[Similarity.ivfTopKAutoTuned]]
+    * loop over BOTH knobs: [[refinedSearch]] with `nprobe` and
+    * `shortlist` AUTO-DOUBLED together (nprobe capped at nlist,
+    * shortlist at the corpus size) until measured recall@k on a probe
+    * sample reaches `targetRecall`. Both knobs erode the same way at
+    * scale — a probe set tuned at corpus size n misses cells at 10n
+    * and a fixed shortlist starves the exact re-rank — so the walk
+    * raises them in lockstep and stops at the first sufficient pair.
+    *
+    * Probe cost bounded as in the IVF/PQ tuners (deterministic
+    * id-ordered sample, ONE brute-force ground-truth pass, each
+    * iteration ranks only the sample). Termination: at nprobe = nlist
+    * every cell is probed and at shortlist = corpus size the
+    * shortlist holds every candidate, where [[refinedSearch]] equals
+    * [[Similarity.bruteForceTopK]] (spec-pinned) — recall = 1. With
+    * the full query set as sample and `targetRecall = 1.0` the output
+    * provably equals the exact ranking (the q56 argument: equal top-k
+    * sets re-scored by exact cosine with the same id tie-break rank
+    * identically), which is what hash-gates the tuned path against
+    * the exact SQL oracle.
+    *
+    * Returns (ranked top-k for ALL queries, paid nprobe, paid
+    * shortlist). */
+  def refinedSearchAutoTuned(data: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String,
+                             model: Model, k: Int, targetRecall: Double,
+                             initialNprobe: Int = 1,
+                             initialShortlist: Int = -1,
+                             maxTuneQueries: Int = 16)
+      : (DataFrame, Int, Int) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0,1], got $targetRecall")
+    require(initialNprobe >= 1 && initialNprobe <= model.nlist,
+      s"need 1 <= initialNprobe <= nlist=${model.nlist}")
+    val cap = math.min(data.count(), Int.MaxValue.toLong).toInt
+    require(cap >= 1, "empty corpus")
+    val sample = queries.orderBy(col(idCol)).limit(maxTuneQueries)
+    val exact = Similarity.bruteForceTopK(data, sample, idCol, vecCol, k)
+      .localCheckpoint(true)
+    var nprobe = initialNprobe
+    var shortlist = math.min(cap, math.max(k,
+      if (initialShortlist > 0) initialShortlist else 4 * k))
+    var done = false
+    while (!done) {
+      val approx = refinedSearch(data, sample, idCol, vecCol, model,
+        nprobe, shortlist, k)
+      val minRecall = SimilarityEval.recallAtK(approx, exact, idCol, k)
+        .agg(min(col("recall"))).head().getDouble(0)
+      if (minRecall >= targetRecall ||
+          (nprobe >= model.nlist && shortlist >= cap)) done = true
+      else {
+        nprobe = math.min(model.nlist, nprobe * 2)
+        shortlist = math.min(cap.toLong, shortlist.toLong * 2).toInt
+      }
+    }
+    exact.unpersist()
+    (refinedSearch(data, queries, idCol, vecCol, model, nprobe,
+      shortlist, k), nprobe, shortlist)
+  }
+
   // ---- DuckDB replay (the q57/q79 literal move over BOTH levels) ----
 
   private def lit1(c: Array[Float]): String =

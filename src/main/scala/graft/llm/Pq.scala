@@ -158,6 +158,60 @@ object Pq {
     Similarity.exactRerank(cand, data, queries, idCol, vecCol, k)
   }
 
+  /** Recall-driven refine — [[Similarity.ivfTopKAutoTuned]]'s loop for
+    * the PQ knob: [[refinedTopK]] with `shortlist` AUTO-DOUBLED (from
+    * `initialShortlist`, capped at the corpus size) until measured
+    * recall@k on a probe sample reaches `targetRecall`. This closes
+    * the loop the r12 bench exposed: a fixed shortlist tuned at
+    * corpus size n silently erodes at 10n (refined min-recall read
+    * 0.5 at sf0.1), while the re-measuring walk pays a bounded probe
+    * cost and keeps the guarantee.
+    *
+    * Probe cost is bounded exactly like IVF's tuner: the sample is
+    * the first `maxTuneQueries` queries in id order (deterministic),
+    * ground truth is ONE brute-force pass, and each iteration ranks
+    * only the sample. Termination: at `shortlist` = corpus size the
+    * shortlist holds every candidate, so [[refinedTopK]] IS
+    * [[Similarity.bruteForceTopK]] (spec-pinned) and recall = 1. With
+    * the full query set as sample and `targetRecall = 1.0` the output
+    * provably equals the exact ranking (equal top-k sets re-scored by
+    * exact cosine with the same id tie-break rank identically) — the
+    * q56 move that lets an adaptive operator hash-gate against the
+    * exact SQL oracle.
+    *
+    * Returns (ranked top-k frame for ALL queries, paid shortlist). */
+  def refinedTopKAutoTuned(data: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String,
+                           codebooks: Seq[Seq[Array[Float]]],
+                           k: Int, targetRecall: Double,
+                           initialShortlist: Int = -1,
+                           maxTuneQueries: Int = 16)
+      : (DataFrame, Int) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0,1], got $targetRecall")
+    // corpus size = the shortlist cap (one count job; self-pairs are
+    // excluded so n already covers every possible candidate)
+    val cap = math.min(data.count(), Int.MaxValue.toLong).toInt
+    require(cap >= 1, "empty corpus")
+    val sample = queries.orderBy(col(idCol)).limit(maxTuneQueries)
+    val exact = Similarity.bruteForceTopK(data, sample, idCol, vecCol, k)
+      .localCheckpoint(true)
+    var shortlist = math.min(cap, math.max(k,
+      if (initialShortlist > 0) initialShortlist else 4 * k))
+    var done = false
+    while (!done) {
+      val approx = refinedTopK(data, sample, idCol, vecCol,
+        codebooks, shortlist, k)
+      val minRecall = SimilarityEval.recallAtK(approx, exact, idCol, k)
+        .agg(min(col("recall"))).head().getDouble(0)
+      if (minRecall >= targetRecall || shortlist >= cap) done = true
+      else shortlist = math.min(cap.toLong, shortlist.toLong * 2).toInt
+    }
+    exact.unpersist()
+    (refinedTopK(data, queries, idCol, vecCol, codebooks, shortlist, k),
+      shortlist)
+  }
+
   // ---- DuckDB replay (the q57 centroid-literal move, per subspace) --
 
   private def centroidLit(c: Array[Float]): String =

@@ -80,6 +80,28 @@ class IvfPqSpec extends SparkSpec {
       s"${rows(refined)} vs ${rows(brute)}")
   }
 
+  test("refinedSearchAutoTuned at target 1.0 with the full query " +
+    "sample equals brute force and reports paid knobs within caps") {
+    val df = randData(30, 8, seed = 37)
+    val queries = df.filter($"vec_id" < 2)
+    val model = IvfPq.train(df, "vec_id", "embedding",
+      nlist = 3, m = 2, ksub = 2, iters = 2) // lossy: the walk works
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val (tuned, paidNprobe, paidShortlist) =
+      IvfPq.refinedSearchAutoTuned(df, queries, "vec_id", "embedding",
+        model, k = 5, targetRecall = 1.0, initialNprobe = 1,
+        initialShortlist = 5)
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id",
+      "embedding", k = 5)
+    assert(rows(tuned) == rows(brute),
+      s"${rows(tuned)} vs ${rows(brute)}")
+    assert(paidNprobe >= 1 && paidNprobe <= 3, s"nprobe $paidNprobe")
+    assert(paidShortlist >= 5 && paidShortlist <= 30,
+      s"shortlist $paidShortlist")
+  }
+
   test("search oracle SQL replays the Spark ranking (DuckDB idioms " +
     "guarded by shape only — full replay runs in the gate)") {
     // spot-check the generated SQL references every literal level

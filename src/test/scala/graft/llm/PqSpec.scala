@@ -79,4 +79,40 @@ class PqSpec extends SparkSpec {
     assert(rows(refined) == rows(brute),
       s"${rows(refined)} vs ${rows(brute)}")
   }
+
+  test("refinedTopKAutoTuned at target 1.0 with the full query sample " +
+    "equals brute force and reports a paid shortlist within bounds") {
+    val rnd = new scala.util.Random(31)
+    val data = (0L until 30L).map(i =>
+      (i, Seq.fill(4)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val queries = data.filter($"vec_id" < 3)
+    val cbs = Pq.train(data, "vec_id", "embedding", m = 2, ksub = 2,
+      iters = 2) // heavily lossy: the walk must actually raise shortlist
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val (tuned, paid) = Pq.refinedTopKAutoTuned(data, queries,
+      "vec_id", "embedding", cbs, k = 5, targetRecall = 1.0,
+      initialShortlist = 5)
+    val brute = Similarity.bruteForceTopK(data, queries, "vec_id",
+      "embedding", k = 5)
+    assert(rows(tuned) == rows(brute),
+      s"${rows(tuned)} vs ${rows(brute)}")
+    assert(paid >= 5 && paid <= 30, s"paid shortlist $paid")
+  }
+
+  test("refinedTopKAutoTuned keeps the initial shortlist when the " +
+    "sample already meets the target (no wasted walk)") {
+    // vectors ON the codebook: reconstruction is lossless, so even the
+    // smallest shortlist has recall 1.0 and the tuner must stop at it
+    val data = (for {
+      (c0, i0) <- cb(0).zipWithIndex
+      (c1, i1) <- cb(1).zipWithIndex
+    } yield ((i0 * 2 + i1).toLong, (c0 ++ c1).toSeq)).toSeq
+      .toDF("vec_id", "embedding")
+    val queries = data.filter($"vec_id" < 2)
+    val (_, paid) = Pq.refinedTopKAutoTuned(data, queries, "vec_id",
+      "embedding", cb, k = 3, targetRecall = 1.0, initialShortlist = 3)
+    assert(paid == 3, s"expected the initial shortlist 3, paid $paid")
+  }
 }

@@ -929,6 +929,39 @@ object SparkEntry {
       TextStats.phraseCount(docs, "doc_id", "text",
         top.split(" ").toIndexedSeq)
     }),
+    // LLM §retrieval — POSITIONAL inverted index (q72 + within-doc
+    // 1-based positions, the structure phrase/proximity queries
+    // need): one row per qualifying (token, doc) — buffers hold one
+    // document's positions, never a term's corpus-wide list. Same
+    // [5, 400] df window as q72; positions stringified per the q72
+    // rule (the comparator can't sort array cells).
+    "q85_positional_index" -> ((s, dir) => {
+      graft.llm.TextStats.positionalIndex(t(s, dir, "documents"),
+          "doc_id", "text", minDf = 5, maxDf = 400)
+        .select(col("token"), col("df"), col("doc_id"),
+          concat_ws(",", transform(col("positions"), _.cast("string")))
+            .as("positions"))
+    }),
+    // LLM §retrieval — arbitrary-phrase search FROM the positional
+    // index (posting intersection + position adjacency — what q77's
+    // gram scan can't do without rebuilding a gram table per phrase
+    // length): the q77 top-bigram pick answered from the index
+    // alone, one bounded posting frame per phrase offset, k-1
+    // equi-joins on doc_id, occurrence count as a pure array
+    // expression. Unbounded df window so the phrase vocabulary is
+    // complete; result provably equals q77's gram count.
+    "q86_phrase_indexed" -> ((s, dir) => {
+      import graft.llm.TextStats
+      val docs = t(s, dir, "documents")
+      val top = TextStats.topNgrams(docs, "text", n = 2, k = 1)
+        .collect().headOption.map(_.getString(0))
+        .getOrElse(throw new IllegalArgumentException(
+          "q86: corpus has no multi-token documents to pick a top " +
+            "bigram from"))
+      TextStats.phraseSearchIndexed(
+        TextStats.positionalIndex(docs, "doc_id", "text"),
+        "doc_id", top.split(" ").toIndexedSeq)
+    }),
     // LLM §corpus-stats — EXACT length percentiles (what
     // percentile_approx approximates): value at 1-based rank
     // ceil(p·n/100) of the (tokens, id) total order, via the q64
@@ -1715,6 +1748,47 @@ object SparkEntry {
         |     AS postings
         | FROM dt JOIN dfs USING (token)
         | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    // q72's replay + zipped unnest positions (1-based, the same
+    // empty-filtered token stream), positions list stringified
+    "q85_positional_index" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |     string_split(text, ' '), x -> x <> '') AS ts
+        |   FROM documents),
+        | pt AS (SELECT doc_id, unnest(ts) AS token,
+        |     unnest(range(1, len(ts) + 1)) AS pos FROM d),
+        | dfs AS (SELECT token, count(DISTINCT doc_id) AS df
+        |   FROM pt GROUP BY 1
+        |   HAVING count(DISTINCT doc_id) >= 5
+        |      AND count(DISTINCT doc_id) <= 400)
+        | SELECT pt.token, dfs.df, pt.doc_id,
+        |   array_to_string(list(pt.pos ORDER BY pt.pos), ',')
+        |     AS positions
+        | FROM pt JOIN dfs USING (token)
+        | GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
+    // the q77 top-bigram pick, answered POSITIONALLY: per-offset
+    // posting frames joined on (doc, adjacency) — the honest replay
+    // of intersection + adjacency, not a gram-table rebuild
+    "q86_phrase_indexed" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |     string_split(text, ' '), x -> x <> '') AS ts
+        |   FROM documents),
+        | pt AS (SELECT doc_id, unnest(ts) AS token,
+        |     unnest(range(1, len(ts) + 1)) AS pos FROM d),
+        | g AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |     i -> ts[i] || ' ' || ts[i+1])) AS ngram
+        |   FROM d WHERE len(ts) >= 2),
+        | top AS (SELECT ngram, count(*) AS c FROM g GROUP BY 1
+        |   ORDER BY c DESC, ngram LIMIT 1),
+        | w AS (SELECT string_split(ngram, ' ')[1] AS w0,
+        |     string_split(ngram, ' ')[2] AS w1 FROM top),
+        | p0 AS (SELECT pt.doc_id, pt.pos FROM pt, w
+        |   WHERE pt.token = w.w0),
+        | p1 AS (SELECT pt.doc_id, pt.pos FROM pt, w
+        |   WHERE pt.token = w.w1)
+        | SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        | FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id
+        |   AND p1.pos = p0.pos + 1
+        | GROUP BY 1""".stripMargin.replace("\n", " "),
     // bitmap-free replay: the SET of positions any bench key sets,
     // probed per train key with the same md5 arithmetic
     "q71_bloom_prune" ->

@@ -335,6 +335,73 @@ object TextStats {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** POSITIONAL inverted index — [[invertedIndex]] extended with
+    * within-document token positions (1-based over the same
+    * empty-filtered token stream every operator tokenizes), the
+    * structure phrase and proximity queries need. One row per
+    * qualifying (token, document) pair — the 100 TB-friendly posting
+    * shape: each aggregation buffer holds ONE document's positions
+    * (bounded by document length), never a term's corpus-wide list,
+    * so even a stopword-scale term streams through as df rows. The
+    * df window is therefore query-side selectivity here, not buffer
+    * safety — default unbounded, unlike [[invertedIndex]] whose
+    * per-term postings list makes `maxDf` a memory guard.
+    *
+    * Output: (`token`, `df`, idCol, `positions` sorted 1-based). */
+  def positionalIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, minDf: Long = 1,
+                      maxDf: Long = Long.MaxValue)
+      : org.apache.spark.sql.DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf; got $minDf, $maxDf")
+    val tokPos = df
+      .select(col(idCol), posexplode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as(Seq("_pos0", "token")))
+    // positions make (token, doc) rows non-distinct, so df counts
+    // distinct ids, not rows (q72's distinct() collapses instead)
+    val dfs = tokPos.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    tokPos.join(dfs, "token")
+      .groupBy(col("token"), col("df"), col(idCol))
+      .agg(sort_array(collect_list(col("_pos0") + lit(1)))
+        .as("positions"))
+      .select(col("token"), col("df"), col(idCol), col("positions"))
+  }
+
+  /** Arbitrary-phrase search over a [[positionalIndex]] frame —
+    * posting intersection + position adjacency, the standard
+    * positional-index query plan (and what q77's gram scan cannot do
+    * without rebuilding a gram table per phrase length): documents
+    * where `phrase(0)` occurs at some position p and every
+    * `phrase(o)` at p + o. One bounded frame per phrase offset (≤
+    * that term's df rows — the index IS the bound), `k−1` equi-joins
+    * on the document id, and the occurrence count is a pure array
+    * expression over the joined position lists — no corpus scan, no
+    * re-tokenization. Overlapping occurrences count (same as
+    * [[phraseCount]]); repeated phrase terms join the same posting
+    * frame once per offset. A term outside the index's df window
+    * cannot match — the index is the search surface; build with the
+    * default unbounded window when the vocabulary must be complete.
+    *
+    * Output: (idCol, `n_occurrences` > 0). */
+  def phraseSearchIndexed(index: org.apache.spark.sql.DataFrame,
+                          idCol: String, phrase: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val frames = phrase.zipWithIndex.map { case (w, o) =>
+      index.filter(col("token") === lit(w))
+        .select(col(idCol), col("positions").as(s"_p$o"))
+    }
+    val joined = frames.reduce(_.join(_, idCol))
+    val occ = size(filter(col("_p0"), p =>
+      phrase.indices.drop(1).map(o =>
+          array_contains(col(s"_p$o"), p + lit(o)))
+        .reduceOption(_ && _).getOrElse(lit(true))))
+    joined.select(col(idCol), occ.cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
   /** Conjunctive (AND) search over an [[invertedIndex]] frame: the
     * documents containing ALL of the `nTerms` highest-df in-window
     * terms (df desc, token asc — a deterministic pick for any data).

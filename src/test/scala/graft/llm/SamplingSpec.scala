@@ -379,4 +379,88 @@ class SamplingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"phrase count shuffled:\n$plan")
   }
+
+  test("positionalIndex: 1-based sorted positions, repeated in-doc " +
+    "tokens keep every position, df counts docs not occurrences, " +
+    "window inclusive, partitioning-invariant") {
+    val docs = Seq(
+      (3L, "apple apple banana"), // apple df counts this doc ONCE
+      (1L, "apple  cherry"),      // double space: empty token dropped
+      (2L, "apple banana"),
+      (4L, "cherry")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.positionalIndex(d, "doc_id", "text",
+          minDf = 2, maxDf = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getSeq[Int](3))).sortBy(t => (t._1, t._3))
+        .toSeq
+    val out = run(docs)
+    // apple df=3 (doc 3 once despite two occurrences, BOTH positions
+    // kept); banana df=2; cherry df=2 ("cherry" in doc 1 is token 2
+    // after the empty drop)
+    assert(out == Seq(
+      ("apple", 3L, 1L, Seq(1)),
+      ("apple", 3L, 2L, Seq(1)),
+      ("apple", 3L, 3L, Seq(1, 2)),
+      ("banana", 2L, 2L, Seq(2)),
+      ("banana", 2L, 3L, Seq(3)),
+      ("cherry", 2L, 1L, Seq(2)),
+      ("cherry", 2L, 4L, Seq(1))), out)
+    assert(run(docs.repartition(5)) == out)
+    // maxDf below apple's 3 drops every apple row
+    val cut = TextStats.positionalIndex(docs, "doc_id", "text",
+        minDf = 2, maxDf = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(cut == Set("banana", "cherry"), cut)
+  }
+
+  test("phraseSearchIndexed: adjacency from the index, overlaps " +
+    "counted, repeated phrase terms, reversed order no match") {
+    val docs = Seq(
+      (1L, "x y z x y"),   // "x y" twice
+      (2L, "x z y"),       // x and y present but never adjacent
+      (3L, "y x"),         // reversed order is no match
+      (4L, "a b a b a"))   // "a b a" twice (overlapping)
+      .toDF("doc_id", "text")
+    val idx = TextStats.positionalIndex(docs, "doc_id", "text")
+    def hits(p: Seq[String]) =
+      TextStats.phraseSearchIndexed(idx, "doc_id", p)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    assert(hits(Seq("x", "y")) == Seq((1L, 2L)), hits(Seq("x", "y")))
+    assert(hits(Seq("a", "b", "a")) == Seq((4L, 2L)))
+    // single-term phrase: occurrence count = positions length
+    assert(hits(Seq("x")) == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    // a term absent from the corpus matches nothing
+    assert(hits(Seq("x", "q")).isEmpty)
+  }
+
+  test("phraseSearchIndexed equals phraseCount on a randomized " +
+    "small-vocabulary corpus (differential), and a df-window index " +
+    "cannot match an out-of-window term") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Seq("a", "b", "c", "d")
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = TextStats.positionalIndex(docs, "doc_id", "text")
+    for (phrase <- Seq(Seq("a", "b"), Seq("b", "b"),
+        Seq("a", "b", "a"), Seq("c", "d", "c", "d"))) {
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+      val viaIndex = norm(
+        TextStats.phraseSearchIndexed(idx, "doc_id", phrase))
+      val viaScan = norm(
+        TextStats.phraseCount(docs, "doc_id", "text", phrase))
+      assert(viaIndex == viaScan, s"$phrase: $viaIndex vs $viaScan")
+    }
+    // window that excludes a phrase term -> no matches through the
+    // index (the index is the search surface)
+    val narrow = TextStats.positionalIndex(docs, "doc_id", "text",
+      minDf = 61, maxDf = 1000)
+    assert(TextStats.phraseSearchIndexed(narrow, "doc_id",
+      Seq("a", "b")).isEmpty)
+  }
 }

@@ -351,6 +351,44 @@ class SamplingSpec extends SparkSpec {
     assert(!a.map(_._1).contains(5L), "doc with no query term scored")
   }
 
+  test("bm25TopK and bm25TopKMicro agree on RANKING and score to " +
+    "within |terms|/1e6 on randomized corpora (the micro path's " +
+    "exact-rational claim, differentially)") {
+    val rnd = new scala.util.Random(47)
+    val vocab = (0 until 12).map(i => ('a' + i).toChar.toString)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 40L).map(i =>
+        (i, Seq.fill(2 + rnd.nextInt(25))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+      val terms = rnd.shuffle(vocab).take(4)
+      val n = docs.count()
+      val dfs = TextStats.invertedIndex(docs, "doc_id", "text",
+          minDf = 1, maxDf = 1000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val micro = terms.flatMap(t => dfs.get(t).map { df =>
+        (t, math.round(math.log1p((n - df + 0.5) / (df + 0.5)) * 1e6))
+      })
+      val dbl = TextStats.bm25TopK(docs, "doc_id", "text", terms,
+          k = 15).collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+      val mic = TextStats.bm25TopKMicro(docs, "doc_id", "text", micro,
+          k = 15).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+      assert(dbl.map(r => (r._1, r._3)).toSeq ==
+        mic.map(r => (r._1, r._3)).toSeq,
+        s"trial $trial rank divergence: ${dbl.toSeq} vs ${mic.toSeq}")
+      // micro/1e6 recovers the double score to < |terms|/1e6: each
+      // term contributes one rounded idf (±0.5e-6) times a saturation
+      // factor < 1, plus one integer-div truncation (±1e-6)
+      val bound = terms.size.toDouble / 1e6
+      dbl.zip(mic).foreach { case ((id, s, _), (_, sm, _)) =>
+        assert(math.abs(s - sm.toDouble / 1e6) < bound,
+          s"trial $trial doc $id: double $s vs micro ${sm / 1e6.toDouble}")
+      }
+    }
+  }
+
   test("topNgrams: overlapping grams counted, (freq desc, gram asc) " +
     "cut, short and empty docs contribute nothing") {
     val docs = Seq(

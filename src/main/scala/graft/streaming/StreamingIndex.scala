@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.llm.TextStats
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental maintenance of the retrieval structures over a STREAM —
+  * the monitoring side of [[graft.llm.TextStats]]'s index family, the
+  * way [[StreamingSketch]] is the sketches': a pipeline that keeps the
+  * n-gram frequency table and the inverted index current over an
+  * unbounded document feed.
+  *
+  * Boundedness is per-surface and explicit:
+  *
+  *   - [[topNgrams]] is a plain streaming aggregation whose state is
+  *     the gram count table — VOCABULARY-sized, the same state the
+  *     batch build's shuffle holds (a corpus property, not a stream-
+  *     length one), with the (freq desc, gram asc) cut applied on
+  *     read (complete mode sorts after the aggregation).
+  *   - [[invertedIndex]] is custom `flatMapGroupsWithState` state:
+  *     per token an exact df counter plus the posting list ONLY WHILE
+  *     df ≤ maxDf — the moment a term outgrows the window its list is
+  *     dropped for good (`overflowed`), so state per token is
+  *     O(min(df, maxDf)) forever — the batch build's "stopword lists
+  *     never enter a buffer" guarantee, carried to unbounded input.
+  *
+  * Both reuse the exact batch tokenization ([[TextStats.tokens]] +
+  * empty-token filter), so a snapshot of the streaming state equals
+  * the batch structure over the rows seen so far — the differential
+  * the spec pins. */
+object StreamingIndex {
+
+  /** Continuously-maintained n-gram frequency table (`ngram`, `freq`),
+    * the [[TextStats.topNgrams]] aggregation as a streaming query in
+    * complete mode — callers apply the (freq desc, ngram asc) `limit`
+    * on the snapshot (sorting is legal after a complete-mode agg, but
+    * leaving it to the reader keeps the maintained state reusable for
+    * any k). Gram building is the batch expression verbatim. */
+  def ngramCounts(stream: DataFrame, textCol: String, n: Int): DataFrame =
+    stream
+      .select(explode(TextStats.ngrams(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+
+  /** One emitted posting-list snapshot: `postings` is null once the
+    * term overflows `maxDf` (exact `df` keeps counting). */
+  case class TokenPostings(token: String, df: Long, postings: Seq[Long])
+
+  // package-private, not object-private: Catalyst's state serializer
+  // codegen needs bytecode-level access to the constructor/getters
+  private[streaming] final case class PostingState(
+      df: Long, postings: Seq[Long], overflowed: Boolean)
+
+  /** Continuously-maintained inverted index over a document stream:
+    * one state row per token holding (exact df, postings while df ≤
+    * `maxDf`). Emits a token's refreshed snapshot every micro-batch
+    * that touches it (df strictly grows per emission, so "the row
+    * with the max df per token" IS the current snapshot under any
+    * sink that appends updates).
+    *
+    * Ingest contract: each document id arrives EXACTLY once (the
+    * natural append-stream shape; re-deliveries are deduped only
+    * while the term is un-overflowed, where the posting set itself
+    * absorbs them). Within-document repeated tokens are collapsed
+    * map-side (`array_distinct`) before the state op, same as the
+    * batch build's per-(token, doc) distinct.
+    *
+    * A df window is applied by the READER on the snapshot (`df >=
+    * minDf AND df <= maxDf`), exactly like the batch build's window —
+    * `maxDf` here is the state bound, and an in-window token's
+    * sorted postings equal [[TextStats.invertedIndex]] over the rows
+    * seen so far. */
+  def invertedIndex(stream: DataFrame, idCol: String, textCol: String,
+                    maxDf: Int): Dataset[TokenPostings] = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(filter(TextStats.tokens(col(textCol)),
+          t => length(t) > 0))).as("token"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PostingState, TokenPostings](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (token: String, rows: Iterator[(Long, String)],
+         state: GroupState[PostingState]) =>
+          val prev = state.getOption
+            .getOrElse(PostingState(0L, Vector.empty, false))
+          val seen = prev.postings.toSet
+          val fresh = rows.map(_._1).toVector.distinct
+            .filterNot(seen.contains)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val df = prev.df + fresh.size
+            val next =
+              if (prev.overflowed || df > maxDf)
+                PostingState(df, Vector.empty, overflowed = true)
+              else PostingState(df, prev.postings ++ fresh, false)
+            state.update(next)
+            Iterator.single(TokenPostings(token, df,
+              if (next.overflowed) null else next.postings.sorted))
+          }
+      }
+  }
+}

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.TextStats
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming index maintenance must equal the batch structure over
+  * the rows seen so far — the [[StreamingSketchSpec]] differential
+  * applied to the retrieval family: the n-gram count table (and its
+  * (freq desc, gram asc) top-k cut) and the inverted index, each fed
+  * across multiple micro-batches, plus the maxDf overflow contract
+  * that bounds per-token state. */
+class StreamingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b a b c"),
+    (2L, "b c d"),
+    (3L, "a b e f"),
+    (4L, "g h i j"),
+    (5L, "a b c d e"))
+  private def batches = Seq(docs.take(2), docs.slice(2, 4), docs.drop(4))
+
+  test("streaming ngram counts converge to the batch gram table and " +
+    "the snapshot's sorted cut equals batch topNgrams") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamingIndex.ngramCounts(
+        stream.toDF().toDF("doc_id", "text"), "text", n = 2)
+      .writeStream.format("memory").queryName("ngrams_out")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    val snap = spark.table("ngrams_out")
+    val streamedTop = snap.orderBy($"freq".desc, $"ngram").limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batchTop = TextStats.topNgrams(docs.toDF("doc_id", "text"),
+        "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamedTop == batchTop, s"stream $streamedTop vs $batchTop")
+    // the full table matches too, not just the cut
+    val all = snap.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val batchAll = TextStats.topNgrams(docs.toDF("doc_id", "text"),
+        "text", n = 2, k = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(all == batchAll, s"stream $all\nbatch  $batchAll")
+  }
+
+  test("streaming inverted index: latest snapshot per token equals " +
+    "batch invertedIndex in the df window; overflowed terms keep an " +
+    "exact df with dropped postings") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    // maxDf = 3: "a" (df 3) and "b" (df 4) exercise the boundary —
+    // b overflows and must drop its list for good; a stays listed
+    val query = StreamingIndex.invertedIndex(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        maxDf = 3)
+      .writeStream.format("memory").queryName("index_out")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    // update-mode memory sink appends each refresh; df strictly grows
+    // per emission, so max-df per token is the current snapshot
+    val snap = spark.table("index_out").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getSeq[Long](2)).map(_.toSeq)))
+      .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }.toSeq
+    val inWindow = snap.filter(t => t._2 >= 2 && t._2 <= 3)
+      .map(t => (t._1, t._2, t._3.get)).sortBy(_._1)
+    val batch = TextStats.invertedIndex(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minDf = 2, maxDf = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2).toSeq)).sortBy(_._1).toSeq
+    assert(inWindow == batch, s"stream $inWindow\nbatch  $batch")
+    // overflow contract: b's df is exact (4) and its postings null
+    val b = snap.find(_._1 == "b").get
+    assert(b._2 == 4L && b._3.isEmpty, b)
+    // every emitted in-window snapshot list is sorted
+    assert(snap.forall(t => t._3.forall(p => p == p.sorted)))
+  }
+
+  test("streaming inverted index equals the batch build on a " +
+    "randomized corpus split into random micro-batches") {
+    val rnd = new scala.util.Random(59)
+    val vocab = (0 until 10).map(i => ('a' + i).toChar.toString)
+    val corpus = (1L to 50L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamingIndex.invertedIndex(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        maxDf = 20)
+      .writeStream.format("memory").queryName("index_rand_out")
+      .outputMode("update").start()
+    try {
+      var rest = corpus
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(12)
+        stream.addData(rest.take(take))
+        query.processAllAvailable()
+        rest = rest.drop(take)
+      }
+    } finally query.stop()
+    val snap = spark.table("index_rand_out").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getSeq[Long](2)).map(_.toSeq)))
+      .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }.toSeq
+    val inWindow = snap.filter(t => t._2 >= 2 && t._2 <= 20)
+      .map(t => (t._1, t._2, t._3.get)).sortBy(_._1)
+    val batch = TextStats.invertedIndex(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", minDf = 2, maxDf = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2).toSeq)).sortBy(_._1).toSeq
+    assert(inWindow == batch,
+      s"stream ${inWindow.size} rows vs batch ${batch.size}")
+    // overflowed terms: df exact vs the unwindowed batch df
+    val dfAll = TextStats.invertedIndex(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", minDf = 1, maxDf = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    snap.filter(_._3.isEmpty).foreach { case (tok, df, _) =>
+      assert(df == dfAll(tok), s"$tok: stream df $df vs ${dfAll(tok)}")
+    }
+  }
+}

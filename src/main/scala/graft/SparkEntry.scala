@@ -962,6 +962,21 @@ object SparkEntry {
         TextStats.positionalIndex(docs, "doc_id", "text"),
         "doc_id", top.split(" ").toIndexedSeq)
     }),
+    // LLM §retrieval — PROXIMITY search from the positional index
+    // (the relaxed cousin of q86: order-free co-occurrence within a
+    // token window, counted per anchor occurrence): the 2 highest-df
+    // in-window terms (deterministic pick, bounded 2-row collect),
+    // window = 3. Same bounded plan as phrase search — one posting
+    // frame per term, one equi-join, zero corpus scans.
+    "q87_proximity_search" -> ((s, dir) => {
+      import graft.llm.TextStats
+      val idx = TextStats.positionalIndex(t(s, dir, "documents"),
+        "doc_id", "text", minDf = 5, maxDf = 400)
+      val terms = idx.select(col("token"), col("df")).distinct()
+        .orderBy(col("df").desc, col("token")).limit(2)
+        .collect().map(_.getString(0)).toIndexedSeq
+      TextStats.proximitySearch(idx, "doc_id", terms, window = 3)
+    }),
     // LLM §corpus-stats — EXACT length percentiles (what
     // percentile_approx approximates): value at 1-based rank
     // ceil(p·n/100) of the (tokens, id) total order, via the q64
@@ -1788,6 +1803,31 @@ object SparkEntry {
         | SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
         | FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id
         |   AND p1.pos = p0.pos + 1
+        | GROUP BY 1""".stripMargin.replace("\n", " "),
+    // the q85 positions + the same deterministic top-2 df pick; the
+    // anchor-window count as a correlated EXISTS per anchor position
+    "q87_proximity_search" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |     string_split(text, ' '), x -> x <> '') AS ts
+        |   FROM documents),
+        | pt AS (SELECT doc_id, unnest(ts) AS token,
+        |     unnest(range(1, len(ts) + 1)) AS pos FROM d),
+        | dfs AS (SELECT token, count(DISTINCT doc_id) AS df
+        |   FROM pt GROUP BY 1
+        |   HAVING count(DISTINCT doc_id) >= 5
+        |      AND count(DISTINCT doc_id) <= 400),
+        | w AS (SELECT list(token ORDER BY df DESC, token) AS t2
+        |   FROM (SELECT token, df FROM dfs
+        |     ORDER BY df DESC, token LIMIT 2)),
+        | p0 AS (SELECT pt.doc_id, pt.pos FROM pt, w
+        |   WHERE pt.token = w.t2[1]),
+        | p1 AS (SELECT pt.doc_id, pt.pos FROM pt, w
+        |   WHERE pt.token = w.t2[2])
+        | SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_anchors
+        | FROM p0
+        | WHERE EXISTS (SELECT 1 FROM p1
+        |   WHERE p1.doc_id = p0.doc_id
+        |     AND abs(p1.pos - p0.pos) <= 3)
         | GROUP BY 1""".stripMargin.replace("\n", " "),
     // bitmap-free replay: the SET of positions any bench key sets,
     // probed per train key with the same md5 arithmetic

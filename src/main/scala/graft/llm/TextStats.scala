@@ -402,6 +402,36 @@ object TextStats {
       .filter(col("n_occurrences") > 0)
   }
 
+  /** Proximity search over a [[positionalIndex]] frame — the relaxed
+    * cousin of [[phraseSearchIndexed]]: documents where some
+    * occurrence of `terms(0)` (the ANCHOR) has EVERY other term
+    * occurring within `window` token positions of it, counted per
+    * anchor occurrence. Anchor-window semantics — exact, order-free
+    * within the window, and expressible as pure array expressions
+    * over the joined posting lists (the minimal-cover-window variant
+    * needs a per-doc two-pointer sweep that leaves codegen). Same
+    * plan shape as phrase search: one bounded posting frame per term,
+    * k−1 equi-joins on the document id, zero corpus scans.
+    *
+    * Output: (idCol, `n_anchors` > 0). */
+  def proximitySearch(index: org.apache.spark.sql.DataFrame,
+                      idCol: String, terms: Seq[String], window: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val frames = terms.zipWithIndex.map { case (w, o) =>
+      index.filter(col("token") === lit(w))
+        .select(col(idCol), col("positions").as(s"_p$o"))
+    }
+    val joined = frames.reduce(_.join(_, idCol))
+    val anchors = size(filter(col("_p0"), p =>
+      terms.indices.drop(1).map(o =>
+          exists(col(s"_p$o"), q => abs(q - p) <= lit(window)))
+        .reduceOption(_ && _).getOrElse(lit(true))))
+    joined.select(col(idCol), anchors.cast("long").as("n_anchors"))
+      .filter(col("n_anchors") > 0)
+  }
+
   /** Conjunctive (AND) search over an [[invertedIndex]] frame: the
     * documents containing ALL of the `nTerms` highest-df in-window
     * terms (df desc, token asc — a deterministic pick for any data).

@@ -473,6 +473,34 @@ class SamplingSpec extends SparkSpec {
     assert(hits(Seq("x", "q")).isEmpty)
   }
 
+  test("proximitySearch: anchor-window semantics — order-free, " +
+    "inclusive window boundary, counted per anchor, all terms " +
+    "required in-doc") {
+    val docs = Seq(
+      (1L, "x a a a y"),   // y at dist 4 from pos-1 x? x@1,y@5: w=3 no; w=4 yes
+      (2L, "y z x"),       // order-free: y@1 x@3, dist 2
+      (3L, "x z z y x"),   // x@1 (y dist 3 ok), x@5 (y dist 1 ok) -> 2 anchors
+      (4L, "x z z"),       // y missing -> excluded
+      (5L, "y y y"))       // anchor term x missing -> excluded
+      .toDF("doc_id", "text")
+    val idx = TextStats.positionalIndex(docs, "doc_id", "text")
+    def hits(w: Int) =
+      TextStats.proximitySearch(idx, "doc_id", Seq("x", "y"), w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    assert(hits(3) == Seq((2L, 1L), (3L, 2L)), hits(3))
+    // widening the window admits doc 1 (distance exactly 4)
+    assert(hits(4) == Seq((1L, 1L), (2L, 1L), (3L, 2L)), hits(4))
+    // three terms: every non-anchor term needs an occurrence in range
+    val tri = TextStats.proximitySearch(idx, "doc_id",
+        Seq("x", "z", "y"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .toSeq
+    // doc 2: x@3 has z@2 (d1) y@1 (d2); doc 3: x@1 z@2 y@4(d3>2) out,
+    // x@5 z@3(d2) y@4(d1) in -> 1 anchor
+    assert(tri == Seq((2L, 1L), (3L, 1L)), tri)
+  }
+
   test("phraseSearchIndexed equals phraseCount on a randomized " +
     "small-vocabulary corpus (differential), and a df-window index " +
     "cannot match an out-of-window term") {

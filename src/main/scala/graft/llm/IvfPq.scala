@@ -99,10 +99,20 @@ object IvfPq {
     * Output: (`q_id`, idCol, `rank` 1..k), self-pairs excluded. */
   def search(data: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, model: Model,
-             nprobe: Int, k: Int): DataFrame = {
+             nprobe: Int, k: Int): DataFrame =
+    searchEncoded(encode(data, idCol, vecCol, model), queries,
+      idCol, vecCol, model, nprobe, k)
+
+  /** [[search]] against an ALREADY-ENCODED frame (the [[encode]]
+    * output — the 4+m bytes/vector rows a 100 TB corpus persists):
+    * the original vectors are never touched. The index-serving seam
+    * the auto-tuner iterates on — encode once, probe many. */
+  def searchEncoded(encoded: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, model: Model,
+                    nprobe: Int, k: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= model.nlist,
       s"need 1 <= nprobe <= nlist=${model.nlist}, got $nprobe")
-    graft.functions.GraftFunctions.register(data.sparkSession)
+    graft.functions.GraftFunctions.register(encoded.sparkSession)
     val coarseArr = model.coarse.toArray
     // nprobe nearest cells, mirroring FloatVectorCosine exactly
     // (double accumulation in element order, sqrt(na)*sqrt(nb)
@@ -138,7 +148,7 @@ object IvfPq {
       element_at(element_at(cb, j + 1),
         element_at(col("codes"), j + 1) + 1)
     }: _*)
-    val scored = encode(data, idCol, vecCol, model)
+    val scored = encoded
       .join(q, "cell")
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("_recon",
@@ -205,13 +215,21 @@ object IvfPq {
     val sample = queries.orderBy(col(idCol)).limit(maxTuneQueries)
     val exact = Similarity.bruteForceTopK(data, sample, idCol, vecCol, k)
       .localCheckpoint(true)
+    // encode ONCE and iterate against the stored index (the Pq tuner's
+    // argument: the codes are the persisted artifact at 100 TB;
+    // re-deriving them per probe iteration would re-read the corpus)
+    val enc = encode(data, idCol, vecCol, model).persist()
+    def refined(qs: DataFrame, np: Int, sl: Int): DataFrame = {
+      val cand = searchEncoded(enc, qs, idCol, vecCol, model, np, sl)
+        .select(col("q_id"), col(idCol))
+      Similarity.exactRerank(cand, data, qs, idCol, vecCol, k)
+    }
     var nprobe = initialNprobe
     var shortlist = math.min(cap, math.max(k,
       if (initialShortlist > 0) initialShortlist else 4 * k))
     var done = false
     while (!done) {
-      val approx = refinedSearch(data, sample, idCol, vecCol, model,
-        nprobe, shortlist, k)
+      val approx = refined(sample, nprobe, shortlist)
       val minRecall = SimilarityEval.recallAtK(approx, exact, idCol, k)
         .agg(min(col("recall"))).head().getDouble(0)
       if (minRecall >= targetRecall ||
@@ -222,8 +240,9 @@ object IvfPq {
       }
     }
     exact.unpersist()
-    (refinedSearch(data, queries, idCol, vecCol, model, nprobe,
-      shortlist, k), nprobe, shortlist)
+    val out = refined(queries, nprobe, shortlist).localCheckpoint(true)
+    enc.unpersist()
+    (out, nprobe, shortlist)
   }
 
   // ---- DuckDB replay (the q57/q79 literal move over BOTH levels) ----

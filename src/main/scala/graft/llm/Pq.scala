@@ -119,9 +119,20 @@ object Pq {
   def reconstructTopK(data: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String,
                       codebooks: Seq[Seq[Array[Float]]],
-                      k: Int): DataFrame = {
+                      k: Int): DataFrame =
+    reconstructTopKEncoded(encode(data, idCol, vecCol, codebooks),
+      queries, idCol, vecCol, codebooks, k)
+
+  /** [[reconstructTopK]] against an ALREADY-ENCODED frame (the
+    * [[encode]] output — what a 100 TB corpus actually stores): the
+    * original vectors are never touched. This is the index-serving
+    * seam the auto-tuner iterates on — encode once, probe many. */
+  def reconstructTopKEncoded(encoded: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String,
+                             codebooks: Seq[Seq[Array[Float]]],
+                             k: Int): DataFrame = {
     require(codebooks.nonEmpty && k >= 1, "need codebooks and k >= 1")
-    graft.functions.GraftFunctions.register(data.sparkSession)
+    graft.functions.GraftFunctions.register(encoded.sparkSession)
     val m = codebooks.length
     val cb = typedLit(codebooks.map(_.map(_.toSeq)))
     val recon = concat((0 until m).map { j =>
@@ -130,7 +141,7 @@ object Pq {
     }: _*)
     val q = broadcast(queries.select(
       col(idCol).as("q_id"), col(vecCol).as("_q_vec")))
-    val scored = encode(data, idCol, vecCol, codebooks)
+    val scored = encoded
       .withColumn("_recon", recon)
       .crossJoin(q)
       .filter(col(idCol) =!= col("q_id"))
@@ -196,20 +207,30 @@ object Pq {
     val sample = queries.orderBy(col(idCol)).limit(maxTuneQueries)
     val exact = Similarity.bruteForceTopK(data, sample, idCol, vecCol, k)
       .localCheckpoint(true)
+    // encode ONCE and iterate against the stored index — the walk's
+    // per-iteration corpus work is the candidate scoring, never a
+    // re-encode (at 100 TB the codes are the persisted artifact;
+    // re-deriving them per probe iteration would re-read the corpus)
+    val enc = encode(data, idCol, vecCol, codebooks).persist()
+    def refined(qs: DataFrame, sl: Int): DataFrame = {
+      val cand = reconstructTopKEncoded(enc, qs, idCol, vecCol,
+        codebooks, sl).select(col("q_id"), col(idCol))
+      Similarity.exactRerank(cand, data, qs, idCol, vecCol, k)
+    }
     var shortlist = math.min(cap, math.max(k,
       if (initialShortlist > 0) initialShortlist else 4 * k))
     var done = false
     while (!done) {
-      val approx = refinedTopK(data, sample, idCol, vecCol,
-        codebooks, shortlist, k)
+      val approx = refined(sample, shortlist)
       val minRecall = SimilarityEval.recallAtK(approx, exact, idCol, k)
         .agg(min(col("recall"))).head().getDouble(0)
       if (minRecall >= targetRecall || shortlist >= cap) done = true
       else shortlist = math.min(cap.toLong, shortlist.toLong * 2).toInt
     }
     exact.unpersist()
-    (refinedTopK(data, queries, idCol, vecCol, codebooks, shortlist, k),
-      shortlist)
+    val out = refined(queries, shortlist).localCheckpoint(true)
+    enc.unpersist()
+    (out, shortlist)
   }
 
   // ---- DuckDB replay (the q57 centroid-literal move, per subspace) --

@@ -153,4 +153,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no BHJ in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
+
+  test("phrase search from the positional index (q86) joins posting " +
+    "frames on the doc id — equi-joins only, no cartesian, no " +
+    "per-doc window") {
+    val df = SparkEntry.queries("q86_phrase_indexed")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+    assert(plan.contains("Join"), s"no join in:\n$plan")
+    assert(!plan.contains("Window"), s"window op in:\n$plan")
+  }
+
+  test("proximity search (q87) likewise: equi-joins on the doc id, " +
+    "the occurrence count a pure array expression") {
+    val df = SparkEntry.queries("q87_proximity_search")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+    assert(!plan.contains("Window"), s"window op in:\n$plan")
+  }
+
+  test("positional index (q85) aggregates with map-side partials and " +
+    "never collects a term's corpus-wide list into one buffer row " +
+    "per token (one output row per (token, doc))") {
+    val df = SparkEntry.queries("q85_positional_index")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // count distinct + the per-(token, doc) collect are hash
+    // aggregations (partial_ markers = map-side combine present)
+    assert(plan.contains("HashAggregate"), s"no hash agg in:\n$plan")
+    assert(plan.contains("partial_"), s"no partial agg in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }

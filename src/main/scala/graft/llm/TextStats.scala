@@ -383,6 +383,9 @@ object TextStats {
     * frame once per offset. A term outside the index's df window
     * cannot match — the index is the search surface; build with the
     * default unbounded window when the vocabulary must be complete.
+    * The index frame is referenced once per phrase offset: persist it
+    * (or read it from storage — at scale the index IS the stored
+    * artifact, like the PQ codes) when issuing several queries.
     *
     * Output: (idCol, `n_occurrences` > 0). */
   def phraseSearchIndexed(index: org.apache.spark.sql.DataFrame,

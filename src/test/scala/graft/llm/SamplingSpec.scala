@@ -501,6 +501,34 @@ class SamplingSpec extends SparkSpec {
     assert(tri == Seq((2L, 1L), (3L, 1L)), tri)
   }
 
+  test("proximitySearch equals a single-node brute-force reference " +
+    "on randomized corpora (anchor-window differential)") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(2 + rnd.nextInt(18))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val idx = TextStats.positionalIndex(
+      corpus.toDF("doc_id", "text"), "doc_id", "text")
+    for ((terms, w) <- Seq((Seq("a", "b"), 2), (Seq("b", "c", "d"), 3),
+        (Seq("a", "a"), 1), (Seq("e", "a", "e"), 4))) {
+      def brute: Seq[(Long, Long)] = corpus.flatMap { case (id, text) =>
+        val ts = text.split(" ").filter(_.nonEmpty)
+        val pos = terms.map(t =>
+          ts.zipWithIndex.collect { case (tok, i) if tok == t => i + 1 })
+        val anchors =
+          if (pos.exists(_.isEmpty)) 0L
+          else pos.head.count(p => pos.tail.forall(
+            _.exists(q => math.abs(q - p) <= w))).toLong
+        if (anchors > 0) Some((id, anchors)) else None
+      }
+      val got = TextStats.proximitySearch(idx, "doc_id", terms, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+      assert(got == brute.sortBy(_._1), s"terms $terms w=$w")
+    }
+  }
+
   test("phraseSearchIndexed equals phraseCount on a randomized " +
     "small-vocabulary corpus (differential), and a df-window index " +
     "cannot match an out-of-window term") {

@@ -212,35 +212,24 @@ object IvfPq {
       s"need 1 <= initialNprobe <= nlist=${model.nlist}")
     val cap = math.min(data.count(), Int.MaxValue.toLong).toInt
     require(cap >= 1, "empty corpus")
-    val sample = queries.orderBy(col(idCol)).limit(maxTuneQueries)
-    val exact = Similarity.bruteForceTopK(data, sample, idCol, vecCol, k)
-      .localCheckpoint(true)
     // encode ONCE and iterate against the stored index (the Pq tuner's
     // argument: the codes are the persisted artifact at 100 TB;
     // re-deriving them per probe iteration would re-read the corpus)
     val enc = encode(data, idCol, vecCol, model).persist()
-    def refined(qs: DataFrame, np: Int, sl: Int): DataFrame = {
-      val cand = searchEncoded(enc, qs, idCol, vecCol, model, np, sl)
-        .select(col("q_id"), col(idCol))
-      Similarity.exactRerank(cand, data, qs, idCol, vecCol, k)
-    }
-    var nprobe = initialNprobe
-    var shortlist = math.min(cap, math.max(k,
-      if (initialShortlist > 0) initialShortlist else 4 * k))
-    var done = false
-    while (!done) {
-      val approx = refined(sample, nprobe, shortlist)
-      val minRecall = SimilarityEval.recallAtK(approx, exact, idCol, k)
-        .agg(min(col("recall"))).head().getDouble(0)
-      if (minRecall >= targetRecall ||
-          (nprobe >= model.nlist && shortlist >= cap)) done = true
-      else {
-        nprobe = math.min(model.nlist, nprobe * 2)
-        shortlist = math.min(cap.toLong, shortlist.toLong * 2).toInt
-      }
-    }
-    exact.unpersist()
-    val out = refined(queries, nprobe, shortlist).localCheckpoint(true)
+    val (tuned, (nprobe, shortlist)) =
+      SimilarityEval.tuneUntilRecall[(Int, Int)](
+        data, queries, idCol, vecCol, k, targetRecall, maxTuneQueries,
+        initial = (initialNprobe, math.min(cap, math.max(k,
+          if (initialShortlist > 0) initialShortlist else 4 * k))),
+        escalate = { case (np, sl) =>
+          (math.min(model.nlist, np * 2),
+            math.min(cap.toLong, sl.toLong * 2).toInt) },
+        atCap = { case (np, sl) => np >= model.nlist && sl >= cap },
+        run = { case (qs, (np, sl)) => Similarity.exactRerank(
+          searchEncoded(enc, qs, idCol, vecCol, model, np, sl)
+            .select(col("q_id"), col(idCol)),
+          data, qs, idCol, vecCol, k) })
+    val out = tuned.localCheckpoint(true)
     enc.unpersist()
     (out, nprobe, shortlist)
   }

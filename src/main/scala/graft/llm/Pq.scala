@@ -204,33 +204,24 @@ object Pq {
     // excluded so n already covers every possible candidate)
     val cap = math.min(data.count(), Int.MaxValue.toLong).toInt
     require(cap >= 1, "empty corpus")
-    val sample = queries.orderBy(col(idCol)).limit(maxTuneQueries)
-    val exact = Similarity.bruteForceTopK(data, sample, idCol, vecCol, k)
-      .localCheckpoint(true)
     // encode ONCE and iterate against the stored index — the walk's
     // per-iteration corpus work is the candidate scoring, never a
     // re-encode (at 100 TB the codes are the persisted artifact;
     // re-deriving them per probe iteration would re-read the corpus)
     val enc = encode(data, idCol, vecCol, codebooks).persist()
-    def refined(qs: DataFrame, sl: Int): DataFrame = {
-      val cand = reconstructTopKEncoded(enc, qs, idCol, vecCol,
-        codebooks, sl).select(col("q_id"), col(idCol))
-      Similarity.exactRerank(cand, data, qs, idCol, vecCol, k)
-    }
-    var shortlist = math.min(cap, math.max(k,
-      if (initialShortlist > 0) initialShortlist else 4 * k))
-    var done = false
-    while (!done) {
-      val approx = refined(sample, shortlist)
-      val minRecall = SimilarityEval.recallAtK(approx, exact, idCol, k)
-        .agg(min(col("recall"))).head().getDouble(0)
-      if (minRecall >= targetRecall || shortlist >= cap) done = true
-      else shortlist = math.min(cap.toLong, shortlist.toLong * 2).toInt
-    }
-    exact.unpersist()
-    val out = refined(queries, shortlist).localCheckpoint(true)
+    val (tuned, paid) = SimilarityEval.tuneUntilRecall[Int](
+      data, queries, idCol, vecCol, k, targetRecall, maxTuneQueries,
+      initial = math.min(cap, math.max(k,
+        if (initialShortlist > 0) initialShortlist else 4 * k)),
+      escalate = sl => math.min(cap.toLong, sl.toLong * 2).toInt,
+      atCap = _ >= cap,
+      run = (qs, sl) => Similarity.exactRerank(
+        reconstructTopKEncoded(enc, qs, idCol, vecCol, codebooks, sl)
+          .select(col("q_id"), col(idCol)),
+        data, qs, idCol, vecCol, k))
+    val out = tuned.localCheckpoint(true)
     enc.unpersist()
-    (out, shortlist)
+    (out, paid)
   }
 
   // ---- DuckDB replay (the q57 centroid-literal move, per subspace) --

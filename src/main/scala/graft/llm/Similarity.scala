@@ -243,22 +243,13 @@ object Similarity {
       s"targetRecall must be in (0,1], got $targetRecall")
     require(initialNprobe >= 1 && initialNprobe <= nlist,
       s"need 1 <= initialNprobe <= nlist, got $initialNprobe")
-    val sample = queries.orderBy(col(idCol)).limit(maxTuneQueries)
-    val exact = bruteForceTopK(data, sample, idCol, vecCol, k)
-      .localCheckpoint(true)
-    var nprobe = initialNprobe
-    var done = false
-    while (!done) {
-      val approx = ivfTopK(data, sample, idCol, vecCol, k,
-        nlist, nprobe, sampleSeed)
-      val minRecall = SimilarityEval.recallAtK(approx, exact, idCol, k)
-        .agg(min(col("recall"))).head().getDouble(0)
-      if (minRecall >= targetRecall || nprobe >= nlist) done = true
-      else nprobe = math.min(nlist, nprobe * 2)
-    }
-    exact.unpersist()
-    (ivfTopK(data, queries, idCol, vecCol, k, nlist, nprobe, sampleSeed),
-      nprobe)
+    SimilarityEval.tuneUntilRecall[Int](data, queries, idCol, vecCol,
+      k, targetRecall, maxTuneQueries,
+      initial = initialNprobe,
+      escalate = np => math.min(nlist, np * 2),
+      atCap = _ >= nlist,
+      run = (qs, np) => ivfTopK(data, qs, idCol, vecCol, k,
+        nlist, np, sampleSeed))
   }
 
   /** Exact cosine top-k of `data` rows for each `queries` row.
@@ -512,5 +503,43 @@ object SimilarityEval {
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)).cast("double") /
           lit(k).cast("double")).as("recall"))
+  }
+
+  /** The ONE recall-driven knob walk behind every auto-tuned ANN
+    * operator ([[Similarity.ivfTopKAutoTuned]] nprobe,
+    * [[Pq.refinedTopKAutoTuned]] shortlist,
+    * [[IvfPq.refinedSearchAutoTuned]] both in lockstep): measure
+    * min-recall@k of `run(sample, knobs)` against ONE brute-force
+    * ground-truth pass over a deterministic id-ordered probe sample,
+    * `escalate` the knob state until the target is met or `atCap`
+    * (where the caller's operator must be provably exact — the
+    * termination argument each caller documents), then run the FULL
+    * query set at the paid knobs. The final frame is returned LAZY —
+    * callers holding a cached index checkpoint it before releasing
+    * the cache. */
+  private[llm] def tuneUntilRecall[S](
+      data: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, k: Int, targetRecall: Double,
+      maxTuneQueries: Int, initial: S, escalate: S => S,
+      atCap: S => Boolean,
+      run: (org.apache.spark.sql.DataFrame, S) =>
+        org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, S) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0,1], got $targetRecall")
+    val sample = queries.orderBy(col(idCol)).limit(maxTuneQueries)
+    val exact = Similarity.bruteForceTopK(data, sample, idCol,
+      vecCol, k).localCheckpoint(true)
+    var knobs = initial
+    var done = false
+    while (!done) {
+      val minRecall = recallAtK(run(sample, knobs), exact, idCol, k)
+        .agg(min(col("recall"))).head().getDouble(0)
+      if (minRecall >= targetRecall || atCap(knobs)) done = true
+      else knobs = escalate(knobs)
+    }
+    exact.unpersist()
+    (run(queries, knobs), knobs)
   }
 }

@@ -361,6 +361,7 @@ object Bench {
     var recallPqRefined = -1.0
     var recallPqRefinedFixed = -1.0
     var recallIvfPqRefined = -1.0
+    var recallIvfPqRaw = -1.0
     var ivfNprobe = -1
     var pqShortlist = -1
     var ivfPqNprobe = -1
@@ -418,6 +419,11 @@ object Bench {
         // nprobe + shortlist walk in lockstep to the same target.
         val model = graft.llm.IvfPq.train(emb, "vec_id", "embedding",
           nlist = 16, m = 16, ksub = 16, iters = 3)
+        // raw ADC ranking at a full probe — the composed index's
+        // honest lossy signal (PQ-raw's counterpart; isolates the
+        // residual-code resolution from any cell-miss effect)
+        recallIvfPqRaw = minRecall(graft.llm.IvfPq.search(emb, queries,
+          "vec_id", "embedding", model, nprobe = 16, k = 10))
         val (ivfPqTuned, paidNprobe, paidSl) =
           graft.llm.IvfPq.refinedSearchAutoTuned(emb, queries,
             "vec_id", "embedding", model, k = 10, targetRecall = 0.95,
@@ -466,6 +472,7 @@ object Bench {
       s""""ann_recall_pq_min":${jd(recallPq)},""" +
       s""""ann_recall_pq_refined_min":${jd(recallPqRefined)},""" +
       s""""ann_recall_pq_refined_fixed100_min":${jd(recallPqRefinedFixed)},""" +
+      s""""ann_recall_ivfpq_min":${jd(recallIvfPqRaw)},""" +
       s""""ann_recall_ivfpq_refined_min":${jd(recallIvfPqRefined)},""" +
       s""""ann_ivf_nprobe":$ivfNprobe,""" +
       s""""ann_pq_shortlist":$pqShortlist,""" +
@@ -501,6 +508,7 @@ object Bench {
       s""""ann_recall_ivf_min":${jd(recallIvf)},""" +
       s""""ann_recall_pq_min":${jd(recallPq)},""" +
       s""""ann_recall_pq_refined_min":${jd(recallPqRefined)},""" +
+      s""""ann_recall_ivfpq_min":${jd(recallIvfPqRaw)},""" +
       s""""ann_recall_ivfpq_refined_min":${jd(recallIvfPqRefined)},""" +
       s""""ann_ivf_nprobe":$ivfNprobe,""" +
       s""""ann_pq_shortlist":$pqShortlist,""" +

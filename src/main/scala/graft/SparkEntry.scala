@@ -118,6 +118,19 @@ object SparkEntry {
     else sharedBm25Terms.getOrElseUpdate(s"bm25:$dir", mk)
   }
 
+  // the q88 unigram LM (entry + its oracle): top-16 vocabulary with
+  // integer micro-nat costs plus the OOV bucket — deterministic
+  // re-learn, so gate and oracle replay identical literals
+  private val sharedUnigramLm = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, Long)], Long)]
+  private def unigramLmModel(s: SparkSession, dir: String)
+      : (Seq[(String, Long)], Long) = {
+    def mk = graft.llm.TextStats.unigramLm(t(s, dir, "documents"),
+      "text", vocabSize = 16)
+    if (!sharingFrames) mk
+    else sharedUnigramLm.getOrElseUpdate(s"unigram:$dir", mk)
+  }
+
   // ---- canonical deletion-queue fixtures used by the find/forget queries
   private val simpleQueue = Seq(
     DeletionQueueItem("s1", MatchId.Simple("7")),
@@ -977,6 +990,18 @@ object SparkEntry {
         .collect().map(_.getString(0)).toIndexedSeq
       TextStats.proximitySearch(idx, "doc_id", terms, window = 3)
     }),
+    // LLM §quality — unigram-LM mean surprisal (the CCNet perplexity
+    // filter's score, integer micro-nats): top-16 vocab + OOV bucket
+    // learned from the corpus (ln folded driver-side into literals
+    // shared with the oracle — the q75-idf move); the 31-token
+    // synthetic vocabulary leaves 15 tokens genuinely OOV, so both
+    // cost paths are exercised. One tokenization, one broadcast join,
+    // one doc-id aggregation.
+    "q88_unigram_surprisal" -> ((s, dir) => {
+      val (vocab, oov) = unigramLmModel(s, dir)
+      graft.llm.TextStats.unigramSurprisal(t(s, dir, "documents"),
+        "doc_id", "text", vocab, oov)
+    }),
     // LLM §corpus-stats — EXACT length percentiles (what
     // percentile_approx approximates): value at 1-based rank
     // ceil(p·n/100) of the (tokens, id) total order, via the q64
@@ -1341,7 +1366,12 @@ object SparkEntry {
         graft.llm.IvfPq.encodeOracleSql(ivfPqModel(s, dir)),
       "q82_ivfpq_search" ->
         graft.llm.IvfPq.searchOracleSql(ivfPqModel(s, dir),
-          k = 10, nprobe = 2, queryPred = "a.vec_id < 3"))
+          k = 10, nprobe = 2, queryPred = "a.vec_id < 3"),
+      // same (token, cost_micro) + OOV literals as the q88 entry
+      "q88_unigram_surprisal" -> {
+        val (vocab, oov) = unigramLmModel(s, dir)
+        graft.llm.TextStats.unigramSurprisalOracleSql(vocab, oov)
+      })
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -693,6 +693,102 @@ object TextStats {
     *
     * Output: (idCol, `token`, `tf`, `df`, `rank` 1..k). Token-less
     * documents emit no rows. */
+  /** Unigram language model over the corpus — the backbone of a
+    * CCNet-style perplexity quality filter: the top-`vocabSize` tokens
+    * by (freq desc, token asc) with their surprisal −ln(freq/T)
+    * pre-scaled to integer MICRO-nats, plus the single
+    * out-of-vocabulary bucket cost −ln(oovMass/T). Every OOV token is
+    * priced at the bucket's AGGREGATE mass — the bounded-vocab trade
+    * that keeps the model literal-sized (it under-penalizes individual
+    * rare tokens relative to a full-vocabulary LM; vocabSize is the
+    * knob). The one float op (`ln`) folds driver-side into the shared
+    * literals — the q75-idf parity-by-construction move — so engine
+    * and oracle replay identical integers. T counts every token; an
+    * all-in-vocab corpus prices the empty bucket at a single token's
+    * mass (cost ln T, the maximum a token can cost — never a division
+    * by zero).
+    *
+    * Learning cost: one token hash aggregation (map-side partials)
+    * feeding a total-sum and a TakeOrdered collect bounded by
+    * vocabSize — the q33 vocab-cut shape; model state is vocabSize+1
+    * longs however large the corpus.
+    *
+    * Returns (vocab (token, costMicro), oovCostMicro). */
+  def unigramLm(df: org.apache.spark.sql.DataFrame, textCol: String,
+                vocabSize: Int): (Seq[(String, Long)], Long) = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val freqs = df.select(explode(tokenArray(textCol)).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_f"))
+    val totalRow = freqs.agg(sum(col("_f")).as("_T")).collect()(0)
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0,
+      "corpus has no tokens — cannot fit a unigram LM")
+    val total = totalRow.getLong(0)
+    val top = freqs.orderBy(col("_f").desc, col("_t")).limit(vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def costMicro(mass: Long): Long =
+      math.round(math.log(total.toDouble / mass) * 1e6)
+    (top.map { case (t, f) => (t, costMicro(f)) },
+      costMicro(math.max(total - top.map(_._2).sum, 1L)))
+  }
+
+  /** Mean token surprisal per document in integer micro-nats under a
+    * [[unigramLm]] model — the perplexity filter's score (perplexity =
+    * exp(mean surprisal)) without ever computing the float: exp is
+    * monotone, so thresholding/ranking in micro-nats IS thresholding
+    * in perplexity, and the integer `div` (truncation toward zero,
+    * every operand positive) hash-replays in any engine. Overflow
+    * bound: per-token cost ≤ ln(T)·1e6 < 45e6 even at 1e19 corpus
+    * tokens, so a doc would need ~2e11 tokens to overflow the sum.
+    *
+    * Shape: one corpus tokenization + ONE broadcast left join against
+    * the vocabSize-row cost table (OOV coalesces to the bucket cost) +
+    * one (id) hash aggregation with map-side partials — the BM25 dl
+    * shape. Token-less documents emit no rows.
+    *
+    * Output: (idCol, `n_tokens`, `surprisal_micro`). */
+  def unigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, vocab: Seq[(String, Long)],
+                       oovCostMicro: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val costs = vocab.toDF("_vt", "_cost")
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(tokenArray(textCol)).as("_t"))
+      .join(broadcast(costs), col("_t") === col("_vt"), "left")
+      .select(col(idCol),
+        coalesce(col("_cost"), lit(oovCostMicro)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_c")).as("_sum"))
+      .select(col(idCol), col("n_tokens"),
+        expr("_sum div n_tokens").as("surprisal_micro"))
+  }
+
+  /** DuckDB replay of [[unigramSurprisal]] from the SAME (token,
+    * costMicro) literals the entry used — all-BIGINT arithmetic (`//`
+    * and `div` both truncate toward zero; operands positive), exact by
+    * construction. */
+  def unigramSurprisalOracleSql(vocab: Seq[(String, Long)],
+                                oovCostMicro: Long): String = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val values = vocab.map { case (t, c) =>
+      s"(CAST('${t.replace("'", "''")}' AS VARCHAR), CAST($c AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split(text, ' '), x -> x <> '')) AS t
+      |    FROM documents WHERE doc_id IS NOT NULL) u(doc_id, t)),
+      | v(token, cost_micro) AS (VALUES $values),
+      | c AS (SELECT tok.doc_id,
+      |     COALESCE(v.cost_micro, CAST($oovCostMicro AS BIGINT)) AS cost
+      |   FROM tok LEFT JOIN v ON tok.t = v.token)
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |   CAST(sum(cost) AS BIGINT) // CAST(count(*) AS BIGINT)
+      |     AS surprisal_micro
+      | FROM c GROUP BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   def keywords(df: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, k: Int)
       : org.apache.spark.sql.DataFrame = {

@@ -131,6 +131,28 @@ object SparkEntry {
     else sharedUnigramLm.getOrElseUpdate(s"unigram:$dir", mk)
   }
 
+  // the q89 bigram stupid-backoff model: top-16 vocab + top-32 pairs
+  private val sharedBigramLm = scala.collection.concurrent.TrieMap
+    .empty[String, graft.llm.TextStats.BigramModel]
+  private def bigramLmModel(s: SparkSession, dir: String)
+      : graft.llm.TextStats.BigramModel = {
+    def mk = graft.llm.TextStats.bigramLm(t(s, dir, "documents"),
+      "text", vocabSize = 16, bigramSize = 32)
+    if (!sharingFrames) mk
+    else sharedBigramLm.getOrElseUpdate(s"bigram:$dir", mk)
+  }
+
+  // the q90 Moore-Lewis pair: IN-DOMAIN LM on the lang='en' stratum,
+  // GENERAL LM on the whole corpus (same vocab cut as q88)
+  private def inDomainLmModel(s: SparkSession, dir: String)
+      : (Seq[(String, Long)], Long) = {
+    def mk = graft.llm.TextStats.unigramLm(
+      t(s, dir, "documents").filter(col("lang") === "en"),
+      "text", vocabSize = 16)
+    if (!sharingFrames) mk
+    else sharedUnigramLm.getOrElseUpdate(s"unigram_en:$dir", mk)
+  }
+
   // ---- canonical deletion-queue fixtures used by the find/forget queries
   private val simpleQueue = Seq(
     DeletionQueueItem("s1", MatchId.Simple("7")),
@@ -1002,6 +1024,28 @@ object SparkEntry {
       graft.llm.TextStats.unigramSurprisal(t(s, dir, "documents"),
         "doc_id", "text", vocab, oov)
     }),
+    // LLM §quality — bigram stupid-backoff surprisal (Brants 2007):
+    // q88 one order up — position 1 at unigram cost, later positions
+    // at the top-32 pair table's conditional cost else the flat
+    // -ln(0.4) penalty + unigram backoff. One tokenization into
+    // (prev, cur) rows, two broadcast joins, one doc-id aggregation;
+    // the 31-token vocabulary leaves most of the 900-odd observed
+    // pairs out-of-table, so the backoff path dominates and both
+    // branches are exercised at gate scale.
+    "q89_bigram_surprisal" -> ((s, dir) =>
+      graft.llm.TextStats.bigramSurprisal(t(s, dir, "documents"),
+        "doc_id", "text", bigramLmModel(s, dir))),
+    // LLM §quality — Moore-Lewis contrastive selection (Moore & Lewis
+    // 2010): per-doc mean surprisal under the lang='en' IN-DOMAIN LM
+    // minus under the whole-corpus GENERAL LM; negative = looks
+    // English relative to background. ONE tokenization, two broadcast
+    // cost joins, one aggregation — not two scoring passes.
+    "q90_moore_lewis" -> ((s, dir) => {
+      val (iv, io) = inDomainLmModel(s, dir)
+      val (gv, go) = unigramLmModel(s, dir)
+      graft.llm.TextStats.lmContrastScore(t(s, dir, "documents"),
+        "doc_id", "text", iv, io, gv, go)
+    }),
     // LLM §corpus-stats — EXACT length percentiles (what
     // percentile_approx approximates): value at 1-based rank
     // ceil(p·n/100) of the (tokens, id) total order, via the q64
@@ -1371,6 +1415,15 @@ object SparkEntry {
       "q88_unigram_surprisal" -> {
         val (vocab, oov) = unigramLmModel(s, dir)
         graft.llm.TextStats.unigramSurprisalOracleSql(vocab, oov)
+      },
+      // same vocab + pair-table + backoff literals as the q89 entry
+      "q89_bigram_surprisal" ->
+        graft.llm.TextStats.bigramSurprisalOracleSql(bigramLmModel(s, dir)),
+      // same two (token, cost_micro) + OOV literal tables as q90
+      "q90_moore_lewis" -> {
+        val (iv, io) = inDomainLmModel(s, dir)
+        val (gv, go) = unigramLmModel(s, dir)
+        graft.llm.TextStats.lmContrastOracleSql(iv, io, gv, go)
       })
   }
 

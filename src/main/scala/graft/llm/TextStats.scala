@@ -676,23 +676,6 @@ object TextStats {
         org.apache.spark.sql.expressions.Window
           .orderBy(score.desc, col(idCol))).cast("int"))
 
-  /** Per-document distinctive-KEYWORD extraction — tf-idf's ranking
-    * with NO floats anywhere: per doc, tokens ordered by (tf desc,
-    * corpus doc-frequency asc, token asc) and cut to the top `k`. The
-    * float tf·idf score and this order agree on what they exist to
-    * express (frequent-here, rare-elsewhere) while the integer
-    * lexicographic form is bit-identical in any engine — same move as
-    * [[qualityFilter]]'s integer cross-products.
-    *
-    * Shape: tf = one (id, token) hash aggregation (rows ∝ distinct
-    * doc-token pairs); df = one token aggregation over tf (already
-    * per-doc-distinct, so `count(*)` IS document frequency); the
-    * per-doc top-k is the [[Similarity.rankTopK]] two-phase pattern —
-    * no per-doc single-task window even for a pathological
-    * million-distinct-token document.
-    *
-    * Output: (idCol, `token`, `tf`, `df`, `rank` 1..k). Token-less
-    * documents emit no rows. */
   /** Unigram language model over the corpus — the backbone of a
     * CCNet-style perplexity quality filter: the top-`vocabSize` tokens
     * by (freq desc, token asc) with their surprisal −ln(freq/T)
@@ -789,6 +772,250 @@ object TextStats {
       | FROM c GROUP BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** A learned bigram stupid-backoff model (Brants 2007, "Large
+    * Language Models in Machine Translation"): the top-`bigrams.size`
+    * adjacent pairs with conditional cost −ln(c12/c1) in integer
+    * micro-nats, backed off — at the flat, unnormalized stupid-backoff
+    * penalty −ln(0.4) — to the [[unigramLm]] vocabulary (itself backed
+    * by its OOV bucket). All four pieces are literal-sized; every
+    * float op folded driver-side at learn time. */
+  final case class BigramModel(vocab: Seq[(String, Long)],
+                               oovCostMicro: Long,
+                               bigrams: Seq[(String, String, Long)],
+                               backoffCostMicro: Long)
+
+  /** −ln(0.4) in micro-nats — stupid backoff's fixed penalty. */
+  val StupidBackoffMicro: Long = math.round(-math.log(0.4) * 1e6)
+
+  /** Learn a [[BigramModel]]: the [[unigramLm]] cut plus the
+    * top-`bigramSize` adjacent pairs by (freq desc, bigram asc) with
+    * conditional surprisal −ln(count(w1 w2)/count(w1)) pre-scaled to
+    * integer micro-nats. Conditioning masses are the CORPUS counts of
+    * each retained pair's first token (count(w1 w2) ≤ count(w1)
+    * structurally, so every conditional cost is ≥ 0; a pair whose w1
+    * is always followed by w2 prices at exactly 0).
+    *
+    * Learning cost: the unigram jobs + one bigram hash aggregation
+    * (map-side partials) with a TakeOrdered cut bounded by
+    * `bigramSize`, + one freq lookup over the ≤ bigramSize distinct
+    * first tokens. A corpus with no 2-token document yields an empty
+    * pair table — the model is still total (everything backs off). */
+  def bigramLm(df: org.apache.spark.sql.DataFrame, textCol: String,
+               vocabSize: Int, bigramSize: Int): BigramModel = {
+    require(bigramSize >= 1, s"bigramSize must be >= 1, got $bigramSize")
+    val (vocab, oov) = unigramLm(df, textCol, vocabSize)
+    val top = df.select(tokenArray(textCol).as("_ts"))
+      .select(explode(gramsOf(col("_ts"), 2)).as("_g"))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_g")).limit(bigramSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val w1s = top.map(_._1.split(' ')(0)).distinct
+    val w1Freq: Map[String, Long] =
+      if (w1s.isEmpty) Map.empty
+      else df.select(explode(tokenArray(textCol)).as("_t"))
+        .filter(col("_t").isin(w1s: _*))
+        .groupBy(col("_t")).agg(count(lit(1)).as("_f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = top.map { case (g, c12) =>
+      val Array(w1, w2) = g.split(' ')
+      (w1, w2, math.round(math.log(w1Freq(w1).toDouble / c12) * 1e6))
+    }
+    BigramModel(vocab, oov, pairs, StupidBackoffMicro)
+  }
+
+  /** Mean token surprisal per document under a [[BigramModel]] — the
+    * higher-order perplexity filter: position 1 prices at the unigram
+    * cost of its token; every later position at the bigram conditional
+    * cost when (prev, cur) is in the pair table, else at
+    * backoff + unigram(cur) — stupid backoff's score, never
+    * renormalized (Brants 2007 §4; the point is that at corpus scale
+    * the unnormalized score ranks as well as Kneser-Ney at a fraction
+    * of the cost). Integer `div`, positive operands — hash-replayable.
+    *
+    * Shape: one tokenization producing (prev, cur) rows — the first
+    * position carries a NULL prev, which structurally misses the pair
+    * join and routes through the when-branch — then TWO broadcast
+    * joins (pair table, unigram table) and one (id) hash aggregation
+    * with map-side partials. n_tokens = 1 + (n−1) pairs = the doc's
+    * token count. Token-less documents emit no rows.
+    *
+    * Output: (idCol, `n_tokens`, `surprisal_micro`). */
+  def bigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, model: BigramModel)
+      : org.apache.spark.sql.DataFrame = {
+    require(model.vocab.nonEmpty, "vocab must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val uni = model.vocab.toDF("_vt", "_ucost")
+    val bi = model.bigrams.toDF("_b1", "_b2", "_bcost")
+    val toks = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), tokenArray(textCol).as("_ts"))
+      .filter(size(col("_ts")) >= 1)
+    val firstTok = toks.select(col(idCol),
+      lit(null).cast("string").as("_w1"),
+      element_at(col("_ts"), 1).as("_w2"))
+    val pairs = toks.filter(size(col("_ts")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(_ts)), " +
+          "i -> struct(_ts[i-2] AS w1, _ts[i-1] AS w2))")).as("_p"))
+      .select(col(idCol), col("_p.w1").as("_w1"), col("_p.w2").as("_w2"))
+    val uniCost = coalesce(col("_ucost"), lit(model.oovCostMicro))
+    firstTok.unionByName(pairs)
+      .join(broadcast(bi),
+        col("_w1") === col("_b1") && col("_w2") === col("_b2"), "left")
+      .join(broadcast(uni), col("_w2") === col("_vt"), "left")
+      .select(col(idCol), when(col("_w1").isNull, uniCost)
+        .otherwise(coalesce(col("_bcost"),
+          lit(model.backoffCostMicro) + uniCost)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_c")).as("_sum"))
+      .select(col(idCol), col("n_tokens"),
+        expr("_sum div n_tokens").as("surprisal_micro"))
+  }
+
+  /** DuckDB replay of [[bigramSurprisal]] from the SAME model
+    * literals: the first position as an explicit NULL-prev row, later
+    * positions as zipped offset unnests (the q85/q86 idiom), the same
+    * two left joins and CASE, all-BIGINT `//`. An empty pair table
+    * becomes a WHERE-FALSE frame (VALUES cannot be empty). */
+  def bigramSurprisalOracleSql(model: BigramModel): String = {
+    require(model.vocab.nonEmpty, "vocab must be non-empty")
+    def q(s: String) = s"'${s.replace("'", "''")}'"
+    val uniVals = model.vocab.map { case (t, c) =>
+      s"(CAST(${q(t)} AS VARCHAR), CAST($c AS BIGINT))"
+    }.mkString(", ")
+    val biFrame =
+      if (model.bigrams.isEmpty)
+        """b(w1, w2, cost_micro) AS (SELECT CAST(NULL AS VARCHAR),
+          |   CAST(NULL AS VARCHAR), CAST(0 AS BIGINT) WHERE FALSE)"""
+          .stripMargin
+      else {
+        val vals = model.bigrams.map { case (w1, w2, c) =>
+          s"(CAST(${q(w1)} AS VARCHAR), CAST(${q(w2)} AS VARCHAR), " +
+            s"CAST($c AS BIGINT))"
+        }.mkString(", ")
+        s"b(w1, w2, cost_micro) AS (VALUES $vals)"
+      }
+    s"""WITH d AS (SELECT doc_id, list_filter(
+      |     string_split(text, ' '), x -> x <> '') AS ts
+      |   FROM documents WHERE doc_id IS NOT NULL),
+      | u(token, cost_micro) AS (VALUES $uniVals),
+      | $biFrame,
+      | s AS (
+      |   SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, ts[1] AS w2
+      |   FROM d WHERE len(ts) >= 1
+      |   UNION ALL
+      |   SELECT doc_id,
+      |     unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+      |     unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS w2
+      |   FROM d WHERE len(ts) >= 2),
+      | c AS (SELECT s.doc_id,
+      |     CASE WHEN s.w1 IS NULL
+      |       THEN COALESCE(u.cost_micro,
+      |         CAST(${model.oovCostMicro} AS BIGINT))
+      |       ELSE COALESCE(b.cost_micro,
+      |         CAST(${model.backoffCostMicro} AS BIGINT)
+      |           + COALESCE(u.cost_micro,
+      |               CAST(${model.oovCostMicro} AS BIGINT))) END AS cost
+      |   FROM s LEFT JOIN b ON s.w1 = b.w1 AND s.w2 = b.w2
+      |     LEFT JOIN u ON s.w2 = u.token)
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |   CAST(sum(cost) AS BIGINT) // CAST(count(*) AS BIGINT)
+      |     AS surprisal_micro
+      | FROM c GROUP BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Moore–Lewis contrastive data selection (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data"): score
+    * every document by its mean surprisal under an IN-DOMAIN unigram
+    * LM minus under a GENERAL LM — low (negative) scores look like the
+    * target domain relative to the background, and thresholding the
+    * score IS Moore–Lewis selection. Both per-doc means are integer
+    * micro-nats ([[unigramSurprisal]] semantics); their difference is
+    * exact integer arithmetic, so the whole frame hash-replays.
+    *
+    * Shape: ONE tokenization + TWO broadcast joins (one per cost
+    * table) + one (id) hash aggregation — not two scoring passes
+    * joined after the fact. Token-less documents emit no rows.
+    *
+    * Output: (idCol, `n_tokens`, `in_micro`, `gen_micro`,
+    * `ml_score_micro` = in − gen). */
+  def lmContrastScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String,
+                      inVocab: Seq[(String, Long)], inOovMicro: Long,
+                      genVocab: Seq[(String, Long)], genOovMicro: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(inVocab.nonEmpty && genVocab.nonEmpty,
+      "both vocabularies must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inC = inVocab.toDF("_it", "_icost")
+    val genC = genVocab.toDF("_gt", "_gcost")
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(tokenArray(textCol)).as("_t"))
+      .join(broadcast(inC), col("_t") === col("_it"), "left")
+      .join(broadcast(genC), col("_t") === col("_gt"), "left")
+      .select(col(idCol),
+        coalesce(col("_icost"), lit(inOovMicro)).as("_ci"),
+        coalesce(col("_gcost"), lit(genOovMicro)).as("_cg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_ci")).as("_si"), sum(col("_cg")).as("_sg"))
+      .select(col(idCol), col("n_tokens"),
+        expr("_si div n_tokens").as("in_micro"),
+        expr("_sg div n_tokens").as("gen_micro"))
+      .withColumn("ml_score_micro", col("in_micro") - col("gen_micro"))
+  }
+
+  /** DuckDB replay of [[lmContrastScore]] from the SAME two literal
+    * cost tables — the [[unigramSurprisalOracleSql]] shape doubled,
+    * one tokenization, all-BIGINT. */
+  def lmContrastOracleSql(inVocab: Seq[(String, Long)], inOovMicro: Long,
+                          genVocab: Seq[(String, Long)],
+                          genOovMicro: Long): String = {
+    require(inVocab.nonEmpty && genVocab.nonEmpty,
+      "both vocabularies must be non-empty")
+    def vals(v: Seq[(String, Long)]) = v.map { case (t, c) =>
+      s"(CAST('${t.replace("'", "''")}' AS VARCHAR), CAST($c AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split(text, ' '), x -> x <> '')) AS t
+      |    FROM documents WHERE doc_id IS NOT NULL) u(doc_id, t)),
+      | vi(token, cost_micro) AS (VALUES ${vals(inVocab)}),
+      | vg(token, cost_micro) AS (VALUES ${vals(genVocab)}),
+      | c AS (SELECT tok.doc_id,
+      |     COALESCE(vi.cost_micro, CAST($inOovMicro AS BIGINT)) AS ci,
+      |     COALESCE(vg.cost_micro, CAST($genOovMicro AS BIGINT)) AS cg
+      |   FROM tok LEFT JOIN vi ON tok.t = vi.token
+      |     LEFT JOIN vg ON tok.t = vg.token)
+      | SELECT doc_id, n_tokens, in_micro, gen_micro,
+      |   in_micro - gen_micro AS ml_score_micro
+      | FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |     CAST(sum(ci) AS BIGINT) // CAST(count(*) AS BIGINT)
+      |       AS in_micro,
+      |     CAST(sum(cg) AS BIGINT) // CAST(count(*) AS BIGINT)
+      |       AS gen_micro
+      |   FROM c GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Per-document distinctive-KEYWORD extraction — tf-idf's ranking
+    * with NO floats anywhere: per doc, tokens ordered by (tf desc,
+    * corpus doc-frequency asc, token asc) and cut to the top `k`. The
+    * float tf·idf score and this order agree on what they exist to
+    * express (frequent-here, rare-elsewhere) while the integer
+    * lexicographic form is bit-identical in any engine — same move as
+    * [[qualityFilter]]'s integer cross-products.
+    *
+    * Shape: tf = one (id, token) hash aggregation (rows ∝ distinct
+    * doc-token pairs); df = one token aggregation over tf (already
+    * per-doc-distinct, so `count(*)` IS document frequency); the
+    * per-doc top-k is the [[Similarity.rankTopK]] two-phase pattern —
+    * no per-doc single-task window even for a pathological
+    * million-distinct-token document.
+    *
+    * Output: (idCol, `token`, `tf`, `df`, `rank` 1..k). Token-less
+    * documents emit no rows. */
   def keywords(df: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, k: Int)
       : org.apache.spark.sql.DataFrame = {

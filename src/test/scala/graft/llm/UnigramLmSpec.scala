@@ -86,6 +86,40 @@ class UnigramLmSpec extends SparkSpec {
     assert(e.getMessage.contains("no tokens"))
   }
 
+  test("Moore-Lewis contrast equals two independent surprisal runs " +
+    "joined, and separates the strata it was trained on") {
+    val inTexts = Seq("good clean prose here", "clean prose reads well",
+      "good prose here again")
+    val bgTexts = Seq("zz qq xx yy", "qq zz yy xx ww", "xx yy zz")
+    val all = (inTexts ++ bgTexts).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val inDocs = all.filter(col("doc_id") < 3)
+    val (iv, io) = TextStats.unigramLm(inDocs, "text", 8)
+    val (gv, go) = TextStats.unigramLm(all, "text", 8)
+    val got = TextStats.lmContrastScore(all, "doc_id", "text",
+      iv, io, gv, go)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // the fused single-pass frame must equal two unigramSurprisal runs
+    def side(v: Seq[(String, Long)], o: Long) =
+      TextStats.unigramSurprisal(all, "doc_id", "text", v, o)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+    val a = side(iv, io); val b = side(gv, go)
+    assert(got.keySet == a.keySet)
+    got.foreach { case (id, (n, im, gm, ml)) =>
+      assert((n, im) == a(id), s"in-side mismatch at $id")
+      assert(gm == b(id)._2, s"gen-side mismatch at $id")
+      assert(ml == im - gm)
+    }
+    // every in-domain doc must score BELOW (more in-domain than)
+    // every background doc — the selection the operator exists for
+    val inMax = (0L to 2L).map(got(_)._4).max
+    val bgMin = (3L to 5L).map(got(_)._4).min
+    assert(inMax < bgMin, s"no separation: inMax=$inMax bgMin=$bgMin")
+  }
+
   test("oracle SQL carries the exact literals and the gate arithmetic " +
     "shape (CAST-wrapped sums, integer //)") {
     val sql = TextStats.unigramSurprisalOracleSql(
@@ -94,6 +128,12 @@ class UnigramLmSpec extends SparkSpec {
     assert(sql.contains("CAST(1500000 AS BIGINT)"))
     assert(sql.contains("CAST(7000000 AS BIGINT)"))
     assert(graft.GateLint.oracleViolations("q88_unigram_surprisal", sql)
+      .isEmpty)
+    val contrast = TextStats.lmContrastOracleSql(
+      Seq(("a", 1L)), 2L, Seq(("b'c", 3L)), 4L)
+    assert(contrast.contains("'b''c'"))
+    assert(contrast.contains("CAST(4 AS BIGINT)"))
+    assert(graft.GateLint.oracleViolations("q90_moore_lewis", contrast)
       .isEmpty)
   }
 }

@@ -191,4 +191,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial agg in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
+
+  test("LM surprisal scoring (q88/q89/q90) broadcasts every literal " +
+    "cost table — the only shuffle is the per-doc aggregation's, and " +
+    "partials combine map-side") {
+    for (q <- Seq("q88_unigram_surprisal", "q89_bigram_surprisal",
+        "q90_moore_lewis")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: no BHJ in:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: cost-table join shuffled in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian in:\n$plan")
+      assert(plan.contains("partial_"), s"$q: no partial agg in:\n$plan")
+      assert(!plan.contains("Window"), s"$q: window op in:\n$plan")
+    }
+  }
 }

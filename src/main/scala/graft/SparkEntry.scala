@@ -153,6 +153,19 @@ object SparkEntry {
     else sharedUnigramLm.getOrElseUpdate(s"unigram_en:$dir", mk)
   }
 
+  // the q91 linear quality classifier, distilled from the qualityKeep
+  // rule teacher (the fastText-bootstrap move): bit-deterministic
+  // preconditioned GD, weights fold to literals shared with the oracle
+  private val sharedClassifier = scala.collection.concurrent.TrieMap
+    .empty[String, graft.llm.Classifier.Model]
+  private def classifierModel(s: SparkSession, dir: String)
+      : graft.llm.Classifier.Model = {
+    def mk = graft.llm.Classifier.train(t(s, dir, "documents"), "text",
+      graft.llm.TextStats.qualityKeep(col("text")), iters = 60)
+    if (!sharingFrames) mk
+    else sharedClassifier.getOrElseUpdate(s"clf:$dir", mk)
+  }
+
   // ---- canonical deletion-queue fixtures used by the find/forget queries
   private val simpleQueue = Seq(
     DeletionQueueItem("s1", MatchId.Simple("7")),
@@ -1046,6 +1059,15 @@ object SparkEntry {
       graft.llm.TextStats.lmContrastScore(t(s, dir, "documents"),
         "doc_id", "text", iv, io, gv, go)
     }),
+    // LLM §quality — model-based scoring (the fastText/CCNet stage
+    // after the rule pass): a linear classifier DISTILLED from the
+    // qualityKeep rule teacher by bit-deterministic preconditioned
+    // GD (integer micro-unit gradients — every distributed sum is a
+    // Long sum), then the corpus scored by a shuffle-free integer
+    // projection; weights fold to literals shared with the oracle.
+    "q91_quality_classifier" -> ((s, dir) =>
+      graft.llm.Classifier.score(t(s, dir, "documents"),
+        "doc_id", "text", classifierModel(s, dir))),
     // LLM §corpus-stats — EXACT length percentiles (what
     // percentile_approx approximates): value at 1-based rank
     // ceil(p·n/100) of the (tokens, id) total order, via the q64
@@ -1424,7 +1446,11 @@ object SparkEntry {
         val (iv, io) = inDomainLmModel(s, dir)
         val (gv, go) = unigramLmModel(s, dir)
         graft.llm.TextStats.lmContrastOracleSql(iv, io, gv, go)
-      })
+      },
+      // same micro-unit weight literals as the q91 entry's fit —
+      // the oracle replays only the (all-BIGINT) scoring projection
+      "q91_quality_classifier" ->
+        graft.llm.Classifier.scoreOracleSql(classifierModel(s, dir)))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,163 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality scoring — the fastText-style linear classifier
+  * every large pretraining pipeline runs after the rule-based pass
+  * (CCNet, GPT-3's "looks like the reference corpus" filter): learn a
+  * linear scorer from weak labels (here: distilled from the
+  * [[TextStats.qualityKeep]] rule, the standard bootstrap), then score
+  * the whole corpus with a pure projection.
+  *
+  * Everything is integer micro-units end to end, for the same reason
+  * the LM family is ([[TextStats.unigramSurprisal]]): per-row float
+  * work (the sigmoid) is rounded to a micro-unit Long BEFORE any
+  * aggregation, so every distributed sum is a Long sum — associative,
+  * commutative, independent of partition order — and training is
+  * bit-deterministic for a fixed JVM. The learned weights fold to
+  * literals, so scoring (and its DuckDB oracle replay) never touches a
+  * float at all.
+  *
+  * Engine shape:
+  *  - '''train''': the feature frame is computed ONCE and cached; each
+  *    of the `iters` epochs is ONE aggregation with map-side partials
+  *    (a k+1-column sum — bytes per partition), nothing else moves.
+  *    At 100 TB you train on a bounded deterministic sample
+  *    ([[Sampling.deterministicSample]]) and score the full corpus —
+  *    the epoch cost is O(sample), the scoring cost one codegen'd
+  *    projection over the scan.
+  *  - '''score''': shuffle-free narrow projection (plan-asserted in
+  *    the spec) — composes with any scan.
+  *
+  * Reference scope: the reference engine (awslabs/amazon-s3-find-and-
+  * forget) has no model-based scoring; this is LLM-brief surface on
+  * the `documents` table, after Joulin 2016 (fastText) / Wenzek 2019
+  * (CCNet) as public statements.
+  */
+object Classifier {
+
+  /** A trained linear model: one micro-unit weight per feature of
+    * [[featureColumns]], index 0 the bias. real weight = micro/1e6. */
+  final case class Model(weightsMicro: IndexedSeq[Long]) {
+    require(weightsMicro.size == FeatureNames.size,
+      s"expected ${FeatureNames.size} weights, got ${weightsMicro.size}")
+  }
+
+  /** The fixed surface-feature family, replicated exactly (integer
+    * semantics) by [[featureSqlExprs]]: bias, token count, distinct
+    * token count, character count, stopword count. */
+  val FeatureNames: Seq[String] =
+    Seq("bias", "n_tokens", "n_distinct", "n_chars", "n_stop")
+
+  private def toks(text: Column): Column =
+    filter(TextStats.tokens(text), t => length(t) > 0)
+
+  /** The feature vector as Long columns — shared verbatim by train
+    * and score so the two can never drift. */
+  def featureColumns(text: Column): Seq[Column] = Seq(
+    lit(1L),
+    size(toks(text)).cast("long"),
+    size(array_distinct(toks(text))).cast("long"),
+    length(text).cast("long"),
+    size(filter(toks(text), t => t.isin(
+      TextStats.EnglishStopwords.map(_.asInstanceOf[Any]): _*)))
+      .cast("long"))
+
+  /** The SAME features as DuckDB SQL expressions over `textExpr` —
+    * all-BIGINT, list_filter/list_distinct mirror the Column
+    * filter/array_distinct counts exactly. */
+  def featureSqlExprs(textExpr: String): Seq[String] = {
+    val t = s"list_filter(string_split($textExpr, ' '), x -> x <> '')"
+    val stop = TextStats.EnglishStopwords
+      .map(s => s"'${s.replace("'", "''")}'").mkString(", ")
+    Seq(
+      "CAST(1 AS BIGINT)",
+      s"CAST(len($t) AS BIGINT)",
+      s"CAST(len(list_distinct($t)) AS BIGINT)",
+      s"CAST(length($textExpr) AS BIGINT)",
+      s"CAST(len(list_filter($t, x -> x IN ($stop))) AS BIGINT)")
+  }
+
+  /** Fit by full-batch PRECONDITIONED gradient descent on the logistic
+    * loss, from zero weights: each feature's step divides by Sⱼ = Σfⱼ²
+    * (4/Sⱼ·n bounds the Hessian diagonal, since p(1−p) ≤ 1/4), so the
+    * update is scale-invariant across raw integer features — bias at 1
+    * and char-count at 400 condition identically, where vanilla GD
+    * crawls on the small coordinates. Step = lrNum/lrDen of that
+    * bound-Newton step.
+    *
+    * Deterministic: the only float op is the per-row sigmoid (a pure
+    * function of the Long margin, rounded straight back to
+    * micro-units), so gradients are order-independent Long sums and
+    * two fits on the same data are bit-identical. `labelCol` is any
+    * boolean Column over `df`'s rows (the gate distills
+    * [[TextStats.qualityKeep]]).
+    *
+    * Overflow bounds (all Long): per-row |residual| ≤ 1e6 and features
+    * ≤ ~1e6 for real documents, so a gradient term is ≤ 1e12 and the
+    * sum safe to ~9e6 rows per 9.2e18 headroom per 1e12 — train on a
+    * bounded sample at scale, which is what you want anyway. */
+  def train(df: DataFrame, textCol: String, labelCol: Column,
+            iters: Int = 60, lrNum: Long = 1, lrDen: Long = 2): Model = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lrNum >= 1 && lrDen >= 1, "learning rate must be positive")
+    val k = FeatureNames.size
+    val feat = df.select(
+      (labelCol.cast("long") * lit(1000000L)).as("_ymicro") +:
+        featureColumns(col(textCol)).zipWithIndex
+          .map { case (c, j) => c.as(s"_f$j") }: _*)
+      .persist()
+    try {
+      val n = feat.count()
+      require(n > 0, "training frame is empty — cannot fit a classifier")
+      // Sⱼ = Σ fⱼ² — the preconditioner, one extra aggregation up front
+      val sqSums = feat.agg(
+        sum(col("_f0") * col("_f0")).as("_s0"),
+        (1 until k).map(j => sum(col(s"_f$j") * col(s"_f$j")).as(s"_s$j")): _*)
+        .collect()(0)
+      val s = Array.tabulate(k)(j => math.max(1L, sqSums.getLong(j)))
+      val w = Array.fill(k)(0L)
+      for (_ <- 1 to iters) {
+        val margin = (0 until k)
+          .map(j => col(s"_f$j") * lit(w(j))).reduce(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-margin.cast("double") / lit(1e6)))
+        val rMicro = round(p * lit(1e6)).cast("long") - col("_ymicro")
+        val grads = (0 until k)
+          .map(j => sum(rMicro * col(s"_f$j")).as(s"_g$j"))
+        val row = feat.agg(grads.head, grads.tail: _*).collect()(0)
+        // Δwⱼ(micro) = −lr·4·Gⱼ/Sⱼ  (Gⱼ already carries the 1e6 scale)
+        for (j <- 0 until k)
+          w(j) -= (lrNum * 4L * row.getLong(j)) / (lrDen * s(j))
+      }
+      Model(w.toIndexedSeq)
+    } finally { feat.unpersist(); () }
+  }
+
+  /** Score every document: `margin_micro` = Σ wⱼ·fⱼ (monotone in the
+    * model probability — threshold/rank in micro-units, never compute
+    * the sigmoid) and `keep_pred` = 1 iff the margin is positive
+    * (p > 0.5). Pure integer projection, no shuffle. */
+  def score(df: DataFrame, idCol: String, textCol: String,
+            model: Model): DataFrame = {
+    val margin = featureColumns(col(textCol)).zip(model.weightsMicro)
+      .map { case (f, wj) => f * lit(wj) }.reduce(_ + _)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), margin.as("margin_micro"),
+        (margin > 0).cast("int").as("keep_pred"))
+  }
+
+  /** DuckDB replay of [[score]] from the weight literals — the same
+    * all-BIGINT dot product over [[featureSqlExprs]]. */
+  def scoreOracleSql(model: Model, table: String = "documents",
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): String = {
+    val dot = featureSqlExprs(textCol).zip(model.weightsMicro)
+      .map { case (f, wj) => s"CAST($wj AS BIGINT) * $f" }
+      .mkString(" + ")
+    s"""SELECT $idCol, $dot AS margin_micro,
+      | CASE WHEN $dot > 0 THEN 1 ELSE 0 END AS keep_pred
+      | FROM $table WHERE $idCol IS NOT NULL""".stripMargin
+      .replace("\n", " ")
+  }
+}

@@ -17,11 +17,26 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // testdata events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    // by default; read it as bigint nanos (runtime-settable legacy conf)
+    // Older testdata generations stored events.ts as parquet
+    // TIMESTAMP(NANOS), which Spark 4 rejects by default; read those as
+    // bigint nanos (runtime-settable legacy conf).
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Exception => () }
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Every consumer (and every oracle, via DuckDB epoch_ns) treats
+    // events.ts as int64 epoch NANOS. Newer testdata generations store
+    // TIMESTAMP(MICROS) instead, which Spark reads as TIMESTAMP_NTZ —
+    // normalize here, at the single load seam, so both generations
+    // present the identical bigint-nanos contract. The NTZ→epoch
+    // conversion is wall-clock arithmetic against the epoch NTZ literal:
+    // timezone-independent (session tz never consulted), exactly
+    // DuckDB's epoch_ns of the same naive value.
+    if (name == "events" && df.schema("ts").dataType !=
+        org.apache.spark.sql.types.LongType) {
+      df.withColumn("ts", expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
+          " cast(ts as timestamp_ntz)) * 1000"))
+    } else df
   }
 
   // ---- gate-time frame reuse: q29/q31/q53 all start from the

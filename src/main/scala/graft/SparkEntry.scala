@@ -181,6 +181,37 @@ object SparkEntry {
     else sharedClassifier.getOrElseUpdate(s"clf:$dir", mk)
   }
 
+  // the q92 DSIR bucket LMs: hashed-bigram log-probs (B=64) for the
+  // lang='en' TARGET stratum and for the RAW corpus — deterministic
+  // re-learn, the delta folds to literals shared with the oracle
+  private val sharedDsir = scala.collection.concurrent.TrieMap
+    .empty[String, (IndexedSeq[Long], IndexedSeq[Long])]
+  private def dsirModels(s: SparkSession, dir: String)
+      : (IndexedSeq[Long], IndexedSeq[Long]) = {
+    def mk = {
+      val docs = t(s, dir, "documents")
+      (graft.llm.TextStats.dsirBucketLogProbs(
+        docs.filter(col("lang") === "en"), "text", buckets = 64),
+        graft.llm.TextStats.dsirBucketLogProbs(docs, "text", buckets = 64))
+    }
+    if (!sharingFrames) mk
+    else sharedDsir.getOrElseUpdate(s"dsir:$dir", mk)
+  }
+
+  // the q94 temperature quotas (α=0.5, budget 250 over `source`):
+  // counts aggregate once, the float pow folds driver-side into the
+  // integer quota literals shared with the oracle
+  private val sharedQuotas = scala.collection.concurrent.TrieMap
+    .empty[String, Map[String, Int]]
+  private def temperatureQuotasModel(s: SparkSession, dir: String)
+      : Map[String, Int] = {
+    def mk = graft.llm.Sampling.temperatureRebalance(
+      t(s, dir, "documents"), "doc_id", "source",
+      alpha = 0.5, budget = 250L)._2
+    if (!sharingFrames) mk
+    else sharedQuotas.getOrElseUpdate(s"quotas:$dir", mk)
+  }
+
   // ---- canonical deletion-queue fixtures used by the find/forget queries
   private val simpleQueue = Seq(
     DeletionQueueItem("s1", MatchId.Simple("7")),
@@ -1083,6 +1114,36 @@ object SparkEntry {
     "q91_quality_classifier" -> ((s, dir) =>
       graft.llm.Classifier.score(t(s, dir, "documents"),
         "doc_id", "text", classifierModel(s, dir))),
+    // LLM §selection — DSIR importance weights (Xie 2023): hashed-
+    // bigram bucket LMs (target = lang='en' stratum, raw = corpus),
+    // log importance weight in integer micro-nats. Where q90 contrasts
+    // open-vocabulary LMs via broadcast joins, the hashed feature
+    // space folds to a 64-long delta literal — scoring is a pure
+    // shuffle-free projection (spec-asserted), one corpus scan at any
+    // scale.
+    "q92_dsir" -> ((s, dir) => {
+      val (tgt, raw) = dsirModels(s, dir)
+      graft.llm.TextStats.dsirScore(t(s, dir, "documents"),
+        "doc_id", "text", tgt, raw)
+    }),
+    // LLM §splitting — LEAKAGE-SAFE train/valid split (the dedup-aware
+    // eval guard): every q31 near-dup cluster moves as one block keyed
+    // on its representative's md5, so no valid doc has a near-copy in
+    // train; singletons split by their own id. One left equi-join +
+    // a map-side hash predicate — shares the gate's cluster frame.
+    "q93_leakage_split" -> ((s, dir) =>
+      graft.llm.Sampling.leakageSafeSplit(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        docClusters(s, dir), "id_a", "cluster_id",
+        validFraction = 0.15)),
+    // LLM §mixture — temperature rebalancing (sample stratum ∝ n^α,
+    // α=0.5 upweights small sources): ONE counts aggregation, quotas
+    // fold driver-side (largest-remainder, deterministic), execution
+    // is the q60 bounded-heap cap sampler with per-stratum caps. The
+    // oracle replays the selection from the SAME quota literals.
+    "q94_temperature_mix" -> ((s, dir) =>
+      graft.llm.Sampling.capSampleQuotas(t(s, dir, "documents"),
+        "doc_id", "source", temperatureQuotasModel(s, dir))),
     // LLM §corpus-stats — EXACT length percentiles (what
     // percentile_approx approximates): value at 1-based rank
     // ceil(p·n/100) of the (tokens, id) total order, via the q64
@@ -1465,7 +1526,17 @@ object SparkEntry {
       // same micro-unit weight literals as the q91 entry's fit —
       // the oracle replays only the (all-BIGINT) scoring projection
       "q91_quality_classifier" ->
-        graft.llm.Classifier.scoreOracleSql(classifierModel(s, dir)))
+        graft.llm.Classifier.scoreOracleSql(classifierModel(s, dir)),
+      // same per-bucket delta literals as the q92 entry's two learned
+      // bucket LMs — the oracle replays the per-row list fold
+      "q92_dsir" -> {
+        val (tgt, raw) = dsirModels(s, dir)
+        graft.llm.TextStats.dsirOracleSql(tgt, raw)
+      },
+      // same integer quota literals as the q94 entry's driver fold
+      "q94_temperature_mix" ->
+        graft.llm.Sampling.capSampleQuotasOracleSql("documents",
+          "doc_id", "source", temperatureQuotasModel(s, dir)))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1805,6 +1876,17 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // q31's cluster CTEs + the same quantized md5 predicate on the
+    // cluster representative (0.15 → 9830/65536 → hex '2666')
+    "q93_leakage_split" ->
+      s"""$clusterOracleCtes
+        | SELECT d.doc_id,
+        |   COALESCE(cl.cluster_id, d.doc_id) AS cluster_rep,
+        |   CASE WHEN substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+        |       AS VARCHAR)), 1, 4) < '2666'
+        |     THEN 'valid' ELSE 'train' END AS split
+        | FROM documents d LEFT JOIN cl ON cl.id = d.doc_id"""
+        .stripMargin.replace("\n", " "),
     // the q72 CTEs + the same deterministic 2-term pick + intersection
     "q73_conjunctive_search" ->
       """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (

@@ -77,6 +77,35 @@ object Sampling {
   def capSample(df: DataFrame, keyCol: String, strataCol: String,
                 n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    capSampleImpl(df, keyCol, strataCol, _ => n, lit(n))
+  }
+
+  /** [[capSample]] with a PER-STRATUM cap — the mixture executor:
+    * stratum `s` keeps exactly `min(quotas(s), |s|)` rows in the same
+    * deterministic md5 order (identical hash input, so a stratum's
+    * selection under quota q is a PREFIX of its selection under any
+    * q' > q — quota changes never reshuffle what was already picked).
+    * Strata absent from `quotas` are dropped (filtered before hashing
+    * — excluded strata never heap). Same bounded-heap two-phase shape
+    * as [[capSample]]; the quota map rides the closure and a literal
+    * CASE, never a join. */
+  def capSampleQuotas(df: DataFrame, keyCol: String, strataCol: String,
+                      quotas: Map[String, Int]): DataFrame = {
+    require(quotas.nonEmpty, "quotas must be non-empty")
+    quotas.foreach { case (s, q) =>
+      require(q >= 0, s"quota for stratum '$s' must be >= 0, got $q") }
+    val lenExpr = quotas.foldLeft(lit(0)) { case (acc, (s, q)) =>
+      when(col("_s") === s, lit(q)).otherwise(acc) }
+    capSampleImpl(
+      df.filter(col(strataCol).cast("string")
+        .isin(quotas.keys.toSeq.map(_.asInstanceOf[Any]): _*)),
+      keyCol, strataCol, s => quotas.getOrElse(s, 0), lenExpr)
+  }
+
+  private def capSampleImpl(df: DataFrame, keyCol: String,
+                            strataCol: String, nFor: String => Int,
+                            lenExpr: org.apache.spark.sql.Column)
+      : DataFrame = {
     val spark = df.sparkSession
     // phase 1: per-partition BOUNDED heaps (one n-entry max-heap per
     // stratum seen in the partition) — streaming, memory O(strata·n).
@@ -123,7 +152,7 @@ object Sampling {
         val h = heaps.getOrElseUpdate(r.getString(0),
           scala.collection.mutable.PriorityQueue.empty[(String, Any)])
         h.enqueue((r.getString(1), r.get(2)))
-        if (h.size > n) h.dequeue() // drop the largest hash
+        if (h.size > nFor(r.getString(0))) h.dequeue() // drop largest hash
       }
       heaps.iterator.flatMap { case (s, h) =>
         h.iterator.map { case (hash, k) =>
@@ -142,9 +171,123 @@ object Sampling {
     prunedDf
       .groupBy(col("_s"))
       .agg(slice(array_sort(collect_list(struct(col("_h").as("h"),
-        col("_k").as("k")))), 1, n).as("_top"))
+        col("_k").as("k")))), lit(1), first(lenExpr)).as("_top"))
       .select(col("_s"), posexplode(col("_top")).as(Seq("_pos", "_e")))
       .select(col("_s").as(strataCol), col("_e.k").as(keyCol),
         (col("_pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Leakage-safe train/validation split — the dedup-aware evaluation
+    * guard (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", measure train→eval leakage through
+    * near-duplicates): every member of a near-duplicate CLUSTER lands
+    * on the SAME side, so a validation document can never have a
+    * near-copy in train. The split key is the cluster representative —
+    * `coalesce(cluster_id, id)` (singletons, which never enter a pair
+    * frame, split by their own id) — drawn through the same quantized
+    * md5 predicate as [[deterministicSample]]: deterministic in the
+    * representative alone, reproducible across engines, runs, and
+    * repartitionings.
+    *
+    * `clusters` is a [[Dedup.duplicateClusters]]-shaped frame
+    * (memberCol, clusterCol). Scale shape: ONE left equi-join on the
+    * id (the cluster frame holds only ids that appear in some
+    * duplicate pair — typically a small fraction of the corpus; AQE
+    * broadcasts it when it fits, shuffle-joins otherwise) plus a
+    * map-side hash predicate — no window, no global sort.
+    *
+    * Output: (idCol, `cluster_rep`, `split` ∈ {'train','valid'}),
+    * valid rate ≈ `round(validFraction · 65536) / 65536` of CLUSTERS
+    * (not rows — a big cluster moves as one block, the semantics the
+    * guard exists for). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       memberCol: String, clusterCol: String,
+                       validFraction: Double): DataFrame = {
+    require(validFraction >= 0.0 && validFraction <= 1.0,
+      s"validFraction must be in [0,1], got $validFraction")
+    val buckets = math.round(validFraction * 65536.0)
+    val cl = clusters.select(col(memberCol).as("_m"),
+      col(clusterCol).as("_cl"))
+    val split =
+      if (buckets >= 65536L) lit("valid")
+      else if (buckets <= 0L) lit("train")
+      else when(
+        substring(md5(col("cluster_rep").cast("string")), 1, 4)
+          < lit(f"$buckets%04x"), "valid").otherwise("train")
+    df.join(cl, col(idCol) === col("_m"), "left")
+      .select(col(idCol), coalesce(col("_cl"), col(idCol))
+        .as("cluster_rep"))
+      .withColumn("split", split)
+  }
+
+  /** Temperature-rebalanced mixture quotas (the multilingual-pretraining
+    * rebalancing rule — sample stratum s with probability ∝ n_s^alpha,
+    * alpha < 1 upweights small strata; public practice after Conneau
+    * 2019 (XLM-R) and Raffel 2020 (mT5)): per-stratum row budgets
+    * summing to ≤ `budget`, assigned by largest-remainder rounding of
+    * the ideal shares (deterministic — remainder ties break by stratum
+    * asc) and then capped at the stratum size (a capped stratum's
+    * unused budget is NOT redistributed — one pass, documented,
+    * deterministic). Driver-pure: the float `pow` folds into the
+    * returned integer quotas exactly like [[TextStats.unigramLm]]'s
+    * `ln` — nothing float ever reaches an executor. */
+  def temperatureQuotas(counts: Map[String, Long], alpha: Double,
+                        budget: Long): Map[String, Int] = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0,1], got $alpha")
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val present = counts.filter(_._2 > 0L)
+    if (present.isEmpty || budget == 0L)
+      return counts.map { case (s, _) => s -> 0 }
+    val w = present.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val total = w.valuesIterator.sum
+    val ideal = w.map { case (s, ws) => s -> budget * ws / total }
+    val base = ideal.map { case (s, x) => s -> math.floor(x).toLong }
+    var left = budget - base.valuesIterator.sum
+    val byRemainder = ideal.toSeq
+      .map { case (s, x) => (s, x - math.floor(x)) }
+      .sortBy { case (s, r) => (-r, s) }
+    val bumped = scala.collection.mutable.Map(base.toSeq: _*)
+    byRemainder.foreach { case (s, _) =>
+      if (left > 0) { bumped(s) += 1; left -= 1 } }
+    counts.map { case (s, n) =>
+      s -> math.min(bumped.getOrElse(s, 0L), n).toInt }
+  }
+
+  /** Temperature rebalancing END TO END: count strata (ONE hash
+    * aggregation folded to |strata| rows — the bounded-cardinality
+    * assumption every per-stratum CASE in this file already makes),
+    * fold quotas on the driver, execute via [[capSampleQuotas]].
+    * Returns the selection and the quota table (the audit artifact).
+    *
+    * Output frame: (strataCol AS STRING, keyCol, `rank` 1..quota). */
+  def temperatureRebalance(df: DataFrame, keyCol: String,
+                           strataCol: String, alpha: Double,
+                           budget: Long): (DataFrame, Map[String, Int]) = {
+    val counts = df.groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = temperatureQuotas(counts, alpha, budget)
+    (capSampleQuotas(df, keyCol, strataCol, quotas), quotas)
+  }
+
+  /** DuckDB replay of [[capSampleQuotas]] from the SAME quota literals
+    * (the learned-literal oracle move): per-stratum md5-ordered
+    * ROW_NUMBER cut against a VALUES quota table — verbatim the q60
+    * predicate, with the cap read from the join. */
+  def capSampleQuotasOracleSql(table: String, keyCol: String,
+                               strataCol: String,
+                               quotas: Map[String, Int]): String = {
+    require(quotas.nonEmpty, "quotas must be non-empty")
+    val values = quotas.toSeq.sortBy(_._1).map { case (s, n) =>
+      s"(CAST('${s.replace("'", "''")}' AS VARCHAR), $n)"
+    }.mkString(", ")
+    s"""WITH q(s, n) AS (VALUES $values)
+      | SELECT $strataCol, $keyCol,
+      |   CAST(ROW_NUMBER() OVER (PARTITION BY $strataCol
+      |     ORDER BY md5($strataCol || '#' || CAST($keyCol AS VARCHAR)),
+      |       $keyCol) AS INTEGER) AS rank
+      | FROM $table JOIN q ON q.s = CAST($strataCol AS VARCHAR)
+      | QUALIFY rank <= q.n""".stripMargin.replace("\n", " ")
   }
 }

@@ -999,6 +999,114 @@ object TextStats {
       |   FROM c GROUP BY doc_id)""".stripMargin.replace("\n", " ")
   }
 
+  /** The DSIR feature bucket of an n-gram (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): the
+    * engine-portable md5 arithmetic every sketch uses
+    * ([[Sketch.cmsBucket]] — `conv(md5-hex, 16, 10) % buckets`), so the
+    * DuckDB oracle computes bit-identical buckets. Hashing is what
+    * makes the model state O(buckets) however large the n-gram
+    * vocabulary — the paper's point, and the reason this scales where
+    * a full bigram table would not. */
+  def dsirBucket(gram: Column, buckets: Int): Column =
+    conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Learn the hashed-bucket unigram distribution DSIR scores against:
+    * per-bucket add-one-smoothed log-probability
+    * ln((count(b) + 1) / (T + buckets)) in integer MICRO-nats, over the
+    * corpus's `n`-gram features. The one float op (`ln`) folds
+    * driver-side into the returned literals (the [[unigramLm]] move),
+    * so engine and oracle replay identical integers; smoothing keeps
+    * every bucket priced even when unseen (an empty corpus prices all
+    * buckets at the uniform ln(1/buckets)).
+    *
+    * Learning cost: one gram hash aggregation folded to ≤ `buckets`
+    * rows (map-side partials — the corpus never moves), one bounded
+    * collect. Model state: `buckets` longs, whatever the corpus size.
+    */
+  def dsirBucketLogProbs(df: org.apache.spark.sql.DataFrame,
+                         textCol: String, buckets: Int, n: Int = 2)
+      : IndexedSeq[Long] = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val counts = df.select(tokenArray(textCol).as("_ts"))
+      .select(explode(gramsOf(col("_ts"), n)).as("_g"))
+      .select(dsirBucket(col("_g"), buckets).as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val total = counts.valuesIterator.sum
+    IndexedSeq.tabulate(buckets) { b =>
+      math.round(math.log((counts.getOrElse(b, 0L) + 1).toDouble /
+        (total + buckets)) * 1e6)
+    }
+  }
+
+  /** DSIR importance score per document: the log importance weight
+    * ln(p_target(doc) / p_raw(doc)) = Σ over the doc's `n`-gram
+    * features of (target bucket log-prob − raw bucket log-prob), in
+    * integer micro-nats — rank or threshold on it and keep the top
+    * slice of the raw corpus (resampling ∝ weight is this score plus
+    * the [[Sampling.deterministicSample]] hash draw). Positive =
+    * looks more like the target corpus than the background.
+    *
+    * Shape: scoring is entirely MAP-SIDE — the per-doc gram array is
+    * folded against the (2·buckets)-long delta literal (constant-folded
+    * by Catalyst, never a join, never an explode, never a shuffle;
+    * spec-asserted), so the 100 TB cost is exactly one corpus scan.
+    * Compare [[unigramSurprisal]], whose open token vocabulary needs
+    * the broadcast-join shape: the hashed feature space is what buys
+    * the pure projection here. Documents with fewer than `n` tokens
+    * have no features and score the neutral 0 (they stay in the frame
+    * — selection falls through to other signals).
+    *
+    * Output: (idCol, `n_grams`, `dsir_micro`). Overflow bound: per-gram
+    * |delta| ≤ ln((T+B)) + ln(B) micro-scaled < 60e6 at 1e19 corpus
+    * grams, so a doc would need ~1.5e11 grams to overflow the Long sum.
+    */
+  def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, targetLogpMicro: IndexedSeq[Long],
+                rawLogpMicro: IndexedSeq[Long], n: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(targetLogpMicro.size == rawLogpMicro.size,
+      s"bucket counts differ: target ${targetLogpMicro.size} vs " +
+        s"raw ${rawLogpMicro.size}")
+    val buckets = targetLogpMicro.size
+    val delta = array(targetLogpMicro.indices.map(b =>
+      lit(targetLogpMicro(b) - rawLogpMicro(b))): _*)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), tokenArray(textCol).as("_ts"))
+      .select(col(idCol), gramsOf(col("_ts"), n).as("_gs"))
+      .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
+        aggregate(col("_gs"), lit(0L), (acc, g) =>
+          acc + element_at(delta,
+            (dsirBucket(g, buckets) + 1).cast("int")))
+          .as("dsir_micro"))
+  }
+
+  /** DuckDB replay of [[dsirScore]] from the SAME delta literals — also
+    * pure per-row list arithmetic (no unnest, no join): the bucket is
+    * the q69 `('0x' || md5-prefix)::BIGINT % buckets` idiom, the lookup
+    * a literal-list index, the fold a `list_sum`. Gramless documents
+    * COALESCE to the neutral 0 exactly like the engine. */
+  def dsirOracleSql(targetLogpMicro: IndexedSeq[Long],
+                    rawLogpMicro: IndexedSeq[Long], n: Int = 2): String = {
+    require(targetLogpMicro.size == rawLogpMicro.size,
+      "bucket counts differ")
+    require(n == 2, s"oracle replay is written for bigram features, got n=$n")
+    val buckets = targetLogpMicro.size
+    val deltas = targetLogpMicro.indices.map(b =>
+      s"CAST(${targetLogpMicro(b) - rawLogpMicro(b)} AS BIGINT)")
+      .mkString(", ")
+    s"""WITH d AS (SELECT doc_id, list_filter(
+      |    string_split(text, ' '), x -> x <> '') AS ts
+      |   FROM documents WHERE doc_id IS NOT NULL),
+      | g AS (SELECT doc_id, list_transform(range(1, len(ts)),
+      |     i -> ts[i] || ' ' || ts[i + 1]) AS gs FROM d)
+      | SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+      |   CAST(COALESCE(list_sum(list_transform(gs, g ->
+      |     [$deltas][CAST(('0x' || substr(md5(g), 1, 8))::BIGINT
+      |       % $buckets + 1 AS INT)])), 0) AS BIGINT) AS dsir_micro
+      | FROM g""".stripMargin.replace("\n", " ")
+  }
+
   /** Per-document distinctive-KEYWORD extraction — tf-idf's ranking
     * with NO floats anywhere: per doc, tokens ordered by (tf desc,
     * corpus doc-frequency asc, token asc) and cut to the top `k`. The

@@ -557,4 +557,98 @@ class SamplingSpec extends SparkSpec {
     assert(TextStats.phraseSearchIndexed(narrow, "doc_id",
       Seq("a", "b")).isEmpty)
   }
+
+  test("leakageSafeSplit: clusters move as one block, singletons split " +
+    "by their own id via the same md5 draw, edges are total") {
+    val docs = (0L to 9L).map(i => Tuple1(i)).toDF("doc_id")
+    // two clusters {0,1,2} rep 0 and {5,6} rep 5; 3,4,7,8,9 singletons
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (5L, 5L), (6L, 5L))
+      .toDF("id_a", "cluster_id")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+      "id_a", "cluster_id", validFraction = 0.30)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.size == 10, "every doc must emit exactly one row")
+    // cluster coherence: all members carry the rep and the SAME side
+    assert(Seq(0L, 1L, 2L).map(rows(_)).distinct.size == 1)
+    assert(Seq(5L, 6L).map(rows(_)).distinct.size == 1)
+    assert(rows(0L)._1 == 0L && rows(5L)._1 == 5L)
+    // singleton reps are their own ids
+    Seq(3L, 4L, 7L, 8L, 9L).foreach(i => assert(rows(i)._1 == i))
+    // the draw is the deterministicSample predicate on the rep
+    val buckets = math.round(0.30 * 65536.0)
+    def brute(rep: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(rep.toString.getBytes("UTF-8"))
+      val hex = d.take(2).map(b => f"$b%02x").mkString
+      if (hex < f"$buckets%04x") "valid" else "train"
+    }
+    rows.foreach { case (id, (rep, side)) =>
+      assert(side == brute(rep), s"doc $id rep $rep: $side vs ${brute(rep)}")
+    }
+    // determinism under repartitioning
+    val re = Sampling.leakageSafeSplit(docs.repartition(7), "doc_id",
+      clusters.repartition(3), "id_a", "cluster_id", 0.30)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(re == rows)
+    // fraction edges stay total and one-sided
+    assert(Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+      "id_a", "cluster_id", 0.0).select("split").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("train"))
+    assert(Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+      "id_a", "cluster_id", 1.0).select("split").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("valid"))
+  }
+
+  test("capSampleQuotas: per-stratum caps honored exactly, selections " +
+    "nest under quota growth, unmapped strata drop, zero quota empties") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.capSampleQuotas(df, "doc_id", "lang",
+      Map("s0" -> 7, "s1" -> 0, "s2" -> 200))
+    val byStratum = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(byStratum.getOrElse("s0", Array.empty).length == 7)
+    assert(!byStratum.contains("s1"), "zero quota must select nothing")
+    // quota 200 > |stratum|=100 → the whole stratum, ranks 1..100
+    assert(byStratum("s2").map(_._3).sorted.toSeq == (1 to 100))
+    // agreement with capSample: quota q selects capSample(q)'s rows
+    val capped = Sampling.capSample(
+      df.filter(col("lang") === "s0"), "doc_id", "lang", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(byStratum("s0").toSet == capped,
+      "per-stratum quota must equal the single-cap sampler")
+    // nesting: a smaller quota's selection prefixes a larger one's
+    val small = Sampling.capSampleQuotas(df, "doc_id", "lang",
+      Map("s0" -> 3)).collect().map(_.getLong(1)).toSet
+    assert(small.subsetOf(byStratum("s0").map(_._2).toSet))
+  }
+
+  test("temperatureQuotas: alpha=1 is proportional, alpha=0 is uniform, " +
+    "largest-remainder sums to the budget, caps clamp to stratum size") {
+    val counts = Map("a" -> 800L, "b" -> 100L, "c" -> 100L)
+    val prop = Sampling.temperatureQuotas(counts, 1.0, 100L)
+    assert(prop == Map("a" -> 80, "b" -> 10, "c" -> 10))
+    val uni = Sampling.temperatureQuotas(counts, 0.0, 99L)
+    assert(uni.values.sum == 99 && uni.values.forall(q => q >= 32))
+    // alpha=0.5: weights 28.28,10,10 → ideal 58.56,20.71,20.71 →
+    // floors 58,20,20, two remainders bump b,c (tie by stratum asc
+    // after the larger fractional .71s) — deterministic
+    val t05 = Sampling.temperatureQuotas(counts, 0.5, 100L)
+    assert(t05.values.sum == 100)
+    assert(t05("a") < 80 && t05("b") > 10,
+      s"alpha<1 must flatten the mixture, got $t05")
+    // cap: a tiny stratum can never exceed its size
+    val capped = Sampling.temperatureQuotas(
+      Map("big" -> 1000L, "tiny" -> 2L), 0.0, 100L)
+    assert(capped("tiny") == 2)
+    // empty / zero-budget edges
+    assert(Sampling.temperatureQuotas(Map("a" -> 5L), 0.5, 0L) ==
+      Map("a" -> 0))
+    assert(Sampling.temperatureQuotas(Map.empty[String, Long], 0.5, 10L)
+      .isEmpty)
+  }
 }

@@ -1144,6 +1144,14 @@ object SparkEntry {
     "q94_temperature_mix" -> ((s, dir) =>
       graft.llm.Sampling.capSampleQuotas(t(s, dir, "documents"),
         "doc_id", "source", temperatureQuotasModel(s, dir))),
+    // LLM §dedup — duplicated-span coverage AUDIT (the "fraction of
+    // each doc that is duplicated text" report): exact interval union
+    // of corpus-duplicated 16-char shingles per doc — the exact
+    // number q62's winnowing samples. One gram hash agg + a PER-DOC
+    // window (never global) + integer micro-unit division.
+    "q95_dup_coverage" -> ((s, dir) =>
+      graft.llm.Dedup.dupSpanCoverage(t(s, dir, "documents"),
+        "doc_id", "text", shingleLen = 16)),
     // LLM §corpus-stats — EXACT length percentiles (what
     // percentile_approx approximates): value at 1-based rank
     // ceil(p·n/100) of the (tokens, id) total order, via the q64
@@ -1876,6 +1884,32 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // the q29 shingle CTEs (positions kept, no GROUP BY dedup) + a
+    // HAVING>=2 dup cut + the standard running-max interval union
+    "q95_dup_coverage" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS lt FROM documents
+        |   WHERE doc_id IS NOT NULL),
+        | idx AS (SELECT unnest(range(1, 2000)) AS i),
+        | sh AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    substr(text, CAST(i AS INT), 16) AS g
+        |   FROM d JOIN idx ON i <= lt - 15),
+        | dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+        | hit AS (SELECT doc_id, i FROM sh JOIN dup USING (g)),
+        | cov AS (SELECT doc_id, greatest(CAST(0 AS BIGINT), (i + 15) -
+        |    greatest(i - 1, COALESCE(max(i + 15) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0 AS BIGINT)))) AS c FROM hit),
+        | agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_chars
+        |   FROM cov GROUP BY doc_id)
+        | SELECT d.doc_id, CAST(d.lt AS BIGINT) AS n_chars,
+        |   COALESCE(agg.dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
+        |   CASE WHEN d.lt > 0 THEN
+        |     COALESCE(agg.dup_chars, CAST(0 AS BIGINT)) * 1000000
+        |       // CAST(d.lt AS BIGINT)
+        |     ELSE CAST(0 AS BIGINT) END AS dup_micro
+        | FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
+        .stripMargin.replace("\n", " "),
     // q31's cluster CTEs + the same quantized md5 predicate on the
     // cluster representative (0.15 → 9830/65536 → hex '2666')
     "q93_leakage_split" ->

@@ -1058,4 +1058,70 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Cross-corpus duplicated-span COVERAGE audit — the "what fraction
+    * of each document is duplicated text" metric the substring-dedup
+    * literature reports (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", measure repeated ≥-L-char spans;
+    * public statement of the metric, not their suffix-array
+    * construction): per document, the EXACT number of characters
+    * covered by at least one corpus-duplicated length-`shingleLen`
+    * character shingle, via interval union. A shingle is "duplicated"
+    * when it occurs ≥ 2 times in the corpus — across documents or
+    * twice inside one (internal repetition is duplicated text too; the
+    * intra-doc-only view is [[repeatedSpans]]' domain). Every span of
+    * length ≥ shingleLen shared anywhere is covered end to end
+    * (each of its windows is duplicated), so `dup_chars` is exactly
+    * the union length of all shared-span occurrences — the
+    * winnowing screen (q62/q63) SAMPLES this signal at ~2/(w+1)
+    * storage; this operator pays one full shingle aggregation for the
+    * exact number.
+    *
+    * Scale shape: one (len−L+1)-per-doc shingle explode feeding ONE
+    * hash aggregation on the gram (map-side partials) + one equi-join
+    * of occurrences against the duplicated grams + a PER-DOCUMENT
+    * window (partitioned by id — never global) for the interval
+    * union + one (id) hash aggregation. All-integer arithmetic end to
+    * end; `dup_micro` divides in micro-units (`div`, truncation toward
+    * zero) so any engine agrees bit for bit.
+    *
+    * Output: (idCol, `n_chars`, `dup_chars`, `dup_micro`) — one row
+    * per input document (dup-free and sub-L docs report 0). */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      shingleLen: Int): DataFrame = {
+    require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
+    import org.apache.spark.sql.expressions.Window
+    val L = shingleLen
+    // sequence(1, 0) would DESCEND ([1,0] — default step -1), handing
+    // sub-L docs two phantom shingles; gate it like [[shinglesOf]]
+    val occ = df.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        explode(when(length(col(textCol)) >= L,
+          sequence(lit(1), length(col(textCol)) - (L - 1)))
+          .otherwise(array())).as("_i"),
+        col(textCol).as("_txt"))
+      .select(col(idCol), col("_i").cast("long").as("_i"),
+        col("_txt").substr(col("_i"), lit(L)).as("_g"))
+    val dupGrams = occ.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2).select(col("_g"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = occ.join(dupGrams, "_g")
+      .select(col(idCol), col("_i"),
+        coalesce(max(col("_i") + (L - 1)).over(w), lit(0L)).as("_prevEnd"))
+      .select(col(idCol),
+        greatest(lit(0L), (col("_i") + (L - 1)) -
+          greatest(col("_i") - 1, col("_prevEnd"))).as("_c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("dup_chars"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_micro",
+        when(col("n_chars") > 0,
+          expr("dup_chars * 1000000 div n_chars")).otherwise(lit(0L)))
+  }
 }

@@ -569,7 +569,7 @@ object TextStats {
     * transform lambda (higher-order lambdas see no subexpression
     * elimination), which re-tokenizes per gram — the A/B at sf0.1
     * measured the projected form at ~2.5× the inlined one. */
-  private def gramsOf(ts: Column, n: Int): Column = {
+  private[graft] def gramsOf(ts: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
     when(size(ts) >= n,
       transform(sequence(lit(1), size(ts) - lit(n - 1)),
@@ -1032,6 +1032,15 @@ object TextStats {
       .select(dsirBucket(col("_g"), buckets).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    dsirLogProbsFromCounts(counts, buckets)
+  }
+
+  /** The add-one-smoothed micro-nat fold shared by the batch learner
+    * and the streaming rebuild ([[graft.streaming.StreamingMix]]) —
+    * one definition, so the two can never drift. */
+  def dsirLogProbsFromCounts(counts: Map[Int, Long], buckets: Int)
+      : IndexedSeq[Long] = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val total = counts.valuesIterator.sum
     IndexedSeq.tabulate(buckets) { b =>
       math.round(math.log((counts.getOrElse(b, 0L) + 1).toDouble /

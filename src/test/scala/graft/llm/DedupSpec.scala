@@ -196,18 +196,27 @@ class DedupSpec extends SparkSpec {
       s"hot shingles missing from sampled census: max=${census.values.max}")
   }
 
+  // Both cache tests assert on DELTAS of the persistent-RDD registry,
+  // never on its absolute size/emptiness: the registry is global to
+  // the shared test session, and sbt runs suites concurrently in this
+  // JVM — another suite merely BUILDING a jaccard-family frame marks
+  // its prefix index persistent (persist() registers before any
+  // action), which made the absolute assertions flake by timing.
   test("releaseCaches unpersists the jaccardPairsExact prefix index " +
     "(targeted — no clearCache needed)") {
     val docs = (1 to 50).map { i =>
       (i.toLong, s"some shared content body uniq${i}x uniq${i}y")
     }.toDF("id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.jaccardPairsExact(docs, "id", "text", shingleLen = 8,
       threshold = 0.9).count()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty,
       "expected the prefix index to be cached during the operator")
     Dedup.releaseCaches()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "releaseCaches left cached RDDs behind")
+    val left = spark.sparkContext.getPersistentRDDs.keySet
+    assert((left intersect mine).isEmpty,
+      "releaseCaches left this operator's cached RDDs behind")
   }
 
   test("jaccardPairsExactReleasable: the per-call cleanup releases only " +
@@ -215,18 +224,27 @@ class DedupSpec extends SparkSpec {
     val docs = (1 to 40).map { i =>
       (i.toLong, s"another shared body uniq${i}p uniq${i}q")
     }.toDF("id", "text")
+    val before0 = spark.sparkContext.getPersistentRDDs.keySet
     val (outA, cleanA) = Dedup.jaccardPairsExactReleasable(
       docs, "id", "text", shingleLen = 8, threshold = 0.9)
+    outA.count()
+    val mineA = spark.sparkContext.getPersistentRDDs.keySet -- before0
     val (outB, cleanB) = Dedup.jaccardPairsExactReleasable(
       docs, "id", "text", shingleLen = 8, threshold = 0.9)
-    outA.count(); outB.count()
-    val before = spark.sparkContext.getPersistentRDDs.size
-    assert(before >= 2, s"expected two cached indexes, saw $before")
+    outB.count()
+    val mineB = spark.sparkContext.getPersistentRDDs.keySet --
+      before0 -- mineA
+    assert(mineA.nonEmpty && mineB.nonEmpty,
+      s"expected two cached indexes, saw $mineA / $mineB")
     cleanA()
-    assert(spark.sparkContext.getPersistentRDDs.size == before - 1,
-      "per-call cleanup must release exactly one index")
+    val afterA = spark.sparkContext.getPersistentRDDs.keySet
+    assert((afterA intersect mineA).isEmpty,
+      "per-call cleanup must release its own index")
+    assert(mineB.subsetOf(afterA),
+      "per-call cleanup must not release the sibling's index")
     cleanB()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val afterB = spark.sparkContext.getPersistentRDDs.keySet
+    assert((afterB intersect mineB).isEmpty)
   }
 
   test("duplicateClusters: transitive closure with min-id labels — " +
@@ -624,5 +642,34 @@ class DedupSpec extends SparkSpec {
     val audits = Banding.drainAudits()
     assert(audits.map(_.cappedMembers).sum == 80,
       s"expected 80 capped members audited, got $audits")
+  }
+
+  test("dupSpanCoverage: exact interval union of duplicated shingles — " +
+    "cross-doc spans, internal repetition, gaps, and clean docs") {
+    val docs = Seq(
+      (1L, "abcdefgh"),            // shared with doc 2 → fully covered
+      (2L, "XXabcdefgh"),          // covered from position 3 on
+      (3L, "zzzz"),                // unique 4-gram → clean
+      (4L, "abcdabcd"),            // internal repeat → fully covered
+      (5L, "abc"),                 // shorter than L → no shingles
+      (6L, "abcd0123456789abcd")   // two hits with a gap: i=1 and i=15
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs, "doc_id", "text", shingleLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 6, "one row per input doc")
+    assert(out(1L) == ((8L, 8L, 1000000L)))
+    assert(out(2L) == ((10L, 8L, 800000L)))
+    assert(out(3L) == ((4L, 0L, 0L)))
+    assert(out(4L) == ((8L, 8L, 1000000L)))
+    assert(out(5L) == ((3L, 0L, 0L)))
+    // doc 6: "abcd" occurs at 1 and 15 (also in docs 1/2/4) → two
+    // disjoint 4-char intervals; 8 chars of 18 → 444444 micro
+    assert(out(6L) == ((18L, 8L, 8L * 1000000L / 18L)))
+    // determinism under repartitioning
+    val re = Dedup.dupSpanCoverage(docs.repartition(5), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(re == out)
   }
 }

@@ -208,4 +208,63 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("Window"), s"$q: window op in:\n$plan")
     }
   }
+
+  test("DSIR scoring (q92) is ONE shuffle-free codegen'd projection — " +
+    "no join, no explode-aggregate, no exchange of any kind") {
+    val df = SparkEntry.queries("q92_dsir")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q92: shuffle in:\n$plan")
+    assert(!plan.contains("Join"), s"q92: join in:\n$plan")
+    assert(!plan.contains("Generate"), s"q92: explode in:\n$plan")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"q92: no codegen span in:\n$plan")
+  }
+
+  test("leakage-safe split (q93) is one equi-join + a map-side hash " +
+    "predicate — no window, no cartesian") {
+    val df = SparkEntry.queries("q93_leakage_split")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q93: window in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q93: cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q93: nested loop in:\n$plan")
+  }
+
+  test("temperature mix (q94) keeps the q60 two-phase shape: the ONLY " +
+    "exchange is the per-stratum merge over heap-pruned rows, quotas " +
+    "ride a literal CASE (no quota-table join)") {
+    val df = SparkEntry.queries("q94_temperature_mix")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q94: quota join in:\n$plan")
+    assert(!plan.contains("Window"), s"q94: window in:\n$plan")
+    assert(plan.contains("partial_"), s"q94: no partial agg in:\n$plan")
+  }
+
+  test("duplicated-span coverage (q95) windows PER DOCUMENT (always a " +
+    "PARTITION BY), joins occurrences to dup grams hash/sort-based, " +
+    "and aggregates with map-side partials") {
+    val df = SparkEntry.queries("q95_dup_coverage")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    // every Window node must carry a non-empty partition spec — a
+    // GLOBAL window would single-task the corpus. Asserted on the
+    // optimized logical plan (AQE wraps physical windows inside query
+    // stages that TreeNode.collect does not traverse).
+    val ws = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.nonEmpty, "q95: expected the interval-union window")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      s"q95: unkeyed window in:\n${df.queryExecution.optimizedPlan}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q95: cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q95: nested loop in:\n$plan")
+    assert(plan.contains("partial_"), s"q95: no partial agg in:\n$plan")
+  }
 }

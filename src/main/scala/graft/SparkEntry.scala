@@ -1152,6 +1152,13 @@ object SparkEntry {
     "q95_dup_coverage" -> ((s, dir) =>
       graft.llm.Dedup.dupSpanCoverage(t(s, dir, "documents"),
         "doc_id", "text", shingleLen = 16)),
+    // LLM §layout — deterministic EPOCH SHUFFLE (epoch 1, 64-doc
+    // shards): md5(epoch#id)-ordered permutation ranked by the q64
+    // packed-key prefix sum (ONE range shuffle, never a global
+    // window); reruns and single-shard recomputes are identical.
+    "q96_epoch_shuffle" -> ((s, dir) =>
+      graft.llm.Packing.epochShuffle(t(s, dir, "documents"),
+        "doc_id", epoch = 1, shardSize = 64)),
     // LLM §corpus-stats — EXACT length percentiles (what
     // percentile_approx approximates): value at 1-based rank
     // ceil(p·n/100) of the (tokens, id) total order, via the q64
@@ -1884,6 +1891,18 @@ object SparkEntry {
         | SELECT cluster_size, count(*) AS n_clusters,
         |   cluster_size * count(*) AS n_docs
         | FROM csize GROUP BY 1""".stripMargin.replace("\n", " "),
+    // the oracle may global-sort: ROW_NUMBER over (23-bit md5 fold,
+    // id) — the engine side is the range-shuffle prefix sum
+    "q96_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5('1#' || CAST(doc_id AS VARCHAR)), 1, 6))
+        |      ::BIGINT % 8388608 AS hb
+        |   FROM documents),
+        | r AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY hb, doc_id) - 1 AS rank0
+        |   FROM h)
+        | SELECT doc_id, rank0 // 64 AS shard, rank0 % 64 AS pos
+        | FROM r""".stripMargin.replace("\n", " "),
     // the q29 shingle CTEs (positions kept, no GROUP BY dedup) + a
     // HAVING>=2 dup cut + the standard running-max interval union
     "q95_dup_coverage" ->

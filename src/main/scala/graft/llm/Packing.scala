@@ -186,6 +186,36 @@ object Packing {
         expr(s"_rank0 div $batchSize").as("batch_id"))
   }
 
+  /** Deterministic EPOCH SHUFFLE — the training-order permutation:
+    * each epoch lays the corpus out in `md5(epoch#id)` order (a fresh,
+    * reproducible pseudo-random permutation per epoch — the thing
+    * `orderBy(rand())` cannot give you: rerunning an epoch, or
+    * recomputing one shard after a failure, must yield the identical
+    * order) and cuts it into consecutive shards of `shardSize`
+    * documents with a position inside each shard.
+    *
+    * The order key is the md5 prefix folded to 23 bits (uniform; ties
+    * — ~n²/2²⁴ pairs — break by id, so the order is total and engine-
+    * portable) packed into [[lengthGroupedBatches]]'s surrogate key:
+    * the global rank is the same ONE-range-shuffle prefix sum, never a
+    * single-task global window, and the oracle replays it as
+    * `ROW_NUMBER() OVER (ORDER BY hash, id)`.
+    *
+    * Output: (idCol, `shard`, `pos`) — all BIGINT, pos 0-based within
+    * shard. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   shardSize: Int, numPartitions: Int = 0): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    val h23 = conv(substring(md5(concat(lit(s"$epoch#"),
+      col(idCol).cast("string"))), 1, 6), 16, 10)
+      .cast(LongType) % lit(1L << 23)
+    lengthGroupedBatches(df.select(col(idCol)), idCol, h23,
+      batchSize = 1, numPartitions)
+      .select(col(idCol),
+        expr(s"batch_id div $shardSize").as("shard"),
+        expr(s"batch_id % $shardSize").as("pos"))
+  }
+
   /** EXACT distributed order statistics of the per-doc token count —
     * the length percentiles a curation run reports (and the thing
     * `percentile_approx` only approximates): for each integer

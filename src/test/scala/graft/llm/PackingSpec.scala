@@ -223,4 +223,41 @@ class PackingSpec extends SparkSpec {
     assert(got(df) == want, s"${got(df)} vs $want")
     assert(got(df.repartition(7)) == want)
   }
+
+  test("epochShuffle: rank equals the brute md5 total order, shards cut " +
+    "evenly, epochs permute differently, reruns are identical") {
+    val docs = (0L until 130L).map(Tuple1(_)).toDF("doc_id")
+    def brute(epoch: Int): Seq[Long] = {
+      def h23(id: Long): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$epoch#$id".getBytes("UTF-8"))
+        val hex = d.take(3).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16) % (1L << 23)
+      }
+      (0L until 130L).sortBy(id => (h23(id), id))
+    }
+    val out = Packing.epochShuffle(docs, "doc_id", epoch = 1,
+      shardSize = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byRank = out.sortBy { case (_, s, p) => (s, p) }.map(_._1).toSeq
+    assert(byRank == brute(1), "engine order must equal the md5 order")
+    // shard cuts: 130 docs at 32 → shards 0..3 full, shard 4 holds 2
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes == Map(0L -> 32, 1L -> 32, 2L -> 32, 3L -> 32, 4L -> 2))
+    // positions are 0..size-1 within each shard
+    assert(out.filter(_._2 == 0L).map(_._3).sorted.toSeq ==
+      (0L until 32L))
+    // a different epoch is a different permutation
+    assert(brute(2) != brute(1))
+    val out2 = Packing.epochShuffle(docs, "doc_id", epoch = 2,
+      shardSize = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (_, s, p) => (s, p) }.map(_._1).toSeq
+    assert(out2 == brute(2) && out2 != byRank)
+    // repartition determinism
+    val re = Packing.epochShuffle(docs.repartition(7), "doc_id", 1, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(re == out.toSet)
+  }
 }

@@ -1159,6 +1159,18 @@ object SparkEntry {
     "q96_epoch_shuffle" -> ((s, dir) =>
       graft.llm.Packing.epochShuffle(t(s, dir, "documents"),
         "doc_id", epoch = 1, shardSize = 64)),
+    // LLM §pipeline — TOKENIZE→PACK as ONE declarative plan (the last
+    // leg of the training-data path, the q66 move applied to layout):
+    // q54's learned-BPE subword counts feed q37's prefix-sum packing
+    // directly — the map-side encode fuses into the pack's range
+    // shuffle, no intermediate materialization. The oracle composes
+    // the two replays (merge literals → counts CTE → pack window).
+    "q97_tokenize_pack" -> ((s, dir) => {
+      val encoded = graft.llm.Bpe.encode(t(s, dir, "documents"),
+        "text", bpeMerges(s, dir))
+      graft.llm.Packing.packSequences(encoded, "doc_id",
+        col("n_bpe_tokens").cast("long"), seqLen = 256)
+    }),
     // LLM §corpus-stats — EXACT length percentiles (what
     // percentile_approx approximates): value at 1-based rank
     // ceil(p·n/100) of the (tokens, id) total order, via the q64
@@ -1551,7 +1563,45 @@ object SparkEntry {
       // same integer quota literals as the q94 entry's driver fold
       "q94_temperature_mix" ->
         graft.llm.Sampling.capSampleQuotasOracleSql("documents",
-          "doc_id", "source", temperatureQuotasModel(s, dir)))
+          "doc_id", "source", temperatureQuotasModel(s, dir)),
+      // the q54 merge-literal count replay composed with the q37 pack
+      // window — one oracle for the fused tokenize→pack plan
+      "q97_tokenize_pack" -> tokenizePackOracleSql(bpeMerges(s, dir)))
+  }
+
+  /** q97's oracle: [[graft.llm.Bpe.encodeOracleSql]]'s word-level
+    * merge replay (vocabulary-sized) producing per-doc BPE counts,
+    * feeding q37's prefix-sum pack window verbatim (seqLen 256). */
+  private def tokenizePackOracleSql(
+      merges: Seq[graft.llm.Bpe.Merge]): String = {
+    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    val wrapped = merges.foldLeft(
+      "regexp_replace(w, '(.)', ' \\1 ', 'g')") { (acc, m) =>
+      s"replace($acc, ${sq(" " + m.a + "  " + m.b + " ")}," +
+        s" ${sq(" " + m.a + m.b + " ")})"
+    }
+    s"""WITH dw AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
+      | wd AS (SELECT DISTINCT w FROM dw),
+      | enc AS (SELECT w, CAST(len(regexp_extract_all($wrapped,
+      |    '[^ ]+')) AS BIGINT) AS n FROM wd),
+      | agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n
+      |   FROM dw JOIN enc USING (w) GROUP BY doc_id),
+      | c AS (SELECT d.doc_id,
+      |    CAST(COALESCE(a.n, 0) AS BIGINT) AS toks,
+      |    CAST(COALESCE(sum(COALESCE(a.n, 0)) OVER (ORDER BY d.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS off
+      |   FROM documents d LEFT JOIN agg a USING (doc_id)),
+      | g AS (SELECT unnest(generate_series(0,
+      |    (SELECT CAST(sum(toks) // 256 AS BIGINT) FROM c))) AS seq_id)
+      | SELECT c.doc_id, g.seq_id,
+      |   greatest(c.off, g.seq_id * 256) - c.off AS doc_from,
+      |   least(c.off + c.toks, (g.seq_id + 1) * 256) -
+      |     greatest(c.off, g.seq_id * 256) AS n_toks
+      | FROM c JOIN g
+      |   ON g.seq_id BETWEEN c.off // 256 AND (c.off + c.toks - 1) // 256
+      | WHERE c.toks > 0""".stripMargin.replace("\n", " ")
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -961,6 +961,44 @@ object SparkEntry {
           concat_ws(",", transform(col("postings"), _.cast("string")))
             .as("postings"))
     }),
+    // LLM §retrieval + §forget — FORGET-AWARE index maintenance: the
+    // maintainable index (q72's build + the streaming overflow
+    // contract: exact df always, NULL postings past maxDf) has a
+    // forget batch (doc_id % 7 == 0) applied INCREMENTALLY — touched
+    // tokens update via array_except, overflow tokens that CROSS into
+    // the window ("batch", df 402 → 341 at sf0.01) rebuild via one
+    // targeted remaining-corpus pass — and the oracle builds the
+    // index on the remaining corpus FROM SCRATCH: the hash match IS
+    // the maintained ≡ rebuilt proof under driver conditions.
+    "q99_index_forget" -> ((s, dir) => {
+      import graft.llm.IndexMaintain
+      val docs = t(s, dir, "documents")
+      val idx = IndexMaintain.indexWithOverflow(docs, "doc_id", "text",
+        minDf = 5, maxDf = 400)
+      IndexMaintain.forgetFromIndex(idx,
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", minDf = 5, maxDf = 400)
+        .select(col("token"), col("df"),
+          when(col("postings").isNull, lit("<overflow>"))
+            .otherwise(concat_ws(",",
+              transform(col("postings"), _.cast("string"))))
+            .as("postings"))
+    }),
+    // LLM §sketch + §forget — CMS maintenance under deletion: the
+    // counters are LINEAR in (token, freq), so the forget batch's own
+    // sketch SUBTRACTS register-wise (one pass over the batch, the
+    // surviving corpus untouched). The oracle builds the sketch on
+    // the remaining corpus from scratch — the hash match proves
+    // subtracted ≡ rebuilt, register for register.
+    "q100_cms_forget" -> ((s, dir) => {
+      import graft.llm.Sketch
+      val docs = t(s, dir, "documents")
+      Sketch.cmsSubtract(
+        Sketch.countMinCounters(docs, "text", depth = 4, width = 1024),
+        Sketch.countMinCounters(docs.filter(col("doc_id") % 7 === 0),
+          "text", depth = 4, width = 1024))
+    }),
     // LLM §retrieval — conjunctive (AND) query over the q72 index:
     // the two highest-df in-window terms (deterministic pick), docs
     // holding BOTH via explode + count — posting-list intersection as
@@ -1170,6 +1208,24 @@ object SparkEntry {
         "text", bpeMerges(s, dir))
       graft.llm.Packing.packSequences(encoded, "doc_id",
         col("n_bpe_tokens").cast("long"), seqLen = 256)
+    }),
+    // LLM §retrieval — HYBRID search: the q75 BM25-micro ranking and
+    // the q22 exact-cosine ranking (query vector 0; documents and
+    // embeddings share the synthetic keyspace, the q61 move) fused by
+    // integer reciprocal-rank fusion (Cormack 2009). Both rankings
+    // are the stored top-20 shards; the fusion itself is a union of
+    // queries×k rows + one hash agg — it never re-reads the corpus.
+    "q98_hybrid_rrf" -> ((s, dir) => {
+      import graft.llm.{Similarity, TextStats}
+      val txt = TextStats.bm25TopKMicro(t(s, dir, "documents"),
+          "doc_id", "text", bm25Terms(s, dir), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val vec = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+          t(s, dir, "embeddings").filter(col("vec_id") === 0),
+          "vec_id", "embedding", 20)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      TextStats.rrfFuse(Seq(txt, vec), "doc_id", kRrf = 60,
+        scale = 1000000000L, k = 10)
     }),
     // LLM §corpus-stats — EXACT length percentiles (what
     // percentile_approx approximates): value at 1-based rank
@@ -1566,7 +1622,12 @@ object SparkEntry {
           "doc_id", "source", temperatureQuotasModel(s, dir)),
       // the q54 merge-literal count replay composed with the q37 pack
       // window — one oracle for the fused tokenize→pack plan
-      "q97_tokenize_pack" -> tokenizePackOracleSql(bpeMerges(s, dir)))
+      "q97_tokenize_pack" -> tokenizePackOracleSql(bpeMerges(s, dir)),
+      // same (term, idf_micro) literals as the q75/q98 entries; the
+      // vec ranking replays q22's cosine, the fusion integer RRF
+      "q98_hybrid_rrf" -> graft.llm.TextStats.rrfOracleSql(
+        bm25Terms(s, dir), qVecId = 0L, kText = 20, kVec = 20,
+        kRrf = 60, scale = 1000000000L, k = 10))
   }
 
   /** q97's oracle: [[graft.llm.Bpe.encodeOracleSql]]'s word-level
@@ -2072,6 +2133,25 @@ object SparkEntry {
         |     AS postings
         | FROM dt JOIN dfs USING (token)
         | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    // maintained ≡ rebuilt: the oracle builds the overflow-contract
+    // index on the REMAINING corpus from scratch — matching it proves
+    // the incremental forget path (array_except + targeted crossing
+    // rebuild) byte-equivalent to a full rebuild
+    "q99_index_forget" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |   WHERE doc_id % 7 <> 0),
+        | dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(text, ' '), x -> x <> '')) AS t
+        |    FROM d)),
+        | dfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1
+        |   HAVING count(*) >= 5)
+        | SELECT dt.token, dfs.df,
+        |   CASE WHEN dfs.df > 400 THEN '<overflow>'
+        |     ELSE array_to_string(list(dt.doc_id ORDER BY dt.doc_id), ',')
+        |   END AS postings
+        | FROM dt JOIN dfs USING (token)
+        | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     // q72's replay + zipped unnest positions (1-based, the same
     // empty-filtered token stream), positions list stringified
     "q85_positional_index" ->
@@ -2215,6 +2295,22 @@ object SparkEntry {
         | FROM probe LEFT JOIN c
         |   ON c.row = probe.row AND c.bucket = probe.bucket
         | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    // subtracted ≡ rebuilt: q69's counter construction replayed on
+    // the REMAINING corpus only — register-identical to the engine's
+    // full-minus-forgotten subtraction by CMS linearity
+    "q100_cms_forget" ->
+      """WITH tf AS (SELECT t AS w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS t
+        |    FROM documents WHERE doc_id % 7 <> 0)
+        |   WHERE t <> '' GROUP BY 1),
+        | r AS (SELECT unnest([0, 1, 2, 3]) AS row),
+        | c AS (SELECT row,
+        |    ('0x' || substr(md5(row::VARCHAR || '#' || w), 1, 8))::BIGINT
+        |      % 1024 AS bucket,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |   FROM tf, r GROUP BY 1, 2)
+        | SELECT row, bucket, cnt FROM c WHERE cnt > 0"""
+        .stripMargin.replace("\n", " "),
     // the q39 session CTEs + a plain BETWEEN join (the oracle may
     // nested-loop; the engine side is the bucketed equi-join)
     "q68_range_join" ->

@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** FORGET-AWARE maintenance of the inverted index — the seam where the
+  * engine's two halves meet: a deletion (the reference's core
+  * find-and-forget flow, `/root/reference/backend/ecs_tasks/
+  * delete_files/main.py` semantics) must also leave every derived
+  * retrieval structure AS IF it had been built on the remaining
+  * corpus, without paying a full rebuild per forget batch.
+  *
+  * The maintainable index shape ([[indexWithOverflow]]) extends
+  * [[TextStats.invertedIndex]] with the OVERFLOW contract
+  * [[graft.streaming.StreamingIndex]] already uses on the streaming
+  * side: a token whose df exceeds `maxDf` keeps its exact df but a
+  * NULL posting list (a stopword's corpus-sized list never enters an
+  * aggregation buffer — the batch build's guarantee, carried to the
+  * stored artifact). The exact df on overflow rows is what makes
+  * DELETION maintainable: removal only ever DECREASES df, so
+  *
+  *   - an in-window token stays in-window (or falls below `minDf` and
+  *     is dropped) — its new postings are a pure `array_except`;
+  *   - an overflow token either stays overflow (df stays > `maxDf`)
+  *     or CROSSES into the window — the one case whose postings the
+  *     index cannot answer, rebuilt by a TARGETED pass over the
+  *     remaining corpus restricted to exactly those tokens;
+  *   - a below-`minDf` token (absent from the index) can never
+  *     re-enter — no state needed for it.
+  *
+  * Cost shape at 100 TB: the touched-token frame is bounded by the
+  * FORGET BATCH's vocabulary (the forget drivers already batch ids —
+  * [[DedupForget]]'s bounded seam), the update itself is one
+  * equi-join on `token`, and the crossing rebuild — usually empty —
+  * scans the remaining corpus ONCE restricted to the (collected,
+  * batch-vocabulary-bounded) crossing tokens, and is SKIPPED entirely
+  * when no overflow token crosses.
+  */
+object IndexMaintain {
+
+  /** [[TextStats.invertedIndex]] with the overflow contract: one row
+    * per token with df >= `minDf` — sorted distinct postings while
+    * df <= `maxDf`, NULL postings (exact df) above it. Buffer safety
+    * is the batch build's: only in-window tokens' lists are ever
+    * collected.
+    *
+    * Output: (`token`, `df`, `postings` sorted array | null). */
+  def indexWithOverflow(df: DataFrame, idCol: String, textCol: String,
+                        minDf: Long, maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf; got $minDf, $maxDf")
+    val idType = df.schema(idCol).dataType
+    val docTok = df
+      .select(col(idCol), explode(filter(TextStats.tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+      .distinct()
+    val dfs = docTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val inWin = docTok.join(dfs.filter(col("df") <= maxDf), "token")
+      .groupBy(col("token"), col("df"))
+      .agg(sort_array(collect_list(col(idCol))).as("postings"))
+      .select(col("token"), col("df"), col("postings"))
+    val overflow = dfs.filter(col("df") > maxDf)
+      .select(col("token"), col("df"),
+        lit(null).cast(ArrayType(idType)).as("postings"))
+    inWin.unionByName(overflow)
+  }
+
+  /** Apply a forget batch to an [[indexWithOverflow]] frame: returns
+    * the index AS IF built on the corpus minus `forgotten` (exactly —
+    * including overflow tokens that cross back into the df window,
+    * rebuilt from `remaining`). `minDf`/`maxDf` must be the knobs the
+    * index was built with; `forgotten` must be the deleted rows
+    * themselves (id + text — the forget pipeline holds them; ids not
+    * in the corpus would desync the df bookkeeping and are the
+    * caller's contract to exclude), and `remaining` the corpus after
+    * deletion.
+    *
+    * Plan: untouched tokens pass through without being rewritten
+    * (left join + null check); touched in-window tokens update via
+    * `array_except` against the batch's per-token removed-id lists
+    * (each bounded by the batch size); touched overflow tokens keep
+    * their decremented df, except CROSSING ones (new df <= `maxDf`)
+    * whose postings rebuild via one remaining-corpus pass filtered to
+    * the collected crossing-token literals — a bounded driver collect
+    * (<= the batch's distinct overflow tokens, stopword-scale by
+    * construction) that lets the rebuild be skipped when empty, the
+    * common case. */
+  def forgetFromIndex(index: DataFrame, forgotten: DataFrame,
+                      remaining: DataFrame, idCol: String,
+                      textCol: String, minDf: Long, maxDf: Long)
+      : DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf; got $minDf, $maxDf")
+    val remTok = forgotten
+      .select(col(idCol), explode(filter(TextStats.tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+      .distinct()
+    val rem = remTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("_rm"),
+        sort_array(collect_list(col(idCol))).as("_rm_ids"))
+    val joined = index.join(rem, Seq("token"), "left")
+    val untouched = joined.filter(col("_rm").isNull)
+      .select(col("token"), col("df"), col("postings"))
+    val touched = joined.filter(col("_rm").isNotNull)
+      .withColumn("_ndf", col("df") - col("_rm"))
+      .filter(col("_ndf") >= minDf)
+    val updatedInWin = touched.filter(col("postings").isNotNull)
+      .select(col("token"), col("_ndf").as("df"),
+        array_except(col("postings"), col("_rm_ids")).as("postings"))
+    val stillOver = touched
+      .filter(col("postings").isNull && col("_ndf") > maxDf)
+      .select(col("token"), col("_ndf").as("df"), col("postings"))
+    val base = untouched.unionByName(updatedInWin).unionByName(stillOver)
+    // the one case the index cannot answer from its own state: an
+    // overflow token whose df fell into the window. Bounded collect —
+    // crossing tokens are a subset of the batch's overflow vocabulary
+    val crossing = touched
+      .filter(col("postings").isNull && col("_ndf") <= maxDf)
+      .select(col("token")).collect().map(_.getString(0)).toSeq
+    if (crossing.isEmpty) base
+    else {
+      val rebuilt = remaining
+        .select(col(idCol),
+          explode(filter(TextStats.tokens(col(textCol)),
+            t => length(t) > 0)).as("token"))
+        .filter(col("token").isin(crossing: _*))
+        .distinct()
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col(idCol))).as("postings"))
+        .select(col("token"), col("df"), col("postings"))
+      base.unionByName(rebuilt)
+    }
+  }
+}

@@ -61,6 +61,46 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
+  /** CMS counters are LINEAR in the (token, freq) vector — the property
+    * that makes the sketch maintainable under both growth and FORGET:
+    * counters(A ∪ B) = counters(A) + counters(B) register-wise, so a
+    * distributed build merges per-shard sketches by addition, and a
+    * deletion batch subtracts EXACTLY — counters(corpus) −
+    * counters(removed) equals a from-scratch build on the remainder,
+    * register for register (the reference's find-and-forget flow
+    * propagated to the sketch without touching the surviving corpus;
+    * contrast HLL/Bloom, whose max/or registers are NOT invertible —
+    * those rebuild). `removed` must be counters over rows actually in
+    * the corpus (a superset would drive registers negative — failed
+    * loudly below rather than clamped, since a clamp would silently
+    * break the never-undercount guarantee).
+    *
+    * Zero registers drop so the result is row-identical to a fresh
+    * [[countMinCounters]] build (which only emits touched buckets).
+    * Cost: the frames are depth×width rows — the arithmetic is free;
+    * building `removed`'s counters costs one pass over the FORGET
+    * BATCH only. */
+  def cmsSubtract(counters: DataFrame, removed: DataFrame): DataFrame =
+    counters
+      .unionByName(removed.select(col("row"), col("bucket"),
+        (-col("cnt")).as("cnt")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cnt",
+        when(col("cnt") < 0, raise_error(concat(
+          lit("cmsSubtract: negative register at (row, bucket) = ("),
+          col("row"), lit(", "), col("bucket"),
+          lit(") — removed rows were not a subset of the corpus"))))
+          .otherwise(col("cnt")))
+      .filter(col("cnt") > 0)
+
+  /** The growth direction of the same linearity: register-wise sum of
+    * two counter tables (per-shard builds → one corpus sketch). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Row-`r` Bloom bit position of a key column (same engine-portable
     * md5 arithmetic as [[cmsBucket]]). */
   def bloomPos(key: Column, row: Int, mBits: Int): Column =

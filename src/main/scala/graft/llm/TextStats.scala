@@ -632,17 +632,16 @@ object TextStats {
       .filter(col("n_occurrences") > 0)
   }
 
-  /** DuckDB replay of [[bm25TopKMicro]] from the SAME (term,
-    * idf_micro) literals the entry used — every arithmetic step is
-    * BIGINT (`//` and `div` both truncate toward zero; all operands
-    * positive), so the replay is exact by construction. */
-  def bm25OracleSql(terms: Seq[(String, Long)], k: Int): String = {
-    require(terms.nonEmpty && k >= 1, "need (term, idfMicro) and k >= 1")
+  /** The CTE chain shared by [[bm25OracleSql]] and [[rrfOracleSql]]:
+    * tokenization through the per-doc `agg(doc_id, n_matched,
+    * score_micro)` frame, every step BIGINT. */
+  private def bm25AggCtes(terms: Seq[(String, Long)]): String = {
+    require(terms.nonEmpty, "need (term, idfMicro)")
     val esc = terms.map { case (t, m) => (t.replace("'", "''"), m) }
     val values = esc.map { case (t, m) =>
       s"(CAST('$t' AS VARCHAR), CAST($m AS BIGINT))" }.mkString(", ")
     val inList = esc.map { case (t, _) => s"'$t'" }.mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, t FROM (
+    s"""tok AS (SELECT doc_id, t FROM (
       |    SELECT doc_id, unnest(list_filter(
       |      string_split(text, ' '), x -> x <> '')) AS t
       |    FROM documents WHERE doc_id IS NOT NULL) u(doc_id, t)),
@@ -658,11 +657,95 @@ object TextStats {
       |   FROM tf JOIN terms USING (token) JOIN dl USING (doc_id)
       |   CROSS JOIN nl),
       | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
-      |     CAST(sum(s) AS BIGINT) AS score_micro FROM s GROUP BY 1)
+      |     CAST(sum(s) AS BIGINT) AS score_micro FROM s GROUP BY 1)"""
+      .stripMargin
+  }
+
+  /** DuckDB replay of [[bm25TopKMicro]] from the SAME (term,
+    * idf_micro) literals the entry used — every arithmetic step is
+    * BIGINT (`//` and `div` both truncate toward zero; all operands
+    * positive), so the replay is exact by construction. */
+  def bm25OracleSql(terms: Seq[(String, Long)], k: Int): String = {
+    require(terms.nonEmpty && k >= 1, "need (term, idfMicro) and k >= 1")
+    s"""WITH ${bm25AggCtes(terms)}
       | SELECT doc_id, n_matched, score_micro,
       |   CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
       |     AS INTEGER) AS rank
       | FROM agg ORDER BY score_micro DESC, doc_id LIMIT $k"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** Reciprocal-rank fusion over ranked retrieval outputs — the
+    * standard hybrid-search combiner (Cormack/Clarke/Büttcher 2009):
+    * each system contributes 1/(kRrf + rank) for every id it ranked,
+    * fused ids order by the summed contribution. Under the gate
+    * contract the contribution is the INTEGER `scale div (kRrf +
+    * rank)` — truncating division of positive operands, identical in
+    * any engine — so the fused score is a sum of exact integers (with
+    * scale = 1e9 and kRrf = 60, contributions are ~16M-scale and
+    * distinct per rank through rank ≈ 31k: far past any top-k list).
+    *
+    * Scale shape: each input is already a top-k frame (queries×k
+    * rows) — the corpus-sized work happened inside the upstream
+    * retrieval operators — so the fusion is a union of tiny frames,
+    * one hash aggregation, and the shared two-phase top-k cut. At
+    * 100 TB the inputs are the stored ranked shards; fusing them
+    * never re-reads the corpus.
+    *
+    * Inputs must each expose (idCol, `rank`); ids may repeat across
+    * systems but not within one (a ranked top-k is id-distinct by
+    * construction). Output: (idCol, `n_systems`, `rrf_micro`,
+    * `rank` 1..k). */
+  def rrfFuse(rankings: Seq[org.apache.spark.sql.DataFrame],
+              idCol: String, kRrf: Int = 60,
+              scale: Long = 1000000000L, k: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranked input")
+    require(kRrf >= 1 && scale >= 1 && k >= 1,
+      s"need kRrf, scale, k >= 1; got $kRrf, $scale, $k")
+    val contrib = rankings
+      .map(_.select(col(idCol), col("rank").cast("long").as("_r")))
+      .reduce(_ unionAll _)
+      .withColumn("_c", expr(s"CAST($scale AS BIGINT) div " +
+        s"(CAST($kRrf AS BIGINT) + _r)"))
+    val agg = contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_systems"), sum(col("_c")).as("rrf_micro"))
+    rankTop(agg, idCol, col("rrf_micro"), k)
+  }
+
+  /** DuckDB replay of the q98 hybrid: BM25-micro ranking (the
+    * [[bm25AggCtes]] chain from the SAME idf literals) fused with the
+    * exact-cosine ranking for query vector `qVecId` via integer RRF —
+    * rank arithmetic is BIGINT `//` on positive operands, so the
+    * fused scores hash-match [[rrfFuse]] bit-for-bit. */
+  def rrfOracleSql(terms: Seq[(String, Long)], qVecId: Long,
+                   kText: Int, kVec: Int, kRrf: Int, scale: Long,
+                   k: Int): String = {
+    require(kText >= 1 && kVec >= 1 && kRrf >= 1 && scale >= 1 && k >= 1,
+      "all knobs must be >= 1")
+    s"""WITH ${bm25AggCtes(terms)},
+      | txt AS (SELECT doc_id,
+      |     CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+      |       AS BIGINT) AS r
+      |   FROM agg QUALIFY r <= $kText),
+      | vec AS (SELECT e.vec_id AS doc_id,
+      |     CAST(ROW_NUMBER() OVER (ORDER BY
+      |       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                              CAST(e.embedding AS DOUBLE[])) DESC,
+      |       e.vec_id) AS BIGINT) AS r
+      |   FROM embeddings q, embeddings e
+      |   WHERE q.vec_id = $qVecId AND e.vec_id <> $qVecId
+      |   QUALIFY r <= $kVec),
+      | u AS (SELECT doc_id, CAST($scale AS BIGINT) // ($kRrf + r) AS c
+      |     FROM txt
+      |   UNION ALL
+      |   SELECT doc_id, CAST($scale AS BIGINT) // ($kRrf + r) FROM vec),
+      | fused AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_systems,
+      |     CAST(sum(c) AS BIGINT) AS rrf_micro FROM u GROUP BY 1)
+      | SELECT doc_id, n_systems, rrf_micro,
+      |   CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+      |     AS INTEGER) AS rank
+      | FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT $k"""
       .stripMargin.replace("\n", " ")
   }
 

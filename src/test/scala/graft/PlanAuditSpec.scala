@@ -267,4 +267,49 @@ class PlanAuditSpec extends SparkSpec {
       s"q95: nested loop in:\n$plan")
     assert(plan.contains("partial_"), s"q95: no partial agg in:\n$plan")
   }
+
+  test("hybrid RRF fusion (q98) never re-reads the corpus after the " +
+    "rankings: no cartesian, no global unkeyed aggregation of corpus " +
+    "rows — the fused frame is union + one hash agg + TakeOrdered") {
+    val df = SparkEntry.queries("q98_hybrid_rrf")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q98: cartesian in:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"q98: fusion cut is not TakeOrdered in:\n$plan")
+    // the corpus text feeds exactly tf + dl (the bm25 contract) —
+    // fusion must not add another tokenizing pass. Count the AQE
+    // FINAL plan only: the string also embeds the pre-reuse initial
+    // plan (the q75 audit's convention)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val textScans = "ReadSchema: [^\\n]*text:string".r
+      .findAllIn(finalPlan).size
+    assert(textScans <= 2, s"q98: $textScans text scans in:\n$finalPlan")
+  }
+
+  test("index forget (q99) maintains via equi-joins only (token and " +
+    "df-window update), with map-side partial aggregation and no " +
+    "nested loop anywhere") {
+    val df = SparkEntry.queries("q99_index_forget")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q99: cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q99: nested loop in:\n$plan")
+    assert(plan.contains("partial_"), s"q99: no partial agg in:\n$plan")
+  }
+
+  test("CMS forget (q100) is two bounded counter aggregations and one " +
+    "register-wise merge — state never exceeds depth×width rows, no " +
+    "joins at all") {
+    val df = SparkEntry.queries("q100_cms_forget")(
+      spark, "/root/testdata/sf0.001")
+    val out = df.collect()
+    assert(out.length <= 4 * 1024, s"q100: ${out.length} registers")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q100: join in:\n$plan")
+    assert(plan.contains("partial_"), s"q100: no partial agg in:\n$plan")
+  }
 }

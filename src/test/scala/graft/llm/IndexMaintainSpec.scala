@@ -1,0 +1,104 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Forget-aware index maintenance ([[IndexMaintain]]): the maintained
+  * index must equal a from-scratch rebuild on the remaining corpus —
+  * including the overflow contract's hard case, a token crossing back
+  * into the df window — and the crossing rebuild must not touch the
+  * remaining corpus when nothing crosses. */
+class IndexMaintainSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  /** Canonical comparable rows: (token, df, postings-as-string|null). */
+  private def rows(df: DataFrame): Set[(String, Long, String)] =
+    df.collect().map { r =>
+      val p = r.getAs[scala.collection.Seq[Long]]("postings")
+      (r.getAs[String]("token"), r.getAs[Long]("df"),
+        if (p == null) null else p.mkString(","))
+    }.toSet
+
+  // corpus engineered so the forget batch {1, 3} exercises every path:
+  //  - "hot" df 6 > maxDf 4 → overflow; loses 2 → df 4 CROSSES back in
+  //  - "warm" df 6 → overflow; loses only doc 1 → df 5 stays overflow
+  //  - "mid" df 4 in-window, loses 2 → array_except update to df 2
+  //  - "low" df 2 = minDf, loses both → drops below minDf
+  //  - "keep" df 2 untouched → passes through unrewritten
+  private val corpus = docs(Seq(
+    1L -> "hot warm mid low",
+    2L -> "hot warm mid keep",
+    3L -> "hot mid low",
+    4L -> "hot warm mid keep",
+    5L -> "hot warm x",
+    6L -> "hot warm y",
+    7L -> "warm z"))
+  private val forgetIds = Set(1L, 3L)
+  private val forgotten = corpus.filter(col("id").isin(forgetIds.toSeq: _*))
+  private val remaining =
+    corpus.filter(!col("id").isin(forgetIds.toSeq: _*))
+
+  test("indexWithOverflow: exact df everywhere, null postings past maxDf") {
+    val idx = IndexMaintain.indexWithOverflow(corpus, "id", "text",
+      minDf = 2, maxDf = 4)
+    val got = rows(idx)
+    assert(got.contains(("hot", 6L, null)))
+    assert(got.contains(("warm", 6L, null)))
+    assert(got.contains(("mid", 4L, "1,2,3,4")))
+    assert(got.contains(("low", 2L, "1,3")))
+    assert(got.contains(("keep", 2L, "2,4")))
+    // hapax tokens are below minDf — absent
+    assert(!got.exists(t => Set("x", "y", "z")(t._1)))
+  }
+
+  test("forgetFromIndex equals a from-scratch rebuild (crossing included)") {
+    val idx = IndexMaintain.indexWithOverflow(corpus, "id", "text",
+      minDf = 2, maxDf = 4)
+    val maintained = IndexMaintain.forgetFromIndex(idx, forgotten,
+      remaining, "id", "text", minDf = 2, maxDf = 4)
+    val rebuilt = IndexMaintain.indexWithOverflow(remaining, "id", "text",
+      minDf = 2, maxDf = 4)
+    assert(rows(maintained) === rows(rebuilt))
+    // and the crossing token really did come back with real postings
+    assert(rows(maintained).contains(("hot", 4L, "2,4,5,6")))
+    // while the still-overflowed one kept a null list
+    assert(rows(maintained).contains(("warm", 5L, null)))
+    // the touched in-window token updated via array_except
+    assert(rows(maintained).contains(("mid", 2L, "2,4")))
+  }
+
+  test("two sequential forget batches equal one combined batch") {
+    val idx = IndexMaintain.indexWithOverflow(corpus, "id", "text",
+      minDf = 2, maxDf = 4)
+    val rem1 = corpus.filter(col("id") =!= 1L)
+    val step1 = IndexMaintain.forgetFromIndex(idx,
+      corpus.filter(col("id") === 1L), rem1, "id", "text", 2, 4)
+    val step2 = IndexMaintain.forgetFromIndex(step1,
+      corpus.filter(col("id") === 3L), remaining, "id", "text", 2, 4)
+    val oneShot = IndexMaintain.forgetFromIndex(idx, forgotten,
+      remaining, "id", "text", 2, 4)
+    assert(rows(step2) === rows(oneShot))
+  }
+
+  test("no crossing → the remaining corpus is never scanned") {
+    val idx = IndexMaintain.indexWithOverflow(corpus, "id", "text",
+      minDf = 2, maxDf = 4)
+    // forgetting doc 6 touches "hot"/"warm" (6→5, both stay overflow)
+    // and the hapax "y" (not in the index) — nothing crosses
+    val rem = corpus.filter(col("id") =!= 6L)
+    // a remaining side that THROWS if any row is ever evaluated —
+    // the equality below can only hold if the no-crossing path
+    // skipped the rebuild scan entirely
+    val poisoned = rem.filter(
+      raise_error(lit("remaining corpus must not be scanned")).isNotNull)
+    val maintained = IndexMaintain.forgetFromIndex(idx,
+      corpus.filter(col("id") === 6L), poisoned, "id", "text", 2, 4)
+    val rebuilt = IndexMaintain.indexWithOverflow(rem, "id", "text", 2, 4)
+    assert(rows(maintained) === rows(rebuilt))
+  }
+}

@@ -85,4 +85,56 @@ class SketchSpec extends SparkSpec {
     // assert the invariant that holds either way: estimate <= 1
     assert(est <= 1L, s"unseen token over-estimated past all mass: $est")
   }
+
+  private def counterRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("cmsSubtract: full − removed equals a from-scratch build on " +
+    "the remainder, register for register (linearity)") {
+    val docs = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "epsilon alpha"),
+      (4L, "beta beta zeta")).toDF("doc_id", "text")
+    val removedIds = Set(2L, 4L)
+    val full = Sketch.countMinCounters(docs, "text", 4, 64)
+    val removed = Sketch.countMinCounters(
+      docs.filter(col("doc_id").isin(removedIds.toSeq: _*)), "text", 4, 64)
+    val rebuilt = Sketch.countMinCounters(
+      docs.filter(!col("doc_id").isin(removedIds.toSeq: _*)),
+      "text", 4, 64)
+    assert(counterRows(Sketch.cmsSubtract(full, removed)) ===
+      counterRows(rebuilt))
+  }
+
+  test("cmsSubtract: removing EVERYTHING leaves zero registers, which " +
+    "drop — the empty-corpus build") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val c = Sketch.countMinCounters(docs, "text", 2, 32)
+    assert(Sketch.cmsSubtract(c, c).count() === 0L)
+  }
+
+  test("cmsSubtract fails loudly when removed is not a corpus subset") {
+    val a = Sketch.countMinCounters(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), "text", 2, 32)
+    val b = Sketch.countMinCounters(
+      Seq((1L, "alpha alpha")).toDF("doc_id", "text"), "text", 2, 32)
+    val e = intercept[Exception] {
+      Sketch.cmsSubtract(a, b).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("negative register") ||
+      String.valueOf(e.getCause).contains("negative register"))
+  }
+
+  test("cmsMerge: per-shard builds sum to the whole-corpus sketch") {
+    val shard1 = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val shard2 = Seq((3L, "beta gamma")).toDF("doc_id", "text")
+    val whole = Sketch.countMinCounters(shard1.unionByName(shard2),
+      "text", 4, 64)
+    val merged = Sketch.cmsMerge(
+      Sketch.countMinCounters(shard1, "text", 4, 64),
+      Sketch.countMinCounters(shard2, "text", 4, 64))
+    assert(counterRows(merged) === counterRows(whole))
+  }
 }

@@ -985,6 +985,29 @@ object SparkEntry {
               transform(col("postings"), _.cast("string"))))
             .as("postings"))
     }),
+    // LLM §retrieval + §forget — POSITIONAL-index maintenance (q99's
+    // move on the q85 structure): per-doc position rows of forgotten
+    // docs drop via one anti-join, surviving rows of touched tokens
+    // decrement their df, and overflow MARKER rows (the variant's one
+    // extra row per excluded token — what makes deletion detectable)
+    // cross back into the window via the targeted rebuild. Oracle =
+    // from-scratch build on the remaining corpus.
+    "q101_positional_forget" -> ((s, dir) => {
+      import graft.llm.IndexMaintain
+      val docs = t(s, dir, "documents")
+      val idx = IndexMaintain.positionalIndexWithOverflow(docs,
+        "doc_id", "text", minDf = 5, maxDf = 400)
+      IndexMaintain.forgetFromPositionalIndex(idx,
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", minDf = 5, maxDf = 400)
+        .select(col("token"), col("df"),
+          coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+          when(col("positions").isNull, lit("<overflow>"))
+            .otherwise(concat_ws(",",
+              transform(col("positions"), _.cast("string"))))
+            .as("positions"))
+    }),
     // LLM §sketch + §forget — CMS maintenance under deletion: the
     // counters are LINEAR in (token, freq), so the forget batch's own
     // sketch SUBTRACTS register-wise (one pass over the batch, the
@@ -2152,6 +2175,27 @@ object SparkEntry {
         |   END AS postings
         | FROM dt JOIN dfs USING (token)
         | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    // the q85 replay on the REMAINING corpus + one '<overflow>'
+    // marker row per past-maxDf token (doc_id −1) — matching the
+    // maintained frame proves the positional forget path
+    "q101_positional_forget" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |     string_split(text, ' '), x -> x <> '') AS ts
+        |   FROM documents WHERE doc_id % 7 <> 0),
+        | pt AS (SELECT doc_id, unnest(ts) AS token,
+        |     unnest(range(1, len(ts) + 1)) AS pos FROM d),
+        | dfs AS (SELECT token, count(DISTINCT doc_id) AS df
+        |   FROM pt GROUP BY 1
+        |   HAVING count(DISTINCT doc_id) >= 5)
+        | SELECT pt.token, dfs.df, pt.doc_id,
+        |   array_to_string(list(pt.pos ORDER BY pt.pos), ',')
+        |     AS positions
+        | FROM pt JOIN dfs USING (token) WHERE dfs.df <= 400
+        | GROUP BY 1, 2, 3
+        | UNION ALL
+        | SELECT token, df, CAST(-1 AS BIGINT) AS doc_id,
+        |   '<overflow>' AS positions
+        | FROM dfs WHERE df > 400""".stripMargin.replace("\n", " "),
     // q72's replay + zipped unnest positions (1-based, the same
     // empty-filtered token stream), positions list stringified
     "q85_positional_index" ->

@@ -68,6 +68,25 @@ object IndexMaintain {
     inWin.unionByName(overflow)
   }
 
+  /** Forget for PER-ROW derived artifacts — PQ code frames
+    * ([[Pq.encode]]), IVF-PQ (cell, codes) rows ([[IvfPq.encode]]),
+    * quality scores, fingerprints: anything with exactly one row per
+    * source row and no cross-row aggregate state. There deletion is
+    * ONE anti-join on the id — no arithmetic to invert, no rebuild;
+    * the stored artifact (at 100 TB the codes ARE the persisted
+    * index) shrinks in place and every search over it behaves as if
+    * the remainder had been re-encoded (encode is row-local, so this
+    * is exact by construction — spec-pinned against the re-encode).
+    * Artifacts with cross-row state need real maintenance:
+    * [[forgetFromIndex]] (posting lists),
+    * [[forgetFromPositionalIndex]] (per-doc position rows carry a
+    * per-TOKEN df), [[Sketch.cmsSubtract]] (linear counters);
+    * HLL/Bloom registers are not invertible and rebuild. */
+  def forgetRows(artifact: DataFrame, forgottenIds: DataFrame,
+                 idCol: String): DataFrame =
+    artifact.join(forgottenIds.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Apply a forget batch to an [[indexWithOverflow]] frame: returns
     * the index AS IF built on the corpus minus `forgotten` (exactly —
     * including overflow tokens that cross back into the df window,
@@ -132,6 +151,102 @@ object IndexMaintain {
         .agg(count(lit(1)).as("df"),
           sort_array(collect_list(col(idCol))).as("postings"))
         .select(col("token"), col("df"), col("postings"))
+      base.unionByName(rebuilt)
+    }
+  }
+
+  /** [[TextStats.positionalIndex]] with the overflow contract: the
+    * per-(token, document) position rows for in-window tokens, plus
+    * one MARKER row (null id, null positions, exact df) per token
+    * whose df exceeds `maxDf`. The base positional shape has no
+    * memory hazard to guard (each buffer holds one document's
+    * positions), but WITHOUT the marker a deletion could never tell
+    * that an excluded token's df fell back inside the window — the
+    * marker is one row per excluded token, the cheapest state that
+    * keeps the index maintainable (the [[indexWithOverflow]] move).
+    *
+    * Output: (`token`, `df`, idCol nullable, `positions` nullable). */
+  def positionalIndexWithOverflow(df: DataFrame, idCol: String,
+                                  textCol: String, minDf: Long,
+                                  maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf; got $minDf, $maxDf")
+    val idType = df.schema(idCol).dataType
+    val tokPos = df
+      .select(col(idCol), posexplode(filter(TextStats.tokens(col(textCol)),
+        t => length(t) > 0)).as(Seq("_pos0", "token")))
+    val dfs = tokPos.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+    val inWin = tokPos.join(dfs.filter(col("df") <= maxDf), "token")
+      .groupBy(col("token"), col("df"), col(idCol))
+      .agg(sort_array(collect_list(col("_pos0") + lit(1)))
+        .as("positions"))
+      .select(col("token"), col("df"), col(idCol), col("positions"))
+    val overflow = dfs.filter(col("df") > maxDf)
+      .select(col("token"), col("df"),
+        lit(null).cast(idType).as(idCol),
+        lit(null).cast(inWin.schema("positions").dataType)
+          .as("positions"))
+    inWin.unionByName(overflow)
+  }
+
+  /** Apply a forget batch to a [[positionalIndexWithOverflow]] frame:
+    * the index AS IF built on the corpus minus the forgotten docs.
+    * Unlike [[forgetFromIndex]] no `array_except` is needed — a
+    * document's positions live in their own row, which the anti-join
+    * drops whole — but the per-token `df` column must decrement on
+    * every surviving row of a touched token, tokens falling below
+    * `minDf` drop entirely, and marker tokens CROSSING back under
+    * `maxDf` rebuild their position rows via the same targeted
+    * remaining-corpus pass (bounded collect of the crossing tokens,
+    * skipped when empty). `forgotten` must be the deleted rows (id +
+    * text), `remaining` the corpus after deletion — the
+    * [[forgetFromIndex]] contract. */
+  def forgetFromPositionalIndex(index: DataFrame, forgotten: DataFrame,
+                                remaining: DataFrame, idCol: String,
+                                textCol: String, minDf: Long,
+                                maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf; got $minDf, $maxDf")
+    val remCnt = forgotten
+      .select(col(idCol), explode(filter(TextStats.tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+      .distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("_rm"))
+    val fids = forgotten.select(col(idCol)).distinct()
+    val joined = index.join(remCnt, Seq("token"), "left")
+    val untouched = joined.filter(col("_rm").isNull)
+      .select(col("token"), col("df"), col(idCol), col("positions"))
+    val touched = joined.filter(col("_rm").isNotNull)
+      .withColumn("_ndf", col("df") - col("_rm"))
+      .filter(col("_ndf") >= minDf)
+    val touchedRows = touched.filter(col(idCol).isNotNull)
+      .join(fids, Seq(idCol), "left_anti")
+      .select(col("token"), col("_ndf").as("df"), col(idCol),
+        col("positions"))
+    val stillOver = touched
+      .filter(col(idCol).isNull && col("_ndf") > maxDf)
+      .select(col("token"), col("_ndf").as("df"), col(idCol),
+        col("positions"))
+    val base = untouched.unionByName(touchedRows).unionByName(stillOver)
+    val crossing = touched
+      .filter(col(idCol).isNull && col("_ndf") <= maxDf)
+      .select(col("token")).collect().map(_.getString(0)).toSeq
+    if (crossing.isEmpty) base
+    else {
+      val tokPos = remaining
+        .select(col(idCol),
+          posexplode(filter(TextStats.tokens(col(textCol)),
+            t => length(t) > 0)).as(Seq("_pos0", "token")))
+        .filter(col("token").isin(crossing: _*))
+      val dfs = tokPos.groupBy(col("token"))
+        .agg(countDistinct(col(idCol)).as("df"))
+      val rebuilt = tokPos.join(dfs, "token")
+        .groupBy(col("token"), col("df"), col(idCol))
+        .agg(sort_array(collect_list(col("_pos0") + lit(1)))
+          .as("positions"))
+        .select(col("token"), col("df"), col(idCol), col("positions"))
       base.unionByName(rebuilt)
     }
   }

@@ -1,0 +1,164 @@
+package graft.tools
+
+import graft.llm.{IndexMaintain, Sketch}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-margin soak for the forget-propagation family (q99/q100):
+  * maintain-under-deletion vs rebuild-from-scratch on the
+  * [[DedupSoak]] adversarial corpus (its ~20 boilerplate words are
+  * census-scale hot tokens, df = n/5 — exactly the overflow rows the
+  * maintenance contract exists for) at growing scale.
+  *
+  * Three regimes measured per scale, each against the REBUILD cost —
+  * the economics a 100 TB deployment actually weighs per forget batch:
+  *
+  *   - `maintain_nocross`: maxDf below the post-forget hot-token df,
+  *     so every overflow token STAYS overflow — the common case. Cost
+  *     must be O(forget batch + index), independent of the surviving
+  *     corpus: the ratio to rebuild should WIDEN as n grows.
+  *   - `maintain_cross`: maxDf between the pre- and post-forget hot
+  *     df, so every hot token crosses back into the window — the
+  *     worst case, which pays one targeted remaining-corpus pass for
+  *     the ~20 collected crossing tokens. Bounded above by rebuild
+  *     (same scan, far smaller shuffle).
+  *   - `cms_subtract`: register-wise CMS subtraction (one pass over
+  *     the batch + a 4·width-row merge) vs re-sketching the remainder.
+  *
+  * Maintained ≡ rebuilt is asserted LOUDLY at every scale in both
+  * index regimes (stringified-postings symmetric difference) and for
+  * the sketch (register symmetric difference) — the soak is a
+  * correctness harness first, a stopwatch second.
+  *
+  * The index input to maintenance is PERSISTED and materialized
+  * before the clock starts: maintenance reads the stored artifact
+  * (the q99 claim), never re-derives it.
+  *
+  * Usage: `runMain graft.tools.IndexForgetSoak [scales]` (default
+  * "1,10,30" — multiples of the 5,000-doc sf0.1 documents shape).
+  * One JSON line per scale, then a `ratios` line. */
+object IndexForgetSoak {
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Stringified canonical rows for null-safe index comparison. */
+  private def canon(ix: DataFrame): DataFrame =
+    ix.select(col("token"), col("df"),
+      coalesce(concat_ws(",", transform(col("postings"),
+        _.cast("string"))), lit("<overflow>")).as("p"))
+
+  private def assertSame(a: DataFrame, b: DataFrame, what: String): Unit = {
+    val diff = canon(a).exceptAll(canon(b))
+      .unionAll(canon(b).exceptAll(canon(a))).count()
+    require(diff == 0, s"$what: maintained != rebuilt ($diff rows differ)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.getOrElse("1,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    val baseDocs = 5000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").write
+      .format("noop").mode(SaveMode.Overwrite).save()
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[Int, Map[String, Double]]
+    scales.foreach { k =>
+      val n = baseDocs * k
+      val docs = DedupSoak.corpus(spark, n).persist()
+      docs.count()
+      // forget every 10th doc; hot boilerplate tokens sit on ids
+      // with id % 5 == 3, so the batch removes 1/10 of them (ids
+      // ≡ 3 mod 5 ∧ ≡ 0 mod 10 is empty — use id % 10 == 3: those
+      // are boilerplate docs, thinning hot df from n/5 to n/5 − n/10)
+      val forgotten = docs.filter(col("doc_id") % 10 === 3)
+      val remaining = docs.filter(col("doc_id") % 10 =!= 3)
+      val hotBefore = n / 5        // boilerplate df pre-forget
+      val hotAfter = hotBefore - n / 10 // post-forget (half the hot docs)
+      // crossing regime: post-forget df back in window
+      val maxDfCross = (hotBefore + hotAfter) / 2
+      // no-crossing regime: still overflowed after the forget
+      val maxDfStay = hotAfter - 1
+      require(maxDfStay >= 2 && hotAfter < maxDfCross &&
+        maxDfCross < hotBefore, s"soak knobs out of band at n=$n")
+
+      def soakIndex(maxDf: Long, label: String): (Double, Double) = {
+        val ix = IndexMaintain.indexWithOverflow(docs, "doc_id", "text",
+          minDf = 2, maxDf = maxDf).persist()
+        ix.count() // the stored artifact — built before the clock
+        val (_, tMaint) = timed {
+          IndexMaintain.forgetFromIndex(ix, forgotten, remaining,
+            "doc_id", "text", minDf = 2, maxDf = maxDf)
+            .write.format("noop").mode(SaveMode.Overwrite).save()
+        }
+        val (_, tRebuild) = timed {
+          IndexMaintain.indexWithOverflow(remaining, "doc_id", "text",
+            minDf = 2, maxDf = maxDf)
+            .write.format("noop").mode(SaveMode.Overwrite).save()
+        }
+        assertSame(
+          IndexMaintain.forgetFromIndex(ix, forgotten, remaining,
+            "doc_id", "text", minDf = 2, maxDf = maxDf),
+          IndexMaintain.indexWithOverflow(remaining, "doc_id", "text",
+            minDf = 2, maxDf = maxDf),
+          s"$label@${k}x")
+        ix.unpersist()
+        (tMaint, tRebuild)
+      }
+
+      val (mNo, rNo) = soakIndex(maxDfStay, "nocross")
+      val (mCr, rCr) = soakIndex(maxDfCross, "cross")
+
+      // CMS: subtract the batch's sketch vs re-sketch the remainder
+      val counters = Sketch.countMinCounters(docs, "text", 4, 4096)
+        .persist()
+      counters.count()
+      val (_, tSub) = timed {
+        Sketch.cmsSubtract(counters,
+            Sketch.countMinCounters(forgotten, "text", 4, 4096))
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      val (_, tResk) = timed {
+        Sketch.countMinCounters(remaining, "text", 4, 4096)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      val sub = Sketch.cmsSubtract(counters,
+        Sketch.countMinCounters(forgotten, "text", 4, 4096))
+      val resk = Sketch.countMinCounters(remaining, "text", 4, 4096)
+      val cdiff = sub.exceptAll(resk).unionAll(resk.exceptAll(sub)).count()
+      require(cdiff == 0, s"cms@${k}x: subtract != rebuilt ($cdiff)")
+      counters.unpersist()
+      docs.unpersist()
+
+      results(k) = Map("m_no" -> mNo, "r_no" -> rNo, "m_cr" -> mCr,
+        "r_cr" -> rCr, "sub" -> tSub, "resk" -> tResk)
+      println(s"""{"scale":$k,"docs":$n,""" +
+        s""""maintain_nocross_sec":${f"$mNo%.2f"},""" +
+        s""""rebuild_nocross_sec":${f"$rNo%.2f"},""" +
+        s""""maintain_cross_sec":${f"$mCr%.2f"},""" +
+        s""""rebuild_cross_sec":${f"$rCr%.2f"},""" +
+        s""""cms_subtract_sec":${f"$tSub%.2f"},""" +
+        s""""cms_resketch_sec":${f"$tResk%.2f"}}""")
+    }
+    val base = results(scales.head)
+    val ratios = scales.tail.map { k =>
+      val r = results(k)
+      s""""${k}x":{""" +
+        Seq("m_no", "r_no", "m_cr", "r_cr", "sub", "resk")
+          .map(m => s""""$m":${f"${r(m) / base(m)}%.1f"}""")
+          .mkString(",") + "}"
+    }.mkString(",")
+    println(s"""{"ratios":{$ratios}}""")
+    spark.stop()
+  }
+}

@@ -301,6 +301,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"q99: no partial agg in:\n$plan")
   }
 
+  test("positional forget (q101) maintains via equi-joins only, " +
+    "aggregates with map-side partials, no nested loop, and its " +
+    "windows (if any) are always keyed") {
+    val df = SparkEntry.queries("q101_positional_forget")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q101: cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q101: nested loop in:\n$plan")
+    assert(plan.contains("partial_"), s"q101: no partial agg in:\n$plan")
+    val ws = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      s"q101: unkeyed window in:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("CMS forget (q100) is two bounded counter aggregations and one " +
     "register-wise merge — state never exceeds depth×width rows, no " +
     "joins at all") {

@@ -101,4 +101,86 @@ class IndexMaintainSpec extends SparkSpec {
     val rebuilt = IndexMaintain.indexWithOverflow(rem, "id", "text", 2, 4)
     assert(rows(maintained) === rows(rebuilt))
   }
+
+  /** Canonical positional rows: (token, df, id|null, positions|null). */
+  private def prows(df: DataFrame): Set[(String, Long, Any, String)] =
+    df.collect().map { r =>
+      val p = r.getAs[scala.collection.Seq[Int]]("positions")
+      (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (p == null) null else p.mkString(","))
+    }.toSet
+
+  test("positionalIndexWithOverflow: marker rows past maxDf, per-doc " +
+    "position rows in-window") {
+    val idx = IndexMaintain.positionalIndexWithOverflow(corpus, "id",
+      "text", minDf = 2, maxDf = 4)
+    val got = prows(idx)
+    assert(got.contains(("hot", 6L, null, null)))
+    assert(got.contains(("warm", 6L, null, null)))
+    assert(got.contains(("mid", 4L, 1L, "3")))
+    assert(got.contains(("mid", 4L, 3L, "2")))
+    assert(got.contains(("keep", 2L, 2L, "4")))
+    assert(!got.exists(t => Set("x", "y", "z")(t._1)))
+  }
+
+  test("forgetFromPositionalIndex equals a from-scratch rebuild " +
+    "(crossing marker becomes real position rows)") {
+    val idx = IndexMaintain.positionalIndexWithOverflow(corpus, "id",
+      "text", minDf = 2, maxDf = 4)
+    val maintained = IndexMaintain.forgetFromPositionalIndex(idx,
+      forgotten, remaining, "id", "text", minDf = 2, maxDf = 4)
+    val rebuilt = IndexMaintain.positionalIndexWithOverflow(remaining,
+      "id", "text", minDf = 2, maxDf = 4)
+    assert(prows(maintained) === prows(rebuilt))
+    // crossing token materialized with per-doc positions
+    assert(prows(maintained).contains(("hot", 4L, 2L, "1")))
+    // still-overflowed token kept its (decremented) marker
+    assert(prows(maintained).contains(("warm", 5L, null, null)))
+    // touched in-window rows decremented df, forgotten rows dropped
+    assert(prows(maintained).contains(("mid", 2L, 4L, "3")))
+    assert(!prows(maintained).exists(t => t._3 == 1L || t._3 == 3L))
+  }
+
+  test("positional no-crossing forget never scans the remaining corpus") {
+    val idx = IndexMaintain.positionalIndexWithOverflow(corpus, "id",
+      "text", minDf = 2, maxDf = 4)
+    val rem = corpus.filter(col("id") =!= 6L)
+    val poisoned = rem.filter(
+      raise_error(lit("remaining corpus must not be scanned")).isNotNull)
+    val maintained = IndexMaintain.forgetFromPositionalIndex(idx,
+      corpus.filter(col("id") === 6L), poisoned, "id", "text", 2, 4)
+    val rebuilt = IndexMaintain.positionalIndexWithOverflow(rem, "id",
+      "text", 2, 4)
+    assert(prows(maintained) === prows(rebuilt))
+  }
+
+  test("forgetRows on a PQ code frame: search over the pruned codes " +
+    "equals search over the re-encoded remainder") {
+    import spark.implicits._
+    val cb: Seq[Seq[Array[Float]]] = Seq(
+      Seq(Array(1f, 0f), Array(0f, 1f)),
+      Seq(Array(1f, 1f), Array(1f, -1f)))
+    // vectors ON the codebook (lossless reconstruction) so the two
+    // rankings must agree exactly, not just approximately
+    val data = (for {
+      (c0, i0) <- cb(0).zipWithIndex
+      (c1, i1) <- cb(1).zipWithIndex
+    } yield ((i0 * 2 + i1).toLong, (c0 ++ c1).toSeq)).toSeq
+      .toDF("vec_id", "embedding")
+    val queries = data.filter(col("vec_id") < 2)
+    val pruned = IndexMaintain.forgetRows(
+      Pq.encode(data, "vec_id", "embedding", cb),
+      Seq(2L).toDF("vec_id"), "vec_id")
+    def ranked(d: DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val viaPruned = Pq.reconstructTopKEncoded(pruned, queries,
+      "vec_id", "embedding", cb, k = 2)
+    val viaReencode = Pq.reconstructTopK(
+      data.filter(col("vec_id") =!= 2L), queries,
+      "vec_id", "embedding", cb, k = 2)
+    assert(ranked(viaPruned) === ranked(viaReencode))
+    assert(!ranked(viaPruned).exists(_._2 == 2L))
+  }
 }

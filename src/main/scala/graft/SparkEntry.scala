@@ -985,6 +985,18 @@ object SparkEntry {
               transform(col("postings"), _.cast("string"))))
             .as("postings"))
     }),
+    // LLM §dedup — ONE-COPY span dedup (Lee 2022's "remove all but
+    // one occurrence of duplicated training text" — the REMOVAL the
+    // q95 coverage audit measures, with a copy kept, unlike q55's
+    // strip-everywhere boilerplate cut): canonical first occurrence
+    // per duplicated 16-char shingle survives (min(struct) pick — no
+    // per-gram window ever sorts a hot shingle's occurrence list),
+    // other occurrences' chars excised via per-DOC interval merge +
+    // one aggregate fold rebuild. Whole pipeline integer/string
+    // exact → full SQL replay.
+    "q102_span_dedup" -> ((s, dir) =>
+      graft.llm.Dedup.dedupSpansKeepFirst(t(s, dir, "documents"),
+        "doc_id", "text", shingleLen = 16)),
     // LLM §retrieval + §forget — POSITIONAL-index maintenance (q99's
     // move on the q85 structure): per-doc position rows of forgotten
     // docs drop via one anti-join, surviving rows of touched tokens
@@ -2175,6 +2187,46 @@ object SparkEntry {
         |   END AS postings
         | FROM dt JOIN dfs USING (token)
         | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    // full replay of the one-copy span dedup: the oracle may use
+    // per-gram windows (rn = 1 ⇔ the engine's min(struct) canonical —
+    // same (doc_id, i) total order), per-doc interval merge, then
+    // string_agg of the kept segments + the tail
+    "q102_span_dedup" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS lt
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | idx AS (SELECT unnest(range(1, 2000)) AS i),
+        | occ AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |     substr(text, CAST(i AS INT), 16) AS g
+        |   FROM d JOIN idx ON i <= lt - 15),
+        | od AS (SELECT doc_id, i,
+        |     row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+        |     count(*) OVER (PARTITION BY g) AS cnt
+        |   FROM occ),
+        | rem AS (SELECT doc_id, i FROM od WHERE cnt >= 2 AND rn >= 2),
+        | m AS (SELECT doc_id, i,
+        |     CASE WHEN i > COALESCE(max(i + 15) OVER (PARTITION BY doc_id
+        |       ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |       0) + 1 THEN 1 ELSE 0 END AS brk FROM rem),
+        | grp AS (SELECT doc_id, i,
+        |     sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS gid FROM m),
+        | ivs AS (SELECT doc_id, min(i) AS s, max(i) + 15 AS e
+        |   FROM grp GROUP BY doc_id, gid),
+        | segs AS (SELECT doc_id, s, e,
+        |     COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+        |       AS ks FROM ivs),
+        | head AS (SELECT doc_id,
+        |     string_agg(substr(text, CAST(ks AS INT), CAST(s - ks AS INT)),
+        |       '' ORDER BY s) AS h,
+        |     CAST(max(e) AS BIGINT) AS me,
+        |     CAST(sum(e - s + 1) AS BIGINT) AS nrm
+        |   FROM segs JOIN d USING (doc_id) GROUP BY doc_id)
+        | SELECT d.doc_id,
+        |   CASE WHEN h.doc_id IS NULL THEN d.text
+        |     ELSE h.h || substr(d.text, CAST(h.me + 1 AS INT)) END
+        |     AS text_clean,
+        |   COALESCE(h.nrm, 0) AS n_chars_removed
+        | FROM d LEFT JOIN head h USING (doc_id)"""
+        .stripMargin.replace("\n", " "),
     // the q85 replay on the REMAINING corpus + one '<overflow>'
     // marker row per past-maxDf token (doc_id −1) — matching the
     // maintained frame proves the positional forget path

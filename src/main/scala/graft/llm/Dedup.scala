@@ -896,6 +896,91 @@ object Dedup {
         coalesce(size(col("_cov")), lit(0)).as("n_tokens_removed"))
   }
 
+  /** ONE-COPY span dedup — the "remove all but one occurrence of
+    * duplicated training text" policy (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") as an exact,
+    * deterministic operator: every occurrence of a corpus-duplicated
+    * `shingleLen`-char shingle EXCEPT its canonical first copy (the
+    * lexicographically least (doc, offset)) marks its characters for
+    * removal; each document is rebuilt from the surviving character
+    * ranges. Contrast [[removeRepeatedSpans]], which strips a hot
+    * span from EVERY document (boilerplate has no copy worth
+    * keeping) — here exactly one copy of each duplicated shingle
+    * survives at its canonical site. The per-shingle guarantee is the
+    * honest contract: a canonical occurrence's characters can still
+    * be excised when a DIFFERENT shingle's non-canonical interval
+    * overlaps them (overlapping shingles interact the same way in
+    * the suffix-array formulation) — what is exact is the removal
+    * set's definition, identical in both engines.
+    *
+    * Scale shape: occurrences ∝ corpus chars (the q95 frame); gram
+    * stats are ONE hash aggregation with map-side partials —
+    * `min(struct(id, i))` is the canonical pick, so no per-gram
+    * window ever sorts a census-scale shingle's occurrence list; the
+    * interval merge runs under per-DOCUMENT windows only; the
+    * rebuild is one `aggregate` fold over each doc's bounded merged
+    * interval list.
+    *
+    * Output: (id, `text_clean`, `n_chars_removed`) — one row per
+    * input document. */
+  def dedupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int): DataFrame = {
+    require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
+    import org.apache.spark.sql.expressions.Window
+    val L = shingleLen
+    val occ = df.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        explode(when(length(col(textCol)) >= L,
+          sequence(lit(1), length(col(textCol)) - (L - 1)))
+          .otherwise(array())).as("_i"),
+        col(textCol).as("_txt"))
+      .select(col(idCol), col("_i").cast("long").as("_i"),
+        col("_txt").substr(col("_i"), lit(L)).as("_g"))
+    val stats = occ.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col(idCol), col("_i"))).as("_c"))
+      .filter(col("_cnt") >= 2)
+      .select(col("_g"), col("_c").getField(idCol).as("_cid"),
+        col("_c").getField("_i").as("_ci"))
+    val rem = occ.join(stats, "_g")
+      .filter(!(col(idCol) === col("_cid") && col("_i") === col("_ci")))
+      .select(col(idCol), col("_i"))
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("_i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("_i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ivs = rem
+      .withColumn("_prevEnd",
+        coalesce(max(col("_i") + (L - 1)).over(wPrev), lit(0L)))
+      .withColumn("_brk",
+        when(col("_i") > col("_prevEnd") + 1, lit(1L)).otherwise(lit(0L)))
+      .withColumn("_gid", sum(col("_brk")).over(wRun))
+      .groupBy(col(idCol), col("_gid"))
+      .agg(min(col("_i")).as("_s"), (max(col("_i")) + (L - 1)).as("_e"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_s"), col("_e"))))
+        .as("_ivs"),
+        sum(col("_e") - col("_s") + 1).as("_nrm"))
+    val txt = col(textCol)
+    val stitched = aggregate(
+      col("_ivs"),
+      struct(lit(1L).as("p"), lit("").as("a")),
+      (st, iv) => struct(
+        (iv.getField("_e") + lit(1L)).as("p"),
+        concat(st.getField("a"),
+          txt.substr(st.getField("p").cast("int"),
+            (iv.getField("_s") - st.getField("p")).cast("int"))).as("a")),
+      st => concat(st.getField("a"),
+        txt.substr(st.getField("p").cast("int"),
+          (length(txt) - st.getField("p") + 1).cast("int"))))
+    df.filter(col(idCol).isNotNull)
+      .join(ivs, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_ivs").isNull, txt).otherwise(stitched)
+          .as("text_clean"),
+        coalesce(col("_nrm"), lit(0L)).as("n_chars_removed"))
+  }
+
   /** Quality-aware keeper selection over duplicate clusters — the
     * dedup POLICY knob: instead of [[DedupForget.losers]]' min-id rule,
     * keep the member that maximizes `scoreCol` (ties to the smallest

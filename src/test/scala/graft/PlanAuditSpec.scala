@@ -301,6 +301,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"q99: no partial agg in:\n$plan")
   }
 
+  test("one-copy span dedup (q102) windows PER DOCUMENT only (the " +
+    "canonical pick is an aggregation, never a per-gram sort), joins " +
+    "hash/sort-based, map-side partials present") {
+    val df = SparkEntry.queries("q102_span_dedup")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val ws = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.nonEmpty, "q102: expected the interval-merge windows")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      s"q102: unkeyed window in:\n${df.queryExecution.optimizedPlan}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q102: cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q102: nested loop in:\n$plan")
+    assert(plan.contains("partial_"), s"q102: no partial agg in:\n$plan")
+  }
+
   test("positional forget (q101) maintains via equi-joins only, " +
     "aggregates with map-side partials, no nested loop, and its " +
     "windows (if any) are always keyed") {

@@ -1416,6 +1416,33 @@ object SparkEntry {
         .select(col("point_id"), col("pt"), col("user_id"),
           col("session_id"), col("start_ns"), col("end_ns"))
     }),
+    // §events — INTERVAL-OVERLAP JOIN (the interval×interval sibling
+    // of q68, which Spark also compiles to a nested loop): all
+    // cross-user pairs of CONCURRENT q39 sessions via the bucketed
+    // shape — both sides explode to covered 1-h buckets, ONE hash
+    // equi-join, exact re-check, and the max-start bucket rule emits
+    // each pair exactly once (the overlap's first bucket — both
+    // sides cover it, and there is exactly one). Output adds the
+    // exact overlap length in ns — all integers.
+    "q103_interval_join" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val sess = queries("q39_sessionize")(s, dir)
+        .select(col("user_id"), col("session_id"),
+          col("start_ns"), col("end_ns"))
+      val a = sess.select(col("user_id").as("user_a"),
+        col("session_id").as("session_a"),
+        col("start_ns").as("start_a"), col("end_ns").as("end_a"))
+      val b = sess.select(col("user_id").as("user_b"),
+        col("session_id").as("session_b"),
+        col("start_ns").as("start_b"), col("end_ns").as("end_b"))
+      RangeJoin.intervalOverlap(a, "start_a", "end_a", b,
+          "start_b", "end_b", bucketWidth = 3600L * 1000000000L)
+        .filter(col("user_a") < col("user_b"))
+        .select(col("user_a"), col("session_a"), col("user_b"),
+          col("session_b"),
+          (least(col("end_a"), col("end_b")) -
+            greatest(col("start_a"), col("start_b"))).as("overlap_ns"))
+    }),
     // §events — AS-OF JOIN (the temporal-state lookup Spark lacks,
     // composed from union + one per-key window): for each probe (every
     // 10th event), the latest event at-or-before its timestamp by the
@@ -2208,7 +2235,8 @@ object SparkEntry {
         |       ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |       0) + 1 THEN 1 ELSE 0 END AS brk FROM rem),
         | grp AS (SELECT doc_id, i,
-        |     sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS gid FROM m),
+        |     CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY i)
+        |       AS BIGINT) AS gid FROM m),
         | ivs AS (SELECT doc_id, min(i) AS s, max(i) + 15 AS e
         |   FROM grp GROUP BY doc_id, gid),
         | segs AS (SELECT doc_id, s, e,
@@ -2433,6 +2461,35 @@ object SparkEntry {
         |   s.start_ns, s.end_ns
         | FROM p JOIN sess s
         |   ON p.pt BETWEEN s.start_ns AND s.end_ns"""
+        .stripMargin.replace("\n", " "),
+    // the q39 session CTEs + a plain inequality overlap self-join
+    // (the oracle may nested-loop; the engine side is the bucketed
+    // exactly-once equi-join)
+    "q103_interval_join" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        | f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+        |    THEN 1 ELSE 0 END AS nw FROM o),
+        | s2 AS (
+        |  SELECT user_id, tns, CAST(sum(nw) OVER (
+        |    PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f),
+        | sess AS (
+        |  SELECT user_id, session_id,
+        |    min(tns) AS start_ns, max(tns) AS end_ns
+        |  FROM s2 GROUP BY 1, 2)
+        | SELECT a.user_id AS user_a, a.session_id AS session_a,
+        |   b.user_id AS user_b, b.session_id AS session_b,
+        |   least(a.end_ns, b.end_ns) -
+        |     greatest(a.start_ns, b.start_ns) AS overlap_ns
+        | FROM sess a JOIN sess b
+        |   ON a.user_id < b.user_id
+        |  AND a.start_ns <= b.end_ns AND b.start_ns <= a.end_ns"""
         .stripMargin.replace("\n", " "),
     // the window replay: inequality join + ROW_NUMBER over
     // (tsn DESC, event_id DESC) — the same (ts, id) total order as

@@ -537,11 +537,88 @@ object TextStats {
       : org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty && k >= 1, "need (term, idfMicro) and k >= 1")
     val (toks, dl, nl) = bm25Frames(docs, idCol, textCol)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val termDf = terms.toDF("_qt", "_idf_micro")
+    // the isin pushes to the scan BEFORE tf aggregates — only query
+    // terms' occurrences shuffle (filter commutes with the groupBy,
+    // so this equals scoring the full stored tf table)
     val tf = toks.filter(col("_t").isin(terms.map(_._1): _*))
       .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    bm25ScoreFromStats(tf, dl, nl, idCol, terms, k)
+  }
+
+  /** The BM25 STATS ARTIFACTS — what a serving deployment stores so
+    * queries never re-tokenize the corpus: the full per-(doc, term)
+    * tf table, the per-doc length table, and the one-row (L, N)
+    * scalars. All three are FORGET-MAINTAINABLE without touching the
+    * surviving corpus ([[bm25StatsForget]]): tf and dl are per-row
+    * artifacts ([[IndexMaintain.forgetRows]] anti-join), (L, N) are
+    * linear counters (subtract the batch's, derived from the stored
+    * dl — the [[Sketch.cmsSubtract]] move on two registers); df for
+    * idf refresh comes from the q99-maintained index. Returns
+    * (tf(idCol, `_t`, `_tf`), dl(idCol, `_dl`), nl(`_L`, `_N`)). */
+  def bm25Stats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val (toks, dl, nl) = bm25Frames(docs, idCol, textCol)
+    val tf = toks.groupBy(col(idCol), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+    (tf, dl, nl)
+  }
+
+  /** [[bm25TopKMicro]] served from STORED stats ([[bm25Stats]] shape)
+    * — identical scoring arithmetic, zero corpus scans: the tf read
+    * filters to the query terms (a pushed equi-filter on the stored
+    * table), joins the doc-length artifact, and broadcasts the
+    * scalars. */
+  def bm25TopKFromStats(tf: org.apache.spark.sql.DataFrame,
+                        dl: org.apache.spark.sql.DataFrame,
+                        nl: org.apache.spark.sql.DataFrame,
+                        idCol: String, terms: Seq[(String, Long)],
+                        k: Int): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && k >= 1, "need (term, idfMicro) and k >= 1")
+    bm25ScoreFromStats(
+      tf.filter(col("_t").isin(terms.map(_._1): _*)), dl, nl,
+      idCol, terms, k)
+  }
+
+  /** Maintain the [[bm25Stats]] artifacts under a forget batch —
+    * exactly the stats of the remaining corpus, derived WITHOUT
+    * scanning it: per-row tables prune by anti-join; the (L, N)
+    * scalars subtract the batch's token-sum (from the stored dl —
+    * token-less forgotten docs correctly contribute 0 there) and the
+    * batch's doc count (from the id frame, which token-less docs DO
+    * appear in — N counts every doc). `forgottenIds` must be ids
+    * actually in the corpus (the [[IndexMaintain]] contract). */
+  def bm25StatsForget(tf: org.apache.spark.sql.DataFrame,
+                      dl: org.apache.spark.sql.DataFrame,
+                      nl: org.apache.spark.sql.DataFrame,
+                      forgottenIds: org.apache.spark.sql.DataFrame,
+                      idCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val fids = forgottenIds.select(col(idCol)).distinct()
+    val batch = dl.join(fids, Seq(idCol), "left_semi")
+      .agg(coalesce(sum(col("_dl")), lit(0L)).as("_lB"))
+      .crossJoin(fids.agg(count(lit(1)).as("_nB")))
+    val nl2 = nl.crossJoin(batch)
+      .select((col("_L") - col("_lB")).as("_L"),
+        (col("_N") - col("_nB")).as("_N"))
+    (IndexMaintain.forgetRows(tf, fids, idCol),
+      IndexMaintain.forgetRows(dl, fids, idCol), nl2)
+  }
+
+  /** Shared scoring tail: exact BIGINT saturation rational + integer
+    * idf, summed per doc, two-phase top-k. `tf` must already be
+    * restricted to (or filterable to exactly) the query terms. */
+  private def bm25ScoreFromStats(tf: org.apache.spark.sql.DataFrame,
+                                 dl: org.apache.spark.sql.DataFrame,
+                                 nl: org.apache.spark.sql.DataFrame,
+                                 idCol: String,
+                                 terms: Seq[(String, Long)], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val termDf = terms.toDF("_qt", "_idf_micro")
     val scored = tf
       .join(broadcast(termDf), col("_t") === col("_qt"))
       .join(dl, idCol)

@@ -49,4 +49,40 @@ object RangeJoin {
       .filter(col("_pt") >= col("_lo") && col("_pt") <= col("_hi"))
       .drop("_b", "_pt", "_lo", "_hi")
   }
+
+  /** All (left, right) INTERVAL pairs that overlap (inclusive:
+    * `lLo <= rHi AND rLo <= lHi`) — the interval×interval sibling of
+    * [[pointInInterval]], which Spark likewise compiles to a nested
+    * loop. Both sides explode to their covered buckets and equi-join
+    * on the bucket id; an overlapping pair meets in EVERY bucket the
+    * overlap spans, so exactly-once output uses the max-start rule: a
+    * pair is emitted only from the bucket containing
+    * `greatest(lLo, rLo)` — a bucket both sides cover (it is where
+    * the overlap begins), and there is exactly one of it. Same cost
+    * model and loud inverted-interval guard as [[pointInInterval]];
+    * column sets must be disjoint, output carries every column of
+    * both sides. */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+                      right: DataFrame, rLo: String, rHi: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val collide = left.columns.toSet intersect right.columns.toSet
+    require(collide.isEmpty, s"column collision: $collide")
+    def side(df: DataFrame, lo: String, hi: String, p: String) =
+      df.withColumn(s"_${p}lo", col(lo).cast("long"))
+        .withColumn(s"_${p}hi",
+          when(col(hi).cast("long") >= col(s"_${p}lo"),
+            col(hi).cast("long"))
+            .otherwise(raise_error(concat(
+              lit(s"intervalOverlap: $lo > $hi for interval at "),
+              col(lo).cast("string")))))
+        .withColumn("_b", explode(sequence(
+          expr(s"_${p}lo div $bucketWidth"),
+          expr(s"_${p}hi div $bucketWidth"))))
+    side(left, lLo, lHi, "l")
+      .join(side(right, rLo, rHi, "r"), "_b")
+      .filter(col("_llo") <= col("_rhi") && col("_rlo") <= col("_lhi"))
+      .filter(col("_b") === expr(s"greatest(_llo, _rlo) div $bucketWidth"))
+      .drop("_b", "_llo", "_lhi", "_rlo", "_rhi")
+  }
 }

@@ -48,6 +48,36 @@ object StreamingSketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[cmsCounters]] over a SIGNED feed — the streaming side of
+    * [[Sketch.cmsSubtract]]'s linearity: each arriving document
+    * carries `opCol` = +1 (ingest) or −1 (forget), and every one of
+    * its token occurrences contributes that sign to its buckets, so
+    * the aggregation state is the exact net counter table of
+    * (adds − deletes) seen so far — a deletion feed maintains the
+    * sketch with no rebuild and no extra state. Order-independent by
+    * commutativity of the sum; a register can read ≤ 0 transiently
+    * when a delete's add has not yet arrived (or forever, if the
+    * feed violates the delete-what-was-added contract) — readers
+    * apply the `cnt > 0` cut, after which a snapshot equals the
+    * batch sketch of the net corpus (the differential the spec
+    * pins). */
+  def cmsCountersSigned(stream: DataFrame, textCol: String,
+                        opCol: String, depth: Int, width: Int)
+      : DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"need depth, width >= 1; got $depth, $width")
+    stream
+      .select(col(opCol).cast("long").as("_op"),
+        explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("_op"), explode(array((0 until depth).map { r =>
+        struct(lit(r).as("row"),
+          Sketch.cmsBucket(col("w"), r, width).as("bucket"))
+      }: _*)).as("_f"))
+      .groupBy(col("_f.row").as("row"), col("_f.bucket").as("bucket"))
+      .agg(sum(col("_op")).as("cnt"))
+  }
+
   /** Continuously-maintained HLL register table (`bucket`, `reg`) —
     * state bounded at 2^b rows. Repeated tokens are absorbed by the
     * `max`, so no distinct pass is needed on the stream. */

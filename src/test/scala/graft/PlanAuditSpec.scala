@@ -301,6 +301,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"q99: no partial agg in:\n$plan")
   }
 
+  test("interval-overlap join (q103) is a hash equi-join on the " +
+    "bucket id — never a nested loop over session pairs") {
+    val df = SparkEntry.queries("q103_interval_join")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q103: cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q103: nested loop in:\n$plan")
+  }
+
   test("one-copy span dedup (q102) windows PER DOCUMENT only (the " +
     "canonical pick is an aggregation, never a per-gram sort), joins " +
     "hash/sort-based, map-side partials present") {

@@ -56,4 +56,58 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
     assert(!plan.contains("Cartesian"), plan)
   }
+
+  test("intervalOverlap matches a brute-force overlap join exactly on " +
+    "randomized bucket-straddling intervals — each pair EXACTLY once") {
+    val rnd = new scala.util.Random(31)
+    val as = (1 to 60).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(350).toLong)
+    }
+    val bs = (1 to 60).map { j =>
+      val lo = rnd.nextInt(1000).toLong - 100
+      (100L + j, lo, lo + rnd.nextInt(250).toLong)
+    }
+    val got = RangeJoin.intervalOverlap(
+      as.toDF("a_id", "a_lo", "a_hi"), "a_lo", "a_hi",
+      bs.toDF("b_id", "b_lo", "b_hi"), "b_lo", "b_hi",
+      bucketWidth = 100)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size, "duplicate pairs emitted")
+    val want = for {
+      (aId, alo, ahi) <- as
+      (bId, blo, bhi) <- bs
+      if alo <= bhi && blo <= ahi
+    } yield (aId, bId)
+    assert(got.sorted == want.sorted,
+      s"got ${got.size} want ${want.size}")
+  }
+
+  test("intervalOverlap: touching endpoints overlap (inclusive); " +
+    "disjoint intervals do not; inverted interval fails loudly") {
+    val a = Seq((1L, 0L, 100L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 100L, 200L), (11L, 101L, 150L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b,
+      "b_lo", "b_hi", 64).select("b_id").as[Long].collect().toSeq
+    assert(got == Seq(10L), s"got $got")
+    val bad = Seq((2L, 9L, 3L)).toDF("a_id", "a_lo", "a_hi")
+    val e = intercept[Exception] {
+      RangeJoin.intervalOverlap(bad, "a_lo", "a_hi", b,
+        "b_lo", "b_hi", 64).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("a_lo > a_hi")), e)
+  }
+
+  test("intervalOverlap plan is a hash equi-join — no nested loop") {
+    val a = Seq((1L, 0L, 50L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((2L, 10L, 60L)).toDF("b_id", "b_lo", "b_hi")
+    val plan = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b,
+      "b_lo", "b_hi", 100).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+  }
 }

@@ -76,4 +76,34 @@ class StreamingSketchSpec extends SparkSpec {
     assert(fromStream.toSeq == batchBitmap.toSeq,
       s"stream ${fromStream.toSeq}\nbatch  ${batchBitmap.toSeq}")
   }
+
+  test("signed CMS feed (adds then deletes) converges to the batch " +
+    "sketch of the NET corpus — streaming forget with no rebuild") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Int)]
+    val query = StreamingSketch.cmsCountersSigned(
+        stream.toDF().toDF("doc_id", "text", "op"), "text", "op",
+        depth = 3, width = 16)
+      .writeStream.format("memory").queryName("cms_signed_out")
+      .outputMode("complete").start()
+    try {
+      // ingest all five docs, then forget docs 2 and 5 in a later batch
+      stream.addData(docs.take(3).map(d => (d._1, d._2, 1)))
+      query.processAllAvailable()
+      stream.addData(docs.drop(3).map(d => (d._1, d._2, 1)))
+      query.processAllAvailable()
+      stream.addData(Seq(docs(1), docs(4)).map(d => (d._1, d._2, -1)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("cms_signed_out")
+      .filter($"cnt" > 0) // the reader-side cut: zeroed registers drop
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val net = Seq(docs(0), docs(2), docs(3))
+    val batch = Sketch.countMinCounters(net.toDF("doc_id", "text"),
+        "text", depth = 3, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batch, s"stream $streamed\nbatch  $batch")
+  }
 }

@@ -84,6 +84,29 @@ object SelectSoak {
       require(covStats.getLong(1) >= 100L,
         s"boilerplate doc under-covered: ${covStats.getLong(1)}")
 
+      // q102 — one-copy span dedup on the same census corpus: the
+      // boilerplate prefix (n/5 verbatim copies) is the adversarial
+      // shape for the canonical pick — every hot gram's occurrence
+      // list flows through the min(struct) PARTIAL aggregation, never
+      // a per-gram window sort. Noop write for the q95 reason.
+      val (_, tSpan) = timed {
+        Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", 16)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      // invariants: one row per doc; the boilerplate prefix survives
+      // in AT MOST one boilerplate doc (its canonical owner — other
+      // grams may clip even that one), and every other boilerplate
+      // doc loses at least the prefix
+      val spanStats = Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", 16)
+        .agg(count(lit(1)),
+          sum(when(col("doc_id") % 5 === 3 &&
+            col("n_chars_removed") >= 100L, 1L).otherwise(0L)))
+        .collect()(0)
+      require(spanStats.getLong(0) == n,
+        s"span-dedup rows ${spanStats.getLong(0)} != docs $n")
+      require(spanStats.getLong(1) >= n / 5 - 1,
+        s"only ${spanStats.getLong(1)} boilerplate docs lost the prefix")
+
       // q94 — temperature mix at a 10% budget
       val budget = n / 10
       val (mixRows, tMix) = timed {
@@ -125,10 +148,11 @@ object SelectSoak {
         s"epoch shuffle is not a perfect rank partition: $rankOk")
 
       docs.unpersist()
-      results(k) = Map("cov" -> tCov, "mix" -> tMix,
+      results(k) = Map("cov" -> tCov, "span" -> tSpan, "mix" -> tMix,
         "learn" -> tLearn, "score" -> tScore, "shuffle" -> tShuffle)
       println(s"""{"scale":$k,"docs":$n,""" +
-        s""""cov_sec":${f"$tCov%.2f"},"mix_sec":${f"$tMix%.2f"},""" +
+        s""""cov_sec":${f"$tCov%.2f"},"span_sec":${f"$tSpan%.2f"},""" +
+        s""""mix_sec":${f"$tMix%.2f"},""" +
         s""""dsir_learn_sec":${f"$tLearn%.2f"},""" +
         s""""dsir_score_sec":${f"$tScore%.2f"},""" +
         s""""shuffle_sec":${f"$tShuffle%.2f"}}""")
@@ -136,9 +160,10 @@ object SelectSoak {
     val base = results(scales.head)
     val ratios = scales.tail.map { k =>
       val r = results(k)
-      s""""${k}x":{""" + Seq("cov", "mix", "learn", "score", "shuffle")
-        .map(m => s""""$m":${f"${r(m) / base(m)}%.1f"}""")
-        .mkString(",") + "}"
+      s""""${k}x":{""" +
+        Seq("cov", "span", "mix", "learn", "score", "shuffle")
+          .map(m => s""""$m":${f"${r(m) / base(m)}%.1f"}""")
+          .mkString(",") + "}"
     }.mkString(",")
     println(s"""{"ratios":{$ratios}}""")
     spark.stop()

@@ -1271,6 +1271,38 @@ object SparkEntry {
       graft.llm.Packing.orderStatistics(t(s, dir, "documents"),
         "doc_id", size(split(col("text"), " ")).cast("long"),
         Seq(5, 25, 50, 75, 95, 99))),
+    // LLM §sampling — systematic PPS: exactly 100 draws proportional
+    // to token count, via the q37 prefix sum + the k-point grid (one
+    // range shuffle, no window, no floats — the draw count is a
+    // telescoping ceil difference, so any engine replays it).
+    "q106_pps_sample" -> ((s, dir) =>
+      graft.llm.Sampling.systematicPps(t(s, dir, "documents"),
+        "doc_id",
+        size(filter(split(col("text"), " "),
+          t => length(t) > 0)).cast("long"),
+        k = 100)),
+    // LLM §corpus-stats — PER-GROUP exact length percentiles (q78 per
+    // language — the mixture-builder's report): a KEYED row_number
+    // window (right shape here: the skew ceiling is the largest
+    // group, never the corpus through one task), integer rank
+    // arithmetic, (value, id) tie-break.
+    "q104_group_percentiles" -> ((s, dir) =>
+      graft.llm.Packing.orderStatisticsByGroup(t(s, dir, "documents"),
+        "lang", "doc_id", size(split(col("text"), " ")).cast("long"),
+        Seq(25, 50, 75, 95))),
+    // LLM §corpus-stats — ROLLUP corpus report: (lang, source) doc
+    // counts and char totals with subtotal and grand-total rows —
+    // one aggregation with map-side partials at every grouping
+    // level; rollup nulls named '<all>' so both engines emit
+    // identical scalar cells.
+    "q105_corpus_rollup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+          coalesce(col("source"), lit("<all>")).as("source"),
+          col("n_docs"), col("total_chars"))),
     // LLM §similarity — product-quantization ENCODE (Jégou 2011, the
     // engine's angular geometry): 64-dim embeddings → 4 codes, each
     // the per-subspace cosine argmax against 8 learned centroids —
@@ -2214,6 +2246,49 @@ object SparkEntry {
         |   END AS postings
         | FROM dt JOIN dfs USING (token)
         | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    // prefix-sum replay in id order + the same telescoping ceil
+    // difference — BIGINT `//` end to end
+    "q106_pps_sample" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS BIGINT) AS w
+        |   FROM documents),
+        | o AS (SELECT doc_id, w,
+        |    COALESCE(CAST(sum(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS off FROM s),
+        | t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM s)
+        | SELECT doc_id, w AS weight,
+        |   ((off + w) * 100 + tw - 1) // tw -
+        |     (off * 100 + tw - 1) // tw AS n_picks
+        | FROM o, t
+        | WHERE ((off + w) * 100 + tw - 1) // tw -
+        |   (off * 100 + tw - 1) // tw > 0"""
+        .stripMargin.replace("\n", " "),
+    // per-group rank replay — same (value, id) order, same
+    // ceil-rank arithmetic
+    "q104_group_percentiles" ->
+      """WITH s AS (SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |   FROM documents),
+        | r AS (SELECT lang, n_tokens,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rnk FROM s),
+        | n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |   FROM s GROUP BY 1)
+        | SELECT r.lang, ps.p, r.n_tokens
+        | FROM r JOIN n USING (lang)
+        | CROSS JOIN (VALUES (25), (50), (75), (95)) ps(p)
+        | WHERE r.rnk = (CAST(ps.p AS BIGINT) * n.n + 99) // 100"""
+        .stripMargin.replace("\n", " "),
+    // rollup replay with the same '<all>' naming of subtotal rows
+    "q105_corpus_rollup" ->
+      """SELECT COALESCE(lang, '<all>') AS lang,
+        |  COALESCE(source, '<all>') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        | FROM documents GROUP BY ROLLUP(lang, source)"""
+        .stripMargin.replace("\n", " "),
     // full replay of the one-copy span dedup: the oracle may use
     // per-gram windows (rn = 1 ⇔ the engine's min(struct) canonical —
     // same (doc_id, i) total order), per-doc interval merge, then

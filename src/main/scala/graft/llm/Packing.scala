@@ -252,6 +252,50 @@ object Packing {
       .select(col("p"), col("n_tokens"))
   }
 
+  /** PER-GROUP exact order statistics — [[orderStatistics]] for each
+    * value of `groupCol` (per-language length percentiles, the
+    * mixture-builder's report): value at 1-based rank
+    * ceil(p·n_g/100) of each group's (value, id) total order. Here a
+    * keyed window IS the right distributed shape (contrast the
+    * global case, which must prefix-sum): `row_number` partitioned
+    * by the group never funnels the corpus through one task — the
+    * skew ceiling is the largest single group, the irreducible cost
+    * of an exact per-group rank. All-integer arithmetic, ties broken
+    * by id — deterministic in any engine.
+    *
+    * Output: (groupCol, `p`, `n_tokens`) — one row per (group,
+    * percentile). */
+  def orderStatisticsByGroup(df: DataFrame, groupCol: String,
+                             idCol: String, tokensOf: Column,
+                             percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100]; got $percentiles")
+    val ps = percentiles.distinct.sorted
+    val psLit = ps.mkString(", ")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_tokens"), col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(idCol),
+        tokensOf.cast("long").as("n_tokens"))
+      .withColumn("_rank", row_number().over(w).cast("long"))
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+    // pre-prune to the hit ranks BEFORE the |ps|-way explode (the
+    // q78 shape): the fan-out touches |groups|·|ps| rows, not n·|ps|
+    ranked.join(counts, groupCol)
+      .filter(array_contains(
+        expr(s"transform(array($psLit)," +
+          " p -> (cast(p as bigint) * _n + 99) div 100)"),
+        col("_rank")))
+      .select(col(groupCol), col("n_tokens"), col("_rank"), col("_n"),
+        explode(expr(s"array($psLit)")).as("p"))
+      .filter(expr("(cast(p as bigint) * _n + 99) div 100") ===
+        col("_rank"))
+      .select(col(groupCol), col("p"), col("n_tokens"))
+  }
+
   /** Overlapping-window chunking: each document yields character
     * windows of `width` starting every `stride` characters — the
     * retrieval-index / embedding-input shape (with `stride < width`

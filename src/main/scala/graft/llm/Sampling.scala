@@ -290,4 +290,43 @@ object Sampling {
       | FROM $table JOIN q ON q.s = CAST($strataCol AS VARCHAR)
       | QUALIFY rank <= q.n""".stripMargin.replace("\n", " ")
   }
+
+  /** Systematic PPS sampling — exactly `k` draws with probability
+    * proportional to an integer weight (token count: "sample 1M
+    * training sequences weighted by length"), fully deterministic and
+    * float-free: lay the documents end to end on the weighted number
+    * line in id order (the q37 prefix sum — ONE range shuffle, never
+    * a single-task window), drop the k-point grid g_i = ⌊i·W/k⌋ onto
+    * it, and each document's draw count is the number of grid points
+    * its [offset, offset+w) interval contains — the closed form
+    * C(offset+w) − C(offset) with C(x) = ⌈x·k/W⌉, which TELESCOPES to
+    * exactly k over the corpus. A document with w > W/k can be drawn
+    * multiple times (the PPS-with-replacement convention for
+    * oversized units); zero-weight documents are never drawn. All
+    * arithmetic BIGINT (bound: W·k < 9.2e18), so any engine replays
+    * the identical draw.
+    *
+    * Output: (idCol, `weight`, `n_picks` >= 1) — drawn rows only. */
+  def systematicPps(df: DataFrame, idCol: String,
+                    weightOf: org.apache.spark.sql.Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = weightOf.cast("long")
+    val off = Packing.withTokenOffsets(
+      df.select(col(idCol),
+        when(w >= 0, w).otherwise(raise_error(concat(
+          lit("systematicPps: negative weight at "),
+          col(idCol).cast("string")))).as("_w")),
+      idCol, "_w")
+    val tot = off.agg(sum(col("_w")).as("_wraw"))
+      .select(when(col("_wraw") > 0, col("_wraw")).otherwise(raise_error(
+        lit("systematicPps: total weight is zero — nothing to draw")))
+        .as("_wtot"))
+    off.crossJoin(broadcast(tot))
+      .withColumn("n_picks",
+        expr(s"((tok_offset + _w) * $k + _wtot - 1) div _wtot - " +
+          s"(tok_offset * $k + _wtot - 1) div _wtot"))
+      .filter(col("n_picks") > 0)
+      .select(col(idCol), col("_w").as("weight"), col("n_picks"))
+  }
 }

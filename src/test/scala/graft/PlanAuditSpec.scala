@@ -301,6 +301,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"q99: no partial agg in:\n$plan")
   }
 
+  test("PPS sample (q106) draws via the range-shuffle prefix sum — " +
+    "NO window anywhere (the q37 contract); the only nested-loop " +
+    "input is the broadcast 1-row totals frame") {
+    val df = SparkEntry.queries("q106_pps_sample")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val ws = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.isEmpty,
+      s"q106: window in:\n${df.queryExecution.optimizedPlan}")
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
+
+  test("per-group percentiles (q104) rank under a KEYED window only; " +
+    "rollup report (q105) is join-free with map-side partials") {
+    val d104 = SparkEntry.queries("q104_group_percentiles")(
+      spark, "/root/testdata/sf0.001")
+    d104.collect()
+    val ws = d104.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"q104: unkeyed window in:\n${d104.queryExecution.optimizedPlan}")
+    val d105 = SparkEntry.queries("q105_corpus_rollup")(
+      spark, "/root/testdata/sf0.001")
+    d105.collect()
+    val p105 = d105.queryExecution.executedPlan.toString
+    assert(!p105.contains("Join"), s"q105: join in:\n$p105")
+    assert(p105.contains("partial_"), s"q105: no partial agg in:\n$p105")
+  }
+
   test("interval-overlap join (q103) is a hash equi-join on the " +
     "bucket id — never a nested loop over session pairs") {
     val df = SparkEntry.queries("q103_interval_join")(

@@ -224,6 +224,26 @@ class PackingSpec extends SparkSpec {
     assert(got(df.repartition(7)) == want)
   }
 
+  test("orderStatisticsByGroup: per-group rank-ceil percentiles " +
+    "against a local per-group sort, partitioning-invariant") {
+    val rows = Seq(
+      ("en", 1L, 7L), ("en", 2L, 3L), ("en", 3L, 9L), ("en", 4L, 3L),
+      ("en", 5L, 5L), ("de", 6L, 1L), ("de", 7L, 9L), ("de", 8L, 2L),
+      ("fr", 9L, 8L))
+    val df = rows.toDF("g", "id", "n")
+    val ps = Seq(50, 100)
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Packing.orderStatisticsByGroup(d, "g", "id", $"n", ps)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2)).map(_._3)
+      ps.map(p => (g, p, sorted((p * rs.size + 99) / 100 - 1)))
+    }.sortBy(t => (t._1, t._2))
+    assert(got(df) == want, s"${got(df)} vs $want")
+    assert(got(df.repartition(5)) == want)
+  }
+
   test("epochShuffle: rank equals the brute md5 total order, shards cut " +
     "evenly, epochs permute differently, reruns are identical") {
     val docs = (0L until 130L).map(Tuple1(_)).toDF("doc_id")

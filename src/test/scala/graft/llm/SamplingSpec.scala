@@ -651,4 +651,36 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.temperatureQuotas(Map.empty[String, Long], 0.5, 10L)
       .isEmpty)
   }
+
+  test("systematicPps: exactly k draws, proportional to weight, " +
+    "matches the closed-form local replay, partitioning-invariant, " +
+    "zero weights never drawn") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 17 == 0) 0L else rnd.nextInt(50).toLong + 1L))
+    val df = rows.toDF("id", "w")
+    val k = 37
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Sampling.systematicPps(d, "id", col("w"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val out = got(df)
+    assert(out.map(_._3).sum == k, s"total draws ${out.map(_._3).sum}")
+    assert(out.forall(_._3 >= 1))
+    assert(!out.exists(_._1 % 17 == 0), "zero-weight row drawn")
+    // local closed-form replay over the id-ordered prefix sum
+    val bigW = rows.map(_._2).sum
+    def c(x: Long) = (x * k + bigW - 1) / bigW
+    var off = 0L
+    val want = rows.flatMap { case (id, w) =>
+      val picks = c(off + w) - c(off)
+      off += w
+      if (picks > 0) Some((id, w, picks)) else None
+    }
+    assert(out == want, s"$out vs $want")
+    assert(got(df.repartition(7)) == want)
+    // a single dominating row absorbs multiple grid points
+    val dom = got(Seq((1L, 1000L), (2L, 1L)).toDF("id", "w"))
+    assert(dom.head._3 >= k - 1, s"dominating row drew ${dom.head._3}")
+  }
 }

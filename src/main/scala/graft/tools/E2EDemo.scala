@@ -152,6 +152,26 @@ object E2EDemo {
           spark.read.parquet(docsDir), "doc_id", "text")
         .select(col("keep_id").as("id_a"), explode(col("ids")).as("id_b"))
         .filter(col("id_a") =!= col("id_b"))
+      // snapshot the PRE-forget corpus and its derived artifacts (the
+      // forget will rewrite the files underneath any lazy frame)
+      val preSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val pre = spark.createDataFrame(
+        spark.read.parquet(docsDir).select("doc_id", "text")
+          .collect().toSeq.asJava, preSchema)
+      val preIdx = graft.llm.IndexMaintain.indexWithOverflow(
+        pre, "doc_id", "text", minDf = 2, maxDf = 25).persist()
+      preIdx.count()
+      val preCms = graft.llm.Sketch.countMinCounters(
+        pre, "text", depth = 4, width = 512).persist()
+      preCms.count()
+      // materialize the loser ids BEFORE the forget rewrites the
+      // files — `pairs`' lineage re-reads the (mutated) table
+      val loserIds = pairs.select(col("id_b")).distinct()
+        .collect().map(_.getLong(0)).toSeq
       val dRun = graft.llm.DedupForget.forgetDuplicates(spark,
         "dedup-e2e", docsTable, "doc_id", pairs, batchSize = 8)
       check(dRun.status == JobStatus.Completed,
@@ -164,6 +184,31 @@ object E2EDemo {
       val survivors = spark.read.parquet(docsDir).count()
       check(survivors == 50,
         s"docs 80 -> $survivors after dedup-forget (want 50)")
+      // PROBE 3b: the deletion PROPAGATES to derived artifacts — the
+      // maintained inverted index and the subtracted CMS must equal
+      // from-scratch builds on the post-forget table
+      val post = spark.read.parquet(docsDir).select("doc_id", "text")
+      val forgotten = pre.filter(col("doc_id").isin(loserIds: _*))
+      def canonIdx(ix: org.apache.spark.sql.DataFrame) =
+        ix.select(col("token"), col("df"),
+          coalesce(concat_ws(",", transform(col("postings"),
+            _.cast("string"))), lit("<overflow>")).as("p"))
+      val mIdx = canonIdx(graft.llm.IndexMaintain.forgetFromIndex(
+        preIdx, forgotten, post, "doc_id", "text", 2, 25))
+      val rIdx = canonIdx(graft.llm.IndexMaintain.indexWithOverflow(
+        post, "doc_id", "text", 2, 25))
+      val idxDiff = mIdx.exceptAll(rIdx)
+        .unionAll(rIdx.exceptAll(mIdx)).count()
+      check(idxDiff == 0,
+        s"maintained index == rebuilt index ($idxDiff rows differ)")
+      val mCms = graft.llm.Sketch.cmsSubtract(preCms,
+        graft.llm.Sketch.countMinCounters(forgotten, "text", 4, 512))
+      val rCms = graft.llm.Sketch.countMinCounters(post, "text", 4, 512)
+      val cmsDiff = mCms.exceptAll(rCms)
+        .unionAll(rCms.exceptAll(mCms)).count()
+      check(cmsDiff == 0,
+        s"subtracted CMS == re-sketched CMS ($cmsDiff registers differ)")
+      preIdx.unpersist(); preCms.unpersist()
     }
 
     // PROBE 4: PII-driven forget — find the objects whose text holds

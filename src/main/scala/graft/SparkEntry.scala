@@ -1409,6 +1409,26 @@ object SparkEntry {
         .drop("hll_estimate")
         .crossJoin(truth)
     }),
+    // LLM §sketching — PER-GROUP HLL (q70 grouped): distinct-token
+    // estimate per source next to the true count — |groups|·m
+    // register rows of state, the grouped reporting shape; identical
+    // integer register arithmetic, estimate in micro units.
+    "q107_hll_by_group" -> ((s, dir) => {
+      import graft.llm.Sketch
+      val docs = t(s, dir, "documents")
+      val truth = docs
+        .select(col("source"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct()
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct_true"))
+      Sketch.hllDistinctByGroup(docs, "source", "text", b = 6)
+        .withColumn("hll_est_micro",
+          round(col("hll_estimate") * lit(1e6)).cast("long"))
+        .drop("hll_estimate")
+        .join(truth, "source")
+    }),
     // LLM §sketching — Count-Min frequency sketch (the sub-linear
     // vocabulary summary): depth×width exact-integer counters over
     // md5-derived buckets, point estimate = min over rows; the true
@@ -2471,6 +2491,35 @@ object SparkEntry {
         |       AS DOUBLE) * 1e6) AS BIGINT) AS hll_est_micro,
         |   (SELECT count(*) FROM tf) AS n_distinct_true
         | FROM agg""".stripMargin.replace("\n", " "),
+    // q70's register replay keyed by source — same constant, same
+    // micro rounding of the identical integer division
+    "q107_hll_by_group" ->
+      """WITH tf AS (SELECT DISTINCT source, t AS w FROM (
+        |    SELECT source, unnest(string_split_regex(text, '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        | h AS (SELECT source,
+        |   ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv FROM tf),
+        | r0 AS (SELECT source, hv % 64 AS bucket,
+        |   (hv // 64) % 16777216 AS win FROM h),
+        | r1 AS (SELECT source, bucket, CASE WHEN win = 0 THEN 25
+        |   ELSE 25 - length(bin(win)) END AS rank FROM r0),
+        | regs AS (SELECT source, bucket, max(rank) AS reg
+        |   FROM r1 GROUP BY 1, 2),
+        | agg AS (SELECT source, count(*) AS n_registers_set,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(25 - reg AS INT))
+        |      AS BIGINT) AS sum_set
+        |   FROM regs GROUP BY 1),
+        | t2 AS (SELECT source, CAST(count(*) AS BIGINT)
+        |     AS n_distinct_true FROM tf GROUP BY 1)
+        | SELECT agg.source, CAST(64 AS BIGINT) AS m, n_registers_set,
+        |   CAST(sum_set + (64 - n_registers_set) * 33554432
+        |     AS BIGINT) AS sum_scaled,
+        |   CAST(round(CAST(97491078487.97049 AS DOUBLE) /
+        |     CAST(sum_set + (64 - n_registers_set) * 33554432
+        |       AS DOUBLE) * 1e6) AS BIGINT) AS hll_est_micro,
+        |   n_distinct_true
+        | FROM agg JOIN t2 USING (source)"""
+        .stripMargin.replace("\n", " "),
     // full CMS replay: same md5 buckets ('0x'||hex cast ≡ conv(,16,10)),
     // same exact-integer counters, same min-over-rows estimate
     "q69_cms" ->

@@ -195,6 +195,46 @@ object Sketch {
       .groupBy(col("bucket")).agg(max(col("rank")).as("reg"))
   }
 
+  /** PER-GROUP HLL distinct-token estimates — the grouped reporting
+    * shape ("distinct vocabulary per source/language"): the same
+    * register arithmetic as [[hllDistinct]] keyed by `groupCol`, so
+    * state is |groups|·m register rows and the whole construction
+    * still hash-replays in SQL. Repeated (group, token) occurrences
+    * are absorbed by the register `max` — no distinct pass.
+    *
+    * Output: one row per group — (groupCol, `m`, `n_registers_set`,
+    * `sum_scaled`, `hll_estimate`). */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String,
+                         textCol: String, b: Int): DataFrame = {
+    require(b >= 2 && b <= 12, s"b must be in [2,12], got $b")
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val hash = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+    val regs = df
+      .select(col(groupCol), explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col(groupCol), (hash % m).as("bucket"),
+        (hash.divide(m).cast("long") % (1 << 24)).as("win"))
+      .select(col(groupCol), col("bucket"),
+        when(col("win") === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("win")))).as("rank"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+    regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_registers_set"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(25 - reg as int))"))
+          .as("_sum_set"))
+      .select(col(groupCol), lit(m.toLong).as("m"),
+        col("n_registers_set"),
+        (col("_sum_set") +
+          (lit(m.toLong) - col("n_registers_set")) * lit(1L << 25))
+          .as("sum_scaled"))
+      .select(col(groupCol), col("m"), col("n_registers_set"),
+        col("sum_scaled"),
+        (lit(alpha * m.toDouble * m.toDouble * (1L << 25).toDouble) /
+          col("sum_scaled").cast("double")).as("hll_estimate"))
+  }
+
   /** Fold a register table to the one-row HLL summary (see
     * [[hllDistinct]] for the estimator contract). */
   def hllSummarize(regs: DataFrame, b: Int): DataFrame = {

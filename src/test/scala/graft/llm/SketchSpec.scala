@@ -127,6 +127,28 @@ class SketchSpec extends SparkSpec {
       String.valueOf(e.getCause).contains("negative register"))
   }
 
+  test("hllDistinctByGroup: each group's summary equals a standalone " +
+    "hllDistinct over that group's rows") {
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma alpha"),
+      (2L, "a", "beta delta"),
+      (3L, "b", "zeta eta theta"),
+      (4L, "b", "zeta iota"),
+      (5L, "c", "solo")).toDF("doc_id", "g", "text")
+    val grouped = Sketch.hllDistinctByGroup(docs, "g", "text", b = 4)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    Seq("a", "b", "c").foreach { g =>
+      val solo = Sketch.hllDistinct(
+        docs.filter(col("g") === g), "text", b = 4).head()
+      assert(grouped(g) ===
+        (solo.getLong(0), solo.getLong(1), solo.getLong(2),
+          solo.getDouble(3)), s"group $g diverges")
+    }
+  }
+
   test("cmsMerge: per-shard builds sum to the whole-corpus sketch") {
     val shard1 = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
     val shard2 = Seq((3L, "beta gamma")).toDF("doc_id", "text")

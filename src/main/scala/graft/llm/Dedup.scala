@@ -1095,16 +1095,21 @@ object Dedup {
       }: _*)).as("_band"))
   }
 
-  /** SimHash near-pairs at Hamming distance <= maxDistance, via the
-    * pigeonhole banding of the fingerprint into maxDistance+1 chunks.
-    * Hot chunk buckets are capped via [[Banding.guardedPairs]]. */
-  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                            maxDistance: Int = 3, seed: Int = 42,
-                            maxBucket: Int = 1024): DataFrame = {
+  /** Near-pairs at Hamming distance <= `maxDistance` over ANY 64-bit
+    * fingerprint column — the banded engine behind
+    * [[simhashNearDuplicates]], exposed for other fingerprint
+    * domains (an image dHash, an audio fingerprint): pigeonhole
+    * banding into maxDistance+1 chunks (any pair within distance d
+    * agrees on ≥ 1 chunk — no candidate is ever missed), hot chunk
+    * buckets capped via [[Banding.guardedPairs]], exact `bit_count`
+    * verification. Output: (`id_a`, `id_b`, `hamming`). */
+  def fingerprintNearPairs(df: DataFrame, idCol: String, fpCol: String,
+                           maxDistance: Int,
+                           maxBucket: Int = 1024): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 16,
       s"maxDistance must be in [0,16], got $maxDistance")
     val fp = df.select(col(idCol).as("_id"),
-      simhash64(seed)(col(textCol)).as("_fp"))
+      col(fpCol).cast("long").as("_fp"))
     Banding.guardedPairs(simhashBands(fp, maxDistance), maxBucket)
       .join(fp.select(col("_id").as("id_a"), col("_fp").as("_fa")), "id_a")
       .join(fp.select(col("_id").as("id_b"), col("_fp").as("_fb")), "id_b")
@@ -1113,6 +1118,16 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** SimHash near-pairs at Hamming distance <= maxDistance, via the
+    * pigeonhole banding of the fingerprint into maxDistance+1 chunks.
+    * Hot chunk buckets are capped via [[Banding.guardedPairs]]. */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            maxDistance: Int = 3, seed: Int = 42,
+                            maxBucket: Int = 1024): DataFrame =
+    fingerprintNearPairs(
+      df.select(col(idCol), simhash64(seed)(col(textCol)).as("_sfp")),
+      idCol, "_sfp", maxDistance, maxBucket)
 
   /** CROSS-corpus SimHash near-join — the fingerprint-level
     * decontamination screen completing the modality triple

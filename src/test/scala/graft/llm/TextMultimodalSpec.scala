@@ -505,4 +505,57 @@ class TextMultimodalSpec extends SparkSpec {
     val viaKernel = Multimodal.features(ds, dim = 2).collect().head.feature
     assert(viaKernel.zip(env).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
+
+  test("perceptual dedup: dHash survives JPEG re-encode and a uniform " +
+    "brightness shift, separates a structurally different image; " +
+    "non-image payloads are dropped, never stub-fingerprinted") {
+    def structured(shift: Int, invert: Boolean)
+        : java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 64) {
+        var x = 0
+        while (x < 64) {
+          // diagonal gradient (luma <= ~200, so +shift never clips)
+          // plus a bright block for structure
+          val base = math.min(150, x * 2 + y) +
+            (if (x > 40 && x < 56 && y > 8 && y < 24) 50 else 0)
+          val v0 = math.min(255, base + shift)
+          val v = if (invert) 255 - v0 else v0
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, enc(structured(0, false), "png"), "image/png"),
+      Multimodal.MediaRow(2L, enc(structured(0, false), "jpg"), "image/jpeg"),
+      Multimodal.MediaRow(3L, enc(structured(20, false), "png"), "image/png"),
+      Multimodal.MediaRow(4L, enc(structured(0, true), "png"), "image/png"),
+      Multimodal.MediaRow(5L, "not an image at all".getBytes, "text/plain"))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val fps = Multimodal.perceptualFingerprints(ds).collect()
+      .map(r => r.id -> r.dhash).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L, 4L), "non-image not dropped")
+    // uniform brightness shift leaves every comparison unchanged
+    assert(fps(1L) == fps(3L))
+    val pairs = Multimodal.perceptualNearDuplicates(ds, maxDistance = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 1L)),
+      s"jpeg re-encode not near (dist ${java.lang.Long.bitCount(
+        fps(1L) ^ fps(2L))}): $pairs")
+    assert(pairs.exists(p => Set(p._1, p._2) == Set(1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"inverted image paired: $pairs (dist to base ${java.lang.Long
+        .bitCount(fps(1L) ^ fps(4L))})")
+  }
 }

@@ -324,6 +324,52 @@ object Multimodal {
     out
   }
 
+  /** 64-bit audio DIFFERENCE hash — [[dHash64]]'s time-domain sibling:
+    * the mono signal's RMS loudness envelope over 65 equal windows
+    * ([[audioRmsFeatures]]), one bit per adjacent-window pair (earlier
+    * window strictly louder than the next). Invariant under uniform
+    * GAIN — RMS scales linearly with any positive gain, so every
+    * comparison is unchanged — and under container re-encoding of the
+    * same PCM; different loudness contours flip bits. The video-codec
+    * honest-stub rule applies upstream: only REAL decodes reach this
+    * hash. */
+  def audioDHash64(samples: Array[Float]): Long = {
+    val env = audioRmsFeatures(samples, 65)
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (env(i) > env(i + 1)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-clip perceptual audio fingerprints: REAL decodes only — like
+    * [[perceptualFingerprints]], undecodable payloads are DROPPED, not
+    * stub-hashed (a fake envelope would manufacture false perceptual
+    * similarity). */
+  def audioFingerprints(media: Dataset[MediaRow])
+      : Dataset[FingerprintRow] =
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudioSamples(r.payload).map { case (_, mono) =>
+          FingerprintRow(r.id, audioDHash64(mono), "javasound")
+        }
+      }
+    }(Encoders.product[FingerprintRow])
+
+  /** Perceptual AUDIO near-dedup: envelope dHash fingerprints through
+    * the SAME banded Hamming engine as images
+    * ([[Dedup.fingerprintNearPairs]] — pigeonhole chunks, hot-bucket
+    * guard, exact bit_count verify). One decode pass producing 8
+    * bytes per clip; the pair search never touches samples again.
+    * Output: (`id_a`, `id_b`, `hamming` <= maxDistance). */
+  def audioNearDuplicates(media: Dataset[MediaRow],
+                          maxDistance: Int = 6,
+                          maxBucket: Int = 1024): DataFrame =
+    Dedup.fingerprintNearPairs(audioFingerprints(media).toDF(),
+      "id", "dhash", maxDistance, maxBucket)
+
   // ---- video: REAL pure-JVM Y4M (YUV4MPEG2) decode ----
 
   /** Decoded Y4M header facts. `fpsNum`/`fpsDen` are the rational frame

@@ -558,4 +558,46 @@ class TextMultimodalSpec extends SparkSpec {
       s"inverted image paired: $pairs (dist to base ${java.lang.Long
         .bitCount(fps(1L) ^ fps(4L))})")
   }
+
+  test("perceptual AUDIO dedup: envelope dHash survives uniform gain " +
+    "and sample-level noise, separates a reversed loudness contour; " +
+    "non-audio payloads are dropped") {
+    val rate = 8000f
+    // 65 windows x 400 samples; adjacent window amplitudes differ by
+    // >= 0.2 (37 coprime to 64 -> the step is +37 or -27 scaled), so
+    // tiny noise can never flip a comparison
+    val env = Array.tabulate(65)(w => 0.1f + 0.008f * ((w * 37) % 64))
+    def clip(gain: Float, noise: Float, reverse: Boolean): Array[Byte] = {
+      val samples = Array.tabulate(65 * 400) { i =>
+        val w = i / 400
+        val a = env(if (reverse) 64 - w else w) * gain
+        (a * math.sin(2 * math.Pi * 440 * i / rate)).toFloat +
+          noise * math.sin(i * 13.0).toFloat
+      }
+      wavBytes(samples, rate)
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, clip(1f, 0f, reverse = false), "audio/wav"),
+      Multimodal.MediaRow(2L, clip(0.5f, 0f, reverse = false), "audio/wav"),
+      Multimodal.MediaRow(3L, clip(1f, 0.004f, reverse = false),
+        "audio/wav"),
+      Multimodal.MediaRow(4L, clip(1f, 0f, reverse = true), "audio/wav"),
+      Multimodal.MediaRow(5L, "not audio at all".getBytes, "text/plain"))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val fps = Multimodal.audioFingerprints(ds).collect()
+      .map(r => r.id -> r.dhash).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L, 4L), "non-audio not dropped")
+    // uniform gain scales every window's RMS linearly: hash unchanged
+    assert(fps(1L) == fps(2L))
+    // sub-margin noise flips no comparison
+    assert(fps(1L) == fps(3L))
+    val pairs = Multimodal.audioNearDuplicates(ds, maxDistance = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.exists(p => Set(p._1, p._2) == Set(1L, 2L)))
+    assert(pairs.exists(p => Set(p._1, p._2) == Set(1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"reversed contour paired: $pairs (dist ${java.lang.Long
+        .bitCount(fps(1L) ^ fps(4L))})")
+  }
 }

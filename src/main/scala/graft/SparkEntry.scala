@@ -1303,6 +1303,58 @@ object SparkEntry {
         .select(coalesce(col("lang"), lit("<all>")).as("lang"),
           coalesce(col("source"), lit("<all>")).as("source"),
           col("n_docs"), col("total_chars"))),
+    // LLM §text-analysis — top-20 COLLOCATIONS by exact integer lift
+    // (PMI-monotone: lift_micro = c12·T·1e6 div (c1·c2), float-free —
+    // the q75 integer-div parity move). Vocabulary-sized joins only
+    // after the two hash aggregations; min-count 5 noise gate.
+    "q108_collocations" -> ((s, dir) =>
+      graft.llm.TextStats.collocations(t(s, dir, "documents"), "text",
+        minCount = 5, k = 20)),
+    // LLM §corpus-stats — ONE-PASS bounded-state percentile SKETCH
+    // (the scale path next to q78's exact range shuffle): bit-length
+    // buckets (≤ 65 counters of state), each percentile reports the
+    // [lo, hi] power-of-two bracket holding the exact order statistic
+    // at the q78 ceil-rank. Same value column as q78, so the bracket
+    // is checkable against the exact row.
+    "q109_hist_percentiles" -> ((s, dir) =>
+      graft.llm.Sketch.logHistogramPercentiles(t(s, dir, "documents"),
+        size(split(col("text"), " ")).cast("long"),
+        Seq(5, 25, 50, 75, 95, 99))),
+    // LLM §text-analysis — per-doc n-gram NOVELTY profile (the
+    // complement of q95's duplication coverage): distinct 8-gram
+    // count, corpus-unique (df=1) gram count, and their micro ratio.
+    // The df=1 filter runs BEFORE the join back, so the join has no
+    // hot keys by construction.
+    "q110_gram_novelty" -> ((s, dir) =>
+      graft.llm.TextStats.gramNovelty(t(s, dir, "documents"),
+        "doc_id", "text", n = 8)),
+    // LLM §corpus-stats — per-GROUP top-k tokens (the q33 vocabulary
+    // cut per language): exact two-phase partial top-k — per-partition
+    // sorted-slice partials merge per group, NO window anywhere.
+    "q111_top_tokens_by_group" -> ((s, dir) =>
+      graft.llm.TextStats.topTokensByGroup(t(s, dir, "documents"),
+        "lang", "text", k = 5)),
+    // LLM §similarity — tf-idf-weighted sparse dot-product top-k doc
+    // pairs (the q29 AllPairs candidate machinery with weighted
+    // scoring — the lexical sibling of q28's embedding cosine):
+    // BIGRAM terms (the token vocabulary here is stopword-dominated),
+    // df window [2, 50] bounding the per-term pair fan-out, idf as
+    // the exact integer rational 1e6 div df.
+    "q112_tfidf_pairs" -> ((s, dir) =>
+      graft.llm.TextStats.tfidfDotPairs(t(s, dir, "documents"),
+        "doc_id", "text", maxDf = 50, k = 20, n = 2)),
+    // LLM §decontamination — per-TRAIN-doc contamination SHARE vs the
+    // bench split (q43 reports WHICH bench doc was hit; this is the
+    // per-doc ratio a decontamination run thresholds): distinct
+    // 8-gram overlap in exact micro units; the ref side collapses to
+    // a distinct gram set, so the join cannot fan out.
+    "q113_ref_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.TextStats.refGramOverlap(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 8)
+    }),
     // LLM §similarity — product-quantization ENCODE (Jégou 2011, the
     // engine's angular geometry): 64-dim embeddings → 4 codes, each
     // the per-subspace cosine argmax against 8 learned centroids —
@@ -2309,6 +2361,143 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         | FROM documents GROUP BY ROLLUP(lang, source)"""
         .stripMargin.replace("\n", " "),
+    // collocation replay: unigram + pair-gram counts, the exact
+    // integer lift (// ≡ Spark div for positive operands)
+    "q108_collocations" ->
+      """WITH d AS (SELECT list_filter(string_split(text, ' '),
+        |     x -> x <> '') AS ts FROM documents),
+        | u AS (SELECT unnest(ts) AS t FROM d),
+        | uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |   FROM u GROUP BY 1),
+        | tot AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM uc),
+        | g AS (SELECT unnest(list_transform(range(1, len(ts)),
+        |     i -> ts[i] || ' ' || ts[i+1])) AS ngram
+        |   FROM d WHERE len(ts) >= 2),
+        | pc AS (SELECT ngram, CAST(count(*) AS BIGINT) AS pair_count
+        |   FROM g GROUP BY 1 HAVING count(*) >= 5),
+        | p AS (SELECT string_split(ngram, ' ')[1] AS w1,
+        |     string_split(ngram, ' ')[2] AS w2, pair_count FROM pc)
+        | SELECT p.w1, p.w2, p.pair_count, u1.c AS c1, u2.c AS c2,
+        |   (p.pair_count * tot.T * 1000000) // (u1.c * u2.c)
+        |     AS lift_micro
+        | FROM p CROSS JOIN tot JOIN uc u1 ON p.w1 = u1.t
+        |   JOIN uc u2 ON p.w2 = u2.t
+        | ORDER BY lift_micro DESC, w1, w2 LIMIT 20"""
+        .stripMargin.replace("\n", " "),
+    // histogram-sketch replay: the same bit-length buckets
+    // (length(bin(v)) strips leading zeros identically, the q70
+    // trick), the q78 ceil-rank pick over the <= 65-row frame
+    "q109_hist_percentiles" ->
+      """WITH s AS (SELECT CAST(len(string_split(text, ' '))
+        |     AS BIGINT) AS v FROM documents),
+        | b AS (SELECT CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+        |     ELSE CAST(length(bin(v)) AS BIGINT) END AS bucket,
+        |     CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        | c AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket)
+        |     AS BIGINT) AS cum FROM b),
+        | t AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM b),
+        | ch AS (SELECT p, min(bucket) AS bucket
+        |   FROM (VALUES (5),(25),(50),(75),(95),(99)) ps(p)
+        |   CROSS JOIN t CROSS JOIN c
+        |   WHERE c.cum >= (CAST(ps.p AS BIGINT) * t.N + 99) // 100
+        |   GROUP BY p)
+        | SELECT CAST(ch.p AS BIGINT) AS p, ch.bucket,
+        |   CASE WHEN ch.bucket = 0 THEN CAST(0 AS BIGINT)
+        |     ELSE CAST(1 AS BIGINT) << CAST(ch.bucket - 1 AS INT)
+        |     END AS lo,
+        |   CASE WHEN ch.bucket = 0 THEN CAST(0 AS BIGINT)
+        |     ELSE (CAST(1 AS BIGINT) << CAST(ch.bucket AS INT)) - 1
+        |     END AS hi,
+        |   c2.cum AS n_le
+        | FROM ch JOIN c c2 ON ch.bucket = c2.bucket"""
+        .stripMargin.replace("\n", " "),
+    // novelty replay: distinct (doc, 8-gram) frame, df=1 gram set,
+    // join back, gram-less docs kept at 0/0/0
+    "q110_gram_novelty" ->
+      ("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |     x -> x <> '') AS ts FROM documents),
+        | raw AS (SELECT doc_id, unnest(list_transform(
+        |     range(1, len(ts) - 6), i -> """.stripMargin +
+        (0 until 8).map(o => if (o == 0) "ts[i]" else s"ts[i+$o]")
+          .mkString(" || ' ' || ") + """)) AS g
+        |   FROM d WHERE len(ts) >= 8),
+        | dg AS (SELECT DISTINCT doc_id, g FROM raw),
+        | u AS (SELECT g FROM dg GROUP BY g HAVING count(*) = 1),
+        | tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |   FROM dg GROUP BY 1),
+        | nu AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_unique
+        |   FROM dg JOIN u USING (g) GROUP BY 1)
+        | SELECT d0.doc_id,
+        |   COALESCE(tot.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        |   COALESCE(nu.n_unique, CAST(0 AS BIGINT)) AS n_unique,
+        |   CASE WHEN COALESCE(tot.n_grams, CAST(0 AS BIGINT)) > 0
+        |     THEN (COALESCE(nu.n_unique, CAST(0 AS BIGINT)) * 1000000)
+        |       // tot.n_grams
+        |     ELSE CAST(0 AS BIGINT) END AS novelty_micro
+        | FROM documents d0 LEFT JOIN tot USING (doc_id)
+        |   LEFT JOIN nu USING (doc_id)""".stripMargin)
+        .replace("\n", " "),
+    // per-group top-k replay: the keyed ROW_NUMBER the engine's
+    // two-phase partials deliberately avoid
+    "q111_top_tokens_by_group" ->
+      """WITH d AS (SELECT lang, unnest(list_filter(
+        |     string_split(text, ' '), x -> x <> '')) AS t
+        |   FROM documents),
+        | tf AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS freq
+        |   FROM d GROUP BY 1, 2),
+        | r AS (SELECT lang, t, freq,
+        |     CAST(row_number() OVER (PARTITION BY lang
+        |       ORDER BY freq DESC, t) AS INT) AS rank FROM tf)
+        | SELECT lang, t AS token, freq, rank FROM r WHERE rank <= 5"""
+        .stripMargin.replace("\n", " "),
+    // weighted-pair replay: same bigram terms, same integer idf
+    // rational, same (dot desc, id_a, id_b) cut
+    "q112_tfidf_pairs" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |     x -> x <> '') AS ts FROM documents),
+        | g AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |     i -> ts[i] || ' ' || ts[i+1])) AS t
+        |   FROM d WHERE len(ts) >= 2),
+        | tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |   FROM g GROUP BY 1, 2),
+        | w AS (SELECT t, CAST(1000000 AS BIGINT) //
+        |     CAST(count(*) AS BIGINT) AS w
+        |   FROM tf GROUP BY t HAVING count(*) BETWEEN 2 AND 50),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |     CAST(count(*) AS BIGINT) AS n_terms,
+        |     CAST(sum(a.tf * b.tf * w.w) AS BIGINT) AS dot_micro
+        |   FROM tf a JOIN w USING (t) JOIN tf b USING (t)
+        |   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT id_a, id_b, n_terms, dot_micro FROM p
+        | ORDER BY dot_micro DESC, id_a, id_b LIMIT 20"""
+        .stripMargin.replace("\n", " "),
+    // contamination-share replay: the q110 gram frames split
+    // train/bench, ref side distinct, same left joins
+    "q113_ref_overlap" ->
+      ("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |     x -> x <> '') AS ts FROM documents),
+        | raw AS (SELECT doc_id, unnest(list_transform(
+        |     range(1, len(ts) - 6), i -> """.stripMargin +
+        (0 until 8).map(o => if (o == 0) "ts[i]" else s"ts[i+$o]")
+          .mkString(" || ' ' || ") + """)) AS g
+        |   FROM d WHERE len(ts) >= 8),
+        | dg AS (SELECT DISTINCT doc_id, g FROM raw WHERE doc_id % 5 <> 0),
+        | rs AS (SELECT DISTINCT g FROM raw WHERE doc_id % 5 = 0),
+        | tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |   FROM dg GROUP BY 1),
+        | sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |   FROM dg JOIN rs USING (g) GROUP BY 1)
+        | SELECT d0.doc_id,
+        |   COALESCE(tot.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        |   COALESCE(sh.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |   CASE WHEN COALESCE(tot.n_grams, CAST(0 AS BIGINT)) > 0
+        |     THEN (COALESCE(sh.n_shared, CAST(0 AS BIGINT)) * 1000000)
+        |       // tot.n_grams
+        |     ELSE CAST(0 AS BIGINT) END AS overlap_micro
+        | FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d0
+        | LEFT JOIN tot USING (doc_id)
+        | LEFT JOIN sh USING (doc_id)""".stripMargin)
+        .replace("\n", " "),
     // full replay of the one-copy span dedup: the oracle may use
     // per-gram windows (rn = 1 ⇔ the engine's min(struct) canonical —
     // same (doc_id, i) total order), per-doc interval merge, then

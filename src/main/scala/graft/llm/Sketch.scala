@@ -235,6 +235,112 @@ object Sketch {
           col("sum_scaled").cast("double")).as("hll_estimate"))
   }
 
+  /** One-pass APPROXIMATE order statistics with bounded state — the
+    * sketch sibling of the exact rank machinery (q78's
+    * `Packing.orderStatistics`, which pays a range shuffle for exact
+    * answers): non-negative values bucket by BIT LENGTH (the power-of-
+    * two histogram, the same float-free `length(bin(v))` trick as the
+    * HLL rank), so aggregation state is ≤ 65 counters however large
+    * the corpus, and each requested percentile reports the bucket
+    * BRACKETING the exact order statistic — `lo <= exact p-th value
+    * <= hi` always (the bucket is chosen where the cumulative count
+    * first reaches the q78 ceil-rank, and every value in a bucket lies
+    * in [lo, hi] by construction), i.e. a guaranteed relative error
+    * of at most 2×. The 100 TB shape: ONE hash aggregation with
+    * map-side partials and NO range shuffle, no sort, no
+    * corpus-sized anything past the scan — the profile pass a
+    * pipeline runs per batch where q78 is the audit it runs once.
+    *
+    * The cumulative window runs over the ≤ 65-row bucket frame
+    * (bounded by construction, the rankTop convention); negative
+    * values raise — a bit-length bucket would mis-bracket them.
+    *
+    * Output: one row per percentile — (`p`, `bucket`, `lo`, `hi`,
+    * `n_le` = count of values in buckets <= bucket), all BIGINT. */
+  def logHistogramPercentiles(df: DataFrame, valueCol: Column,
+                              percentiles: Seq[Int]): DataFrame =
+    logHistogramPercentilesFromCounters(
+      logHistogramCounters(df, valueCol), percentiles)
+
+  /** The histogram's LINEAR state — the (`bucket`, `n`) counter table
+    * behind [[logHistogramPercentiles]], exposed as the persistable /
+    * maintainable artifact (the [[countMinCounters]] convention):
+    * counters are plain sums, so per-shard builds merge by addition
+    * ([[logHistogramMerge]]) and a forget batch subtracts
+    * ([[logHistogramSubtract]]) — one pass over the BATCH, never the
+    * corpus. */
+  def logHistogramCounters(df: DataFrame, valueCol: Column): DataFrame =
+    df.select(logBucket(valueCol).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** The bit-length bucket of a non-negative value: 0 → bucket 0,
+    * v ≥ 1 → number of binary digits (the q70 float-free log2 —
+    * `bin` strips leading zeros identically in any engine); negative
+    * values raise map-side. */
+  def logBucket(v: Column): Column =
+    when(v < 0,
+      expr("raise_error('logHistogramPercentiles: values must be " +
+        ">= 0')").cast("long"))
+      .when(v === 0, lit(0L))
+      .otherwise(length(bin(v)).cast("long"))
+
+  /** Deletion side of the histogram's linearity (the [[cmsSubtract]]
+    * contract): bucket-wise `n − removed.n`, zero-count buckets drop,
+    * a NEGATIVE count fails loudly — the removed values were not a
+    * subset of the corpus, and clamping would silently mis-rank every
+    * percentile to the histogram's left. */
+  def logHistogramSubtract(counters: DataFrame,
+                           removed: DataFrame): DataFrame =
+    counters
+      .unionByName(removed.select(col("bucket"), (-col("n")).as("n")))
+      .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+      .withColumn("n",
+        when(col("n") < 0, raise_error(concat(
+          lit("logHistogramSubtract: negative count at bucket "),
+          col("bucket"),
+          lit(" — removed values were not a subset of the corpus"))))
+          .otherwise(col("n")))
+      .filter(col("n") > 0)
+
+  /** Growth direction of the same linearity: bucket-wise sum of two
+    * counter tables (per-shard builds → one corpus histogram). */
+  def logHistogramMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+
+  /** Percentile read over a stored/maintained counter table — see
+    * [[logHistogramPercentiles]] for the bracket contract. */
+  def logHistogramPercentilesFromCounters(buckets: DataFrame,
+                                          percentiles: Seq[Int])
+      : DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $percentiles")
+    val spark = buckets.sparkSession
+    val cum = buckets.withColumn("cum",
+      sum(col("n")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val tot = buckets.agg(sum(col("n")).as("_N"))
+    val ps = spark.createDataset(percentiles.map(_.toLong))(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("p")
+    ps.crossJoin(broadcast(tot)).crossJoin(broadcast(cum))
+      .filter(col("cum") >= expr("(p * _N + 99) div 100"))
+      .groupBy(col("p"))
+      // min over (bucket, cum) structs = the smallest qualifying
+      // bucket, carrying ITS cumulative count along
+      .agg(min(struct(col("bucket"), col("cum"))).as("_s"))
+      .select(col("p"), col("_s.bucket").as("bucket"),
+        expr("CASE WHEN _s.bucket = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(_s.bucket - 1 AS INT)) " +
+          "END").as("lo"),
+        expr("CASE WHEN _s.bucket = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(_s.bucket AS INT)) - 1 " +
+          "END").as("hi"),
+        col("_s.cum").as("n_le"))
+      .orderBy(col("p"))
+  }
+
   /** Fold a register table to the one-row HLL summary (see
     * [[hllDistinct]] for the estimator contract). */
   def hllSummarize(regs: DataFrame, b: Int): DataFrame = {

@@ -675,6 +675,279 @@ object TextStats {
       .orderBy(col("freq").desc, col("ngram")).limit(k)
   }
 
+  /** Per-GROUP top-k token table — the q33 vocabulary cut keyed by a
+    * group column (the per-language / per-source reporting shape):
+    * exact (freq desc, token asc) top-k within every group via the
+    * two-phase partial-top-k pattern ([[keywords]]' shape) —
+    * per-partition sorted-slice partials merge per group, so a hot
+    * group never funnels its whole vocabulary through one sort and
+    * there is NO window anywhere (the oracle's keyed ROW_NUMBER is
+    * the luxury the engine deliberately avoids, the q60 rule).
+    *
+    * Output: (groupCol, `token`, `freq`, `rank` 1..k). */
+  def topTokensByGroup(df: org.apache.spark.sql.DataFrame,
+                       groupCol: String, textCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df
+      .select(col(groupCol), explode(tokenArray(textCol)).as("_t"))
+      .groupBy(col(groupCol), col("_t")).agg(count(lit(1)).as("freq"))
+    val entry = struct((-col("freq")).as("nf"), col("_t").as("t"),
+      col("freq"))
+    val partial = tf
+      .groupBy(col(groupCol), spark_partition_id().as("_p"))
+      .agg(slice(array_sort(collect_list(entry)), 1, k).as("_top"))
+    partial
+      .groupBy(col(groupCol))
+      .agg(slice(array_sort(flatten(collect_list(col("_top")))), 1, k)
+        .as("_top"))
+      .select(col(groupCol), posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(col(groupCol), col("_e.t").as("token"),
+        col("_e.freq").as("freq"),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Top-k COLLOCATIONS: adjacent word pairs ranked by exact integer
+    * LIFT — `lift_micro = (c12 · T · scale) div (c1 · c2)` where `c12`
+    * is the pair's corpus frequency, `c1`/`c2` the member tokens'
+    * unigram frequencies, and `T` the corpus token total. Lift is a
+    * strictly monotone transform of pointwise mutual information
+    * (PMI = ln lift up to the shared bigram/unigram normalization
+    * constant), so ranking by `lift_micro` IS ranking by PMI — with
+    * NO floats anywhere: one integer `div` per candidate, truncation
+    * identical across engines for positive operands (the q75 move).
+    * `minCount` is the standard collocation noise gate (a
+    * one-occurrence pair of two hapaxes would otherwise always win).
+    *
+    * Shape: the corpus tokenizes twice (unigram explode + pair-gram
+    * explode — the q75 `bm25Frames` accounting); everything after the
+    * two hash aggregations is VOCABULARY-sized: candidate pairs join
+    * the unigram table on each member (plain equi-joins — both sides
+    * post-aggregation), the 1-row total broadcasts, and the cut is
+    * TakeOrderedAndProject. No corpus-sized join, no window.
+    *
+    * Overflow bound (documented like q75's): `c12 · T · scale` must
+    * stay under 2^63 — with the default micro scale that holds while
+    * `c12 · T < 9.2e12` (e.g. a 1e9-token corpus whose hottest pair
+    * appears 9e3 times); past that, lower `scale`.
+    *
+    * Output: (`w1`, `w2`, `pair_count`, `c1`, `c2`, `lift_micro`),
+    * ordered (lift_micro desc, w1, w2), top `k`. */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   minCount: Long = 5, k: Int = 20,
+                   scale: Long = 1000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val ts = df.select(tokenArray(textCol).as("_ts"))
+    val uni = ts.select(explode(col("_ts")).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+    val pairs = ts.select(explode(gramsOf(col("_ts"), 2)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+    collocationsFromCounts(uni, pairs, minCount, k, scale)
+  }
+
+  /** [[collocations]] served from STORED / MAINTAINED n-gram count
+    * tables — `uni` the 1-gram and `pairs` the 2-gram (`ngram`,
+    * `freq`) frames (the [[topNgrams]] aggregation shape, and exactly
+    * what [[graft.streaming.StreamingIndex.ngramCounts]] keeps over a
+    * feed) — so a serving deployment ranks collocations from the
+    * persisted artifacts without re-reading the corpus. Identical
+    * arithmetic and output contract. */
+  def collocationsFromCounts(uni: org.apache.spark.sql.DataFrame,
+                             pairs: org.apache.spark.sql.DataFrame,
+                             minCount: Long = 5, k: Int = 20,
+                             scale: Long = 1000000L)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val u = uni.select(col("ngram").as("_t"), col("freq").as("_c"))
+    val tot = u.agg(sum(col("_c")).as("_T"))
+    // tokens are space-split, so a token never CONTAINS a space and
+    // the gram string splits back into its two members unambiguously
+    val pc = pairs.filter(col("freq") >= minCount)
+      .select(col("ngram").as("_g"), col("freq").as("pair_count"))
+      .withColumn("w1", split(col("_g"), " ").getItem(0))
+      .withColumn("w2", split(col("_g"), " ").getItem(1))
+    pc
+      .join(u.select(col("_t").as("w1"), col("_c").as("c1")), "w1")
+      .join(u.select(col("_t").as("w2"), col("_c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_micro",
+        expr(s"(pair_count * _T * $scale) div (c1 * c2)"))
+      .select(col("w1"), col("w2"), col("pair_count"), col("c1"),
+        col("c2"), col("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2")).limit(k)
+  }
+
+  /** Top-k most similar document PAIRS by tf-idf-WEIGHTED term
+    * overlap — the sparse lexical similarity JOIN completing the
+    * pair-level triple next to exact n-gram Jaccard (q29,
+    * [[Dedup.jaccardPairsExact]]) and embedding cosine (q28): pairs
+    * score by the exact integer dot product
+    *
+    *   `dot_micro(a,b) = Σ_t tf_a(t) · tf_b(t) · (scale div df(t))`
+    *
+    * — inverse document frequency as an exact integer rational, no
+    * floats anywhere (both engines truncate identically for positive
+    * operands, the q75/q108 move). Tokens outside the [2, maxDf]
+    * document-frequency window contribute nothing: df=1 tokens
+    * cannot pair, and the maxDf stopword cut is what every sparse
+    * similarity join at scale applies anyway — here it also BOUNDS
+    * the candidate fan-out (a token fans into < maxDf² ordered
+    * pairs, so the pair frame is ≤ maxDf · Σ_t df(t) rows whatever
+    * the corpus).
+    *
+    * Shape: the AllPairs posting-list self-join (the q29 candidate
+    * machinery without the threshold phase) — one tf aggregation,
+    * one vocab-sized df aggregation, ONE equi-join on the token, one
+    * hash aggregation per surviving pair, TakeOrdered for the cut.
+    * No window, no cartesian, nothing driver-side.
+    *
+    * Terms are `n`-grams (n = 1 → plain tokens): on corpora whose
+    * token vocabulary is stopword-dominated, gram terms are what
+    * actually discriminate (the q43/q62 observation applied to
+    * weighted scoring).
+    *
+    * Output: (`id_a`, `id_b`, `n_terms`, `dot_micro`) with
+    * id_a < id_b, ordered (dot_micro desc, id_a, id_b), top `k`. */
+  def tfidfDotPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, maxDf: Int, k: Int, n: Int = 1,
+                    scale: Long = 1000000L)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val tf = docs
+      .select(col(idCol), tokenArray(textCol).as("_ts"))
+      .select(col(idCol), explode(gramsOf(col("_ts"), n)).as("_t"))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val w = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .withColumn("_w", expr(s"$scale div _df"))
+      .select(col("_t"), col("_w"))
+    val posts = tf.join(w, "_t")
+    val a = posts.select(col("_t"), col(idCol).as("id_a"),
+      col("_tf").as("_tfa"), col("_w"))
+    val b = posts.select(col("_t"), col(idCol).as("id_b"),
+      col("_tf").as("_tfb"))
+    a.join(b, "_t")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("_tfa") * col("_tfb") * col("_w")).as("dot_micro"))
+      .orderBy(col("dot_micro").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  /** Per-document n-gram NOVELTY profile — the complement of the
+    * duplication-coverage audit (q95) and the cross-corpus overlap
+    * screens (q43/q63): for each document, how much of its distinct
+    * n-gram set appears NOWHERE else in the corpus. The
+    * memorization-risk / contribution metric a curation run reads per
+    * document: `novelty_micro = 1e6 · n_unique div n_grams` where
+    * `n_grams` counts the doc's DISTINCT grams and `n_unique` those
+    * with corpus document-frequency exactly 1.
+    *
+    * Shape: one distinct (doc, gram) frame (`array_distinct` folds
+    * within-doc repeats map-side, BEFORE the shuffle), one gram-keyed
+    * hash aggregation for document frequency, and one join of the
+    * (doc, gram) frame against the df=1 gram set — a join with NO
+    * skew by construction: a df=1 gram appears in exactly ONE (doc,
+    * gram) row, so every join key matches at most once on each side
+    * (the hot stopword-gram keys a df-agnostic join-back would hit
+    * are filtered out before the join). Gram-less documents (shorter
+    * than n tokens) keep their row with a 0/0/0 profile.
+    *
+    * Output: (idCol, `n_grams`, `n_unique`, `novelty_micro`), one row
+    * per input document. */
+  def gramNovelty(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val dg = df.select(col(idCol), tokenArray(textCol).as("_ts"))
+      .select(col(idCol),
+        explode(array_distinct(gramsOf(col("_ts"), n))).as("_g"))
+    val uniq = dg.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") === 1).select(col("_g"))
+    val total = dg.groupBy(col(idCol)).agg(count(lit(1)).as("_ng"))
+    val nuniq = dg.join(uniq, "_g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nu"))
+    df.select(col(idCol))
+      .join(total, Seq(idCol), "left")
+      .join(nuniq, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_ng"), lit(0L)).as("n_grams"),
+        coalesce(col("_nu"), lit(0L)).as("n_unique"))
+      .withColumn("novelty_micro",
+        expr("CASE WHEN n_grams > 0 THEN (n_unique * 1000000) div " +
+          "n_grams ELSE CAST(0 AS BIGINT) END"))
+  }
+
+  /** Per-document contamination SHARE against a REFERENCE corpus —
+    * the per-doc report a decontamination run actually thresholds on
+    * (q43's pair-level screen tells you WHICH bench doc was hit; this
+    * tells you HOW MUCH of each train doc is bench material): for
+    * each `docs` row, the fraction of its distinct n-grams that
+    * appear anywhere in `ref`, as `overlap_micro = 1e6 · n_shared
+    * div n_grams`.
+    *
+    * Shape: the [[gramNovelty]] machinery pointed at a reference —
+    * one distinct (doc, gram) frame per side, the ref side collapsed
+    * to a DISTINCT gram set (at most ONE row per join key, so the
+    * gram join can't fan out however hot the gram is on the train
+    * side), one count per doc, gram-less docs kept at 0/0/0.
+    *
+    * Output: (idCol, `n_grams`, `n_shared`, `overlap_micro`). */
+  def refGramOverlap(docs: org.apache.spark.sql.DataFrame,
+                     ref: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val dg = docs.select(col(idCol), tokenArray(textCol).as("_ts"))
+      .select(col(idCol),
+        explode(array_distinct(gramsOf(col("_ts"), n))).as("_g"))
+    val refSet = ref.select(tokenArray(textCol).as("_ts"))
+      .select(explode(array_distinct(gramsOf(col("_ts"), n))).as("_g"))
+      .distinct()
+    val total = dg.groupBy(col(idCol)).agg(count(lit(1)).as("_ng"))
+    val shared = dg.join(refSet, "_g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_ns"))
+    docs.select(col(idCol))
+      .join(total, Seq(idCol), "left")
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_ng"), lit(0L)).as("n_grams"),
+        coalesce(col("_ns"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_micro",
+        expr("CASE WHEN n_grams > 0 THEN (n_shared * 1000000) div " +
+          "n_grams ELSE CAST(0 AS BIGINT) END"))
+  }
+
+  /** Maintain a stored (`ngram`, `freq`) count table (the
+    * [[topNgrams]] / [[collocationsFromCounts]] artifact) under a
+    * FORGET batch — the [[Sketch.cmsSubtract]] linearity applied to
+    * exact gram counts: subtract the batch's own gram counts, drop
+    * grams reaching zero, raise on negative (the batch was not a
+    * corpus subset — clamping would silently inflate every lift
+    * downstream). Costs one gram pass over the BATCH, never the
+    * corpus. */
+  def ngramCountsForget(counts: org.apache.spark.sql.DataFrame,
+                        forgotten: org.apache.spark.sql.DataFrame,
+                        textCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val removed = forgotten.select(tokenArray(textCol).as("_ts"))
+      .select(explode(gramsOf(col("_ts"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+    counts
+      .unionByName(removed.select(col("ngram"), (-col("freq")).as("freq")))
+      .groupBy(col("ngram")).agg(sum(col("freq")).as("freq"))
+      .withColumn("freq",
+        when(col("freq") < 0, raise_error(concat(
+          lit("ngramCountsForget: negative count for gram '"),
+          col("ngram"),
+          lit("' — forgotten rows were not a subset of the corpus"))))
+          .otherwise(col("freq")))
+      .filter(col("freq") > 0)
+  }
+
   /** Exact-phrase occurrence count per document: how many times the
     * tokens of `phrase` appear CONSECUTIVELY (the adjacency query an
     * inverted index alone cannot answer). Docs with zero occurrences

@@ -78,6 +78,34 @@ object StreamingSketch {
       .agg(sum(col("_op")).as("cnt"))
   }
 
+  /** Continuously-maintained bit-length histogram counters (`bucket`,
+    * `n`) — the streaming side of [[Sketch.logHistogramCounters]]:
+    * state bounded at ≤ 65 rows however long the feed runs, and a
+    * snapshot read through
+    * [[Sketch.logHistogramPercentilesFromCounters]] equals the batch
+    * histogram of the rows seen so far (the differential the spec
+    * pins). `valueExpr` is any non-negative integer expression over
+    * the stream's columns (a length, a token count). */
+  def histogramCounters(stream: DataFrame,
+                        valueExpr: org.apache.spark.sql.Column)
+      : DataFrame =
+    stream.select(valueExpr.as("_v"))
+      .select(Sketch.logBucket(col("_v")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** [[histogramCounters]] over a SIGNED feed (the
+    * [[cmsCountersSigned]] pattern): `opCol` = +1 ingest / −1 forget,
+    * aggregation state is the exact net bucket table — deletions
+    * maintain the histogram in-stream with no rebuild. Readers apply
+    * the `n > 0` cut, after which a snapshot equals the batch
+    * histogram of the net corpus. */
+  def histogramCountersSigned(stream: DataFrame,
+                              valueExpr: org.apache.spark.sql.Column,
+                              opCol: String): DataFrame =
+    stream.select(col(opCol).cast("long").as("_op"), valueExpr.as("_v"))
+      .select(col("_op"), Sketch.logBucket(col("_v")).as("bucket"))
+      .groupBy(col("bucket")).agg(sum(col("_op")).as("n"))
+
   /** Continuously-maintained HLL register table (`bucket`, `reg`) —
     * state bounded at 2^b rows. Repeated tokens are absorbed by the
     * `max`, so no distinct pass is needed on the stream. */

@@ -334,6 +334,91 @@ class PlanAuditSpec extends SparkSpec {
     assert(p105.contains("partial_"), s"q105: no partial agg in:\n$p105")
   }
 
+  test("collocations (q108) rank via TakeOrdered over vocab-sized " +
+    "equi-joins — no window, no cartesian; novelty (q110) joins " +
+    "without windows and aggregates with map-side partials") {
+    val d108 = SparkEntry.queries("q108_collocations")(
+      spark, "/root/testdata/sf0.001")
+    d108.collect()
+    val w108 = d108.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(w108.isEmpty,
+      s"q108: window in:\n${d108.queryExecution.optimizedPlan}")
+    val p108 = d108.queryExecution.executedPlan.toString
+    assert(p108.contains("TakeOrderedAndProject"),
+      s"q108: no TakeOrdered in:\n$p108")
+    assert(!p108.contains("CartesianProduct"), s"q108: cartesian:\n$p108")
+    val d110 = SparkEntry.queries("q110_gram_novelty")(
+      spark, "/root/testdata/sf0.001")
+    d110.collect()
+    val w110 = d110.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(w110.isEmpty,
+      s"q110: window in:\n${d110.queryExecution.optimizedPlan}")
+    val p110 = d110.queryExecution.executedPlan.toString
+    assert(!p110.contains("CartesianProduct"), s"q110: cartesian:\n$p110")
+    assert(p110.contains("partial_"), s"q110: no partial agg in:\n$p110")
+    // per-group top-k (q111): the two-phase partials replace the
+    // oracle's keyed ROW_NUMBER — no window node at all
+    val d111 = SparkEntry.queries("q111_top_tokens_by_group")(
+      spark, "/root/testdata/sf0.001")
+    d111.collect()
+    val w111 = d111.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(w111.isEmpty,
+      s"q111: window in:\n${d111.queryExecution.optimizedPlan}")
+    // weighted sparse pairs (q112): AllPairs equi-joins on the term
+    // only, TakeOrdered cut — no window, no cartesian
+    val d112 = SparkEntry.queries("q112_tfidf_pairs")(
+      spark, "/root/testdata/sf0.001")
+    d112.collect()
+    val w112 = d112.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(w112.isEmpty,
+      s"q112: window in:\n${d112.queryExecution.optimizedPlan}")
+    val p112 = d112.queryExecution.executedPlan.toString
+    assert(p112.contains("TakeOrderedAndProject"),
+      s"q112: no TakeOrdered in:\n$p112")
+    assert(!p112.contains("CartesianProduct"), s"q112: cartesian:\n$p112")
+    // contamination share (q113): equi-joins only, no window
+    val d113 = SparkEntry.queries("q113_ref_overlap")(
+      spark, "/root/testdata/sf0.001")
+    d113.collect()
+    val w113 = d113.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(w113.isEmpty,
+      s"q113: window in:\n${d113.queryExecution.optimizedPlan}")
+    assert(!d113.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
+
+  test("histogram percentile sketch (q109): the one unkeyed window " +
+    "runs over the POST-AGGREGATION bucket frame (<= 65 rows by " +
+    "construction), never the corpus") {
+    val d109 = SparkEntry.queries("q109_hist_percentiles")(
+      spark, "/root/testdata/sf0.001")
+    d109.collect()
+    val ws = d109.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.size == 1,
+      s"q109: expected one window:\n${d109.queryExecution.optimizedPlan}")
+    // the window's input subtree must already have aggregated the
+    // corpus down to the bucket counters
+    val aggsBelow = ws.head.child.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggsBelow.nonEmpty,
+      s"q109: window over unaggregated input:\n${ws.head}")
+    assert(!d109.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
+
   test("interval-overlap join (q103) is a hash equi-join on the " +
     "bucket id — never a nested loop over session pairs") {
     val df = SparkEntry.queries("q103_interval_join")(

@@ -149,6 +149,54 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  private def histRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("logHistogramSubtract: full − removed equals a from-scratch " +
+    "histogram of the remainder; percentile reads agree") {
+    val all = Seq[Long](0, 1, 2, 3, 5, 8, 13, 21, 34, 55, 100, 200, 400)
+    val removed = Seq[Long](3, 55, 400)
+    val remain = all.diff(removed)
+    val maintained = Sketch.logHistogramSubtract(
+      Sketch.logHistogramCounters(all.toDF("v"), col("v")),
+      Sketch.logHistogramCounters(removed.toDF("v"), col("v")))
+    val rebuilt = Sketch.logHistogramCounters(remain.toDF("v"), col("v"))
+    assert(histRows(maintained) === histRows(rebuilt))
+    val pm = Sketch.logHistogramPercentilesFromCounters(maintained,
+      Seq(25, 50, 95)).collect().map(_.toSeq).toSeq
+    val pr = Sketch.logHistogramPercentilesFromCounters(rebuilt,
+      Seq(25, 50, 95)).collect().map(_.toSeq).toSeq
+    assert(pm === pr)
+  }
+
+  test("logHistogramSubtract: removing everything leaves no buckets; " +
+    "a non-subset removal fails loudly") {
+    val c = Sketch.logHistogramCounters(
+      Seq[Long](1, 2, 3).toDF("v"), col("v"))
+    assert(Sketch.logHistogramSubtract(c, c).count() === 0L)
+    val tiny = Sketch.logHistogramCounters(Seq[Long](1).toDF("v"),
+      col("v"))
+    val big = Sketch.logHistogramCounters(Seq[Long](1, 1).toDF("v"),
+      col("v"))
+    val e = intercept[Exception] {
+      Sketch.logHistogramSubtract(tiny, big).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("negative count") ||
+      String.valueOf(e.getCause).contains("negative count"))
+  }
+
+  test("logHistogramMerge: per-shard histograms sum to the corpus " +
+    "histogram") {
+    val s1 = Seq[Long](0, 1, 5, 9)
+    val s2 = Seq[Long](2, 6, 700)
+    val whole = Sketch.logHistogramCounters((s1 ++ s2).toDF("v"),
+      col("v"))
+    val merged = Sketch.logHistogramMerge(
+      Sketch.logHistogramCounters(s1.toDF("v"), col("v")),
+      Sketch.logHistogramCounters(s2.toDF("v"), col("v")))
+    assert(histRows(merged) === histRows(whole))
+  }
+
   test("cmsMerge: per-shard builds sum to the whole-corpus sketch") {
     val shard1 = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
     val shard2 = Seq((3L, "beta gamma")).toDF("doc_id", "text")

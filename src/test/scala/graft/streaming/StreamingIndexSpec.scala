@@ -49,6 +49,35 @@ class StreamingIndexSpec extends SparkSpec {
     assert(all == batchAll, s"stream $all\nbatch  $batchAll")
   }
 
+  test("collocations served from streaming-maintained 1-gram and " +
+    "2-gram counts equal the batch collocation ranking") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val src = stream.toDF().toDF("doc_id", "text")
+    val q1 = StreamingIndex.ngramCounts(src, "text", n = 1)
+      .writeStream.format("memory").queryName("colloc_uni")
+      .outputMode("complete").start()
+    val q2 = StreamingIndex.ngramCounts(src, "text", n = 2)
+      .writeStream.format("memory").queryName("colloc_pairs")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b =>
+        stream.addData(b)
+        q1.processAllAvailable(); q2.processAllAvailable()
+      }
+    } finally { q1.stop(); q2.stop() }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val served = rows(TextStats.collocationsFromCounts(
+      spark.table("colloc_uni"), spark.table("colloc_pairs"),
+      minCount = 2, k = 10))
+    val batch = rows(TextStats.collocations(docs.toDF("doc_id", "text"),
+      "text", minCount = 2, k = 10))
+    assert(served == batch, s"served $served\nbatch  $batch")
+    assert(served.nonEmpty) // "a b" appears 4x — the diff has teeth
+  }
+
   test("streaming inverted index: latest snapshot per token equals " +
     "batch invertedIndex in the df window; overflowed terms keep an " +
     "exact df with dropped postings") {

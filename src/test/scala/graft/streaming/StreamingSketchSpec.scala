@@ -77,6 +77,53 @@ class StreamingSketchSpec extends SparkSpec {
       s"stream ${fromStream.toSeq}\nbatch  ${batchBitmap.toSeq}")
   }
 
+  test("streaming histogram counters converge to the batch bucket " +
+    "table; a snapshot percentile read equals the batch read") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val valueExpr = size(split(col("text"), " ")).cast("long")
+    runComplete(StreamingSketch.histogramCounters(_, valueExpr),
+      "hist_out")
+    val streamed = spark.table("hist_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val batchCounters = Sketch.logHistogramCounters(
+      docs.toDF("doc_id", "text"), valueExpr)
+    val batch = batchCounters
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(streamed == batch, s"stream $streamed\nbatch  $batch")
+    assert(streamed.size <= 65, "state exceeded the 65-bucket bound")
+    val pStream = Sketch.logHistogramPercentilesFromCounters(
+      spark.table("hist_out"), Seq(50, 95)).collect().map(_.toSeq).toSeq
+    val pBatch = Sketch.logHistogramPercentilesFromCounters(
+      batchCounters, Seq(50, 95)).collect().map(_.toSeq).toSeq
+    assert(pStream === pBatch)
+  }
+
+  test("signed histogram feed (adds then deletes) converges to the " +
+    "batch histogram of the NET corpus") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val valueExpr = size(split(col("text"), " ")).cast("long")
+    val stream = MemoryStream[(Long, String, Int)]
+    val query = StreamingSketch.histogramCountersSigned(
+        stream.toDF().toDF("doc_id", "text", "op"), valueExpr, "op")
+      .writeStream.format("memory").queryName("hist_signed_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(docs.map(d => (d._1, d._2, 1)))
+      query.processAllAvailable()
+      stream.addData(Seq(docs(1), docs(3)).map(d => (d._1, d._2, -1)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("hist_signed_out")
+      .filter($"n" > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val net = Seq(docs(0), docs(2), docs(4))
+    val batch = Sketch.logHistogramCounters(
+        net.toDF("doc_id", "text"), valueExpr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(streamed == batch, s"stream $streamed\nbatch  $batch")
+  }
+
   test("signed CMS feed (adds then deletes) converges to the batch " +
     "sketch of the NET corpus — streaming forget with no rebuild") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -1355,6 +1355,44 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", n = 8)
     }),
+    // LLM §sketches — KMV set-overlap screen (Beyer 2007 bottom-k):
+    // Jaccard + distinct estimates for the train/bench 8-gram sets
+    // from two 512-row sketches — the integer-exact cheap pass a
+    // 100 TB decontamination runs before q34/q113 shuffle a gram.
+    "q114_kmv_overlap" -> ((s, dir) => {
+      import graft.llm.{Sketch, TextStats}
+      val docs = t(s, dir, "documents")
+      // project the token array BEFORE gramming — the gramsOf
+      // higher-order-lambda inlining trap (TextStats.scala) costs
+      // ~10× here at n=8 (measured 15.6 → 1.7 s at sf0.1)
+      def grams(side: DataFrame) = side
+        .select(filter(split(col("text"), " "),
+          t => length(t) > 0).as("_ts"))
+        .select(explode(TextStats.gramsOf(col("_ts"), 8)).as("g"))
+      Sketch.kmvOverlap(
+        Sketch.kmvSketch(grams(docs.filter(col("doc_id") % 5 =!= 0)),
+          col("g"), 512),
+        Sketch.kmvSketch(grams(docs.filter(col("doc_id") % 5 === 0)),
+          col("g"), 512),
+        512)
+    }),
+    // LLM §corpus-stats — EXACT heavy hitters via the two-phase
+    // pigeonhole scan (no full-vocabulary shuffle: per-partition
+    // local counts gate candidates at ceil(T/P) — a provable
+    // superset — then only candidate occurrences shuffle for the
+    // exact recount). The oracle is the plain exact query the
+    // output provably equals.
+    "q115_heavy_hitters" -> ((s, dir) =>
+      graft.llm.TextStats.exactHeavyHitters(t(s, dir, "documents"),
+        "text", threshold = 500)),
+    // LLM §corpus-stats — per-GROUP histogram percentile sketch (q109
+    // keyed by language; the bounded-state sibling of q104's exact
+    // keyed ranks): |groups|·≤65 counters, KEYED cumulative window.
+    "q116_group_hist" -> ((s, dir) =>
+      graft.llm.Sketch.logHistogramPercentilesByGroup(
+        t(s, dir, "documents"), "lang",
+        size(split(col("text"), " ")).cast("long"),
+        Seq(25, 50, 75, 95))),
     // LLM §similarity — product-quantization ENCODE (Jégou 2011, the
     // engine's angular geometry): 64-dim embeddings → 4 codes, each
     // the per-subspace cosine argmax against 8 learned centroids —
@@ -2498,6 +2536,82 @@ object SparkEntry {
         | LEFT JOIN tot USING (doc_id)
         | LEFT JOIN sh USING (doc_id)""".stripMargin)
         .replace("\n", " "),
+    // full KMV construction replay: same md5 60-bit hashes ('0x'||hex
+    // cast ≡ conv(hex,16,10), the q69 move), same bottom-k cuts,
+    // same integer estimator arithmetic
+    "q114_kmv_overlap" ->
+      ("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |     x -> x <> '') AS ts FROM documents),
+        | raw AS (SELECT doc_id, unnest(list_transform(
+        |     range(1, len(ts) - 6), i -> """.stripMargin +
+        (0 until 8).map(o => if (o == 0) "ts[i]" else s"ts[i+$o]")
+          .mkString(" || ' ' || ") + """)) AS g
+        |   FROM d WHERE len(ts) >= 8),
+        | th AS (SELECT DISTINCT CAST('0x' || substring(md5(g), 1, 15)
+        |     AS BIGINT) AS h FROM raw WHERE doc_id % 5 <> 0),
+        | bh AS (SELECT DISTINCT CAST('0x' || substring(md5(g), 1, 15)
+        |     AS BIGINT) AS h FROM raw WHERE doc_id % 5 = 0),
+        | ta AS (SELECT h FROM th ORDER BY h LIMIT 512),
+        | tb AS (SELECT h FROM bh ORDER BY h LIMIT 512),
+        | u AS (SELECT h FROM (SELECT h FROM ta UNION SELECT h FROM tb)
+        |     x ORDER BY h LIMIT 512),
+        | c AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM u
+        |   WHERE h IN (SELECT h FROM ta) AND h IN (SELECT h FROM tb)),
+        | ku AS (SELECT CAST(count(*) AS BIGINT) AS k_used FROM u),
+        | ea AS (SELECT CASE WHEN CAST(count(*) AS BIGINT) < 512
+        |     THEN CAST(count(*) AS BIGINT)
+        |     ELSE 1152921504606846976 // (max(h) //
+        |       (CAST(count(*) AS BIGINT) - 1)) END AS distinct_est_a
+        |   FROM ta),
+        | eb AS (SELECT CASE WHEN CAST(count(*) AS BIGINT) < 512
+        |     THEN CAST(count(*) AS BIGINT)
+        |     ELSE 1152921504606846976 // (max(h) //
+        |       (CAST(count(*) AS BIGINT) - 1)) END AS distinct_est_b
+        |   FROM tb)
+        | SELECT ku.k_used, c.n_common,
+        |   CASE WHEN ku.k_used > 0
+        |     THEN (c.n_common * 1000000) // ku.k_used
+        |     ELSE CAST(0 AS BIGINT) END AS jaccard_micro,
+        |   ea.distinct_est_a, eb.distinct_est_b
+        | FROM ku, c, ea, eb""".stripMargin)
+        .replace("\n", " "),
+    // the heavy-hitter oracle IS the plain exact query — the
+    // pigeonhole candidate pass is certified never to lose a row
+    "q115_heavy_hitters" ->
+      """WITH d AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |     x -> x <> '')) AS t FROM documents)
+        | SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+        | FROM d GROUP BY 1 HAVING count(*) >= 500
+        | ORDER BY freq DESC, token"""
+        .stripMargin.replace("\n", " "),
+    // the q109 replay partitioned by lang
+    "q116_group_hist" ->
+      """WITH s AS (SELECT lang, CAST(len(string_split(text, ' '))
+        |     AS BIGINT) AS v FROM documents),
+        | b AS (SELECT lang, CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+        |     ELSE CAST(length(bin(v)) AS BIGINT) END AS bucket,
+        |     CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+        | c AS (SELECT lang, bucket, CAST(sum(n) OVER
+        |     (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum
+        |   FROM b),
+        | t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS N FROM b
+        |   GROUP BY 1),
+        | ch AS (SELECT c.lang, p, min(bucket) AS bucket
+        |   FROM (VALUES (25),(50),(75),(95)) ps(p)
+        |   CROSS JOIN c JOIN t ON c.lang = t.lang
+        |   WHERE c.cum >= (CAST(ps.p AS BIGINT) * t.N + 99) // 100
+        |   GROUP BY 1, 2)
+        | SELECT ch.lang, CAST(ch.p AS BIGINT) AS p, ch.bucket,
+        |   CASE WHEN ch.bucket = 0 THEN CAST(0 AS BIGINT)
+        |     ELSE CAST(1 AS BIGINT) << CAST(ch.bucket - 1 AS INT)
+        |     END AS lo,
+        |   CASE WHEN ch.bucket = 0 THEN CAST(0 AS BIGINT)
+        |     ELSE (CAST(1 AS BIGINT) << CAST(ch.bucket AS INT)) - 1
+        |     END AS hi,
+        |   c2.cum AS n_le
+        | FROM ch JOIN c c2
+        |   ON ch.lang = c2.lang AND ch.bucket = c2.bucket"""
+        .stripMargin.replace("\n", " "),
     // full replay of the one-copy span dedup: the oracle may use
     // per-gram windows (rn = 1 ⇔ the engine's min(struct) canonical —
     // same (doc_id, i) total order), per-doc interval merge, then

@@ -273,6 +273,52 @@ object Sketch {
     df.select(logBucket(valueCol).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
 
+  /** PER-GROUP histogram percentile brackets — [[logHistogramPercentiles]]
+    * keyed by a group column (the grouped-reporting shape next to
+    * [[hllDistinctByGroup]], and the bounded-state sibling of the
+    * exact per-group rank machinery behind q104): state is
+    * |groups| · ≤ 65 counters, the cumulative window is KEYED (its
+    * per-key input is ≤ 65 rows by construction), and every group
+    * gets the same [lo, hi] bracket guarantee against its own exact
+    * order statistics.
+    *
+    * Output: (groupCol, `p`, `bucket`, `lo`, `hi`, `n_le`). */
+  def logHistogramPercentilesByGroup(df: DataFrame, groupCol: String,
+                                     valueCol: Column,
+                                     percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $percentiles")
+    val spark = df.sparkSession
+    val buckets = df
+      .select(col(groupCol), logBucket(valueCol).as("bucket"))
+      .groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("n"))
+    val cum = buckets.withColumn("cum",
+      sum(col("n")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val tot = buckets.groupBy(col(groupCol))
+      .agg(sum(col("n")).as("_N"))
+    val ps = spark.createDataset(percentiles.map(_.toLong))(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("p")
+    cum.join(tot, groupCol).crossJoin(broadcast(ps))
+      .filter(col("cum") >= expr("(p * _N + 99) div 100"))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(struct(col("bucket"), col("cum"))).as("_s"))
+      .select(col(groupCol), col("p"), col("_s.bucket").as("bucket"),
+        expr(bracketLoSql).as("lo"), expr(bracketHiSql).as("hi"),
+        col("_s.cum").as("n_le"))
+      .orderBy(col(groupCol), col("p"))
+  }
+
+  private val bracketLoSql =
+    "CASE WHEN _s.bucket = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "shiftleft(CAST(1 AS BIGINT), CAST(_s.bucket - 1 AS INT)) END"
+  private val bracketHiSql =
+    "CASE WHEN _s.bucket = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      "shiftleft(CAST(1 AS BIGINT), CAST(_s.bucket AS INT)) - 1 END"
+
   /** The bit-length bucket of a non-negative value: 0 → bucket 0,
     * v ≥ 1 → number of binary digits (the q70 float-free log2 —
     * `bin` strips leading zeros identically in any engine); negative
@@ -331,14 +377,75 @@ object Sketch {
       // bucket, carrying ITS cumulative count along
       .agg(min(struct(col("bucket"), col("cum"))).as("_s"))
       .select(col("p"), col("_s.bucket").as("bucket"),
-        expr("CASE WHEN _s.bucket = 0 THEN CAST(0 AS BIGINT) ELSE " +
-          "shiftleft(CAST(1 AS BIGINT), CAST(_s.bucket - 1 AS INT)) " +
-          "END").as("lo"),
-        expr("CASE WHEN _s.bucket = 0 THEN CAST(0 AS BIGINT) ELSE " +
-          "shiftleft(CAST(1 AS BIGINT), CAST(_s.bucket AS INT)) - 1 " +
-          "END").as("hi"),
+        expr(bracketLoSql).as("lo"), expr(bracketHiSql).as("hi"),
         col("_s.cum").as("n_le"))
       .orderBy(col("p"))
+  }
+
+  /** The KMV hash of a key: the first 60 bits of md5, as an exact
+    * positive BIGINT — engine-portable (the q69 `'0x'||hex` ≡
+    * `conv(hex, 16, 10)` replay). */
+  def kmvHash(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
+  /** K-MINIMUM-VALUES sketch (Beyer 2007; the KMV/bottom-k synopsis):
+    * the `k` smallest [[kmvHash]] values of the DISTINCT keys — a
+    * k-row summary supporting distinct-count and set-overlap
+    * estimates. The build is one distinct + TakeOrdered: state never
+    * exceeds k rows past the distinct, whatever the key universe.
+    * Output: single column `h`, ascending-sorted k (or fewer) rows. */
+  def kmvSketch(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.select(kmvHash(key).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** Set-overlap and distinct-count estimates from two KMV sketches —
+    * the CHEAP cross-corpus contamination screen (run before the
+    * exact q34/q113 joins ever shuffle a gram): the k smallest of
+    * the sketch UNION is a valid KMV sketch of A ∪ B, and the
+    * fraction of those union-minima present in BOTH sketches
+    * estimates Jaccard(A, B) (Broder's min-hash argument, k trials).
+    * Distinct counts estimate as (k−1)·2^60 / h_k; to stay inside
+    * BIGINT the division runs as `2^60 div (h_k div (k−1))` —
+    * identical in any engine, relative error ≤ (k−1)/h_k on top of
+    * the estimator's 1/√k. A side with fewer than k distinct keys is
+    * EXACT (the sketch holds its whole hash set).
+    *
+    * Everything is exact integer arithmetic over deterministic md5
+    * hashes, so the whole construction hash-replays in SQL.
+    *
+    * The fold itself is DRIVER-SIDE BY DESIGN (the [[bloomProbe]]
+    * bitmap convention): a sketch is a ≤ k-row synopsis, and folding
+    * it as a distributed plan re-executes each sketch's corpus scan
+    * once per consumer (union + membership + estimator = ~6 scans —
+    * measured 10.9 s vs ~2 s at sf0.1). Two bounded k-row collects,
+    * one merge, zero extra jobs.
+    *
+    * Output: one row — (`k_used`, `n_common`, `jaccard_micro`,
+    * `distinct_est_a`, `distinct_est_b`), all BIGINT. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = a.sparkSession
+    val ha = a.select(col("h")).collect().map(_.getLong(0)).sorted
+    val hb = b.select(col("h")).collect().map(_.getLong(0)).sorted
+    require(ha.length <= k && hb.length <= k,
+      s"inputs must be k-row sketches (kmvSketch output); got " +
+        s"${ha.length} and ${hb.length} rows for k = $k")
+    val setA = ha.toSet
+    val setB = hb.toSet
+    val union = (setA ++ setB).toArray.sorted.take(k)
+    val kUsed = union.length.toLong
+    val nCommon = union.count(h => setA(h) && setB(h)).toLong
+    // k_used = 0 only when BOTH sides are empty — define J = 0
+    val jaccardMicro = if (kUsed > 0) nCommon * 1000000L / kUsed else 0L
+    def est(h: Array[Long]): Long =
+      if (h.length < k) h.length.toLong
+      else 1152921504606846976L / (h.last / (h.length - 1))
+    import spark.implicits._
+    Seq((kUsed, nCommon, jaccardMicro, est(ha), est(hb)))
+      .toDF("k_used", "n_common", "jaccard_micro",
+        "distinct_est_a", "distinct_est_b")
   }
 
   /** Fold a register table to the one-row HLL summary (see

@@ -645,7 +645,9 @@ object TextStats {
     * expression passed here inlines into EVERY reference inside the
     * transform lambda (higher-order lambdas see no subexpression
     * elimination), which re-tokenizes per gram — the A/B at sf0.1
-    * measured the projected form at ~2.5× the inlined one. */
+    * measured the projected form at ~2.5× the inlined one, and the
+    * cost grows with n (each gram touches n element_at sites): the
+    * q114 entry at n = 8 measured ~10× (15.6 → 1.7 s). */
   private[graft] def gramsOf(ts: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
     when(size(ts) >= n,
@@ -673,6 +675,48 @@ object TextStats {
       .select(explode(gramsOf(col("_ts"), n)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram")).limit(k)
+  }
+
+  /** EXACT heavy hitters WITHOUT a full-vocabulary shuffle — the
+    * two-phase pigeonhole pattern for "every token with corpus
+    * frequency ≥ threshold" when the vocabulary itself is too big to
+    * shuffle: phase 1 counts WITHIN each partition (a per-partition
+    * hash map — the same working set Spark's own partial aggregation
+    * holds; the one deliberate `mapPartitions` in this file, used
+    * precisely because the point is that nothing vocabulary-sized
+    * ever reaches an exchange) and emits only tokens whose LOCAL
+    * count reaches ceil(threshold / numPartitions) — a PROVABLE
+    * superset of the answer: a token with global count ≥ T spread
+    * over P partitions has ≥ ceil(T/P) in at least one of them
+    * (pigeonhole), so no true heavy hitter can be missed. Phase 2
+    * recounts EXACTLY, but only rows whose token is a candidate (a
+    * semi-join keyed on the token — the shuffle moves candidate
+    * occurrences only). Output provably equals the plain exact
+    * GROUP BY ≥ T query — the oracle IS that query.
+    *
+    * Output: (`token`, `freq`) exact, freq ≥ threshold, ordered
+    * (freq desc, token). */
+  def exactHeavyHitters(df: org.apache.spark.sql.DataFrame,
+                        textCol: String, threshold: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(tokenArray(textCol)).as("w"))
+      .as[String]
+    val p = toks.rdd.getNumPartitions.toLong.max(1L)
+    val localT = (threshold + p - 1) / p
+    val cands = toks.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1L))
+      m.iterator.filter(_._2 >= localT).map(_._1)
+    }.toDF("w").distinct()
+    toks.toDF("w")
+      .join(cands, Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= threshold)
+      .select(col("w").as("token"), col("freq"))
+      .orderBy(col("freq").desc, col("token"))
   }
 
   /** Per-GROUP top-k token table — the q33 vocabulary cut keyed by a

@@ -39,7 +39,13 @@ object StreamingIndex {
     * any k). Gram building is the batch expression verbatim. */
   def ngramCounts(stream: DataFrame, textCol: String, n: Int): DataFrame =
     stream
-      .select(explode(TextStats.ngrams(col(textCol), n)).as("ngram"))
+      // token array projected BEFORE gramming — the gramsOf
+      // higher-order-lambda inlining trap re-tokenizes ~n× otherwise
+      // (same tokenization as TextStats.ngrams: space-split, empties
+      // dropped)
+      .select(filter(split(col(textCol), " "),
+        t => length(t) > 0).as("_ts"))
+      .select(explode(TextStats.gramsOf(col("_ts"), n)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
 
   /** One emitted posting-list snapshot: `postings` is null once the

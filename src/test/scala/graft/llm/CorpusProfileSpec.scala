@@ -98,6 +98,45 @@ class CorpusProfileSpec extends SparkSpec {
       String.valueOf(e.getCause).contains("negative count"))
   }
 
+  // ---- exact heavy hitters ----
+
+  test("exactHeavyHitters: equals the brute-force count under any " +
+    "partitioning, including a hitter spread exactly one-per-partition") {
+    val rnd = new scala.util.Random(11)
+    val noise = Seq.fill(300)((rnd.nextLong().abs,
+      s"w${rnd.nextInt(40)} w${rnd.nextInt(40)}"))
+    val docs = noise.toDF("doc_id", "text")
+    def brute(df: org.apache.spark.sql.DataFrame, t: Long) =
+      df.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= t)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(x => (-x._2, x._1)).toSeq
+    Seq(1, 7).foreach { parts =>
+      val d = docs.repartition(parts)
+      val got = TextStats.exactHeavyHitters(d, "text", 12).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === brute(d, 12), s"parts=$parts")
+    }
+    // adversarial spread: "hh" appears exactly threshold=8 times,
+    // one occurrence per partition — local counts are all 1, which
+    // still reaches ceil(8/8); the pigeonhole bound is tight here
+    val spread = (0 until 8).map(i => (i.toLong, "hh filler" + i))
+      .toDF("doc_id", "text").repartition(8, col("doc_id"))
+    val out = TextStats.exactHeavyHitters(spread, "text", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("hh", 8L)))
+  }
+
+  test("exactHeavyHitters: a locally-hot but globally-light token is " +
+    "a candidate yet filtered by the exact recount") {
+    val docs = Seq((1L, "rare rare rare rare rare common common " +
+      "common common common common common common")).toDF("doc_id", "text")
+    val out = TextStats.exactHeavyHitters(docs, "text", 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("common", 8L)))
+  }
+
   // ---- reference contamination share ----
 
   test("refGramOverlap: exact per-doc shared-gram ratio against the " +
@@ -199,6 +238,32 @@ class CorpusProfileSpec extends SparkSpec {
       assert(lo <= exact && exact <= hi,
         s"p=$p exact=$exact outside [$lo,$hi]")
       assert(nLe === sorted.count(_ <= hi).toLong)
+    }
+  }
+
+  test("logHistogramPercentilesByGroup: each group's brackets equal " +
+    "a standalone ungrouped run over that group's rows") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq("a", "b", "c").flatMap { g =>
+      Seq.fill(50)((g, rnd.nextInt(1 << (4 + g.hashCode.abs % 12))
+        .toLong))
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq(25, 50, 95)
+    val grouped = Sketch.logHistogramPercentilesByGroup(df, "g",
+      col("v"), ps).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    Seq("a", "b", "c").foreach { g =>
+      val solo = Sketch.logHistogramPercentiles(
+        df.filter(col("g") === g), col("v"), ps).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      ps.foreach { p =>
+        assert(grouped((g, p.toLong)) === solo(p.toLong),
+          s"group $g p $p diverges")
+      }
     }
   }
 

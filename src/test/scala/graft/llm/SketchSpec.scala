@@ -197,6 +197,37 @@ class SketchSpec extends SparkSpec {
     assert(histRows(merged) === histRows(whole))
   }
 
+  test("KMV overlap: identical sets read Jaccard exactly 1e6; " +
+    "disjoint sets read 0; sub-k sides report EXACT distinct counts") {
+    val a = Sketch.kmvSketch(
+      (0 until 100).map(i => s"k$i").toDF("key"), col("key"), 256)
+    val b = Sketch.kmvSketch(
+      (0 until 100).map(i => s"k$i").toDF("key"), col("key"), 256)
+    val same = Sketch.kmvOverlap(a, b, 256).collect()(0)
+    assert(same.getLong(2) === 1000000L, s"identical sets: $same")
+    assert(same.getLong(1) === same.getLong(0))
+    // fewer than k distinct keys -> the sketch IS the hash set: exact
+    assert(same.getLong(3) === 100L && same.getLong(4) === 100L)
+    val c = Sketch.kmvSketch(
+      (0 until 100).map(i => s"other$i").toDF("key"), col("key"), 256)
+    val disj = Sketch.kmvOverlap(a, c, 256).collect()(0)
+    assert(disj.getLong(1) === 0L && disj.getLong(2) === 0L)
+  }
+
+  test("KMV overlap: estimates land in the 1/sqrt(k) band on a known " +
+    "50%-overlap pair of 1000-key sets") {
+    val a = Sketch.kmvSketch(
+      (0 until 1000).map(i => s"v$i").toDF("key"), col("key"), 128)
+    val b = Sketch.kmvSketch(
+      (500 until 1500).map(i => s"v$i").toDF("key"), col("key"), 128)
+    val r = Sketch.kmvOverlap(a, b, 128).collect()(0)
+    // true J = 500/1500 = 0.3333; band ~1/sqrt(128) = 0.088
+    val j = r.getLong(2) / 1e6
+    assert(math.abs(j - 1.0 / 3) < 0.12, s"jaccard $j")
+    assert(math.abs(r.getLong(3) - 1000L) < 250, s"est_a ${r.getLong(3)}")
+    assert(math.abs(r.getLong(4) - 1000L) < 250, s"est_b ${r.getLong(4)}")
+  }
+
   test("cmsMerge: per-shard builds sum to the whole-corpus sketch") {
     val shard1 = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
     val shard2 = Seq((3L, "beta gamma")).toDF("doc_id", "text")

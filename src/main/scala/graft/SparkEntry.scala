@@ -2444,6 +2444,8 @@ object SparkEntry {
         |     ELSE CAST(1 AS BIGINT) << CAST(ch.bucket - 1 AS INT)
         |     END AS lo,
         |   CASE WHEN ch.bucket = 0 THEN CAST(0 AS BIGINT)
+        |     WHEN ch.bucket >= 63
+        |       THEN CAST(9223372036854775807 AS BIGINT)
         |     ELSE (CAST(1 AS BIGINT) << CAST(ch.bucket AS INT)) - 1
         |     END AS hi,
         |   c2.cum AS n_le
@@ -2606,6 +2608,8 @@ object SparkEntry {
         |     ELSE CAST(1 AS BIGINT) << CAST(ch.bucket - 1 AS INT)
         |     END AS lo,
         |   CASE WHEN ch.bucket = 0 THEN CAST(0 AS BIGINT)
+        |     WHEN ch.bucket >= 63
+        |       THEN CAST(9223372036854775807 AS BIGINT)
         |     ELSE (CAST(1 AS BIGINT) << CAST(ch.bucket AS INT)) - 1
         |     END AS hi,
         |   c2.cum AS n_le

@@ -315,9 +315,12 @@ object Sketch {
   private val bracketLoSql =
     "CASE WHEN _s.bucket = 0 THEN CAST(0 AS BIGINT) ELSE " +
       "shiftleft(CAST(1 AS BIGINT), CAST(_s.bucket - 1 AS INT)) END"
+  // bucket 63 (values in [2^62, Long.MaxValue]) tops out at MaxValue —
+  // the literal avoids the ANSI-mode overflow of shiftleft(1, 63) - 1
   private val bracketHiSql =
-    "CASE WHEN _s.bucket = 0 THEN CAST(0 AS BIGINT) ELSE " +
-      "shiftleft(CAST(1 AS BIGINT), CAST(_s.bucket AS INT)) - 1 END"
+    "CASE WHEN _s.bucket = 0 THEN CAST(0 AS BIGINT) " +
+      "WHEN _s.bucket >= 63 THEN CAST(9223372036854775807 AS BIGINT) " +
+      "ELSE shiftleft(CAST(1 AS BIGINT), CAST(_s.bucket AS INT)) - 1 END"
 
   /** The bit-length bucket of a non-negative value: 0 → bucket 0,
     * v ≥ 1 → number of binary digits (the q70 float-free log2 —

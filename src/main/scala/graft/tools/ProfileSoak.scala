@@ -147,21 +147,38 @@ object ProfileSoak {
         a - a % 50 == b - b % 50 // same near-dup family
       }, "a non-family pair outscored the planted near-dups")
 
+      // q115 — exact heavy hitters at T = n/10: the 17 boilerplate
+      // words (each ~n/5 occurrences) are the only tokens that can
+      // reach it; the pigeonhole candidate pass must find exactly
+      // them at every scale
+      val (_, tHh) = timed {
+        TextStats.exactHeavyHitters(docs, "text", threshold = n / 10)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      val hh = TextStats.exactHeavyHitters(docs, "text",
+        threshold = n / 10).collect()
+      require(hh.length == 17,
+        s"expected the 17 boilerplate words, got ${hh.length}")
+      require(hh.forall(_.getLong(1) >= n / 5),
+        s"a non-boilerplate token surfaced: ${hh.mkString(";")}")
+
       docs.unpersist()
       results(k) = Map("colloc" -> tColloc, "hist" -> tHist,
-        "novel" -> tNovel, "group" -> tGroup, "pairs" -> tPairs)
+        "novel" -> tNovel, "group" -> tGroup, "pairs" -> tPairs,
+        "hh" -> tHh)
       println(s"""{"scale":$k,"docs":$n,""" +
         s""""colloc_sec":${f"$tColloc%.2f"},""" +
         s""""hist_sec":${f"$tHist%.2f"},""" +
         s""""novel_sec":${f"$tNovel%.2f"},""" +
         s""""group_sec":${f"$tGroup%.2f"},""" +
-        s""""pairs_sec":${f"$tPairs%.2f"}}""")
+        s""""pairs_sec":${f"$tPairs%.2f"},""" +
+        s""""hh_sec":${f"$tHh%.2f"}}""")
     }
     val base = results(scales.head)
     val ratios = scales.tail.map { k =>
       val r = results(k)
       s""""${k}x":{""" +
-        Seq("colloc", "hist", "novel", "group", "pairs")
+        Seq("colloc", "hist", "novel", "group", "pairs", "hh")
           .map(m => s""""$m":${f"${r(m) / base(m)}%.1f"}""")
           .mkString(",") + "}"
     }.mkString(",")

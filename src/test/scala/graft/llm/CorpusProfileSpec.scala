@@ -45,6 +45,61 @@ class CorpusProfileSpec extends SparkSpec {
       Seq(("a", "b")))
   }
 
+  test("collocations: randomized brute-force differential — exact " +
+    "counts and lift on a random corpus") {
+    val rnd = new scala.util.Random(19)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(12)(s"t${rnd.nextInt(8)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val toks = docs.flatMap(_._2.split(" "))
+    val uni = toks.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val t = toks.size.toLong
+    val pairCounts = docs.flatMap(_._2.split(" ").sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val expected = pairCounts.toSeq
+      .filter(_._2 >= 4)
+      .map { case (g, c12) =>
+        val Array(w1, w2) = g.split(" ")
+        (w1, w2, c12, uni(w1), uni(w2),
+          c12 * t * 1000000L / (uni(w1) * uni(w2)))
+      }
+      .sortBy(x => (-x._6, x._1, x._2)).take(15)
+    val got = TextStats.collocations(df, "text", minCount = 4, k = 15)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("tfidfDotPairs: randomized brute-force differential on token " +
+    "terms") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(8)(s"w${rnd.nextInt(12)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val maxDf = 10
+    val tf = docs.flatMap { case (id, tx) =>
+      tx.split(" ").groupBy(identity).map { case (w, o) =>
+        (id, w, o.size.toLong) }
+    }
+    val dfreq = tf.groupBy(_._2).map { case (w, o) => w -> o.size.toLong }
+    val w = dfreq.filter { case (_, d) => d >= 2 && d <= maxDf }
+      .map { case (t, d) => t -> 1000000L / d }
+    val brute = (for {
+      (ia, wa, ca) <- tf; (ib, wb, cb) <- tf
+      if ia < ib && wa == wb && w.contains(wa)
+    } yield ((ia, ib), ca * cb * w(wa)))
+      .groupBy(_._1).map { case ((a, b), o) =>
+        (a, b, o.size.toLong, o.map(_._2).sum) }
+      .toSeq.sortBy(x => (-x._4, x._1, x._2)).take(10)
+    val got = TextStats.tfidfDotPairs(df, "doc_id", "text",
+      maxDf = maxDf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === brute)
+  }
+
   test("topTokensByGroup: exact per-group (freq desc, token) top-k; " +
     "k cuts within each group independently") {
     val docs = Seq(
@@ -265,6 +320,16 @@ class CorpusProfileSpec extends SparkSpec {
           s"group $g p $p diverges")
       }
     }
+  }
+
+  test("histogram percentiles: the top bucket (63) brackets " +
+    "Long.MaxValue-scale values without overflow") {
+    val out = hist(Seq(1L, Long.MaxValue, Long.MaxValue - 1), Seq(100))
+    val (_, bucket, lo, hi, nLe) = out.head
+    assert(bucket === 63L)
+    assert(lo === (1L << 62))
+    assert(hi === Long.MaxValue) // shiftleft(1,63)-1 wraps to MaxValue
+    assert(lo <= Long.MaxValue && nLe === 3L)
   }
 
   test("histogram percentiles: negative values raise") {

@@ -208,6 +208,31 @@ object E2EDemo {
         .unionAll(rCms.exceptAll(mCms)).count()
       check(cmsDiff == 0,
         s"subtracted CMS == re-sketched CMS ($cmsDiff registers differ)")
+      // ...and the session's newest linear artifacts propagate the
+      // same way: the bit-length histogram and the bigram count
+      // table (the collocation-serving artifact) subtract
+      val lenCol = size(split(col("text"), " ")).cast("long")
+      val mHist = graft.llm.Sketch.logHistogramSubtract(
+        graft.llm.Sketch.logHistogramCounters(pre, lenCol),
+        graft.llm.Sketch.logHistogramCounters(forgotten, lenCol))
+      val rHist = graft.llm.Sketch.logHistogramCounters(post, lenCol)
+      val histDiff = mHist.exceptAll(rHist)
+        .unionAll(rHist.exceptAll(mHist)).count()
+      check(histDiff == 0,
+        s"subtracted histogram == rebuilt ($histDiff buckets differ)")
+      def biCounts(d: org.apache.spark.sql.DataFrame) =
+        d.select(filter(split(col("text"), " "),
+            t => length(t) > 0).as("_ts"))
+          .select(explode(graft.llm.TextStats.gramsOf(col("_ts"), 2))
+            .as("ngram"))
+          .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+      val mBi = graft.llm.TextStats.ngramCountsForget(
+        biCounts(pre), forgotten, "text", n = 2)
+      val rBi = biCounts(post)
+      val biDiff = mBi.exceptAll(rBi)
+        .unionAll(rBi.exceptAll(mBi)).count()
+      check(biDiff == 0,
+        s"forgotten bigram counts == rebuilt ($biDiff grams differ)")
       preIdx.unpersist(); preCms.unpersist()
     }
 

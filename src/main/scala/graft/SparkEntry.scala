@@ -1393,6 +1393,32 @@ object SparkEntry {
         t(s, dir, "documents"), "lang",
         size(split(col("text"), " ")).cast("long"),
         Seq(25, 50, 75, 95))),
+    // LLM §pipeline — curation v2: the q66 composition extended with
+    // this round's per-doc screens, still ONE declarative plan over
+    // the TRAIN split — quality gate ∧ not-a-near-dup-loser ∧
+    // contamination share < 0.5 vs the bench split (q113) ∧ novelty
+    // ≥ 0.25 within train (q110). Every stage bites at sf0.01
+    // (400 train → 176 quality → −14 contaminated / −22 low-novelty
+    // before the loser anti-join).
+    "q117_curation_v2" -> ((s, dir) => {
+      import graft.llm.TextStats
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+      val losers = docClusters(s, dir)
+        .filter(col("id_a") =!= col("cluster_id"))
+        .select(col("id_a").as("doc_id"))
+      val clean = TextStats.refGramOverlap(train, bench,
+          "doc_id", "text", n = 8)
+        .filter(col("overlap_micro") < 500000).select("doc_id")
+      val novel = TextStats.gramNovelty(train, "doc_id", "text", n = 8)
+        .filter(col("novelty_micro") >= 250000).select("doc_id")
+      train.filter(TextStats.qualityKeep(col("text")))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(clean, Seq("doc_id"), "left_semi")
+        .join(novel, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"))
+    }),
     // LLM §similarity — product-quantization ENCODE (Jégou 2011, the
     // engine's angular geometry): 64-dim embeddings → 4 codes, each
     // the per-subspace cosine argmax against 8 learned centroids —
@@ -2616,6 +2642,54 @@ object SparkEntry {
         | FROM ch JOIN c c2
         |   ON ch.lang = c2.lang AND ch.bucket = c2.bucket"""
         .stripMargin.replace("\n", " "),
+    // curation v2 replay: the q66 quality block + cluster CTEs +
+    // the q113/q110 gram screens composed; gram-less docs carry no
+    // prof row, mirroring the semi-join fate on the engine side
+    "q117_curation_v2" ->
+      (s"""$clusterOracleCtes,
+        | d8 AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |     x -> x <> '') AS ts FROM documents),
+        | raw AS (SELECT doc_id, unnest(list_transform(
+        |     range(1, len(ts) - 6), i -> """.stripMargin +
+        (0 until 8).map(o => if (o == 0) "ts[i]" else s"ts[i+$o]")
+          .mkString(" || ' ' || ") + """)) AS g
+        |   FROM d8 WHERE len(ts) >= 8),
+        | dg AS (SELECT DISTINCT doc_id, g FROM raw WHERE doc_id % 5 <> 0),
+        | rs AS (SELECT DISTINCT g FROM raw WHERE doc_id % 5 = 0),
+        | tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |   FROM dg GROUP BY 1),
+        | shr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |   FROM dg JOIN rs USING (g) GROUP BY 1),
+        | un AS (SELECT g FROM dg GROUP BY g HAVING count(*) = 1),
+        | nu AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_unique
+        |   FROM dg JOIN un USING (g) GROUP BY 1),
+        | prof AS (SELECT t.doc_id,
+        |     COALESCE(shr.n_shared, CAST(0 AS BIGINT)) * 1000000
+        |       // t.n_grams AS overlap,
+        |     COALESCE(nu.n_unique, CAST(0 AS BIGINT)) * 1000000
+        |       // t.n_grams AS novelty
+        |   FROM tot t LEFT JOIN shr USING (doc_id)
+        |   LEFT JOIN nu USING (doc_id)),
+        | qual AS (SELECT doc_id FROM (
+        |   SELECT doc_id,
+        |     len(string_split(text, ' ')) AS n_tokens,
+        |     len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |     len(list_filter(string_split(text, ' '),
+        |       t -> list_contains(
+        |         ['the','a','of','and','to','in','is','it','on','for'],
+        |         t))) AS n_stop
+        |   FROM documents)
+        |  WHERE n_tokens >= 30 AND n_tokens <= 400
+        |    AND n_distinct * 100 >= n_tokens * 40
+        |    AND n_stop * 1000 >= n_tokens * 20)
+        | SELECT d.doc_id, d.lang FROM documents d
+        | JOIN qual USING (doc_id)
+        | JOIN prof USING (doc_id)
+        | WHERE d.doc_id % 5 <> 0
+        |   AND d.doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)
+        |   AND prof.overlap < 500000
+        |   AND prof.novelty >= 250000""".stripMargin)
+        .replace("\n", " "),
     // full replay of the one-copy span dedup: the oracle may use
     // per-gram windows (rn = 1 ⇔ the engine's min(struct) canonical —
     // same (doc_id, i) total order), per-doc interval merge, then

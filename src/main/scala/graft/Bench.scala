@@ -53,112 +53,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
     def wanted(name: String): Boolean = only.isEmpty || only(name)
-    // Median-of-3 per query: single-iteration timings ride on JIT/IO
-    // noise (round-over-round ±40% wobble on untouched code paths made
-    // regressions unattributable). The median absorbs a one-off slow
-    // run without hiding a real slowdown the way min would.
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => wanted(q._1)).foreach { case (name, fn) =>
-      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var failed = false
-      var attempts = 0
-      var lastElapsed = 0.0
-      while (attempts < 3 && !failed) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop")
-            .mode(SaveMode.Overwrite).save()
-          // only SUCCESSFUL runs enter the median: a failed attempt's
-          // duration measures the failure, not the query, and would
-          // contaminate `total` with fictitious work
-          samples += (System.nanoTime() - t0) / 1e9
-        } catch {
-          case NonFatal(e) =>
-            failed = true
-            lastElapsed = (System.nanoTime() - t0) / 1e9
-            errors += s"$name: ${String.valueOf(e.getMessage).take(200)}"
-        }
-        attempts += 1
-        // q29's cached prefix index must not accumulate across
-        // iterations (or leak into the next query's timing)
-        graft.llm.Dedup.releaseCaches()
-      }
-      ok(name) = !failed
-      times(name) =
-        if (samples.nonEmpty) samples.sorted.apply(samples.size / 2)
-        else lastElapsed
-    }
-
-    // facet (a): identifier-column scan ratio — (i) plan-side from the
-    // parquet footers (bytes of the pruned column chunks), (ii) runtime
-    // task input bytes actually read by a Find over lineitem. Note the
-    // ratio is data-bound: on this 16-column synthetic lineitem the
-    // l_orderkey chunk alone is ~24% of the compressed bytes (the
-    // reference's 1.3-7% comes from wider production tables); the plan
-    // reads exactly the identifier chunks, which IS the optimum.
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val scanLineitem = ParquetStats.columnBytes(conf,
-      s"$sfDir/lineitem.parquet", Seq("l_orderkey"))
-    val scanCustomer = ParquetStats.columnBytes(conf,
-      s"$sfDir/customer.parquet", Seq("c_custkey", "c_name"))
-    val runtimeRead = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null)
-          runtimeRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
-    }
-    val findRuntimeRatio = {
-      val liTable = TableDef("li0", s"$sfDir/lineitem.parquet",
-        DataFormat.Parquet,
-        spark.read.parquet(s"$sfDir/lineitem.parquet").schema)
-      val g = Finder.plan(DataMapper("li0", "li0", Seq("l_orderkey")),
-        liTable, Seq(DeletionQueueItem("q", MatchId.Simple("7"))))
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        Finder.matchedFiles(spark,
-          spark.read.parquet(s"$sfDir/lineitem.parquet"), g)
-          .write.format("noop").mode(SaveMode.Overwrite).save()
-        Thread.sleep(500) // let the listener bus drain
-      } finally spark.sparkContext.removeSparkListener(listener)
-      runtimeRead.get().toDouble /
-        math.max(1L, new java.io.File(s"$sfDir/lineitem.parquet").length())
-    }
-
-    // at-scale Find fallback: a queue larger than InSetMaxKeys forces the
-    // broadcast semi-join strategy (ONE scan + exploded keys + broadcast
-    // left-semi — FinderSpec pins the plan shape; this facet times it on
-    // real sf data). Keys 1..InSetMaxKeys+1 over l_orderkey guarantee
-    // real matches.
-    if (wanted("find_join_fallback")) {
-      val liTable = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val queue = (1 to Finder.InSetMaxKeys + 1).map(i =>
-        DeletionQueueItem(s"q$i", MatchId.Simple(i.toString)))
-      val g = Finder.plan(
-        DataMapper("lifb", "lifb", Seq("l_orderkey")),
-        TableDef("lifb", s"$sfDir/lineitem.parquet", DataFormat.Parquet,
-          liTable.schema),
-        queue)
-      try {
-        // median-of-3, same rationale as the query loop
-        val samples = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          Finder.matchedFiles(spark, liTable, g)
-            .write.format("noop").mode(SaveMode.Overwrite).save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        times("find_join_fallback") = samples.sorted.apply(1)
-        // untimed sanity count: the fallback must actually find files
-        ok("find_join_fallback") =
-          Finder.matchedFiles(spark, liTable, g).count() > 0
-      } catch {
-        case NonFatal(e) =>
-          times("find_join_fallback") = 0.0
-          ok("find_join_fallback") = false
-          errors += s"find_join_fallback: ${String.valueOf(e.getMessage).take(200)}"
-      }
-    }
-
+    // Throughput facets (forget rewrite, PII scrub) run FIRST — before
+    // the 117-entry query loop — so their round-over-round readings are
+    // immune to in-run contention (r13: pii_scrub_objects_per_min halved
+    // with zero code change purely from heap/page-cache pressure of the
+    // preceding entries). Their own warm-run protocol (untimed run 0)
+    // still covers JIT/writer warmup.
     // facet (b): distributed forget throughput. The rewrite MUTATES its
     // staged objects (rows purged, versions superseded), so every run —
     // warm-up included — gets a FRESH copy of the staged table: a rerun
@@ -344,6 +244,113 @@ object Bench {
       ok("pii_scrub_64obj") = allOk
     }
 
+
+    // Median-of-3 per query: single-iteration timings ride on JIT/IO
+    // noise (round-over-round ±40% wobble on untouched code paths made
+    // regressions unattributable). The median absorbs a one-off slow
+    // run without hiding a real slowdown the way min would.
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => wanted(q._1)).foreach { case (name, fn) =>
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var attempts = 0
+      var lastElapsed = 0.0
+      while (attempts < 3 && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop")
+            .mode(SaveMode.Overwrite).save()
+          // only SUCCESSFUL runs enter the median: a failed attempt's
+          // duration measures the failure, not the query, and would
+          // contaminate `total` with fictitious work
+          samples += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case NonFatal(e) =>
+            failed = true
+            lastElapsed = (System.nanoTime() - t0) / 1e9
+            errors += s"$name: ${String.valueOf(e.getMessage).take(200)}"
+        }
+        attempts += 1
+        // q29's cached prefix index must not accumulate across
+        // iterations (or leak into the next query's timing)
+        graft.llm.Dedup.releaseCaches()
+      }
+      ok(name) = !failed
+      times(name) =
+        if (samples.nonEmpty) samples.sorted.apply(samples.size / 2)
+        else lastElapsed
+    }
+
+    // facet (a): identifier-column scan ratio — (i) plan-side from the
+    // parquet footers (bytes of the pruned column chunks), (ii) runtime
+    // task input bytes actually read by a Find over lineitem. Note the
+    // ratio is data-bound: on this 16-column synthetic lineitem the
+    // l_orderkey chunk alone is ~24% of the compressed bytes (the
+    // reference's 1.3-7% comes from wider production tables); the plan
+    // reads exactly the identifier chunks, which IS the optimum.
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val scanLineitem = ParquetStats.columnBytes(conf,
+      s"$sfDir/lineitem.parquet", Seq("l_orderkey"))
+    val scanCustomer = ParquetStats.columnBytes(conf,
+      s"$sfDir/customer.parquet", Seq("c_custkey", "c_name"))
+    val runtimeRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          runtimeRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    val findRuntimeRatio = {
+      val liTable = TableDef("li0", s"$sfDir/lineitem.parquet",
+        DataFormat.Parquet,
+        spark.read.parquet(s"$sfDir/lineitem.parquet").schema)
+      val g = Finder.plan(DataMapper("li0", "li0", Seq("l_orderkey")),
+        liTable, Seq(DeletionQueueItem("q", MatchId.Simple("7"))))
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Finder.matchedFiles(spark,
+          spark.read.parquet(s"$sfDir/lineitem.parquet"), g)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+        Thread.sleep(500) // let the listener bus drain
+      } finally spark.sparkContext.removeSparkListener(listener)
+      runtimeRead.get().toDouble /
+        math.max(1L, new java.io.File(s"$sfDir/lineitem.parquet").length())
+    }
+
+    // at-scale Find fallback: a queue larger than InSetMaxKeys forces the
+    // broadcast semi-join strategy (ONE scan + exploded keys + broadcast
+    // left-semi — FinderSpec pins the plan shape; this facet times it on
+    // real sf data). Keys 1..InSetMaxKeys+1 over l_orderkey guarantee
+    // real matches.
+    if (wanted("find_join_fallback")) {
+      val liTable = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val queue = (1 to Finder.InSetMaxKeys + 1).map(i =>
+        DeletionQueueItem(s"q$i", MatchId.Simple(i.toString)))
+      val g = Finder.plan(
+        DataMapper("lifb", "lifb", Seq("l_orderkey")),
+        TableDef("lifb", s"$sfDir/lineitem.parquet", DataFormat.Parquet,
+          liTable.schema),
+        queue)
+      try {
+        // median-of-3, same rationale as the query loop
+        val samples = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          Finder.matchedFiles(spark, liTable, g)
+            .write.format("noop").mode(SaveMode.Overwrite).save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        times("find_join_fallback") = samples.sorted.apply(1)
+        // untimed sanity count: the fallback must actually find files
+        ok("find_join_fallback") =
+          Finder.matchedFiles(spark, liTable, g).count() > 0
+      } catch {
+        case NonFatal(e) =>
+          times("find_join_fallback") = 0.0
+          ok("find_join_fallback") = false
+          errors += s"find_join_fallback: ${String.valueOf(e.getMessage).take(200)}"
+      }
+    }
+
     // facet (d): ANN recall at the BENCH sf. The q23/q30 oracles pin
     // EXACT-equality at the gate's sf0.01 only — this facet measures
     // whether the recall-tuned parameters (LSH bits/tables, IVF
@@ -449,9 +456,23 @@ object Bench {
       e.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\"").mkString("[", ",", "]")
     val total = times.values.sum
+    // per-entry budget lint (VERDICT r13 task 7): nothing used to flag
+    // a new census-class entry quietly adding >8 s to the run — by
+    // r13 three siblings (q102/q117/q95) had drifted the total to
+    // 193 s. A listing here is a WARNING to the author, not a failure:
+    // some entries (the 10240-object forget soak) are deliberately
+    // long, and the facet makes that spend visible instead of silent.
+    val entryBudgetSec = 8.0
+    val overBudget = times.toSeq.filter(_._2 > entryBudgetSec)
+      .sortBy(-_._2)
+    val overBudgetJson = overBudget
+      .map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec",""" +
       s""""queries":$qs,"ok":$oks,"errors":$errJson,""" +
+      s""""entries_over_budget":$overBudgetJson,""" +
+      s""""n_over_budget":${overBudget.size},""" +
+      s""""entry_budget_sec":${jd(entryBudgetSec)},""" +
       s""""find_scan_ratio_lineitem":${jd(scanLineitem.ratio)},""" +
       s""""find_scan_ratio_customer":${jd(scanCustomer.ratio)},""" +
       s""""find_runtime_scan_ratio":${jd(findRuntimeRatio)},""" +
@@ -501,6 +522,7 @@ object Bench {
       s"""{"metric":"total","value":${jd(total)},"unit":"sec",""" +
       s""""n_queries":${times.size},"n_ok":${ok.values.count(identity)},""" +
       s""""n_errors":${errors.size},"queries":$topQs,""" +
+      s""""n_over_budget":${overBudget.size},""" +
       s""""find_runtime_scan_ratio":${jd(findRuntimeRatio)},""" +
       s""""forget_10240_objects_per_min":${jd(rate(forget10240Objects * 60.0, forget10240Sec))},""" +
       s""""pii_scrub_objects_per_min":${jd(rate(piiObjects * 60.0, piiSec))},""" +

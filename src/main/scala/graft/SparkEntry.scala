@@ -1394,12 +1394,19 @@ object SparkEntry {
         size(split(col("text"), " ")).cast("long"),
         Seq(25, 50, 75, 95))),
     // LLM §pipeline — curation v2: the q66 composition extended with
-    // this round's per-doc screens, still ONE declarative plan over
-    // the TRAIN split — quality gate ∧ not-a-near-dup-loser ∧
-    // contamination share < 0.5 vs the bench split (q113) ∧ novelty
-    // ≥ 0.25 within train (q110). Every stage bites at sf0.01
-    // (400 train → 176 quality → −14 contaminated / −22 low-novelty
-    // before the loser anti-join).
+    // per-doc screens, still ONE declarative plan over the TRAIN
+    // split — quality gate ∧ not-a-near-dup-loser ∧ contamination
+    // share < 0.5 vs the bench split (q113) ∧ novelty ≥ 0.25 within
+    // train (q110). Every stage bites at sf0.01 (400 train → 176
+    // quality → −14 contaminated / −22 low-novelty before the loser
+    // anti-join). ★r14: both gram screens are served from ONE shared
+    // gram census (gramScreensFromCensus — its repartition(gram)
+    // exchange is materialized once by ReuseExchange, the bm25Frames
+    // trick), and their two semi-joins fused into one conjunctive
+    // filter, so the train text is tokenized ONCE for grams (+ once
+    // inside the MinHash cluster pass) instead of ~5×; at 100 TB the
+    // census is the artifact a run writes once and every screen
+    // reads.
     "q117_curation_v2" -> ((s, dir) => {
       import graft.llm.TextStats
       val docs = t(s, dir, "documents")
@@ -1408,15 +1415,15 @@ object SparkEntry {
       val losers = docClusters(s, dir)
         .filter(col("id_a") =!= col("cluster_id"))
         .select(col("id_a").as("doc_id"))
-      val clean = TextStats.refGramOverlap(train, bench,
-          "doc_id", "text", n = 8)
-        .filter(col("overlap_micro") < 500000).select("doc_id")
-      val novel = TextStats.gramNovelty(train, "doc_id", "text", n = 8)
-        .filter(col("novelty_micro") >= 250000).select("doc_id")
+      val keep = TextStats.gramScreensFromCensus(
+          train, TextStats.gramCensus(train, "doc_id", "text", n = 8),
+          TextStats.gramCensus(bench, "doc_id", "text", n = 8), "doc_id")
+        .filter(col("overlap_micro") < 500000 &&
+          col("novelty_micro") >= 250000)
+        .select("doc_id")
       train.filter(TextStats.qualityKeep(col("text")))
         .join(losers, Seq("doc_id"), "left_anti")
-        .join(clean, Seq("doc_id"), "left_semi")
-        .join(novel, Seq("doc_id"), "left_semi")
+        .join(keep, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"))
     }),
     // LLM §similarity — product-quantization ENCODE (Jégou 2011, the

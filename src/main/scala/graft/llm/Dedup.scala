@@ -27,16 +27,15 @@ import scala.util.hashing.MurmurHash3
   */
 object Dedup {
 
-  /** Cleanups for frames persisted by Dedup operators (currently the
-    * prefix index of [[jaccardPairsExact]]). Tracked so callers can
-    * release EXACTLY these — `spark.catalog.clearCache()` would evict
-    * unrelated caches too. */
+  /** Cleanups for frames persisted by llm operators (the prefix index
+    * of [[jaccardPairsExact]]; the q117 gram census persisted in
+    * `SparkEntry`). Tracked so callers can release EXACTLY these —
+    * `spark.catalog.clearCache()` would evict unrelated caches too. */
   private val cacheCleanups =
     scala.collection.mutable.ListBuffer.empty[() => Unit]
 
-  private def registerCleanup(f: () => Unit): Unit = synchronized {
-    cacheCleanups += f
-  }
+  private[graft] def registerCleanup(f: () => Unit): Unit =
+    synchronized { cacheCleanups += f }
 
   /** Unpersist every intermediate frame a Dedup operator cached in this
     * session. Safe to call once results are materialized (collected or

@@ -965,6 +965,95 @@ object TextStats {
           "n_grams ELSE CAST(0 AS BIGINT) END"))
   }
 
+  /** Distinct (doc, n-gram) census — THE shared artifact of the
+    * curation screens ([[gramNovelty]], [[refGramOverlap]], and the
+    * fused [[gramScreensFromCensus]]): one row per (document,
+    * distinct n-gram), `array_distinct` folding within-doc repeats
+    * map-side BEFORE anything shuffles. At 100 TB this frame is what
+    * a pipeline WRITES once (parquet, partitioned by gram hash) and
+    * every screen reads — the [[collocationsFromCounts]] /
+    * [[bm25TopKFromStats]] stored-artifact pattern applied to grams.
+    *
+    * Output: (idCol, `gram`). */
+  def gramCensus(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), tokenArray(textCol).as("_ts"))
+      .select(col(idCol),
+        explode(array_distinct(gramsOf(col("_ts"), n))).as("gram"))
+
+  /** Novelty AND contamination profiles served from ONE stored
+    * [[gramCensus]] — the fused per-doc report curation v2 (q117)
+    * thresholds on, replacing separate [[gramNovelty]] +
+    * [[refGramOverlap]] invocations that would each re-tokenize the
+    * corpus. `ids` is the full document roster (gram-less docs keep
+    * their 0/0/0/0 row — identical contract to the standalone
+    * screens); `census` the corpus census; `refCensus` the reference
+    * corpus census (only its distinct gram set is used).
+    *
+    * Shape: BOTH censuses union behind ONE `repartition(gram)`
+    * exchange, and every consumer hangs off that identical subtree,
+    * so ReuseExchange (the [[bm25TopKFromStats]] `bm25Frames` trick)
+    * materializes the tokenizations ONCE as shuffle output — no
+    * cache write, no second corpus pass. From the exchanged rows:
+    * per-gram train-df and ref-membership fold in one gram-local
+    * aggregation (no further exchange — partitioning is satisfied);
+    * uniqueness needs NO join at all, because a df=1 gram's single
+    * holder rides the aggregation as `max(case side=0 → id)` and a
+    * doc's n_unique is then a count over that gram-sized frame;
+    * contamination is ONE co-partitioned join (census side and
+    * ref-gram side both derive from the same exchange — zero
+    * additional shuffles of census rows, ≤1 row per key on the ref
+    * side so no fan-out); per-doc totals re-aggregate the exchanged
+    * rows with map-side partials (≤ |docs| rows per partition reach
+    * the doc-keyed exchange). Callers may equally pass censuses read
+    * from a written artifact — the repartition then costs one
+    * exchange of the stored rows.
+    *
+    * Output: (idCol, `n_grams`, `n_unique`, `novelty_micro`,
+    * `n_shared`, `overlap_micro`) — each column bit-identical to its
+    * standalone-screen counterpart. */
+  def gramScreensFromCensus(ids: org.apache.spark.sql.DataFrame,
+                            census: org.apache.spark.sql.DataFrame,
+                            refCensus: org.apache.spark.sql.DataFrame,
+                            idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val u = census.select(col(idCol), col("gram"), lit(0).as("_side"))
+      .unionByName(refCensus.select(lit(null).cast(
+        census.schema(idCol).dataType).as(idCol), col("gram"),
+        lit(1).as("_side")))
+      .repartition(col("gram"))
+    val dg = u.filter(col("_side") === 0)
+    val perGram = u.groupBy(col("gram")).agg(
+      sum(when(col("_side") === 0, 1L).otherwise(0L)).as("_df"),
+      max(col("_side")).as("_inref"),
+      max(when(col("_side") === 0, col(idCol))).as("_holder"))
+    val total = dg.groupBy(col(idCol)).agg(count(lit(1)).as("_ng"))
+    val nuniq = perGram.filter(col("_df") === 1)
+      .select(col("_holder").as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nu"))
+    val nshared = dg.join(
+        perGram.filter(col("_inref") === 1 && col("_df") > 0)
+          .select(col("gram")), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_ns"))
+    ids.select(col(idCol))
+      .join(total, Seq(idCol), "left")
+      .join(nuniq, Seq(idCol), "left")
+      .join(nshared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_ng"), lit(0L)).as("n_grams"),
+        coalesce(col("_nu"), lit(0L)).as("n_unique"),
+        coalesce(col("_ns"), lit(0L)).as("n_shared"))
+      .withColumn("novelty_micro",
+        expr("CASE WHEN n_grams > 0 THEN (n_unique * 1000000) div " +
+          "n_grams ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("overlap_micro",
+        expr("CASE WHEN n_grams > 0 THEN (n_shared * 1000000) div " +
+          "n_grams ELSE CAST(0 AS BIGINT) END"))
+      .select(col(idCol), col("n_grams"), col("n_unique"),
+        col("novelty_micro"), col("n_shared"), col("overlap_micro"))
+  }
+
   /** Maintain a stored (`ngram`, `freq`) count table (the
     * [[topNgrams]] / [[collocationsFromCounts]] artifact) under a
     * FORGET batch — the [[Sketch.cmsSubtract]] linearity applied to

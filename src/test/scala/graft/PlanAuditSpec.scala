@@ -467,6 +467,80 @@ class PlanAuditSpec extends SparkSpec {
       s"q101: unkeyed window in:\n${df.queryExecution.optimizedPlan}")
   }
 
+  test("curation v2 (q117) serves both gram screens from ONE shared " +
+    "census exchange — reused by every consumer, and the plan reads " +
+    "fewer bytes than the unfused per-screen composition it replaced") {
+    val sfDir = "/root/testdata/sf0.001"
+    // Task inputMetrics count file AND cache reads; that is
+    // apples-to-apples here because neither composition persists
+    // census frames (the only cache on either side is
+    // jaccardPairsExact's internal prefix index, present in both).
+    def measure(build: => org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Long) = {
+      val read = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            read.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // build INSIDE the window: docClusters' MinHash pass runs
+        // eagerly at construction and must be accounted too
+        val d = build
+        d.collect()
+        Thread.sleep(500) // let the listener bus drain
+        (d, read.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (df, fusedBytes) =
+      measure(SparkEntry.queries("q117_curation_v2")(spark, sfDir))
+    graft.llm.Dedup.releaseCaches()
+    val plan = df.queryExecution.executedPlan.toString
+    // all census consumers hang off ONE repartition(gram) exchange:
+    // ReuseExchange must serve at least one of them from the shared
+    // materialization (a screen that re-derived its own grams would
+    // tokenize from the file on a fresh exchange instead)
+    assert(plan.contains("ReusedExchange") ||
+        plan.contains("ReusedQueryStage") ||
+        "ShuffleQueryStage \\d+".r.findAllIn(plan).toSeq
+          .groupBy(identity).exists(_._2.size >= 2),
+      s"census exchange not reused in:\n$plan")
+    // runtime byte differential — the 100 TB claim in numbers: replay
+    // the PRE-census composition (each screen tokenizing the corpus
+    // from scratch, two separate semi-joins) under the same listener
+    // and require the census-served plan to read strictly fewer file
+    // bytes. Self-calibrating: per-scan fixed costs (footers, tiny-SF
+    // dictionary pages) hit both sides equally.
+    import org.apache.spark.sql.functions._
+    val (_, unfusedBytes) = measure {
+      import graft.llm.{Dedup, TextStats}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+      val losers = Dedup.duplicateClusters(
+          Dedup.jaccardPairsExact(docs, "doc_id", "text",
+            shingleLen = 16, threshold = 0.8), "id_a", "id_b")
+        .filter(col("id_a") =!= col("cluster_id"))
+        .select(col("id_a").as("doc_id"))
+      val clean = TextStats.refGramOverlap(train, bench,
+          "doc_id", "text", n = 8)
+        .filter(col("overlap_micro") < 500000).select("doc_id")
+      val novel = TextStats.gramNovelty(train, "doc_id", "text", n = 8)
+        .filter(col("novelty_micro") >= 250000).select("doc_id")
+      train.filter(TextStats.qualityKeep(col("text")))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(clean, Seq("doc_id"), "left_semi")
+        .join(novel, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"))
+    }
+    graft.llm.Dedup.releaseCaches()
+    assert(fusedBytes < unfusedBytes,
+      s"census-served q117 read $fusedBytes bytes, not fewer than the " +
+        s"unfused composition's $unfusedBytes — artifact reuse regressed")
+  }
+
   test("CMS forget (q100) is two bounded counter aggregations and one " +
     "register-wise merge — state never exceeds depth×width rows, no " +
     "joins at all") {

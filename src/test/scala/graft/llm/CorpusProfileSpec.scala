@@ -336,8 +336,10 @@ class CorpusProfileSpec extends SparkSpec {
     val e = intercept[Exception] {
       hist(Seq(3L, -1L), Seq(50))
     }
-    assert(String.valueOf(e.getMessage).contains("values must be >= 0") ||
-      String.valueOf(e.getCause).contains("values must be >= 0"))
+    assert(String.valueOf(e.getMessage)
+        .contains("values must be non-null and >= 0") ||
+      String.valueOf(e.getCause)
+        .contains("values must be non-null and >= 0"))
   }
 
   // ---- gram novelty ----

@@ -185,6 +185,16 @@ class SketchSpec extends SparkSpec {
       String.valueOf(e.getCause).contains("negative count"))
   }
 
+  test("logBucket: a NULL value fails loudly instead of minting a " +
+    "null-bucket counter row that would shift every percentile") {
+    val e = intercept[Exception] {
+      Sketch.logHistogramCounters(
+        Seq[java.lang.Long](1L, null, 3L).toDF("v"), col("v")).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("non-null") ||
+      String.valueOf(e.getCause).contains("non-null"))
+  }
+
   test("logHistogramMerge: per-shard histograms sum to the corpus " +
     "histogram") {
     val s1 = Seq[Long](0, 1, 5, 9)

@@ -1426,6 +1426,46 @@ object SparkEntry {
         .join(keep, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"))
     }),
+    // LLM §forget-propagation, INSERT direction (★r14): maintain the
+    // stored inverted index under an INGEST batch — build on ~6/7 of
+    // the corpus, insert the rest, compare against a from-scratch
+    // build on everything. Exercises the full crossing story: df only
+    // grows, so in-window tokens crossing maxDf drop to markers (pure
+    // projection), and batch tokens absent from the index (old df <
+    // minDf) enter via the one targeted corpus pass.
+    "q118_index_insert" -> ((s, dir) => {
+      import graft.llm.IndexMaintain
+      val docs = t(s, dir, "documents")
+      val idx = IndexMaintain.indexWithOverflow(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        minDf = 5, maxDf = 400)
+      IndexMaintain.insertIntoIndex(idx,
+          docs.filter(col("doc_id") % 7 === 0), docs,
+          "doc_id", "text", minDf = 5, maxDf = 400)
+        .select(col("token"), col("df"),
+          when(col("postings").isNull, lit("<overflow>"))
+            .otherwise(concat_ws(",",
+              transform(col("postings"), _.cast("string"))))
+            .as("postings"))
+    }),
+    // the q118 move on the positional shape: batch docs' position
+    // rows come from the batch alone, markers only ever increment
+    "q119_positional_insert" -> ((s, dir) => {
+      import graft.llm.IndexMaintain
+      val docs = t(s, dir, "documents")
+      val idx = IndexMaintain.positionalIndexWithOverflow(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        minDf = 5, maxDf = 400)
+      IndexMaintain.insertIntoPositionalIndex(idx,
+          docs.filter(col("doc_id") % 7 === 0), docs,
+          "doc_id", "text", minDf = 5, maxDf = 400)
+        .select(col("token"), col("df"),
+          coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+          when(col("positions").isNull, lit("<overflow>"))
+            .otherwise(concat_ws(",",
+              transform(col("positions"), _.cast("string"))))
+            .as("positions"))
+    }),
     // LLM §similarity — product-quantization ENCODE (Jégou 2011, the
     // engine's angular geometry): 64-dim embeddings → 4 codes, each
     // the per-subspace cosine argmax against 8 learned centroids —
@@ -2758,6 +2798,40 @@ object SparkEntry {
     // the q85 replay on the REMAINING corpus + one '<overflow>'
     // marker row per past-maxDf token (doc_id −1) — matching the
     // maintained frame proves the positional forget path
+    // the insert gates replay as FULL-corpus from-scratch builds: the
+    // maintained index must be indistinguishable from never having
+    // split the corpus at all
+    "q118_index_insert" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(text, ' '), x -> x <> '')) AS t
+        |    FROM documents)),
+        | dfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1
+        |   HAVING count(*) >= 5)
+        | SELECT dt.token, dfs.df,
+        |   CASE WHEN dfs.df > 400 THEN '<overflow>'
+        |     ELSE array_to_string(list(dt.doc_id ORDER BY dt.doc_id), ',')
+        |   END AS postings
+        | FROM dt JOIN dfs USING (token)
+        | GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q119_positional_insert" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |     string_split(text, ' '), x -> x <> '') AS ts
+        |   FROM documents),
+        | pt AS (SELECT doc_id, unnest(ts) AS token,
+        |     unnest(range(1, len(ts) + 1)) AS pos FROM d),
+        | dfs AS (SELECT token, count(DISTINCT doc_id) AS df
+        |   FROM pt GROUP BY 1
+        |   HAVING count(DISTINCT doc_id) >= 5)
+        | SELECT pt.token, dfs.df, pt.doc_id,
+        |   array_to_string(list(pt.pos ORDER BY pt.pos), ',')
+        |     AS positions
+        | FROM pt JOIN dfs USING (token) WHERE dfs.df <= 400
+        | GROUP BY 1, 2, 3
+        | UNION ALL
+        | SELECT token, df, CAST(-1 AS BIGINT) AS doc_id,
+        |   '<overflow>' AS positions
+        | FROM dfs WHERE df > 400""".stripMargin.replace("\n", " "),
     "q101_positional_forget" ->
       """WITH d AS (SELECT doc_id, list_filter(
         |     string_split(text, ' '), x -> x <> '') AS ts

@@ -155,6 +155,94 @@ object IndexMaintain {
     }
   }
 
+  /** Apply an INSERT batch to an [[indexWithOverflow]] frame: returns
+    * the index AS IF built on the corpus plus `inserted` — the other
+    * half of artifact maintenance a continuously-ingesting pipeline
+    * needs ([[forgetFromIndex]] is the deletion half). `inserted`
+    * must be NEW rows (ids not already in the corpus — duplicates
+    * would double-count df and duplicate postings; the ingest
+    * pipeline's contract), and `corpus` the corpus AFTER insertion
+    * (only consulted for novel below-`minDf` tokens, see below).
+    *
+    * Insertion's crossing story is the INVERSE of deletion's, and
+    * cheaper: df only ever INCREASES, so
+    *
+    *   - an overflow token stays overflow — df increments, done;
+    *   - an in-window token either stays in-window (postings extend
+    *     by the batch's sorted id list) or crosses UP into overflow —
+    *     where the fix is to DROP the list and keep the exact df (a
+    *     pure projection; no corpus pass, unlike deletion's
+    *     crossing-down rebuild);
+    *   - a token ABSENT from the index is the one case the index
+    *     cannot answer alone when `minDf > 1`: its pre-insert df is
+    *     somewhere in [0, minDf-1] but not stored. With `minDf == 1`
+    *     absence means df == 0, so novel tokens build batch-locally
+    *     and the maintenance NEVER scans the corpus; with `minDf > 1`
+    *     the novel tokens (an anti-join — no driver collect, the
+    *     batch vocabulary can be large) rebuild via ONE corpus pass
+    *     restricted to them, skipped when the batch introduces no
+    *     unknown token. */
+  def insertIntoIndex(index: DataFrame, inserted: DataFrame,
+                      corpus: DataFrame, idCol: String, textCol: String,
+                      minDf: Long, maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf; got $minDf, $maxDf")
+    val postingsType = index.schema("postings").dataType
+    val addTok = inserted
+      .select(col(idCol), explode(filter(TextStats.tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+      .distinct()
+    val add = addTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("_ad"),
+        sort_array(collect_list(col(idCol))).as("_ad_ids"))
+    val joined = index.join(add, Seq("token"), "left")
+    val untouched = joined.filter(col("_ad").isNull)
+      .select(col("token"), col("df"), col("postings"))
+    val touched = joined.filter(col("_ad").isNotNull)
+      .withColumn("_ndf", col("df") + col("_ad"))
+    val stillIn = touched
+      .filter(col("postings").isNotNull && col("_ndf") <= maxDf)
+      .select(col("token"), col("_ndf").as("df"),
+        sort_array(concat(col("postings"), col("_ad_ids")))
+          .as("postings"))
+    val crossedUp = touched
+      .filter(col("postings").isNotNull && col("_ndf") > maxDf)
+      .select(col("token"), col("_ndf").as("df"),
+        lit(null).cast(postingsType).as("postings"))
+    val stillOver = touched.filter(col("postings").isNull)
+      .select(col("token"), col("_ndf").as("df"), col("postings"))
+    val base = untouched.unionByName(stillIn).unionByName(crossedUp)
+      .unionByName(stillOver)
+    val novel = add.join(index.select(col("token")),
+      Seq("token"), "left_anti")
+    if (minDf == 1L) {
+      // absence from the index proves pre-insert df == 0: novel
+      // tokens are fully described by the batch — no corpus scan
+      val novelRows = novel.select(col("token"), col("_ad").as("df"),
+        when(col("_ad") <= maxDf, col("_ad_ids"))
+          .otherwise(lit(null).cast(postingsType)).as("postings"))
+      base.unionByName(novelRows)
+    } else if (novel.isEmpty) base
+    else {
+      val tok = corpus
+        .select(col(idCol),
+          explode(filter(TextStats.tokens(col(textCol)),
+            t => length(t) > 0)).as("token"))
+        .join(novel.select(col("token")), Seq("token"), "left_semi")
+        .distinct()
+      val dfs = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf)
+      val inWin = tok.join(dfs.filter(col("df") <= maxDf), "token")
+        .groupBy(col("token"), col("df"))
+        .agg(sort_array(collect_list(col(idCol))).as("postings"))
+        .select(col("token"), col("df"), col("postings"))
+      val over = dfs.filter(col("df") > maxDf)
+        .select(col("token"), col("df"),
+          lit(null).cast(postingsType).as("postings"))
+      base.unionByName(inWin).unionByName(over)
+    }
+  }
+
   /** [[TextStats.positionalIndex]] with the overflow contract: the
     * per-(token, document) position rows for in-window tokens, plus
     * one MARKER row (null id, null positions, exact df) per token
@@ -203,6 +291,103 @@ object IndexMaintain {
     * skipped when empty). `forgotten` must be the deleted rows (id +
     * text), `remaining` the corpus after deletion — the
     * [[forgetFromIndex]] contract. */
+  /** Apply an INSERT batch to a [[positionalIndexWithOverflow]] frame:
+    * the index AS IF built on the corpus plus `inserted` — the
+    * [[insertIntoIndex]] crossing story on the positional shape. A
+    * batch document's position rows derive from the batch alone
+    * (positions are document-local); the per-token `df` column
+    * increments on every surviving row of a touched token; an
+    * in-window token crossing UP drops its position rows for one
+    * marker row (pure projection — the inverse crossing needs no
+    * rebuild); a marker token stays a marker. Novel tokens build
+    * batch-locally when `minDf == 1` (absence proves df == 0) and via
+    * one corpus pass restricted to them otherwise (anti-join bounded,
+    * skipped when none). Contracts as [[insertIntoIndex]]: new ids
+    * only, `corpus` is the post-insert corpus. */
+  def insertIntoPositionalIndex(index: DataFrame, inserted: DataFrame,
+                                corpus: DataFrame, idCol: String,
+                                textCol: String, minDf: Long,
+                                maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf; got $minDf, $maxDf")
+    val idType = index.schema(idCol).dataType
+    val posType = index.schema("positions").dataType
+    val batchPos = inserted
+      .select(col(idCol),
+        posexplode(filter(TextStats.tokens(col(textCol)),
+          t => length(t) > 0)).as(Seq("_pos0", "token")))
+      .groupBy(col("token"), col(idCol))
+      .agg(sort_array(collect_list(col("_pos0") + lit(1))).as("_bpos"))
+    val add = batchPos.groupBy(col("token"))
+      .agg(count(lit(1)).as("_ad"))
+    val joined = index.join(add, Seq("token"), "left")
+    val untouched = joined.filter(col("_ad").isNull)
+      .select(col("token"), col("df"), col(idCol), col("positions"))
+    val touched = joined.filter(col("_ad").isNotNull)
+      .withColumn("_ndf", col("df") + col("_ad"))
+    // existing in-window rows of tokens that STAY in the window
+    val stayRows = touched
+      .filter(col(idCol).isNotNull && col("_ndf") <= maxDf)
+      .select(col("token"), col("_ndf").as("df"), col(idCol),
+        col("positions"))
+    // in-window tokens crossing UP: rows drop, one marker remains
+    val crossedUp = touched
+      .filter(col(idCol).isNotNull && col("_ndf") > maxDf)
+      .select(col("token"), col("_ndf").as("df"))
+      .distinct()
+      .select(col("token"), col("df"), lit(null).cast(idType).as(idCol),
+        lit(null).cast(posType).as("positions"))
+    val stillOver = touched.filter(col(idCol).isNull)
+      .select(col("token"), col("_ndf").as("df"), col(idCol),
+        col("positions"))
+    // batch documents' rows for touched tokens that stay in-window
+    // (their positions come from the batch; df from the maintained
+    // count). A touched token's marker/row split is consistent by
+    // construction: _ndf <= maxDf implies the token was in-window
+    // before (df only grows), so no marker existed.
+    val tokenNdf = touched.select(col("token"), col("_ndf")).distinct()
+    val batchRows = batchPos
+      .join(tokenNdf.filter(col("_ndf") <= maxDf), "token")
+      .select(col("token"), col("_ndf").as("df"), col(idCol),
+        col("_bpos").as("positions"))
+    val base = untouched.unionByName(stayRows).unionByName(crossedUp)
+      .unionByName(stillOver).unionByName(batchRows)
+    val novel = batchPos.join(index.select(col("token")).distinct(),
+      Seq("token"), "left_anti")
+    if (minDf == 1L) {
+      val ndf = novel.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val rows = novel.join(ndf.filter(col("df") <= maxDf), "token")
+        .select(col("token"), col("df"), col(idCol),
+          col("_bpos").as("positions"))
+      val markers = ndf.filter(col("df") > maxDf)
+        .select(col("token"), col("df"),
+          lit(null).cast(idType).as(idCol),
+          lit(null).cast(posType).as("positions"))
+      base.unionByName(rows).unionByName(markers)
+    } else if (novel.isEmpty) base
+    else {
+      val novelToks = novel.select(col("token")).distinct()
+      val tokPos = corpus
+        .select(col(idCol),
+          posexplode(filter(TextStats.tokens(col(textCol)),
+            t => length(t) > 0)).as(Seq("_pos0", "token")))
+        .join(novelToks, Seq("token"), "left_semi")
+      val dfs = tokPos.groupBy(col("token"))
+        .agg(countDistinct(col(idCol)).as("df"))
+        .filter(col("df") >= minDf)
+      val rows = tokPos.join(dfs.filter(col("df") <= maxDf), "token")
+        .groupBy(col("token"), col("df"), col(idCol))
+        .agg(sort_array(collect_list(col("_pos0") + lit(1)))
+          .as("positions"))
+        .select(col("token"), col("df"), col(idCol), col("positions"))
+      val markers = dfs.filter(col("df") > maxDf)
+        .select(col("token"), col("df"),
+          lit(null).cast(idType).as(idCol),
+          lit(null).cast(posType).as("positions"))
+      base.unionByName(rows).unionByName(markers)
+    }
+  }
+
   def forgetFromPositionalIndex(index: DataFrame, forgotten: DataFrame,
                                 remaining: DataFrame, idCol: String,
                                 textCol: String, minDf: Long,

@@ -607,6 +607,30 @@ object TextStats {
       IndexMaintain.forgetRows(dl, fids, idCol), nl2)
   }
 
+  /** Maintain the [[bm25Stats]] artifacts under an INSERT batch — the
+    * ingestion half of [[bm25StatsForget]]: the stats of the grown
+    * corpus derived from ONE pass over the BATCH alone. tf and dl are
+    * per-row tables, so new documents' rows simply union in (the
+    * batch must be NEW ids — the [[IndexMaintain.insertIntoIndex]]
+    * contract; a duplicate id would double its tf/dl rows); the
+    * (L, N) scalars add the batch's token-sum and doc count.
+    * Token-less inserted docs contribute 0 to L and no dl row but DO
+    * count in N — exactly the base artifact's convention. */
+  def bm25StatsInsert(tf: org.apache.spark.sql.DataFrame,
+                      dl: org.apache.spark.sql.DataFrame,
+                      nl: org.apache.spark.sql.DataFrame,
+                      inserted: org.apache.spark.sql.DataFrame,
+                      idCol: String, textCol: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val (btf, bdl, bnl) = bm25Stats(inserted, idCol, textCol)
+    val nl2 = nl.crossJoin(bnl
+        .select(col("_L").as("_lB"), col("_N").as("_nB")))
+      .select((col("_L") + col("_lB")).as("_L"),
+        (col("_N") + col("_nB")).as("_N"))
+    (tf.unionByName(btf), dl.unionByName(bdl), nl2)
+  }
+
   /** Shared scoring tail: exact BIGINT saturation rational + integer
     * idf, summed per doc, two-phase top-k. `tf` must already be
     * restricted to (or filterable to exactly) the query terms. */
@@ -1097,6 +1121,23 @@ object TextStats {
           lit("' — forgotten rows were not a subset of the corpus"))))
           .otherwise(col("freq")))
       .filter(col("freq") > 0)
+  }
+
+  /** Insert side of the stored-count-table linearity (the
+    * [[Sketch.cmsMerge]] direction for exact gram counts): add the
+    * batch's own gram counts — one gram pass over the BATCH, never
+    * the corpus. No sign check needed (counts only grow); the pair
+    * with [[ngramCountsForget]] closes both maintenance directions
+    * for the (`ngram`, `freq`) artifact. */
+  def ngramCountsInsert(counts: org.apache.spark.sql.DataFrame,
+                        inserted: org.apache.spark.sql.DataFrame,
+                        textCol: String, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val added = inserted.select(tokenArray(textCol).as("_ts"))
+      .select(explode(gramsOf(col("_ts"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
+    counts.unionByName(added)
+      .groupBy(col("ngram")).agg(sum(col("freq")).as("freq"))
   }
 
   /** Exact-phrase occurrence count per document: how many times the

@@ -54,6 +54,44 @@ class Bm25MaintainSpec extends SparkSpec {
         terms, k = 10)))
   }
 
+  test("maintained stats after an INSERT batch score identically to " +
+    "stats rebuilt from the grown corpus, and insert-then-forget " +
+    "restores the scalars") {
+    val batch = Seq(
+      (8L, "spark merge"),
+      (9L, "")).toDF("doc_id", "text") // empty doc: +1 N, +0 L
+    val grown = docs.unionByName(batch)
+    val (tf, dl, nl) = TextStats.bm25Stats(docs, "doc_id", "text")
+    val (tf2, dl2, nl2) = TextStats.bm25StatsInsert(tf, dl, nl,
+      batch, "doc_id", "text")
+    val Array(l2, n2) = nl2.collect()(0).toSeq.map(_.toString.toLong).toArray
+    assert(n2 === 8L && l2 === 20L, s"nl2 = ($l2, $n2)")
+    assert(ranked(TextStats.bm25TopKFromStats(tf2, dl2, nl2, "doc_id",
+      terms, k = 10)) ===
+      ranked(TextStats.bm25TopKMicro(grown, "doc_id", "text",
+        terms, k = 10)))
+    val (_, _, nl3) = TextStats.bm25StatsForget(tf2, dl2, nl2,
+      batch.select("doc_id"), "doc_id")
+    assert(nl3.collect().toSeq.map(_.toSeq) ===
+      nl.collect().toSeq.map(_.toSeq))
+  }
+
+  test("ngram count table: insert adds the batch's grams, and " +
+    "insert-then-forget restores the table") {
+    val counts = TextStats.topNgrams(docs, "text", n = 2,
+      k = 1000000)
+    val batch = Seq((8L, "spark join spark")).toDF("doc_id", "text")
+    val grownCounts = TextStats.ngramCountsInsert(counts, batch,
+      "text", n = 2)
+    val expect = TextStats.topNgrams(docs.unionByName(batch), "text",
+      n = 2, k = 1000000)
+    def m(d: DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m(grownCounts) === m(expect))
+    assert(m(TextStats.ngramCountsForget(grownCounts, batch,
+      "text", n = 2)) === m(counts))
+  }
+
   test("two sequential stat-forgets equal one combined batch") {
     val (tf, dl, nl) = TextStats.bm25Stats(docs, "doc_id", "text")
     val (tfA, dlA, nlA) = TextStats.bm25StatsForget(tf, dl, nl,

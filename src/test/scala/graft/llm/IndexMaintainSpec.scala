@@ -155,6 +155,139 @@ class IndexMaintainSpec extends SparkSpec {
     assert(prows(maintained) === prows(rebuilt))
   }
 
+  // ---- INSERT-batch maintenance (the ingestion half) ----
+
+  // insert corpus engineered so the batch {8, 9} exercises every path:
+  //  - "hot" df 4 = maxDf in-window; gains 2 → df 6 CROSSES UP → marker
+  //  - "over" df 5 overflow; gains 1 → df 6 stays overflow
+  //  - "mid" df 2 in-window; gains 1 → postings extend to df 3
+  //  - "keep" df 2 untouched → passes through unrewritten
+  //  - "rare" df 1 (BELOW minDf — absent from the index); gains 1 →
+  //    df 2 enters the window (the corpus-pass novel case)
+  //  - "new" df 0; gains 2 → df 2 enters
+  //  - "solo" df 0; gains 1 → still below minDf, stays absent
+  private val insCorpus = docs(Seq(
+    1L -> "hot mid over keep rare",
+    2L -> "hot mid over keep",
+    3L -> "hot over",
+    4L -> "hot over",
+    5L -> "over"))
+  private val insBatch = docs(Seq(
+    8L -> "hot mid over new solo",
+    9L -> "hot new rare"))
+  private val insFull = insCorpus.unionByName(insBatch)
+
+  test("insertIntoIndex equals a from-scratch rebuild on the grown " +
+    "corpus (cross-up, overflow, extend, novel-enter included)") {
+    val idx = IndexMaintain.indexWithOverflow(insCorpus, "id", "text",
+      minDf = 2, maxDf = 4)
+    val maintained = IndexMaintain.insertIntoIndex(idx, insBatch,
+      insFull, "id", "text", minDf = 2, maxDf = 4)
+    val rebuilt = IndexMaintain.indexWithOverflow(insFull, "id", "text",
+      minDf = 2, maxDf = 4)
+    assert(rows(maintained) === rows(rebuilt))
+    // the in-window token that crossed UP dropped its list, kept df
+    assert(rows(maintained).contains(("hot", 6L, null)))
+    // the overflow token just incremented
+    assert(rows(maintained).contains(("over", 6L, null)))
+    // the staying in-window token extended sorted
+    assert(rows(maintained).contains(("mid", 3L, "1,2,8")))
+    // the below-minDf token entered with its OLD occurrence included
+    assert(rows(maintained).contains(("rare", 2L, "1,9")))
+    assert(rows(maintained).contains(("new", 2L, "8,9")))
+    assert(!rows(maintained).exists(_._1 == "solo"))
+  }
+
+  test("two sequential inserts equal one combined insert") {
+    val idx = IndexMaintain.indexWithOverflow(insCorpus, "id", "text",
+      minDf = 2, maxDf = 4)
+    val mid = insCorpus.unionByName(insBatch.filter(col("id") === 8L))
+    val step1 = IndexMaintain.insertIntoIndex(idx,
+      insBatch.filter(col("id") === 8L), mid, "id", "text", 2, 4)
+    val step2 = IndexMaintain.insertIntoIndex(step1,
+      insBatch.filter(col("id") === 9L), insFull, "id", "text", 2, 4)
+    val oneShot = IndexMaintain.insertIntoIndex(idx, insBatch,
+      insFull, "id", "text", 2, 4)
+    assert(rows(step2) === rows(oneShot))
+  }
+
+  test("insert then forget of the same batch restores the original " +
+    "index") {
+    val idx = IndexMaintain.indexWithOverflow(insCorpus, "id", "text",
+      minDf = 2, maxDf = 4)
+    val grown = IndexMaintain.insertIntoIndex(idx, insBatch,
+      insFull, "id", "text", 2, 4)
+    val back = IndexMaintain.forgetFromIndex(grown, insBatch,
+      insCorpus, "id", "text", 2, 4)
+    assert(rows(back) === rows(idx))
+  }
+
+  test("minDf=1 insert never scans the corpus (novel tokens build " +
+    "batch-locally)") {
+    val idx = IndexMaintain.indexWithOverflow(insCorpus, "id", "text",
+      minDf = 1, maxDf = 4)
+    val poisoned = insFull.filter(
+      raise_error(lit("corpus must not be scanned")).isNotNull)
+    val maintained = IndexMaintain.insertIntoIndex(idx, insBatch,
+      poisoned, "id", "text", minDf = 1, maxDf = 4)
+    val rebuilt = IndexMaintain.indexWithOverflow(insFull, "id", "text",
+      minDf = 1, maxDf = 4)
+    assert(rows(maintained) === rows(rebuilt))
+  }
+
+  test("no novel tokens → the minDf>1 insert skips the corpus pass") {
+    val idx = IndexMaintain.indexWithOverflow(insCorpus, "id", "text",
+      minDf = 2, maxDf = 4)
+    // a batch whose vocabulary is entirely in-index
+    val batch = docs(Seq(8L -> "mid keep"))
+    val full = insCorpus.unionByName(batch)
+    val poisoned = full.filter(
+      raise_error(lit("corpus must not be scanned")).isNotNull)
+    val maintained = IndexMaintain.insertIntoIndex(idx, batch,
+      poisoned, "id", "text", 2, 4)
+    val rebuilt = IndexMaintain.indexWithOverflow(full, "id", "text", 2, 4)
+    assert(rows(maintained) === rows(rebuilt))
+  }
+
+  test("insertIntoPositionalIndex equals a from-scratch rebuild on " +
+    "the grown corpus (marker-up crossing drops rows whole)") {
+    val idx = IndexMaintain.positionalIndexWithOverflow(insCorpus,
+      "id", "text", minDf = 2, maxDf = 4)
+    val maintained = IndexMaintain.insertIntoPositionalIndex(idx,
+      insBatch, insFull, "id", "text", minDf = 2, maxDf = 4)
+    val rebuilt = IndexMaintain.positionalIndexWithOverflow(insFull,
+      "id", "text", minDf = 2, maxDf = 4)
+    assert(prows(maintained) === prows(rebuilt))
+    // crossed-up token: ONE marker row, no per-doc rows
+    assert(prows(maintained).contains(("hot", 6L, null, null)))
+    assert(prows(maintained).count(_._1 == "hot") === 1)
+    // batch doc's rows materialized with batch-local positions
+    assert(prows(maintained).contains(("mid", 3L, 8L, "2")))
+    // novel-entering token carries its old-corpus occurrence
+    assert(prows(maintained).contains(("rare", 2L, 1L, "5")))
+    assert(prows(maintained).contains(("rare", 2L, 9L, "3")))
+  }
+
+  test("positional insert: minDf=1 never scans the corpus, and " +
+    "insert-then-forget restores the original") {
+    val idx1 = IndexMaintain.positionalIndexWithOverflow(insCorpus,
+      "id", "text", minDf = 1, maxDf = 4)
+    val poisoned = insFull.filter(
+      raise_error(lit("corpus must not be scanned")).isNotNull)
+    val maintained = IndexMaintain.insertIntoPositionalIndex(idx1,
+      insBatch, poisoned, "id", "text", 1, 4)
+    val rebuilt = IndexMaintain.positionalIndexWithOverflow(insFull,
+      "id", "text", 1, 4)
+    assert(prows(maintained) === prows(rebuilt))
+    val idx2 = IndexMaintain.positionalIndexWithOverflow(insCorpus,
+      "id", "text", minDf = 2, maxDf = 4)
+    val grown = IndexMaintain.insertIntoPositionalIndex(idx2, insBatch,
+      insFull, "id", "text", 2, 4)
+    val back = IndexMaintain.forgetFromPositionalIndex(grown, insBatch,
+      insCorpus, "id", "text", 2, 4)
+    assert(prows(back) === prows(idx2))
+  }
+
   test("forgetRows on a PQ code frame: search over the pruned codes " +
     "equals search over the re-encoded remainder") {
     import spark.implicits._

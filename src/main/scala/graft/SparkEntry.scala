@@ -1466,6 +1466,35 @@ object SparkEntry {
               transform(col("positions"), _.cast("string"))))
             .as("positions"))
     }),
+    // LLM §multimodal (★r14): the perceptual image near-dedup family,
+    // hash-GATED — deterministic synthetic PNGs derive from doc ids
+    // (real bytes through the real javax.imageio decode; only the
+    // camera is synthetic), dHash64 fingerprints feed the SAME banded
+    // Hamming engine as SimHash (q48). The decode stays engine-side;
+    // the DuckDB oracle replays banding + bit_count verification over
+    // the collected fingerprint literals (the q54 parity move).
+    "q120_image_near_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.llm.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id,
+          Multimodal.syntheticImagePng(id), "image/png"))
+      graft.llm.Dedup.fingerprintNearPairs(
+        Multimodal.perceptualFingerprints(media).toDF(),
+        "id", "dhash", maxDistance = 3)
+    }),
+    // the audio sibling: RMS-envelope dHash over deterministic PCM16
+    // WAVs through the real javax.sound decode, same banded engine
+    "q121_audio_near_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.llm.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id,
+          Multimodal.syntheticWav(id), "audio/wav"))
+      graft.llm.Dedup.fingerprintNearPairs(
+        Multimodal.audioFingerprints(media).toDF(),
+        "id", "dhash", maxDistance = 3)
+    }),
     // LLM §similarity — product-quantization ENCODE (Jégou 2011, the
     // engine's angular geometry): 64-dim embeddings → 4 codes, each
     // the per-subspace cosine argmax against 8 learned centroids —
@@ -1850,6 +1879,64 @@ object SparkEntry {
     * q48 (MD5 preimages). Learning is deterministic (lexicographic
     * argmax tie-break, spec-pinned), so this re-learn yields the
     * identical list the q54 entry used. */
+  // q120/q121's stored-fingerprint collections (one (id, dhash) tuple
+  // per document — bounded by the gate corpus) — memoized under the
+  // gate flag so the oracle literals replay the exact frame the entry
+  // banded; deterministic re-derivation otherwise (integer-arithmetic
+  // synthetic payloads + lossless PNG/PCM round trips)
+  private val sharedFps = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, Long)]]
+  private def mediaFingerprints(s: SparkSession, dir: String,
+                                kind: String): Seq[(Long, Long)] = {
+    def mk = {
+      import s.implicits._
+      import graft.llm.Multimodal
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val fp =
+        if (kind == "image")
+          Multimodal.perceptualFingerprints(ids.map(id =>
+            Multimodal.MediaRow(id,
+              Multimodal.syntheticImagePng(id), "image/png")))
+        else
+          Multimodal.audioFingerprints(ids.map(id =>
+            Multimodal.MediaRow(id,
+              Multimodal.syntheticWav(id), "audio/wav")))
+      fp.collect().map(r => (r.id, r.dhash)).sortBy(_._1).toSeq
+    }
+    if (!sharingFrames) mk
+    else sharedFps.getOrElseUpdate(s"$kind:$dir", mk)
+  }
+
+  /** The [[graft.llm.Dedup.fingerprintNearPairs]] arithmetic replayed
+    * over stored 64-bit fingerprints: pigeonhole chunks (maxDistance+1
+    * bands — candidates matching on ≥ 1 band, provably no miss),
+    * DISTINCT ordered pairs, exact `bit_count(xor)` verification.
+    * DuckDB's `>>` is arithmetic but the band mask truncates to the
+    * chunk's bits, and its bit_count/xor are two's-complement exact —
+    * probed to match Java Long semantics on negative fingerprints. */
+  private def fingerprintPairsOracleSql(fps: Seq[(Long, Long)],
+                                        maxDistance: Int): String = {
+    val chunks = maxDistance + 1
+    val width = 64 / chunks
+    val mask = (1L << width) - 1L
+    val values = fps.map { case (i, f) => s"($i, CAST($f AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH fp(id, f) AS (VALUES $values),
+       | b AS (SELECT unnest(range($chunks)) AS b),
+       | bands AS (SELECT id, f, b.b AS b,
+       |     (f >> CAST(b.b * $width AS INT)) & $mask AS v
+       |   FROM fp CROSS JOIN b),
+       | cand AS (SELECT DISTINCT a.id AS ia, x.id AS ib
+       |   FROM bands a JOIN bands x
+       |   ON a.b = x.b AND a.v = x.v AND a.id < x.id)
+       | SELECT c.ia AS id_a, c.ib AS id_b,
+       |   CAST(bit_count(xor(fa.f, fb.f)) AS INT) AS hamming
+       | FROM cand c JOIN fp fa ON fa.id = c.ia
+       | JOIN fp fb ON fb.id = c.ib
+       | WHERE bit_count(xor(fa.f, fb.f)) <= $maxDistance"""
+      .stripMargin.replace("\n", " ")
+  }
+
   def dynamicOracleSql(s: SparkSession, dir: String): Map[String, String] = {
     import graft.llm.{Bpe, Clustering}
     val merges = bpeMerges(s, dir)
@@ -1857,6 +1944,12 @@ object SparkEntry {
     // gate flag; deterministic re-learn otherwise)
     val centroids = kmeansCentroids(s, dir)
     Map(
+      // banding + Hamming replay over the SAME collected fingerprints
+      // the entries banded (decode stays engine-side — q54 parity)
+      "q120_image_near_dedup" -> fingerprintPairsOracleSql(
+        mediaFingerprints(s, dir, "image"), maxDistance = 3),
+      "q121_audio_near_dedup" -> fingerprintPairsOracleSql(
+        mediaFingerprints(s, dir, "audio"), maxDistance = 3),
       "q54_bpe_encode" -> Bpe.encodeOracleSql(merges),
       "q57_kmeans" -> Clustering.kmeansOracleSql(centroids),
       "q58_semantic_dedup" ->

@@ -815,4 +815,100 @@ object Multimodal {
   def resizeStub(df: DataFrame, n: Int): DataFrame =
     df.withColumn("payload_resized",
       expr(s"rpad(substring(payload, 1, $n), $n, x'00')"))
+
+  // ---- deterministic synthetic media fixtures ----------------------
+  // The container ships no image/audio corpus, so the perceptual
+  // near-dedup gates (q120/q121) and specs derive per-row payloads
+  // from table ids: REAL PNG/WAV bytes through the REAL decode paths
+  // — only the camera is synthetic. Ids sharing a family (id/10)
+  // render the same integer-hash base pattern; the variant (id%10)
+  // perturbs it so a family spreads across small Hamming distances
+  // while distinct families land far apart. Integer arithmetic only —
+  // no platform-dependent float paths — so the same id always yields
+  // the same fingerprint, which is what lets the gate's DuckDB oracle
+  // replay banding + Hamming over the collected fingerprints.
+
+  /** splitmix64 finalizer — small consecutive family ids need REAL
+    * avalanche or distinct families render near-identical patterns
+    * (a weak shift-xor mix collided most audio envelopes). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic grayscale PNG for `id` (18×16): base luma from an
+    * integer hash of (family, cell), variant adds a uniform
+    * brightness lift (dHash-invariant by design) plus a sparse
+    * contrast flip that moves a few dHash bits per variant step. */
+  def syntheticImagePng(id: Long): Array[Byte] = {
+    val family = id / 10
+    val variant = (id % 10).toInt
+    val w = 18; val h = 16
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val hsh = mix64(family * 1021L + x.toLong * 31L + y.toLong)
+        var l = (hsh & 0xFFL).toInt
+        l = math.min(255, l + variant * 2)
+        if (variant != 0 && (x * h + y) % (17 + variant) == 0)
+          l = (l + 128) % 256
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic 16-bit PCM mono WAV for `id` (8 kHz, 65 windows ×
+    * 32 samples — exactly the envelope state [[audioDHash64]] reads):
+    * each window's amplitude comes from an integer hash of (family,
+    * window); the variant re-levels a few windows, flipping their
+    * adjacent-loudness bits. Triangle wave — integer phase
+    * arithmetic, no trig. Hand-built RIFF header (44-byte canonical
+    * PCM WAV) so the bytes are bit-stable across JVMs. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val family = id / 10
+    val variant = (id % 10).toInt
+    val rate = 8000
+    val nWin = 65; val winLen = 32
+    val n = nWin * winLen
+    val pcm = new Array[Byte](n * 2)
+    var wi = 0
+    while (wi < nWin) {
+      val hsh = mix64(family * 131L + wi.toLong)
+      var amp = 2000 + (hsh & 0x3FFFL).toInt
+      if (variant != 0 && (wi + variant) % (11 + variant) == 0)
+        amp = 20000 - amp
+      var i = 0
+      while (i < winLen) {
+        val t = wi * winLen + i
+        // triangle: phase 0..15 rises, 16..31 falls, integer-exact
+        val ph = t % 32
+        val tri = if (ph < 16) ph * 2 - 15 else 47 - ph * 2 // -15..17
+        val v = tri * amp / 17
+        pcm(2 * t) = (v & 0xff).toByte
+        pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      wi += 1
+    }
+    val dataLen = pcm.length
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .put(pcm)
+    out.array()
+  }
 }

@@ -601,3 +601,39 @@ class TextMultimodalSpec extends SparkSpec {
         .bitCount(fps(1L) ^ fps(4L))})")
   }
 }
+
+/** Synthetic media fixtures (q120/q121 gates): deterministic bytes,
+  * real decodes, and the family/variant perceptual structure the
+  * near-dedup gates rely on. */
+class SyntheticMediaSpec extends graft.SparkSpec {
+  test("synthetic PNG: bit-stable, really decodes, families structure " +
+    "the dHash space (within-family < cross-family)") {
+    val a = Multimodal.syntheticImagePng(42L)
+    assert(java.util.Arrays.equals(a, Multimodal.syntheticImagePng(42L)))
+    def fp(id: Long): Long = Multimodal
+      .dHash64(Multimodal.decodeImage(Multimodal.syntheticImagePng(id)).get)
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    // variant 0 vs 1 of one family vs a different family's variant 0
+    val within = ham(fp(40L), fp(41L))
+    val cross = ham(fp(40L), fp(50L))
+    assert(within < cross, s"within=$within cross=$cross")
+    assert(cross > 10, s"cross-family too close: $cross")
+  }
+
+  test("synthetic WAV: bit-stable, really decodes via javax.sound, " +
+    "same family/variant structure on the envelope hash") {
+    val a = Multimodal.syntheticWav(42L)
+    assert(java.util.Arrays.equals(a, Multimodal.syntheticWav(42L)))
+    def fp(id: Long): Long = {
+      val Some((info, mono)) =
+        Multimodal.decodeAudioSamples(Multimodal.syntheticWav(id))
+      assert(info.channels == 1 && mono.length == 65 * 32)
+      Multimodal.audioDHash64(mono)
+    }
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val within = ham(fp(40L), fp(41L))
+    val cross = ham(fp(40L), fp(50L))
+    assert(within < cross, s"within=$within cross=$cross")
+    assert(cross > 10, s"cross-family too close: $cross")
+  }
+}

@@ -197,6 +197,25 @@ object SparkEntry {
     if (!sharingFrames) mk
     else sharedDsir.getOrElseUpdate(s"dsir:$dir", mk)
   }
+  // q122's stratified targets: one per-language hashed-bucket LM
+  // learned from that language's IN-DOMAIN slice (doc_id % 5 == 0 —
+  // the bench split doubling as the per-stratum target corpus), plus
+  // the q92 raw background
+  private val sharedDsirStrat = scala.collection.concurrent.TrieMap
+    .empty[String, (Map[String, IndexedSeq[Long]], IndexedSeq[Long])]
+  private def dsirStratModels(s: SparkSession, dir: String)
+      : (Map[String, IndexedSeq[Long]], IndexedSeq[Long]) = {
+    def mk = {
+      val docs = t(s, dir, "documents")
+      (graft.llm.TextStats.dsirBucketLogProbsByStratum(
+        docs.filter(col("doc_id") % 5 === 0), "text", "lang",
+        buckets = 64),
+        graft.llm.TextStats.dsirBucketLogProbs(docs, "text",
+          buckets = 64))
+    }
+    if (!sharingFrames) mk
+    else sharedDsirStrat.getOrElseUpdate(s"dsirStrat:$dir", mk)
+  }
 
   // the q94 temperature quotas (α=0.5, budget 250 over `source`):
   // counts aggregate once, the float pow folds driver-side into the
@@ -1199,6 +1218,17 @@ object SparkEntry {
       graft.llm.TextStats.dsirScore(t(s, dir, "documents"),
         "doc_id", "text", tgt, raw)
     }),
+    // LLM §selection — STRATIFIED DSIR (★r14, the q92/q94 closure):
+    // one shared raw background, one target LM per LANGUAGE (learned
+    // from the bench slice), every document priced against ITS
+    // stratum's target. The per-stratum delta vectors ride one
+    // literal CASE over `lang` — scoring stays a pure shuffle-free
+    // projection (spec-asserted), one corpus scan at any scale.
+    "q122_dsir_stratified" -> ((s, dir) => {
+      val (byLang, raw) = dsirStratModels(s, dir)
+      graft.llm.TextStats.dsirScoreStratified(t(s, dir, "documents"),
+        "doc_id", "text", "lang", byLang, raw)
+    }),
     // LLM §splitting — LEAKAGE-SAFE train/valid split (the dedup-aware
     // eval guard): every q31 near-dup cluster moves as one block keyed
     // on its representative's md5, so no valid doc has a near-copy in
@@ -2002,6 +2032,12 @@ object SparkEntry {
       "q92_dsir" -> {
         val (tgt, raw) = dsirModels(s, dir)
         graft.llm.TextStats.dsirOracleSql(tgt, raw)
+      },
+      // same per-stratum delta literals as the q122 entry's learned
+      // per-language targets — the oracle replays the CASE + list fold
+      "q122_dsir_stratified" -> {
+        val (byLang, raw) = dsirStratModels(s, dir)
+        graft.llm.TextStats.dsirStratifiedOracleSql("lang", byLang, raw)
       },
       // same integer quota literals as the q94 entry's driver fold
       "q94_temperature_mix" ->

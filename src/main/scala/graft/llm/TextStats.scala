@@ -1715,6 +1715,111 @@ object TextStats {
           .as("dsir_micro"))
   }
 
+  /** Per-STRATUM hashed-bucket LMs — the [[dsirBucketLogProbs]]
+    * learner keyed by a stratum column (per-language / per-source
+    * target distributions): one gram hash aggregation folded to
+    * ≤ |strata|·buckets rows (map-side partials, the corpus never
+    * moves), one bounded collect, the same add-one micro-nat fold per
+    * stratum. Strata with no grams still get a full (uniform)
+    * distribution via the smoothing. */
+  def dsirBucketLogProbsByStratum(df: org.apache.spark.sql.DataFrame,
+                                  textCol: String, stratumCol: String,
+                                  buckets: Int, n: Int = 2)
+      : Map[String, IndexedSeq[Long]] = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val counts = df
+      .select(col(stratumCol).cast("string").as("_s"),
+        tokenArray(textCol).as("_ts"))
+      .select(col("_s"), explode(gramsOf(col("_ts"), n)).as("_g"))
+      .select(col("_s"), dsirBucket(col("_g"), buckets).as("_b"))
+      .groupBy(col("_s"), col("_b")).agg(count(lit(1)).as("_c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+      }
+    counts.map { case (s, m) =>
+      s -> dsirLogProbsFromCounts(m, buckets)
+    }
+  }
+
+  /** STRATIFIED DSIR scoring — [[dsirScore]] with a per-stratum
+    * TARGET distribution (the q94 mixture-builder observation closed:
+    * one shared background, one target LM per language/source, each
+    * document priced against ITS stratum's target). The per-stratum
+    * delta vectors ride ONE literal CASE over the stratum column —
+    * still a pure shuffle-free projection, no join, no explode
+    * (spec-asserted), one corpus scan at any scale. Documents whose
+    * stratum has no learned target score the neutral 0 (they fall
+    * through to other signals — the [[dsirScore]] gramless
+    * convention, applied to the stratum axis).
+    *
+    * Output: (idCol, stratumCol, `n_grams`, `dsir_micro`). */
+  def dsirScoreStratified(df: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String,
+                          stratumCol: String,
+                          targetByStratum: Map[String, IndexedSeq[Long]],
+                          rawLogpMicro: IndexedSeq[Long], n: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(targetByStratum.nonEmpty, "need at least one stratum target")
+    require(targetByStratum.values.forall(_.size == rawLogpMicro.size),
+      "bucket counts differ between a stratum target and the raw LM")
+    val buckets = rawLogpMicro.size
+    def deltaLit(t: IndexedSeq[Long]) =
+      array(t.indices.map(b => lit(t(b) - rawLogpMicro(b))): _*)
+    val zeros = array(rawLogpMicro.indices.map(_ => lit(0L)): _*)
+    // deterministic literal CASE (sorted strata) selecting the delta
+    val delta = targetByStratum.toSeq.sortBy(_._1)
+      .foldRight(zeros: Column) { case ((s, t), other) =>
+        when(col(stratumCol).cast("string") === s, deltaLit(t))
+          .otherwise(other)
+      }
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(stratumCol), delta.as("_delta"),
+        tokenArray(textCol).as("_ts"))
+      .select(col(idCol), col(stratumCol), col("_delta"),
+        gramsOf(col("_ts"), n).as("_gs"))
+      .select(col(idCol), col(stratumCol),
+        size(col("_gs")).cast("long").as("n_grams"),
+        aggregate(col("_gs"), lit(0L), (acc, g) =>
+          acc + element_at(col("_delta"),
+            (dsirBucket(g, buckets) + 1).cast("int")))
+          .as("dsir_micro"))
+  }
+
+  /** DuckDB replay of [[dsirScoreStratified]] from the SAME per-
+    * stratum delta literals — the [[dsirOracleSql]] arithmetic with
+    * the delta list chosen by a CASE over the stratum column. */
+  def dsirStratifiedOracleSql(stratumCol: String,
+                              targetByStratum: Map[String, IndexedSeq[Long]],
+                              rawLogpMicro: IndexedSeq[Long],
+                              n: Int = 2): String = {
+    require(n == 2, s"oracle replay is written for bigram features, got n=$n")
+    require(targetByStratum.values.forall(_.size == rawLogpMicro.size),
+      "bucket counts differ")
+    val buckets = rawLogpMicro.size
+    def lst(t: IndexedSeq[Long]) = t.indices.map(b =>
+      s"CAST(${t(b) - rawLogpMicro(b)} AS BIGINT)").mkString("[", ", ", "]")
+    val zeros = rawLogpMicro.indices.map(_ => "CAST(0 AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val cases = targetByStratum.toSeq.sortBy(_._1)
+      .map { case (s, t) =>
+        s"WHEN $stratumCol = '${s.replace("'", "''")}' THEN ${lst(t)}"
+      }.mkString(" ")
+    s"""WITH d AS (SELECT doc_id, $stratumCol,
+      |    CASE $cases ELSE $zeros END AS dl,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |   FROM documents WHERE doc_id IS NOT NULL),
+      | g AS (SELECT doc_id, $stratumCol, dl,
+      |     list_transform(range(1, len(ts)),
+      |     i -> ts[i] || ' ' || ts[i + 1]) AS gs FROM d)
+      | SELECT doc_id, $stratumCol, CAST(len(gs) AS BIGINT) AS n_grams,
+      |   CAST(COALESCE(list_sum(list_transform(gs, g ->
+      |     dl[CAST(('0x' || substr(md5(g), 1, 8))::BIGINT
+      |       % $buckets + 1 AS INT)])), 0) AS BIGINT) AS dsir_micro
+      | FROM g""".stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB replay of [[dsirScore]] from the SAME delta literals — also
     * pure per-row list arithmetic (no unnest, no join): the bucket is
     * the q69 `('0x' || md5-prefix)::BIGINT % buckets` idiom, the lookup

@@ -57,6 +57,24 @@ object IndexForgetSoak {
     require(diff == 0, s"$what: maintained != rebuilt ($diff rows differ)")
   }
 
+  /** Canonical rows for the positional shape (null-safe). */
+  private def pcanon(ix: DataFrame): DataFrame =
+    ix.select(col("token"), col("df"),
+      coalesce(col("doc_id"), lit(-1L)).as("id"),
+      coalesce(concat_ws(",", transform(col("positions"),
+        _.cast("string"))), lit("<overflow>")).as("p"))
+
+  private def assertSameP(a: DataFrame, b: DataFrame, what: String): Unit = {
+    val diff = pcanon(a).exceptAll(pcanon(b))
+      .unionAll(pcanon(b).exceptAll(pcanon(a))).count()
+    require(diff == 0, s"$what: maintained != rebuilt ($diff rows differ)")
+  }
+
+  private def assertSameAny(a: DataFrame, b: DataFrame, what: String): Unit = {
+    val diff = a.exceptAll(b).unionAll(b.exceptAll(a)).count()
+    require(diff == 0, s"$what: maintained != rebuilt ($diff rows differ)")
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10,30")
       .split(",").map(_.trim.toInt).toSeq
@@ -138,23 +156,125 @@ object IndexForgetSoak {
       val cdiff = sub.exceptAll(resk).unionAll(resk.exceptAll(sub)).count()
       require(cdiff == 0, s"cms@${k}x: subtract != rebuilt ($cdiff)")
       counters.unpersist()
+
+      // ★r14: the other three artifact shapes, same session, same
+      // adversarial corpus — maintained ≡ rebuilt asserted at every
+      // scale, maintain-vs-rebuild ratio recorded per shape.
+      // (a) POSITIONAL index, no-crossing regime (the common case —
+      // maintain cost must stay O(batch + index) as n grows)
+      import graft.llm.{IndexMaintain, TextStats, Pq}
+      val pix = IndexMaintain.positionalIndexWithOverflow(docs,
+        "doc_id", "text", minDf = 2, maxDf = maxDfStay).persist()
+      pix.count()
+      val (_, mPos) = timed {
+        IndexMaintain.forgetFromPositionalIndex(pix, forgotten,
+            remaining, "doc_id", "text", minDf = 2, maxDf = maxDfStay)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      val (_, rPos) = timed {
+        IndexMaintain.positionalIndexWithOverflow(remaining, "doc_id",
+            "text", minDf = 2, maxDf = maxDfStay)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      assertSameP(
+        IndexMaintain.forgetFromPositionalIndex(pix, forgotten,
+          remaining, "doc_id", "text", minDf = 2, maxDf = maxDfStay),
+        IndexMaintain.positionalIndexWithOverflow(remaining, "doc_id",
+          "text", minDf = 2, maxDf = maxDfStay),
+        s"positional@${k}x")
+      pix.unpersist()
+
+      // (b) BM25 stored stats: anti-joins + scalar subtraction vs
+      // re-deriving from the remaining corpus
+      val (tf0, dl0, nl0) = TextStats.bm25Stats(docs, "doc_id", "text")
+      val tfP = tf0.persist(); val dlP = dl0.persist()
+      val nlP = nl0.persist()
+      tfP.count(); dlP.count(); nlP.count()
+      val fids = forgotten.select(col("doc_id"))
+      val (_, mBm) = timed {
+        val (a, b, c) = TextStats.bm25StatsForget(tfP, dlP, nlP,
+          fids, "doc_id")
+        a.write.format("noop").mode(SaveMode.Overwrite).save()
+        b.write.format("noop").mode(SaveMode.Overwrite).save()
+        c.write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      val (_, rBm) = timed {
+        val (a, b, c) = TextStats.bm25Stats(remaining, "doc_id", "text")
+        a.write.format("noop").mode(SaveMode.Overwrite).save()
+        b.write.format("noop").mode(SaveMode.Overwrite).save()
+        c.write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      val (mtf, mdl, mnl) = TextStats.bm25StatsForget(tfP, dlP, nlP,
+        fids, "doc_id")
+      val (rtf, rdl, rnl) = TextStats.bm25Stats(remaining, "doc_id", "text")
+      assertSameAny(mtf, rtf, s"bm25_tf@${k}x")
+      assertSameAny(mdl, rdl, s"bm25_dl@${k}x")
+      assertSameAny(mnl, rnl, s"bm25_nl@${k}x")
+      tfP.unpersist(); dlP.unpersist(); nlP.unpersist()
+
+      // (c) per-row code frames (the PQ-codes artifact): forget is
+      // ONE anti-join vs re-encoding the remainder. Embeddings are
+      // deterministic murmur-hash projections of the id (codebooks
+      // need no geometric relation to the data for the economics —
+      // encode is row-local); trained once, tiny, outside the clock.
+      val emb = docs.select(col("doc_id"),
+        expr("transform(sequence(0, 7), j -> " +
+          "cast(pmod(hash(doc_id * 8 + j), 1000) / 1000.0 as float))")
+          .as("embedding"))
+      val cb = Pq.train(emb.limit(2000), "doc_id", "embedding",
+        m = 4, ksub = 8, iters = 2)
+      val codes = Pq.encode(emb, "doc_id", "embedding", cb).persist()
+      codes.count()
+      val (_, mRow) = timed {
+        IndexMaintain.forgetRows(codes, fids, "doc_id")
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      val (_, rRow) = timed {
+        Pq.encode(remaining.select(col("doc_id"),
+            expr("transform(sequence(0, 7), j -> " +
+              "cast(pmod(hash(doc_id * 8 + j), 1000) / 1000.0 " +
+              "as float))").as("embedding")),
+            "doc_id", "embedding", cb)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      def codeCanon(d: DataFrame) = d.select(col("doc_id"),
+        concat_ws(",", transform(col("codes"), _.cast("string")))
+          .as("c"))
+      assertSameAny(codeCanon(IndexMaintain.forgetRows(codes, fids,
+          "doc_id")),
+        codeCanon(Pq.encode(remaining.select(col("doc_id"),
+          expr("transform(sequence(0, 7), j -> " +
+            "cast(pmod(hash(doc_id * 8 + j), 1000) / 1000.0 " +
+            "as float))").as("embedding")),
+          "doc_id", "embedding", cb)),
+        s"rowframe@${k}x")
+      codes.unpersist()
       docs.unpersist()
 
       results(k) = Map("m_no" -> mNo, "r_no" -> rNo, "m_cr" -> mCr,
-        "r_cr" -> rCr, "sub" -> tSub, "resk" -> tResk)
+        "r_cr" -> rCr, "sub" -> tSub, "resk" -> tResk,
+        "m_pos" -> mPos, "r_pos" -> rPos, "m_bm" -> mBm, "r_bm" -> rBm,
+        "m_row" -> mRow, "r_row" -> rRow)
       println(s"""{"scale":$k,"docs":$n,""" +
         s""""maintain_nocross_sec":${f"$mNo%.2f"},""" +
         s""""rebuild_nocross_sec":${f"$rNo%.2f"},""" +
         s""""maintain_cross_sec":${f"$mCr%.2f"},""" +
         s""""rebuild_cross_sec":${f"$rCr%.2f"},""" +
         s""""cms_subtract_sec":${f"$tSub%.2f"},""" +
-        s""""cms_resketch_sec":${f"$tResk%.2f"}}""")
+        s""""cms_resketch_sec":${f"$tResk%.2f"},""" +
+        s""""positional_maintain_sec":${f"$mPos%.2f"},""" +
+        s""""positional_rebuild_sec":${f"$rPos%.2f"},""" +
+        s""""bm25_maintain_sec":${f"$mBm%.2f"},""" +
+        s""""bm25_rebuild_sec":${f"$rBm%.2f"},""" +
+        s""""rowframe_maintain_sec":${f"$mRow%.2f"},""" +
+        s""""rowframe_rebuild_sec":${f"$rRow%.2f"}}""")
     }
     val base = results(scales.head)
     val ratios = scales.tail.map { k =>
       val r = results(k)
       s""""${k}x":{""" +
-        Seq("m_no", "r_no", "m_cr", "r_cr", "sub", "resk")
+        Seq("m_no", "r_no", "m_cr", "r_cr", "sub", "resk",
+            "m_pos", "r_pos", "m_bm", "r_bm", "m_row", "r_row")
           .map(m => s""""$m":${f"${r(m) / base(m)}%.1f"}""")
           .mkString(",") + "}"
     }.mkString(",")

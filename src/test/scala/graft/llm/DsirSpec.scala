@@ -105,6 +105,57 @@ class DsirSpec extends SparkSpec {
       s"DSIR scoring must not shuffle:\n$plan")
   }
 
+  test("stratified scoring ≡ per-stratum dsirScore with that " +
+    "stratum's target, unknown strata score the neutral 0, and the " +
+    "plan stays shuffle-free") {
+    val docs = Seq(
+      (1L, "en", "spark shuffles the big table fast"),
+      (2L, "en", "the table joins the big table"),
+      (3L, "de", "der grosse tisch und der andere tisch"),
+      (4L, "de", "und der tisch war gross und breit"),
+      (5L, "fr", "la table est grande et large"))
+      .toDF("doc_id", "lang", "text")
+    val raw = bruteLogProbs(docs.select("text").as[String].collect().toSeq)
+    val byLang = Map(
+      "en" -> bruteLogProbs(Seq("spark shuffles the big table fast")),
+      "de" -> bruteLogProbs(Seq("der grosse tisch und der andere")))
+    val strat = TextStats.dsirScoreStratified(docs, "doc_id", "text",
+      "lang", byLang, raw)
+    val got = strat.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // per-stratum equivalence against the unstratified operator
+    byLang.foreach { case (lang, tgt) =>
+      val expect = TextStats.dsirScore(docs.filter(col("lang") === lang),
+          "doc_id", "text", tgt, raw)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      expect.foreach { case (id, v) =>
+        assert(got(id) === v, s"doc $id (lang $lang)")
+      }
+    }
+    // fr has no learned target → neutral 0, grams still counted
+    assert(got(5L)._1 > 0L && got(5L)._2 === 0L)
+    val plan = strat.queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"stratified DSIR scoring must not shuffle:\n$plan")
+  }
+
+  test("per-stratum learner ≡ per-slice dsirBucketLogProbs") {
+    val docs = Seq(
+      (1L, "en", "spark shuffles the big table fast"),
+      (2L, "de", "der grosse tisch und der andere tisch"),
+      (3L, "en", "the table joins the big table"))
+      .toDF("doc_id", "lang", "text")
+    val byLang = TextStats.dsirBucketLogProbsByStratum(docs, "text",
+      "lang", buckets = B)
+    assert(byLang.keySet === Set("en", "de"))
+    Seq("en", "de").foreach { lang =>
+      assert(byLang(lang) === TextStats.dsirBucketLogProbs(
+        docs.filter(col("lang") === lang), "text", buckets = B),
+        s"stratum $lang")
+    }
+  }
+
   test("bucket-count mismatch and tiny bucket counts are rejected") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -1229,6 +1229,22 @@ object SparkEntry {
       graft.llm.TextStats.dsirScoreStratified(t(s, dir, "documents"),
         "doc_id", "text", "lang", byLang, raw)
     }),
+    // LLM §decontamination — SPAN-level cross-corpus scrub (★r14):
+    // cut from every train doc exactly the 8-token windows that
+    // appear verbatim in the bench split, keep the rest — the
+    // surgical completion of the q43/q113 screens (which tell you
+    // WHICH/HOW MUCH) and the q66 doc-level drop (which wastes the
+    // clean remainder). Ref gram set ≤1 row per key (no fan-out),
+    // covered indices fold to ONE bounded per-doc array, and the
+    // text surgery is a map-side indexed filter — the corpus text
+    // never shuffles.
+    "q123_ref_span_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Dedup.scrubRefSpans(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 8)
+    }),
     // LLM §splitting — LEAKAGE-SAFE train/valid split (the dedup-aware
     // eval guard): every q31 near-dup cluster moves as one block keyed
     // on its representative's md5, so no valid doc has a near-copy in
@@ -2756,6 +2772,36 @@ object SparkEntry {
         | FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d0
         | LEFT JOIN tot USING (doc_id)
         | LEFT JOIN sh USING (doc_id)""".stripMargin)
+        .replace("\n", " "),
+    // positional 8-gram hits → covered-index set → indexed list
+    // surgery, replayed row-wise (the q113 gram idiom with the
+    // position kept)
+    "q123_ref_span_scrub" ->
+      ("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |     x -> x <> '') AS ts FROM documents),
+        | raw AS (SELECT doc_id, ts,
+        |     unnest(range(1, len(ts) - 6)) AS i
+        |   FROM d WHERE len(ts) >= 8),
+        | pg AS (SELECT doc_id, CAST(i AS INT) AS i, """.stripMargin +
+        (0 until 8).map(o => if (o == 0) "ts[CAST(i AS INT)]"
+          else s"ts[CAST(i AS INT) + $o]").mkString(" || ' ' || ") +
+        """ AS g FROM raw),
+        | rs AS (SELECT DISTINCT g FROM pg WHERE doc_id % 5 = 0),
+        | hits AS (SELECT DISTINCT p.doc_id, p.i FROM pg p
+        |   JOIN rs USING (g) WHERE p.doc_id % 5 <> 0),
+        | cov AS (SELECT DISTINCT doc_id, i - 1 + k.k AS idx
+        |   FROM hits, (SELECT unnest(range(8)) AS k) k),
+        | cvl AS (SELECT doc_id, list(idx) AS cv,
+        |     CAST(count(*) AS BIGINT) AS nrm FROM cov GROUP BY 1)
+        | SELECT d.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |   COALESCE(nrm, CAST(0 AS BIGINT)) AS n_removed,
+        |   COALESCE(array_to_string(list_filter(list_transform(
+        |     range(1, len(ts) + 1),
+        |     i -> CASE WHEN list_contains(cv, i - 1) THEN NULL
+        |       ELSE ts[CAST(i AS INT)] END),
+        |     x -> x IS NOT NULL), ' '), '') AS text_clean
+        | FROM d LEFT JOIN cvl USING (doc_id)
+        | WHERE d.doc_id % 5 <> 0""".stripMargin)
         .replace("\n", " "),
     // full KMV construction replay: same md5 60-bit hashes ('0x'||hex
     // cast ≡ conv(hex,16,10), the q69 move), same bottom-k cuts,

@@ -980,6 +980,60 @@ object Dedup {
         coalesce(col("_nrm"), lit(0L)).as("n_chars_removed"))
   }
 
+  /** Span-level CROSS-corpus decontamination — the surgical sibling
+    * of doc-level [[DedupForget]] deletion and within-corpus
+    * [[dedupSpansKeepFirst]]: CUT from every `docs` row the token
+    * spans covered by an `n`-token gram that appears anywhere in the
+    * `ref` corpus (the verbatim-benchmark windows a training run must
+    * not memorize), keep everything else. Deleting the whole doc
+    * (q66's screen) throws away clean text; this removes exactly the
+    * contaminated windows.
+    *
+    * Shape: ONE ref pass builds the distinct gram set (≤1 row per
+    * join key — the [[graft.llm.TextStats.refGramOverlap]] no-fan-out
+    * argument); train grams join it positionally and each hit covers
+    * token indices [pos, pos+n-1]; the covered-index set folds
+    * per-doc into ONE bounded array (≤ doc length — the per-doc
+    * buffer convention); the text surgery is then a MAP-SIDE indexed
+    * `filter` over the token array — the corpus text is never
+    * shuffled, only (doc, hit) rows move. Docs with no hit pass
+    * through verbatim on a left join. Token-level cutting on the
+    * single-space tokenizer every other operator uses, so the output
+    * re-joins with single spaces (canonical-whitespace corpora round-
+    * trip exactly).
+    *
+    * Output: (idCol, `n_tokens`, `n_removed`, `text_clean`) — one row
+    * per input document. */
+  def scrubRefSpans(docs: DataFrame, ref: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ts = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), filter(TextStats.tokens(col(textCol)),
+        t => length(t) > 0).as("_ts"))
+    val refSet = ref
+      .select(filter(TextStats.tokens(col(textCol)),
+        t => length(t) > 0).as("_ts"))
+      .select(explode(array_distinct(
+        TextStats.gramsOf(col("_ts"), n))).as("_g"))
+      .distinct()
+    val hits = ts
+      .select(col(idCol), posexplode(TextStats.gramsOf(col("_ts"), n))
+        .as(Seq("_pos0", "_g")))
+      .join(refSet, "_g")
+      .select(col(idCol),
+        explode(sequence(col("_pos0"), col("_pos0") + lit(n - 1)))
+          .as("_idx"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("_idx"))).as("_cov"))
+    ts.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("_ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("_cov")), lit(0)).cast("long").as("n_removed"),
+        array_join(filter(col("_ts"), (t, i) =>
+          col("_cov").isNull || !array_contains(col("_cov"), i)), " ")
+          .as("text_clean"))
+  }
+
   /** Quality-aware keeper selection over duplicate clusters — the
     * dedup POLICY knob: instead of [[DedupForget.losers]]' min-id rule,
     * keep the member that maximizes `scoreCol` (ties to the smallest

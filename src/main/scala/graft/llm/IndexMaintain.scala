@@ -77,11 +77,16 @@ object IndexMaintain {
     * index) shrinks in place and every search over it behaves as if
     * the remainder had been re-encoded (encode is row-local, so this
     * is exact by construction — spec-pinned against the re-encode).
-    * Artifacts with cross-row state need real maintenance:
-    * [[forgetFromIndex]] (posting lists),
-    * [[forgetFromPositionalIndex]] (per-doc position rows carry a
-    * per-TOKEN df), [[Sketch.cmsSubtract]] (linear counters);
-    * HLL/Bloom registers are not invertible and rebuild. */
+    * The INSERT direction needs no helper at all: encode the batch
+    * and `unionByName` its rows in (encode is row-local, so the
+    * union IS the re-encoded grown corpus, exactly). Artifacts with
+    * cross-row state need real maintenance in both directions:
+    * [[forgetFromIndex]]/[[insertIntoIndex]] (posting lists),
+    * [[forgetFromPositionalIndex]]/[[insertIntoPositionalIndex]]
+    * (per-doc position rows carry a per-TOKEN df),
+    * [[Sketch.cmsSubtract]]/[[Sketch.cmsMerge]] (linear counters);
+    * HLL/Bloom registers are not invertible and rebuild on forget
+    * (inserts merge fine — their registers are monotone). */
   def forgetRows(artifact: DataFrame, forgottenIds: DataFrame,
                  idCol: String): DataFrame =
     artifact.join(forgottenIds.select(col(idCol)).distinct(),

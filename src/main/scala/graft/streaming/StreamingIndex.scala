@@ -109,4 +109,91 @@ object StreamingIndex {
           }
       }
   }
+
+  /** One CDC snapshot row: `seq` is a per-token update counter — df
+    * can now DECREASE, so "latest = max df" no longer identifies the
+    * current row; readers take the max-`seq` row per token instead. */
+  case class TokenPostingsCdc(token: String, df: Long,
+                              postings: Seq[Long], seq: Long)
+
+  private[streaming] final case class CdcState(
+      df: Long, postings: Seq[Long], overflowed: Boolean, seq: Long)
+
+  /** Continuously-maintained inverted index over a ±1 CDC feed — the
+    * full ingest/forget loop ([[graft.llm.IndexMaintain]]'s batch
+    * pair) as ONE streaming operator. Input rows are (`op`, id,
+    * text): op = +1 ingests the document, op = −1 forgets it.
+    *
+    * State per token is the batch overflow contract carried to CDC:
+    * exact NET df always, the sorted posting set ONLY while the
+    * token has never exceeded `maxDf`. Once overflowed the list is
+    * gone for good — a later df drop below maxDf emits the honest
+    * MARKER row (exact df, null postings), exactly
+    * [[graft.llm.IndexMaintain.indexWithOverflow]]'s overflow row: a
+    * stream cannot re-scan its history, so the crossing-down rebuild
+    * stays a batch job over the stored corpus
+    * ([[graft.llm.IndexMaintain.forgetFromIndex]]'s targeted pass),
+    * and the snapshot stays honest about which rows carry lists.
+    * State per token is O(min(peak df, maxDf)) forever.
+    *
+    * Ingest contract: an op = +1 for a (doc, token) already present,
+    * or op = −1 for one absent, is ignored while the token is
+    * un-overflowed (the posting set absorbs re-deliveries, both
+    * directions); for an overflowed token the ±1s MUST be exactly-
+    * once (the df counter is all the state there is — the
+    * [[StreamingSketch.cmsCountersSigned]] contract). Tokens whose
+    * net df reaches 0 clear their state entirely. */
+  def invertedIndexCdc(stream: DataFrame, opCol: String, idCol: String,
+                       textCol: String, maxDf: Int)
+      : Dataset[TokenPostingsCdc] = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(opCol).cast("int").as("op"),
+        col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(filter(TextStats.tokens(col(textCol)),
+          t => length(t) > 0))).as("token"))
+      .as[(Int, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[CdcState, TokenPostingsCdc](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (token: String, rows: Iterator[(Int, Long, String)],
+         state: GroupState[CdcState]) =>
+          val prev = state.getOption
+            .getOrElse(CdcState(0L, Vector.empty, false, 0L))
+          var df = prev.df
+          var overflowed = prev.overflowed
+          var postings = prev.postings.toSet
+          var changed = false
+          rows.foreach { case (op, id, _) =>
+            if (op >= 0) {
+              if (overflowed) { df += 1; changed = true }
+              else if (!postings.contains(id)) {
+                postings += id; df += 1; changed = true
+                if (df > maxDf) { overflowed = true; postings = Set.empty }
+              }
+            } else {
+              if (overflowed) { df -= 1; changed = true }
+              else if (postings.contains(id)) {
+                postings -= id; df -= 1; changed = true
+              }
+            }
+          }
+          if (!changed) Iterator.empty
+          else if (df <= 0L) {
+            // fully forgotten: clear state; emit the tombstone row
+            if (state.exists) state.remove()
+            Iterator.single(TokenPostingsCdc(token, 0L, null,
+              prev.seq + 1))
+          } else {
+            val next = CdcState(df,
+              if (overflowed) Vector.empty else postings.toVector,
+              overflowed, prev.seq + 1)
+            state.update(next)
+            Iterator.single(TokenPostingsCdc(token, df,
+              if (overflowed) null else next.postings.sorted, next.seq))
+          }
+      }
+  }
 }

@@ -233,6 +233,21 @@ object E2EDemo {
         .unionAll(rBi.exceptAll(mBi)).count()
       check(biDiff == 0,
         s"forgotten bigram counts == rebuilt ($biDiff grams differ)")
+      // PROBE 3c (★r14): the INSERT direction closes the loop — re-
+      // ingesting the very rows the forget removed must bring the
+      // maintained index back to the pre-forget artifact (the
+      // insert-then-forget round trip, driven end-to-end: the index
+      // here is maintained across a REAL forget then a re-ingest)
+      val postForgetIdx = graft.llm.IndexMaintain.forgetFromIndex(
+        preIdx, forgotten, post, "doc_id", "text", 2, 25)
+      val reinserted = canonIdx(graft.llm.IndexMaintain.insertIntoIndex(
+        postForgetIdx, forgotten, pre, "doc_id", "text", 2, 25))
+      val preCanon = canonIdx(preIdx)
+      val insDiff = reinserted.exceptAll(preCanon)
+        .unionAll(preCanon.exceptAll(reinserted)).count()
+      check(insDiff == 0,
+        s"re-ingesting the forgotten rows restores the index " +
+          s"($insDiff rows differ)")
       preIdx.unpersist(); preCms.unpersist()
     }
 

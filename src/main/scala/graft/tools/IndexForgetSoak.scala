@@ -36,7 +36,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `runMain graft.tools.IndexForgetSoak [scales]` (default
   * "1,10,30" — multiples of the 5,000-doc sf0.1 documents shape).
-  * One JSON line per scale, then a `ratios` line. */
+  * One JSON line per scale, then a `ratios` line. With all eight
+  * regimes the 30× scale wants `SPARK_DRIVER_MEM=16g` (the 8g
+  * default ran out of execution memory once the insert regimes
+  * joined the session). */
 object IndexForgetSoak {
 
   private def timed[A](body: => A): (A, Double) = {
@@ -251,10 +254,60 @@ object IndexForgetSoak {
       codes.unpersist()
       docs.unpersist()
 
+      // ★r14 INSERT direction (the q118/q119 ingestion half): the
+      // artifact is built on the 9/10 remainder, the former forget
+      // batch becomes the INSERT batch, and maintenance races a
+      // rebuild on the full corpus. Hot tokens are already overflow
+      // pre-insert (df only grows → stay overflow, the common case);
+      // the batch's rare random tokens are genuinely novel, so the
+      // minDf=2 targeted corpus pass fires — the realistic mix.
+      val iix = IndexMaintain.indexWithOverflow(remaining, "doc_id",
+        "text", minDf = 2, maxDf = maxDfStay).persist()
+      iix.count()
+      val (_, mIns) = timed {
+        IndexMaintain.insertIntoIndex(iix, forgotten, docs,
+            "doc_id", "text", minDf = 2, maxDf = maxDfStay)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      val (_, rIns) = timed {
+        IndexMaintain.indexWithOverflow(docs, "doc_id", "text",
+            minDf = 2, maxDf = maxDfStay)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      assertSame(
+        IndexMaintain.insertIntoIndex(iix, forgotten, docs,
+          "doc_id", "text", minDf = 2, maxDf = maxDfStay),
+        IndexMaintain.indexWithOverflow(docs, "doc_id", "text",
+          minDf = 2, maxDf = maxDfStay),
+        s"insert@${k}x")
+      iix.unpersist()
+      val pix2 = IndexMaintain.positionalIndexWithOverflow(remaining,
+        "doc_id", "text", minDf = 2, maxDf = maxDfStay).persist()
+      pix2.count()
+      val (_, mPIns) = timed {
+        IndexMaintain.insertIntoPositionalIndex(pix2, forgotten, docs,
+            "doc_id", "text", minDf = 2, maxDf = maxDfStay)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      val (_, rPIns) = timed {
+        IndexMaintain.positionalIndexWithOverflow(docs, "doc_id",
+            "text", minDf = 2, maxDf = maxDfStay)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+      assertSameP(
+        IndexMaintain.insertIntoPositionalIndex(pix2, forgotten, docs,
+          "doc_id", "text", minDf = 2, maxDf = maxDfStay),
+        IndexMaintain.positionalIndexWithOverflow(docs, "doc_id",
+          "text", minDf = 2, maxDf = maxDfStay),
+        s"positional_insert@${k}x")
+      pix2.unpersist()
+
       results(k) = Map("m_no" -> mNo, "r_no" -> rNo, "m_cr" -> mCr,
         "r_cr" -> rCr, "sub" -> tSub, "resk" -> tResk,
         "m_pos" -> mPos, "r_pos" -> rPos, "m_bm" -> mBm, "r_bm" -> rBm,
-        "m_row" -> mRow, "r_row" -> rRow)
+        "m_row" -> mRow, "r_row" -> rRow,
+        "m_ins" -> mIns, "r_ins" -> rIns,
+        "m_pins" -> mPIns, "r_pins" -> rPIns)
       println(s"""{"scale":$k,"docs":$n,""" +
         s""""maintain_nocross_sec":${f"$mNo%.2f"},""" +
         s""""rebuild_nocross_sec":${f"$rNo%.2f"},""" +
@@ -267,14 +320,19 @@ object IndexForgetSoak {
         s""""bm25_maintain_sec":${f"$mBm%.2f"},""" +
         s""""bm25_rebuild_sec":${f"$rBm%.2f"},""" +
         s""""rowframe_maintain_sec":${f"$mRow%.2f"},""" +
-        s""""rowframe_rebuild_sec":${f"$rRow%.2f"}}""")
+        s""""rowframe_rebuild_sec":${f"$rRow%.2f"},""" +
+        s""""insert_maintain_sec":${f"$mIns%.2f"},""" +
+        s""""insert_rebuild_sec":${f"$rIns%.2f"},""" +
+        s""""positional_insert_maintain_sec":${f"$mPIns%.2f"},""" +
+        s""""positional_insert_rebuild_sec":${f"$rPIns%.2f"}}""")
     }
     val base = results(scales.head)
     val ratios = scales.tail.map { k =>
       val r = results(k)
       s""""${k}x":{""" +
         Seq("m_no", "r_no", "m_cr", "r_cr", "sub", "resk",
-            "m_pos", "r_pos", "m_bm", "r_bm", "m_row", "r_row")
+            "m_pos", "r_pos", "m_bm", "r_bm", "m_row", "r_row",
+            "m_ins", "r_ins", "m_pins", "r_pins")
           .map(m => s""""$m":${f"${r(m) / base(m)}%.1f"}""")
           .mkString(",") + "}"
     }.mkString(",")

@@ -541,6 +541,52 @@ class PlanAuditSpec extends SparkSpec {
         s"unfused composition's $unfusedBytes — artifact reuse regressed")
   }
 
+  test("index insert (q118) maintains via equi-joins only — no " +
+    "cartesian, no nested loop, map-side partials — and its per-token " +
+    "update never windows") {
+    val df = SparkEntry.queries("q118_index_insert")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q118: cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q118: nested loop in:\n$plan")
+    assert(plan.contains("partial_"), s"q118: no partial agg in:\n$plan")
+    val ws = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.isEmpty, s"q118: window in:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("positional insert (q119): equi-joins only, keyed or absent " +
+    "windows, no cartesian") {
+    val df = SparkEntry.queries("q119_positional_insert")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q119: cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q119: nested loop in:\n$plan")
+    val ws = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      s"q119: unkeyed window in:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("perceptual near-dedup (q120/q121) pairs through the banded " +
+    "engine — hash equi-joins on the chunk, never a fingerprint " +
+    "cross product") {
+    Seq("q120_image_near_dedup", "q121_audio_near_dedup").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: nested loop in:\n$plan")
+    }
+  }
+
   test("CMS forget (q100) is two bounded counter aggregations and one " +
     "register-wise merge — state never exceeds depth×width rows, no " +
     "joins at all") {

@@ -113,6 +113,117 @@ class StreamingIndexSpec extends SparkSpec {
     assert(snap.forall(t => t._3.forall(p => p == p.sorted)))
   }
 
+  test("CDC inverted index: inserts then forgets converge to the " +
+    "batch index on the NET corpus; a crossed-down overflow token " +
+    "keeps the honest marker (exact df, null postings); full forget " +
+    "tombstones") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, String)]
+    // maxDf = 3; "hot" reaches df 5 (overflows), then 3 deletes take
+    // its NET df to 2 — back inside the window, but the stream
+    // cannot recover the list: marker semantics. "cold" (df 2) loses
+    // one doc in-window via the posting set. "gone" is fully
+    // forgotten and must tombstone.
+    val ins = Seq(
+      (1, 1L, "hot cold gone"),
+      (1, 2L, "hot cold"),
+      (1, 3L, "hot x"),
+      (1, 4L, "hot y"),
+      (1, 5L, "hot z"))
+    val del = Seq(
+      (-1, 3L, "hot x"),
+      (-1, 4L, "hot y"),
+      (-1, 5L, "hot z"),
+      (-1, 1L, "gone"))  // partial forget of doc 1: only 'gone' leaves
+    val query = StreamingIndex.invertedIndexCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "doc_id",
+        "text", maxDf = 3)
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      Seq(ins.take(2), ins.drop(2), del.take(2), del.drop(2)).foreach {
+        b => stream.addData(b); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val snap = spark.table("cdc_out").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getSeq[Long](2)).map(_.toSeq), r.getLong(3)))
+      .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._4) }.toSeq
+    val m = snap.map(t => t._1 -> t).toMap
+    // net corpus: docs 1 ("hot cold" — 'gone' forgotten), 2 ("hot cold")
+    assert(m("hot")._2 == 2L && m("hot")._3.isEmpty,
+      s"hot crossed down — must be a marker (exact df, null): ${m("hot")}")
+    assert(m("cold")._2 == 2L && m("cold")._3.contains(Seq(1L, 2L)),
+      s"cold postings: ${m("cold")}")
+    // fully-forgotten tokens tombstone at df 0
+    Seq("gone", "x", "y", "z").foreach { t =>
+      assert(m(t)._2 == 0L && m(t)._3.isEmpty, s"$t: ${m(t)}")
+    }
+    // the never-overflowed survivors equal the batch index built on
+    // the net corpus from scratch
+    val net = Seq((1L, "hot cold"), (2L, "hot cold"))
+    val batch = TextStats.invertedIndex(net.toDF("doc_id", "text"),
+        "doc_id", "text", minDf = 1, maxDf = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    assert(m("cold")._2 == batch("cold")._1 &&
+      m("cold")._3.get == batch("cold")._2,
+      s"cold vs batch: ${m("cold")} vs ${batch("cold")}")
+  }
+
+  test("CDC inverted index on a randomized insert/forget schedule: " +
+    "never-overflowed tokens equal the batch index on the net corpus, " +
+    "markers keep exact net dfs") {
+    val rnd = new scala.util.Random(61)
+    val vocab = (0 until 10).map(i => ('a' + i).toChar.toString)
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))).toMap
+    // forget a random third AFTER everything is inserted
+    val dead = corpus.keys.toSeq.sorted.filter(_ => rnd.nextInt(3) == 0)
+    val feed = corpus.toSeq.sortBy(_._1).map { case (i, t) => (1, i, t) } ++
+      dead.map(i => (-1, i, corpus(i)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, String)]
+    val query = StreamingIndex.invertedIndexCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "doc_id",
+        "text", maxDf = 25)
+      .writeStream.format("memory").queryName("cdc_rand_out")
+      .outputMode("update").start()
+    try {
+      var rest = feed
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(15)
+        stream.addData(rest.take(take))
+        query.processAllAvailable()
+        rest = rest.drop(take)
+      }
+    } finally query.stop()
+    val snap = spark.table("cdc_rand_out").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getSeq[Long](2)).map(_.toSeq), r.getLong(3)))
+      .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._4) }.toSeq
+    val net = (corpus.keySet -- dead).toSeq.sorted
+      .map(i => (i, corpus(i)))
+    val listed = snap.filter(t => t._2 > 0 && t._3.nonEmpty)
+      .map(t => (t._1, t._2, t._3.get)).sortBy(_._1)
+    val batchAll = TextStats.invertedIndex(net.toDF("doc_id", "text"),
+        "doc_id", "text", minDf = 1, maxDf = 1000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    listed.foreach { case (tok, df, p) =>
+      assert(batchAll(tok) == ((df, p)), s"$tok: ($df, $p) vs " +
+        s"${batchAll(tok)}")
+    }
+    // marker rows (ever-overflowed): NET df still exact
+    snap.filter(t => t._2 > 0 && t._3.isEmpty).foreach { case (tok, df, _, _) =>
+      assert(batchAll(tok)._1 == df, s"$tok marker df $df vs " +
+        s"${batchAll(tok)._1}")
+    }
+    assert(listed.nonEmpty && snap.exists(t => t._2 > 0 && t._3.isEmpty),
+      "schedule must exercise both listed and marker rows")
+  }
+
   test("streaming inverted index equals the batch build on a " +
     "randomized corpus split into random micro-batches") {
     val rnd = new scala.util.Random(59)

@@ -1245,6 +1245,60 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", n = 8)
     }),
+    // LLM §pipeline — curation v3 (★r14): v2 with the contamination
+    // screen replaced by contamination SURGERY — scrub the bench-
+    // verbatim spans out (q123) instead of dropping whole docs, then
+    // quality-gate and novelty-screen the SCRUBBED text, still ONE
+    // declarative plan. The scrubbed frame rides one repartition
+    // exchange every consumer reuses (quality filter, novelty
+    // census, roster — the q117 census move applied to the derived
+    // frame, which would otherwise re-execute the scrub per
+    // consumer); novelty serves from one census exchange with an
+    // EMPTY ref side (the fused screen's contamination leg priced at
+    // zero — post-surgery overlap is zero by construction).
+    "q124_curation_v3" -> ((s, dir) => {
+      import graft.llm.{Dedup, TextStats}
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+      // PARTIAL-contamination fixture: the corpus' only contamination
+      // is whole-doc near-copies, whose post-scrub husks fail the
+      // quality gate — the surgery would be output-invisible. Plant
+      // one 8-token bench window (the lowest-id ≥8-token bench doc's
+      // prefix — SQL-derivable, so the oracle replays it) onto every
+      // 11th train doc: those docs now carry REAL partial
+      // contamination, survive the scrub, and show n_removed > 0.
+      val snip = bench
+        .select(col("doc_id"), split(col("text"), " ").as("_ts"))
+        .filter(size(filter(col("_ts"), t => length(t) > 0)) >= 8)
+        .orderBy(col("doc_id")).limit(1)
+        .select(array_join(slice(filter(col("_ts"),
+          t => length(t) > 0), 1, 8), " ").as("_snip"))
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+        .crossJoin(broadcast(snip))
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" "), col("_snip")))
+            .otherwise(col("text")))
+        .drop("_snip")
+      val losers = docClusters(s, dir)
+        .filter(col("id_a") =!= col("cluster_id"))
+        .select(col("id_a").as("doc_id"))
+      val scrubbed = Dedup.scrubRefSpans(train, bench,
+          "doc_id", "text", n = 8)
+        .repartition(col("doc_id"))
+      val novel = TextStats.gramScreensFromCensus(
+          scrubbed,
+          TextStats.gramCensus(scrubbed, "doc_id", "text_clean", 8),
+          TextStats.gramCensus(scrubbed.limit(0), "doc_id",
+            "text_clean", 8), "doc_id")
+        .filter(col("novelty_micro") >= 250000)
+        .select("doc_id")
+      scrubbed.filter(TextStats.qualityKeep(col("text_clean")))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(novel, Seq("doc_id"), "left_semi")
+        .join(train.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_removed"))
+    }),
     // LLM §splitting — LEAKAGE-SAFE train/valid split (the dedup-aware
     // eval guard): every q31 near-dup cluster moves as one block keyed
     // on its representative's md5, so no valid doc has a near-copy in
@@ -2772,6 +2826,75 @@ object SparkEntry {
         | FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d0
         | LEFT JOIN tot USING (doc_id)
         | LEFT JOIN sh USING (doc_id)""".stripMargin)
+        .replace("\n", " "),
+    // curation v3 replay: cluster CTEs + the q123 scrub chain, then
+    // the q110 novelty idiom and the q49 quality fragment applied to
+    // the CLEAN text
+    "q124_curation_v3" ->
+      (s"""$clusterOracleCtes,
+        | sn AS (SELECT array_to_string(list_filter(
+        |     string_split(text, ' '), x -> x <> '')[1:8], ' ') AS snip
+        |   FROM documents WHERE doc_id % 5 = 0
+        |     AND len(list_filter(string_split(text, ' '),
+        |       x -> x <> '')) >= 8
+        |   ORDER BY doc_id LIMIT 1),
+        | d3 AS (SELECT doc_id, list_filter(string_split(
+        |     CASE WHEN doc_id % 5 <> 0 AND doc_id % 11 = 0
+        |       THEN text || ' ' || snip ELSE text END, ' '),
+        |     x -> x <> '') AS ts FROM documents, sn),
+        | raw3 AS (SELECT doc_id, ts,
+        |     unnest(range(1, len(ts) - 6)) AS i
+        |   FROM d3 WHERE len(ts) >= 8),
+        | pg3 AS (SELECT doc_id, CAST(i AS INT) AS i, """.stripMargin +
+        (0 until 8).map(o => if (o == 0) "ts[CAST(i AS INT)]"
+          else s"ts[CAST(i AS INT) + $o]").mkString(" || ' ' || ") +
+        """ AS g FROM raw3),
+        | rs3 AS (SELECT DISTINCT g FROM pg3 WHERE doc_id % 5 = 0),
+        | hits3 AS (SELECT DISTINCT p.doc_id, p.i FROM pg3 p
+        |   JOIN rs3 USING (g) WHERE p.doc_id % 5 <> 0),
+        | cov3 AS (SELECT DISTINCT doc_id, i - 1 + k.k AS idx
+        |   FROM hits3, (SELECT unnest(range(8)) AS k) k),
+        | cvl3 AS (SELECT doc_id, list(idx) AS cv,
+        |     CAST(count(*) AS BIGINT) AS nrm FROM cov3 GROUP BY 1),
+        | sc AS (SELECT d3.doc_id,
+        |     COALESCE(nrm, CAST(0 AS BIGINT)) AS n_removed,
+        |     list_filter(list_transform(range(1, len(ts) + 1),
+        |       i -> CASE WHEN list_contains(cv, i - 1) THEN NULL
+        |         ELSE ts[CAST(i AS INT)] END),
+        |       x -> x IS NOT NULL) AS cts
+        |   FROM d3 LEFT JOIN cvl3 USING (doc_id)
+        |   WHERE d3.doc_id % 5 <> 0),
+        | craw AS (SELECT doc_id, unnest(list_transform(
+        |     range(1, len(cts) - 6), i -> """.stripMargin +
+        (0 until 8).map(o => if (o == 0) "cts[i]" else s"cts[i+$o]")
+          .mkString(" || ' ' || ") + """)) AS g
+        |   FROM sc WHERE len(cts) >= 8),
+        | cdg AS (SELECT DISTINCT doc_id, g FROM craw),
+        | ctot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |   FROM cdg GROUP BY 1),
+        | cun AS (SELECT g FROM cdg GROUP BY g HAVING count(*) = 1),
+        | cnu AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_unique
+        |   FROM cdg JOIN cun USING (g) GROUP BY 1),
+        | cprof AS (SELECT t.doc_id,
+        |     COALESCE(cnu.n_unique, CAST(0 AS BIGINT)) * 1000000
+        |       // t.n_grams AS novelty
+        |   FROM ctot t LEFT JOIN cnu USING (doc_id)),
+        | cqual AS (SELECT doc_id FROM (
+        |   SELECT doc_id, len(cts) AS n_tokens,
+        |     len(list_distinct(cts)) AS n_distinct,
+        |     len(list_filter(cts, t -> list_contains(
+        |       ['the','a','of','and','to','in','is','it','on','for'],
+        |       t))) AS n_stop
+        |   FROM sc)
+        |  WHERE n_tokens >= 30 AND n_tokens <= 400
+        |    AND n_distinct * 100 >= n_tokens * 40
+        |    AND n_stop * 1000 >= n_tokens * 20)
+        | SELECT s.doc_id, d.lang, s.n_removed
+        | FROM sc s JOIN documents d USING (doc_id)
+        | JOIN cqual USING (doc_id)
+        | JOIN cprof USING (doc_id)
+        | WHERE d.doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)
+        |   AND cprof.novelty >= 250000""".stripMargin)
         .replace("\n", " "),
     // positional 8-gram hits → covered-index set → indexed list
     // surgery, replayed row-wise (the q113 gram idiom with the

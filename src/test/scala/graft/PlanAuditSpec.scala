@@ -587,6 +587,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("curation v3 (q124): the scrubbed frame's exchange is reused " +
+    "by its consumers (quality filter + novelty census + roster) " +
+    "instead of re-executing the scrub per consumer; no cartesian") {
+    val df = SparkEntry.queries("q124_curation_v3")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    graft.llm.Dedup.releaseCaches()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+        plan.contains("ReusedQueryStage") ||
+        "ShuffleQueryStage \\d+".r.findAllIn(plan).toSeq
+          .groupBy(identity).exists(_._2.size >= 2),
+      s"scrubbed-frame exchange not reused in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q124: cartesian in:\n$plan")
+  }
+
   test("CMS forget (q100) is two bounded counter aggregations and one " +
     "register-wise merge — state never exceeds depth×width rows, no " +
     "joins at all") {

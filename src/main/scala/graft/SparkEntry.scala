@@ -1245,6 +1245,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", n = 8)
     }),
+    // LLM §quality — Gopher repetition signals (★r14, Rae 2021
+    // §A1.1): top-2/3-gram token share and duplicated-4-gram token
+    // COVERAGE per document — the screens that catch phrase-stuffed
+    // spam the q25/q49 length/distinct/stopword gates pass. Pure
+    // map-side list arithmetic (no explode, no shuffle —
+    // spec-asserted), one corpus scan at any scale.
+    "q125_repetition" -> ((s, dir) =>
+      graft.llm.TextStats.repetitionSignals(
+        t(s, dir, "documents"), "doc_id", "text")),
     // LLM §pipeline — curation v3 (★r14): v2 with the contamination
     // screen replaced by contamination SURGERY — scrub the bench-
     // verbatim spans out (q123) instead of dropping whole docs, then
@@ -2827,6 +2836,46 @@ object SparkEntry {
         | LEFT JOIN tot USING (doc_id)
         | LEFT JOIN sh USING (doc_id)""".stripMargin)
         .replace("\n", " "),
+    // per-doc list arithmetic replay: same gram construction, same
+    // nested occurrence counts, same coverage windows, BIGINT //
+    "q125_repetition" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |     x -> x <> '') AS ts FROM documents),
+        | g AS (SELECT doc_id, len(ts) AS L,
+        |   list_transform(range(1, len(ts)), i -> ts[CAST(i AS INT)]
+        |     || ' ' || ts[CAST(i AS INT) + 1]) AS g2,
+        |   list_transform(range(1, len(ts) - 1), i ->
+        |     ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |     || ' ' || ts[CAST(i AS INT) + 2]) AS g3,
+        |   list_transform(range(1, len(ts) - 2), i ->
+        |     ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |     || ' ' || ts[CAST(i AS INT) + 2] || ' ' ||
+        |     ts[CAST(i AS INT) + 3]) AS g4
+        |  FROM d),
+        | c AS (SELECT doc_id, L,
+        |   list_max(list_transform(g2, x ->
+        |     len(list_filter(g2, y -> y = x)))) AS t2,
+        |   list_max(list_transform(g3, x ->
+        |     len(list_filter(g3, y -> y = x)))) AS t3,
+        |   list_transform(g4, x ->
+        |     len(list_filter(g4, y -> y = x))) AS c4,
+        |   len(g4) AS gl
+        |  FROM g)
+        | SELECT doc_id, CAST(L AS BIGINT) AS n_tokens,
+        |   CASE WHEN L > 0 THEN CAST(COALESCE(t2, 0) AS BIGINT)
+        |     * 2 * 1000000 // L ELSE CAST(0 AS BIGINT) END
+        |     AS top2_share_micro,
+        |   CASE WHEN L > 0 THEN CAST(COALESCE(t3, 0) AS BIGINT)
+        |     * 3 * 1000000 // L ELSE CAST(0 AS BIGINT) END
+        |     AS top3_share_micro,
+        |   CASE WHEN L > 0 THEN CAST(len(list_filter(range(1, L + 1),
+        |     p -> len(list_filter(range(
+        |       CASE WHEN p - 3 > 1 THEN p - 3 ELSE 1 END,
+        |       (CASE WHEN p < gl THEN p ELSE gl END) + 1),
+        |       q -> c4[CAST(q AS INT)] >= 2)) > 0)) AS BIGINT)
+        |     * 1000000 // L
+        |     ELSE CAST(0 AS BIGINT) END AS dup4_token_share_micro
+        | FROM c""".stripMargin.replace("\n", " "),
     // curation v3 replay: cluster CTEs + the q123 scrub chain, then
     // the q110 novelty idiom and the q49 quality fragment applied to
     // the CLEAN text

@@ -1007,6 +1007,74 @@ object TextStats {
           "n_grams ELSE CAST(0 AS BIGINT) END"))
   }
 
+  /** INTRA-document repetition signals (Rae et al. 2021 "Gopher"
+    * §A1.1, token-level): the quality screens that catch the
+    * boilerplate/spam failure mode [[qualityKeep]]'s length/distinct/
+    * stopword gates miss — a document stuffed with one repeated
+    * phrase passes all three. Integer MICRO shares:
+    *
+    *   - `top2_share_micro` / `top3_share_micro`: tokens claimed by
+    *     the single most frequent 2-/3-gram (count × n) per token —
+    *     Gopher's "fraction within the most frequent n-gram";
+    *   - `dup4_token_share_micro`: fraction of token POSITIONS
+    *     covered by ANY 4-gram occurring ≥ 2× within the doc —
+    *     Gopher's "fraction within all duplicate n-grams" (coverage,
+    *     not a sum, so overlapping repeats never double-count).
+    *
+    * Shape: pure MAP-SIDE `Column` arithmetic over the projected
+    * token array — per-gram occurrence counts via a nested
+    * transform/filter (O(L²) on the ≤doc-length gram array, entirely
+    * inside codegen), coverage via a per-position window exists — NO
+    * explode, NO shuffle, NO per-doc aggregation state (plan-audited
+    * shuffle-free, the q92 scoring shape). Docs with fewer than n
+    * tokens score 0 on that signal.
+    *
+    * Output: (idCol, `n_tokens`, `top2_share_micro`,
+    * `top3_share_micro`, `dup4_token_share_micro`). */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    def counts(grams: Column): Column =
+      transform(grams, g => size(filter(grams, h => h === g)))
+    def topCnt(n: Int): Column =
+      coalesce(array_max(counts(col(s"_g$n"))), lit(0)).cast("long")
+    // token position p (1-based) is covered iff some 4-gram starting
+    // in [p-3, p] (clamped to [1, G]) occurs >= 2x
+    val covered4 = {
+      val g = size(col("_g4"))
+      when(g > 0,
+        size(filter(transform(
+          sequence(lit(1), col("n_tokens").cast("int")),
+          p => {
+            val start = greatest(p - 3, lit(1))
+            val len = least(p, g) - start + 1
+            when(len > 0,
+              exists(slice(col("_c4"), start, len), x => x >= 2))
+              .otherwise(lit(false))
+          }), x => x)))
+        .otherwise(lit(0)).cast("long")
+    }
+    df.select(col(idCol), tokenArray(textCol).as("_ts"))
+      .withColumn("n_tokens", size(col("_ts")).cast("long"))
+      .withColumn("_g2", gramsOf(col("_ts"), 2))
+      .withColumn("_g3", gramsOf(col("_ts"), 3))
+      .withColumn("_g4", gramsOf(col("_ts"), 4))
+      .withColumn("_c4", counts(col("_g4")))
+      .withColumn("_t2", topCnt(2))
+      .withColumn("_t3", topCnt(3))
+      .withColumn("_cov4", covered4)
+      .select(col(idCol), col("n_tokens"),
+        expr("CASE WHEN n_tokens > 0 THEN (_t2 * 2 * 1000000) div " +
+          "n_tokens ELSE CAST(0 AS BIGINT) END")
+          .as("top2_share_micro"),
+        expr("CASE WHEN n_tokens > 0 THEN (_t3 * 3 * 1000000) div " +
+          "n_tokens ELSE CAST(0 AS BIGINT) END")
+          .as("top3_share_micro"),
+        expr("CASE WHEN n_tokens > 0 THEN (_cov4 * 1000000) div " +
+          "n_tokens ELSE CAST(0 AS BIGINT) END")
+          .as("dup4_token_share_micro"))
+  }
+
   /** Distinct (doc, n-gram) census — THE shared artifact of the
     * curation screens ([[gramNovelty]], [[refGramOverlap]], and the
     * fused [[gramScreensFromCensus]]): one row per (document,

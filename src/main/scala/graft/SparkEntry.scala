@@ -1249,8 +1249,10 @@ object SparkEntry {
     // §A1.1): top-2/3-gram token share and duplicated-4-gram token
     // COVERAGE per document — the screens that catch phrase-stuffed
     // spam the q25/q49 length/distinct/stopword gates pass. Pure
-    // map-side list arithmetic (no explode, no shuffle —
-    // spec-asserted), one corpus scan at any scale.
+    // map-side sort + run-length folds — O(L log L) per doc (no
+    // explode, no shuffle — spec-asserted), one corpus scan at any
+    // scale and safe at real pre-training doc lengths (long-doc soak
+    // in STATUS).
     "q125_repetition" -> ((s, dir) =>
       graft.llm.TextStats.repetitionSignals(
         t(s, dir, "documents"), "doc_id", "text")),

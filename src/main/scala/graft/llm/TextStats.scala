@@ -1022,44 +1022,86 @@ object TextStats {
     *     not a sum, so overlapping repeats never double-count).
     *
     * Shape: pure MAP-SIDE `Column` arithmetic over the projected
-    * token array — per-gram occurrence counts via a nested
-    * transform/filter (O(L²) on the ≤doc-length gram array, entirely
-    * inside codegen), coverage via a per-position window exists — NO
-    * explode, NO shuffle, NO per-doc aggregation state (plan-audited
-    * shuffle-free, the q92 scoring shape). Docs with fewer than n
-    * tokens score 0 on that signal.
+    * token array — O(L log L) per document. Top-gram counts are the
+    * max RUN LENGTH of the sorted gram array (one `array_sort` + one
+    * linear `aggregate` fold); dup-4-gram coverage sorts (gram, start)
+    * pairs, marks runs of length ≥ 2 via shifted-array equality
+    * (`zip_with` against a slice — NEVER a lookup into a derived
+    * array from inside a lambda, which CollapseProject is free to
+    * inline and re-evaluate PER ELEMENT, the superquadratic trap the
+    * r14 version fell into), restores start order, and folds the
+    * fixed-width interval union in one linear pass. NO explode, NO
+    * shuffle, NO per-doc aggregation state (plan-audited
+    * shuffle-free). Higher-order-function lambdas are interpreted
+    * (not codegen'd) — each does O(1) work per element, so the
+    * interpretation overhead is a constant factor, not a complexity
+    * term. Docs with fewer than n tokens score 0 on that signal.
     *
     * Output: (idCol, `n_tokens`, `top2_share_micro`,
     * `top3_share_micro`, `dup4_token_share_micro`). */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame,
                         idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame = {
-    def counts(grams: Column): Column =
-      transform(grams, g => size(filter(grams, h => h === g)))
+    // max run length of equal adjacent elements in a SORTED array —
+    // the occurrence count of the most frequent gram. Single linear
+    // fold; the lambda touches only (accumulator, element).
+    def maxRun(sorted: Column): Column =
+      aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(acc("run") > 0 && x === acc("prev"),
+            acc("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best"))
     def topCnt(n: Int): Column =
-      coalesce(array_max(counts(col(s"_g$n"))), lit(0)).cast("long")
-    // token position p (1-based) is covered iff some 4-gram starting
-    // in [p-3, p] (clamped to [1, G]) occurs >= 2x
+      maxRun(array_sort(col(s"_g$n"))).cast("long")
+    // Token position p is covered iff some 4-gram START in
+    // [p-3, p] ∩ [0, G-1] occurs >= 2x in the doc, i.e. the union of
+    // intervals [s, s+3] over duplicated starts s. All derived arrays
+    // below are referenced ONLY at top level (as HOF inputs /
+    // slice targets) — worst case the optimizer duplicates an O(L)
+    // expression a constant number of times, never per-element.
     val covered4 = {
-      val g = size(col("_g4"))
-      when(g > 0,
-        size(filter(transform(
-          sequence(lit(1), col("n_tokens").cast("int")),
-          p => {
-            val start = greatest(p - 3, lit(1))
-            val len = least(p, g) - start + 1
-            when(len > 0,
-              exists(slice(col("_c4"), start, len), x => x >= 2))
-              .otherwise(lit(false))
-          }), x => x)))
-        .otherwise(lit(0)).cast("long")
+      val g = size(col("_sz4"))
+      // _sz4[j] equals its sorted predecessor? (sentinel at j = 0)
+      val eqPrev = zip_with(col("_sz4"),
+        concat(array(struct(lit(null).cast("string").as("g"),
+            lit(-1).as("i"))),
+          slice(col("_sz4"), lit(1), greatest(g - 1, lit(0)))),
+        (a, b) => coalesce(a("g") === b("g"), lit(false)))
+      // duplicated iff it equals the sorted predecessor OR successor
+      val dupFlag = zip_with(eqPrev,
+        concat(slice(eqPrev, lit(2), greatest(g - 1, lit(0))),
+          array(lit(false))),
+        (a, b) => a || b)
+      // back to start order: struct(i, f) sorts on the unique i
+      val byStart = array_sort(
+        zip_with(col("_sz4"), dupFlag,
+          (e, f) => struct(e("i").as("i"), f.as("f"))))
+      // linear interval union: ends are monotone (s+3 grows with s),
+      // so each duplicated start adds min(4, s + 3 - prevEnd) tokens
+      val cov = aggregate(byStart,
+        struct(lit(-1000000).as("end"), lit(0L).as("cov")),
+        (acc, x) => when(x("f"),
+            struct((x("i") + 3).as("end"),
+              (acc("cov") + least(lit(4L),
+                (x("i") + 3 - acc("end")).cast("long"))).as("cov")))
+          .otherwise(acc),
+        acc => acc("cov"))
+      when(g > 0, cov).otherwise(lit(0L))
     }
     df.select(col(idCol), tokenArray(textCol).as("_ts"))
       .withColumn("n_tokens", size(col("_ts")).cast("long"))
       .withColumn("_g2", gramsOf(col("_ts"), 2))
       .withColumn("_g3", gramsOf(col("_ts"), 3))
       .withColumn("_g4", gramsOf(col("_ts"), 4))
-      .withColumn("_c4", counts(col("_g4")))
+      // (gram, start) pairs sorted gram-major, start-minor — the one
+      // O(L log L) artifact the coverage pass hangs off
+      .withColumn("_sz4", array_sort(
+        transform(col("_g4"), (gm, i) =>
+          struct(gm.as("g"), i.cast("int").as("i")))))
       .withColumn("_t2", topCnt(2))
       .withColumn("_t3", topCnt(3))
       .withColumn("_cov4", covered4)

@@ -475,7 +475,11 @@ object TextStats {
       .select(col(idCol), explode(filter(
         tokens(col(textCol)), t => length(t) > 0)).as("_t"))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("_dl"))
-    val nl = dl.agg(sum(col("_dl")).as("_L"))
+    // coalesce: a corpus (or insert BATCH — bm25StatsInsert adds this
+    // scalar to the maintained _L) with zero tokens must yield L = 0,
+    // not NULL; sum() over no rows is NULL and NULL would silently
+    // poison every downstream score
+    val nl = dl.agg(coalesce(sum(col("_dl")), lit(0L)).as("_L"))
       .crossJoin(docs.agg(count(lit(1)).as("_N")))
     (toks, dl, nl)
   }

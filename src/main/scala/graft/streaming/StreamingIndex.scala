@@ -141,8 +141,16 @@ object StreamingIndex {
     * un-overflowed (the posting set absorbs re-deliveries, both
     * directions); for an overflowed token the ±1s MUST be exactly-
     * once (the df counter is all the state there is — the
-    * [[StreamingSketch.cmsCountersSigned]] contract). Tokens whose
-    * net df reaches 0 clear their state entirely. */
+    * [[StreamingSketch.cmsCountersSigned]] contract). Any other op
+    * value is a contract violation and fails the stream loudly.
+    * Tokens whose net df reaches 0 shrink to a MINIMAL state (just
+    * the seq counter — O(1), bounded by vocabulary, not stream
+    * length): dropping state entirely would restart seq at 1 on
+    * re-ingest and max-seq readers would resurrect the tombstone. A
+    * fully-forgotten token's posting set is exactly empty, so the
+    * tombstone also clears `overflowed` — list maintenance resumes
+    * from scratch on re-ingest, same as a batch rebuild over the net
+    * corpus. */
   def invertedIndexCdc(stream: DataFrame, opCol: String, idCol: String,
                        textCol: String, maxDf: Int)
       : Dataset[TokenPostingsCdc] = {
@@ -167,23 +175,31 @@ object StreamingIndex {
           var postings = prev.postings.toSet
           var changed = false
           rows.foreach { case (op, id, _) =>
-            if (op >= 0) {
+            if (op == 1) {
               if (overflowed) { df += 1; changed = true }
               else if (!postings.contains(id)) {
                 postings += id; df += 1; changed = true
                 if (df > maxDf) { overflowed = true; postings = Set.empty }
               }
-            } else {
+            } else if (op == -1) {
               if (overflowed) { df -= 1; changed = true }
               else if (postings.contains(id)) {
                 postings -= id; df -= 1; changed = true
               }
-            }
+            } else throw new IllegalArgumentException(
+              s"CDC op must be +1 (ingest) or -1 (forget), got $op " +
+                s"for (token=$token, doc=$id)")
           }
           if (!changed) Iterator.empty
           else if (df <= 0L) {
-            // fully forgotten: clear state; emit the tombstone row
-            if (state.exists) state.remove()
+            // fully forgotten: shrink to the minimal seq-only state
+            // (NOT state.remove() — a dropped seq would restart at 1
+            // on re-ingest, below the tombstone's seq, and max-seq
+            // readers would resurrect the tombstone); df = 0 means
+            // the posting set is exactly empty, so overflow clears
+            // and list maintenance resumes on re-ingest
+            state.update(CdcState(0L, Vector.empty, overflowed = false,
+              prev.seq + 1))
             Iterator.single(TokenPostingsCdc(token, 0L, null,
               prev.seq + 1))
           } else {

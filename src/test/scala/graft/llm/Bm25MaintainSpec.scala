@@ -92,6 +92,22 @@ class Bm25MaintainSpec extends SparkSpec {
       "text", n = 2)) === m(counts))
   }
 
+  test("an ALL-token-less insert batch bumps N, leaves L intact, and " +
+    "never NULLs the scalars") {
+    val batch = Seq((8L, ""), (9L, "")).toDF("doc_id", "text")
+    val (tf, dl, nl) = TextStats.bm25Stats(docs, "doc_id", "text")
+    val (tf2, dl2, nl2) = TextStats.bm25StatsInsert(tf, dl, nl,
+      batch, "doc_id", "text")
+    val row = nl2.collect()(0)
+    assert(!row.isNullAt(0) && !row.isNullAt(1),
+      "empty-batch insert must not NULL-poison the (L, N) scalars")
+    assert(row.getLong(0) === 18L && row.getLong(1) === 8L)
+    assert(ranked(TextStats.bm25TopKFromStats(tf2, dl2, nl2, "doc_id",
+      terms, k = 10)) ===
+      ranked(TextStats.bm25TopKMicro(docs.unionByName(batch), "doc_id",
+        "text", terms, k = 10)))
+  }
+
   test("two sequential stat-forgets equal one combined batch") {
     val (tf, dl, nl) = TextStats.bm25Stats(docs, "doc_id", "text")
     val (tfA, dlA, nlA) = TextStats.bm25StatsForget(tf, dl, nl,

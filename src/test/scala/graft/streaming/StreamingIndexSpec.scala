@@ -171,6 +171,62 @@ class StreamingIndexSpec extends SparkSpec {
       s"cold vs batch: ${m("cold")} vs ${batch("cold")}")
   }
 
+  test("CDC inverted index: full forget then RE-INGEST — the live row " +
+    "outranks the tombstone under the max-seq reader rule, and an " +
+    "ever-overflowed token resumes list maintenance from empty") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, String)]
+    val query = StreamingIndex.invertedIndexCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "doc_id",
+        "text", maxDf = 2)
+      .writeStream.format("memory").queryName("cdc_reingest_out")
+      .outputMode("update").start()
+    try {
+      Seq(
+        // 'w' df 1; 'v' overflows (df 3 > maxDf 2)
+        Seq((1, 1L, "w v"), (1, 2L, "v"), (1, 3L, "v")),
+        // full forget of both -> tombstones at df 0
+        Seq((-1, 1L, "w v"), (-1, 2L, "v"), (-1, 3L, "v")),
+        // re-ingest into fresh docs
+        Seq((1, 7L, "w v"), (1, 8L, "v"))
+      ).foreach { b => stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    val rows = spark.table("cdc_reingest_out").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getSeq[Long](2)).map(_.toSeq), r.getLong(3)))
+    val m = rows.groupBy(_._1)
+      .map { case (_, vs) => vs.maxBy(_._4) }.map(t => t._1 -> t).toMap
+    // the max-seq row must be the LIVE re-ingested snapshot — a seq
+    // counter that reset across the tombstone would resurrect df 0
+    assert(m("w")._2 == 1L && m("w")._3.contains(Seq(7L)),
+      s"w after re-ingest: ${m("w")}")
+    // overflow cleared at df 0 (posting set exactly empty there), so
+    // 'v' carries a real list again on the fresh corpus
+    assert(m("v")._2 == 2L && m("v")._3.contains(Seq(7L, 8L)),
+      s"v after re-ingest: ${m("v")}")
+    // the tombstones themselves were emitted (seq strictly between)
+    assert(rows.exists(t => t._1 == "w" && t._2 == 0L && t._4 < m("w")._4))
+  }
+
+  test("CDC inverted index rejects an op outside the ±1 contract " +
+    "loudly instead of silently ingesting") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, String)]
+    val query = StreamingIndex.invertedIndexCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "doc_id",
+        "text", maxDf = 2)
+      .writeStream.format("memory").queryName("cdc_badop_out")
+      .outputMode("update").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      stream.addData(Seq((0, 1L, "w")))
+      query.processAllAvailable()
+    }
+    query.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("CDC op must be +1")), err.getMessage)
+  }
+
   test("CDC inverted index on a randomized insert/forget schedule: " +
     "never-overflowed tokens equal the batch index on the net corpus, " +
     "markers keep exact net dfs") {

@@ -994,8 +994,12 @@ object Dedup {
     * argument); train grams join it positionally and each hit covers
     * token indices [pos, pos+n-1]; the covered-index set folds
     * per-doc into ONE bounded array (≤ doc length — the per-doc
-    * buffer convention); the text surgery is then a MAP-SIDE indexed
-    * `filter` over the token array — the corpus text is never
+    * buffer convention); the text surgery is then MAP-SIDE: kept
+    * indices come from ONE hash-set `array_except` over the position
+    * range (O(L + |cov|), never a per-token membership scan — an
+    * `array_contains(_cov, i)` inside the filter lambda is
+    * O(L·|cov|), quadratic on a heavily-contaminated long doc) and
+    * map back to tokens by position — the corpus text is never
     * shuffled, only (doc, hit) rows move. Docs with no hit pass
     * through verbatim on a left join. Token-level cutting on the
     * single-space tokenizer every other operator uses, so the output
@@ -1025,13 +1029,17 @@ object Dedup {
           .as("_idx"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("_idx"))).as("_cov"))
+    val keptIdx = array_except(
+      sequence(lit(0), size(col("_ts")) - 1),
+      coalesce(col("_cov"), array().cast("array<int>")))
     ts.join(hits, Seq(idCol), "left")
       .select(col(idCol),
         size(col("_ts")).cast("long").as("n_tokens"),
         coalesce(size(col("_cov")), lit(0)).cast("long").as("n_removed"),
-        array_join(filter(col("_ts"), (t, i) =>
-          col("_cov").isNull || !array_contains(col("_cov"), i)), " ")
-          .as("text_clean"))
+        when(size(col("_ts")) > 0,
+          array_join(transform(keptIdx,
+            j => element_at(col("_ts"), j + 1)), " "))
+          .otherwise(lit("")).as("text_clean"))
   }
 
   /** Quality-aware keeper selection over duplicate clusters — the

@@ -587,6 +587,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pipeline entries serve duplicate clusters from the STORED " +
+    "artifact (derived + written once per dir), never by re-running " +
+    "clustering inline") {
+    val sfDir = "/root/testdata/sf0.001"
+    // first consumer builds the artifact (derive + parquet write)...
+    SparkEntry.queries("q65_dup_profile")(spark, sfDir).collect()
+    graft.llm.Dedup.releaseCaches()
+    // ...every later consumer's plan must READ it: the losers branch
+    // is a FileScan of the artifact path, not a MinHash/CC subtree
+    Seq("q66_curation_pipeline", "q93_leakage_split",
+        "q117_curation_v2", "q124_curation_v3").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      graft.llm.Dedup.releaseCaches()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft-cluster-artifact-"),
+        s"$q clusters not served from the stored artifact in:\n$plan")
+    }
+  }
+
   test("curation v3 (q124): the scrubbed frame's exchange is reused " +
     "by its consumers (quality filter + novelty census + roster) " +
     "instead of re-executing the scrub per consumer; no cartesian") {

@@ -73,6 +73,41 @@ object SparkEntry {
   // entry's bench re-runs) reads the scan. q31 — the entry that OWNS
   // the clustering — stays on the live derivation, so its bench
   // median keeps pricing the real clustering cost.
+  // ---- CDC gate plumbing (★r15): drive a ±1 MemoryStream feed of
+  // the documents table — ingest ALL docs, then forget doc_id % 7 ==
+  // 0 (the q118/q101 split) — through a streaming CDC index operator
+  // and return the per-token max-seq snapshot as a batch frame. The
+  // driver-side feed is gate-scale only (bounded by the sf table; a
+  // production feed is a real source). Ingest and forget batches
+  // never interleave, so a doc's ±1 events never share a
+  // micro-batch. Unique memory-sink names per invocation so bench
+  // re-runs don't collide.
+  private val cdcGateNames = new java.util.concurrent.atomic.AtomicInteger
+  private def runCdcGate(s: SparkSession, dir: String, name: String)
+      (mk: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val chunk = math.max(1, rows.size / 4)
+    val batches =
+      rows.map { case (i, x) => (1, i, x) }.grouped(chunk).toSeq ++
+        rows.filter(_._1 % 7 == 0)
+          .map { case (i, x) => (-1, i, x) }.grouped(chunk).toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, Long, String)]
+    val qn = s"${name}_${cdcGateNames.incrementAndGet()}"
+    val q = mk(stream.toDF().toDF("op", "doc_id", "text"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("update").start()
+    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy(col("seq").desc)
+    s.table(qn).withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "seq")
+  }
+
   private val clusterArtifacts =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def clusterArtifact(s: SparkSession, dir: String): DataFrame = {
@@ -1278,6 +1313,46 @@ object SparkEntry {
     "q125_repetition" -> ((s, dir) =>
       graft.llm.TextStats.repetitionSignals(
         t(s, dir, "documents"), "doc_id", "text")),
+    // LLM §streaming — the CDC ingest/forget loop GATED (★r15, the
+    // q118 pattern on the streaming axis): feed the documents table
+    // as +1 rows, then forget doc_id % 7 == 0 as −1 rows, through
+    // positionalIndexCdc; the max-seq snapshot must hash-equal the
+    // positional index DuckDB builds FROM SCRATCH on the net corpus.
+    // Ever-overflowed tokens keep the honest marker — and since df
+    // only grows during the ingest phase, peak df = full-corpus df,
+    // so the marker condition is SQL-expressible (dfull > maxDf).
+    // df >= 5 is the reader-side window, applied identically on the
+    // snapshot and in the oracle's HAVING.
+    "q126_positional_cdc" -> ((s, dir) => {
+      val snap = runCdcGate(s, dir, "pos_cdc_gate")(df =>
+        graft.streaming.StreamingIndex.positionalIndexCdc(
+          df, "op", "doc_id", "text", maxDf = 400).toDF())
+        .filter(col("df") >= 5)
+      val live = snap.filter(col("docs").isNotNull)
+        .select(col("token"), col("df"), explode(col("docs")).as("_e"))
+        .select(col("token"), col("df"),
+          col("_e.doc_id").as("doc_id"),
+          concat_ws(",", transform(col("_e.positions"),
+            p => p.cast("string"))).as("positions"))
+      val marker = snap.filter(col("docs").isNull)
+        .select(col("token"), col("df"),
+          lit(-1L).as("doc_id"), lit("<overflow>").as("positions"))
+      live.unionByName(marker)
+    }),
+    // ... and the inverted sibling through the same feed: snapshot ≡
+    // DuckDB inverted build on the net corpus, '<overflow>' on
+    // ever-overflowed tokens (exact net df either way).
+    "q127_inverted_cdc" -> ((s, dir) => {
+      runCdcGate(s, dir, "inv_cdc_gate")(df =>
+        graft.streaming.StreamingIndex.invertedIndexCdc(
+          df, "op", "doc_id", "text", maxDf = 400).toDF())
+        .filter(col("df") >= 5)
+        .select(col("token"), col("df"),
+          when(col("postings").isNull, lit("<overflow>"))
+            .otherwise(concat_ws(",", transform(col("postings"),
+              p => p.cast("string"))))
+            .as("postings"))
+    }),
     // LLM §pipeline — curation v3 (★r14): v2 with the contamination
     // screen replaced by contamination SURGERY — scrub the bench-
     // verbatim spans out (q123) instead of dropping whole docs, then
@@ -2900,6 +2975,49 @@ object SparkEntry {
         |     * 1000000 // L
         |     ELSE CAST(0 AS BIGINT) END AS dup4_token_share_micro
         | FROM c""".stripMargin.replace("\n", " "),
+    // CDC positional gate: the net-corpus positional build, with the
+    // ever-overflow condition on FULL-corpus df (peak df = full df —
+    // ingests precede forgets)
+    "q126_positional_cdc" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |     string_split(text, ' '), x -> x <> '') AS ts
+        |   FROM documents),
+        | pt AS (SELECT doc_id, unnest(ts) AS token,
+        |     unnest(range(1, len(ts) + 1)) AS pos FROM d),
+        | dfull AS (SELECT token, count(DISTINCT doc_id) AS dff
+        |   FROM pt GROUP BY 1),
+        | net AS (SELECT * FROM pt WHERE doc_id % 7 <> 0),
+        | dnet AS (SELECT token, count(DISTINCT doc_id) AS df
+        |   FROM net GROUP BY 1
+        |   HAVING count(DISTINCT doc_id) >= 5)
+        | SELECT net.token, dnet.df, net.doc_id,
+        |   array_to_string(list(net.pos ORDER BY net.pos), ',')
+        |     AS positions
+        | FROM net JOIN dnet USING (token) JOIN dfull USING (token)
+        | WHERE dfull.dff <= 400
+        | GROUP BY 1, 2, 3
+        | UNION ALL
+        | SELECT token, df, CAST(-1 AS BIGINT) AS doc_id,
+        |   '<overflow>' AS positions
+        | FROM dnet JOIN dfull USING (token)
+        | WHERE dfull.dff > 400""".stripMargin.replace("\n", " "),
+    // CDC inverted gate: same feed, q118's formatting
+    "q127_inverted_cdc" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(text, ' '), x -> x <> '')) AS t
+        |    FROM documents)),
+        | dfull AS (SELECT token, count(*) AS dff FROM dt GROUP BY 1),
+        | net AS (SELECT * FROM dt WHERE doc_id % 7 <> 0),
+        | dnet AS (SELECT token, count(*) AS df FROM net GROUP BY 1
+        |   HAVING count(*) >= 5)
+        | SELECT net.token, dnet.df,
+        |   CASE WHEN dfull.dff > 400 THEN '<overflow>'
+        |     ELSE array_to_string(list(net.doc_id ORDER BY net.doc_id),
+        |       ',') END AS postings
+        | FROM net JOIN dnet USING (token) JOIN dfull USING (token)
+        | GROUP BY net.token, dnet.df, dfull.dff""".stripMargin
+        .replace("\n", " "),
     // curation v3 replay: cluster CTEs + the q123 scrub chain, then
     // the q110 novelty idiom and the q49 quality fragment applied to
     // the CLEAN text

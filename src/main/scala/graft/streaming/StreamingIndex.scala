@@ -151,6 +151,102 @@ object StreamingIndex {
     * tombstone also clears `overflowed` — list maintenance resumes
     * from scratch on re-ingest, same as a batch rebuild over the net
     * corpus. */
+  /** One document's positions of one token, inside a
+    * [[TokenPositionalCdc]] snapshot. Positions are 1-based, sorted —
+    * the batch [[graft.llm.IndexMaintain.positionalIndexWithOverflow]]
+    * convention. */
+  case class DocPositions(doc_id: Long, positions: Seq[Int])
+
+  /** One CDC snapshot row of the POSITIONAL index: the token's whole
+    * per-doc position table (`docs`, sorted by doc id; null once the
+    * token has ever overflowed — the honest marker), exact net `df`,
+    * and the per-token `seq` readers take the max of. */
+  case class TokenPositionalCdc(token: String, df: Long,
+                                docs: Seq[DocPositions], seq: Long)
+
+  private[streaming] final case class PosCdcState(
+      df: Long, docs: Seq[DocPositions], overflowed: Boolean, seq: Long)
+
+  /** Continuously-maintained POSITIONAL index over a ±1 CDC feed —
+    * [[invertedIndexCdc]]'s contract carried to the (token, doc,
+    * positions) shape of
+    * [[graft.llm.IndexMaintain.positionalIndexWithOverflow]]: exact
+    * NET df always; the per-doc position lists ONLY while the token
+    * has never exceeded `maxDf` (once overflowed the table is gone
+    * for good — marker rows with null `docs` — until a full forget:
+    * df = 0 proves the table is exactly empty, so overflow clears and
+    * maintenance resumes, same as the inverted sibling). Tombstones
+    * (df 0, null docs) emit on full forget over a minimal seq-only
+    * state, so the max-seq reader rule survives re-ingest.
+    *
+    * Ingest contract: ±1 per document exactly-once, ops outside ±1
+    * fail loudly, and a document's +1 and −1 must not share a
+    * micro-batch (within one batch, ingests apply before forgets,
+    * each in ascending doc order — deterministic, but the
+    * ingest-before-forget convention is only meaningful across
+    * batches). A document's positions for a token all arrive with its
+    * one exploded input row, so the state never sees partial
+    * position lists. */
+  def positionalIndexCdc(stream: DataFrame, opCol: String, idCol: String,
+                         textCol: String, maxDf: Int)
+      : Dataset[TokenPositionalCdc] = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(opCol).cast("int").as("op"),
+        col(idCol).cast("long").as("doc_id"),
+        posexplode(filter(TextStats.tokens(col(textCol)),
+          t => length(t) > 0)).as(Seq("_pos0", "token")))
+      .as[(Int, Long, Int, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[PosCdcState, TokenPositionalCdc](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (token: String, rows: Iterator[(Int, Long, Int, String)],
+         state: GroupState[PosCdcState]) =>
+          val prev = state.getOption
+            .getOrElse(PosCdcState(0L, Vector.empty, false, 0L))
+          var df = prev.df
+          var overflowed = prev.overflowed
+          var docs = prev.docs.map(e => e.doc_id -> e.positions).toMap
+          var changed = false
+          val groups = rows.toSeq.groupBy(r => (r._1, r._2)).toSeq
+            .sortBy { case ((op, id), _) => (-op, id) } // +1 first
+          groups.foreach { case ((op, id), rs) =>
+            if (op == 1) {
+              if (overflowed) { df += 1; changed = true }
+              else if (!docs.contains(id)) {
+                docs += id -> rs.map(_._3 + 1).sorted
+                df += 1; changed = true
+                if (df > maxDf) { overflowed = true; docs = Map.empty }
+              }
+            } else if (op == -1) {
+              if (overflowed) { df -= 1; changed = true }
+              else if (docs.contains(id)) {
+                docs -= id; df -= 1; changed = true
+              }
+            } else throw new IllegalArgumentException(
+              s"CDC op must be +1 (ingest) or -1 (forget), got $op " +
+                s"for (token=$token, doc=$id)")
+          }
+          if (!changed) Iterator.empty
+          else if (df <= 0L) {
+            state.update(PosCdcState(0L, Vector.empty,
+              overflowed = false, prev.seq + 1))
+            Iterator.single(TokenPositionalCdc(token, 0L, null,
+              prev.seq + 1))
+          } else {
+            val table =
+              if (overflowed) Vector.empty[DocPositions]
+              else docs.toVector.sortBy(_._1)
+                .map { case (d, ps) => DocPositions(d, ps) }
+            state.update(PosCdcState(df, table, overflowed, prev.seq + 1))
+            Iterator.single(TokenPositionalCdc(token, df,
+              if (overflowed) null else table, prev.seq + 1))
+          }
+      }
+  }
+
   def invertedIndexCdc(stream: DataFrame, opCol: String, idCol: String,
                        textCol: String, maxDf: Int)
       : Dataset[TokenPostingsCdc] = {

@@ -280,6 +280,111 @@ class StreamingIndexSpec extends SparkSpec {
       "schedule must exercise both listed and marker rows")
   }
 
+  test("positional CDC index: inserts then forgets converge to the " +
+    "batch positional build on the NET corpus; overflow markers and " +
+    "tombstones honest; re-ingest resumes after full forget") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, String)]
+    // maxDf = 2: "hot" overflows at df 3 and stays over (net df 3);
+    // "cold" stays in-window and loses doc 2; "gone" fully forgets
+    // then RE-ingests into doc 9.
+    val query = StreamingIndex.positionalIndexCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "doc_id",
+        "text", maxDf = 2)
+      .writeStream.format("memory").queryName("pos_cdc_out")
+      .outputMode("update").start()
+    try {
+      Seq(
+        Seq((1, 1L, "hot cold gone hot"), (1, 2L, "hot cold")),
+        Seq((1, 3L, "hot"), (1, 4L, "hot")),
+        Seq((-1, 2L, "hot cold"), (-1, 1L, "hot cold gone hot")),
+        Seq((1, 9L, "gone gone"))
+      ).foreach { b => stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    val snap = spark.table("pos_cdc_out")
+      .as[StreamingIndex.TokenPositionalCdc].collect()
+      .groupBy(_.token).map { case (_, vs) => vs.maxBy(_.seq) }
+    val m = snap.map(t => t.token -> t).toMap
+    // hot: peak df 4 > 2 -> marker forever; net df 2 after forgets
+    assert(m("hot").df == 2L && m("hot").docs == null, m("hot"))
+    // cold: in-window throughout; only doc... both 1 and 2 forgotten
+    // -> fully forgotten -> tombstone
+    assert(m("cold").df == 0L && m("cold").docs == null, m("cold"))
+    // gone: forgotten at batch 3 (tombstone), re-ingested doc 9 with
+    // positions [1, 2] — the live row must outrank the tombstone
+    assert(m("gone").df == 1L &&
+      m("gone").docs == Seq(StreamingIndex.DocPositions(9L, Seq(1, 2))),
+      m("gone"))
+    // and equal the batch positional build on the net corpus for the
+    // never-overflowed survivors
+    val net = Seq((3L, "hot"), (4L, "hot"), (9L, "gone gone"))
+      .toDF("doc_id", "text")
+    val batch = graft.llm.IndexMaintain.positionalIndexWithOverflow(
+        net, "doc_id", "text", minDf = 1, maxDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString.toLong),
+        Option(r.getSeq[Int](3)).map(_.toSeq)))
+    val batchGone = batch.filter(_._1 == "gone").toSeq
+    assert(batchGone == Seq(("gone", 1L, Some(9L), Some(Seq(1, 2)))))
+  }
+
+  test("positional CDC index on a randomized insert/forget schedule " +
+    "equals positionalIndexWithOverflow on the net corpus") {
+    val rnd = new scala.util.Random(67)
+    val vocab = (0 until 8).map(i => ('a' + i).toChar.toString)
+    val corpus = (1L to 40L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))).toMap
+    val dead = corpus.keys.toSeq.sorted.filter(_ => rnd.nextInt(3) == 0)
+    val feed = corpus.toSeq.sortBy(_._1).map { case (i, t) => (1, i, t) } ++
+      dead.map(i => (-1, i, corpus(i)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, String)]
+    val query = StreamingIndex.positionalIndexCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "doc_id",
+        "text", maxDf = 20)
+      .writeStream.format("memory").queryName("pos_cdc_rand_out")
+      .outputMode("update").start()
+    try {
+      var rest = feed
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(9)
+        stream.addData(rest.take(take))
+        query.processAllAvailable()
+        rest = rest.drop(take)
+      }
+    } finally query.stop()
+    val snap = spark.table("pos_cdc_rand_out")
+      .as[StreamingIndex.TokenPositionalCdc].collect()
+      .groupBy(_.token).map { case (_, vs) => vs.maxBy(_.seq) }.toSeq
+    val net = (corpus.keySet -- dead).toSeq.sorted.map(i => (i, corpus(i)))
+    val batch = graft.llm.IndexMaintain.positionalIndexWithOverflow(
+        net.toDF("doc_id", "text"), "doc_id", "text",
+        minDf = 1, maxDf = 1000000)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getLong(1), r.getSeq[Int](3).toSeq)).toMap
+    // never-overflowed live tokens: per-doc position lists and net df
+    // equal the from-scratch batch build
+    val live = snap.filter(t => t.df > 0 && t.docs != null)
+    assert(live.nonEmpty && snap.exists(t => t.df > 0 && t.docs == null),
+      "schedule must exercise both live and marker rows")
+    live.foreach { t =>
+      t.docs.foreach { e =>
+        assert(batch((t.token, e.doc_id)) == ((t.df, e.positions)),
+          s"${t.token}/${e.doc_id}: (${t.df}, ${e.positions}) vs " +
+            s"${batch.get((t.token, e.doc_id))}")
+      }
+      assert(t.docs.size == t.df, s"${t.token}: table/df out of sync")
+    }
+    // ever-overflowed markers: net df still exact (batch df of any of
+    // its rows on the net corpus)
+    snap.filter(t => t.df > 0 && t.docs == null).foreach { t =>
+      val dfNet = batch.collect {
+        case ((tok, _), (d, _)) if tok == t.token => d }.headOption
+      assert(dfNet.contains(t.df), s"${t.token} marker df ${t.df} vs $dfNet")
+    }
+  }
+
   test("streaming inverted index equals the batch build on a " +
     "randomized corpus split into random micro-batches") {
     val rnd = new scala.util.Random(59)

@@ -97,5 +97,23 @@ for name in sorted(p.name for p in outdir.iterdir() if p.is_dir()):
             print("  first diffs:", diff)
     else:
         print(f"{name}: OK rows={len(s)}")
+# Bench-budget commit gate (r15 policy): every gate query must carry a
+# recorded sf0.1 bench reading in scripts/bench_ledger.json — an entry
+# shipped un-benched is how r14's q125 (91.9 s, 32% of the bench)
+# landed. Presence is the gate; overruns are the bench facet's job.
+ledger_path = Path(__file__).parent / "bench_ledger.json"
+if ledger_path.exists():
+    ledger = set(json.loads(ledger_path.read_text()))
+    ran = set(p.name for p in outdir.iterdir() if p.is_dir())
+    unmeasured = sorted(ran - ledger)
+    if unmeasured:
+        fails.extend(unmeasured)
+        print(f"UNMEASURED (no sf0.1 reading in bench_ledger.json): "
+              f"{unmeasured}")
+else:
+    fails.append("bench_ledger.json")
+    print("MISSING scripts/bench_ledger.json — record sf0.1 per-entry "
+          "seconds before shipping gate rows")
+
 print("FAILS:", fails if fails else "none")
 sys.exit(1 if fails else 0)

@@ -110,6 +110,32 @@ object StreamingIndex {
       }
   }
 
+  /** Continuously-maintained BM25 (L, N) SCALARS over a ±1 CDC feed —
+    * the [[graft.llm.TextStats.bm25Stats]] `nl` frame as one signed
+    * streaming aggregation (the
+    * [[StreamingSketch.histogramCountersSigned]] pattern): state is
+    * the single (`_L`, `_N`) row, ingest adds the doc's token count
+    * and 1, forget subtracts them — token-less docs contribute 0 to L
+    * and ±1 to N, exactly the batch convention. The per-row tf/dl
+    * tables need no operator: they are row streams a sink compacts
+    * (a doc's rows simply appear/disappear with it); df rides
+    * [[invertedIndexCdc]]. Ops outside ±1 fail loudly map-side.
+    * Snapshot (complete/update mode) equals the batch scalars of the
+    * net corpus — the differential the spec pins. */
+  def bm25ScalarsCdc(stream: DataFrame, opCol: String,
+                     textCol: String): DataFrame =
+    stream
+      .select(
+        when(col(opCol) === 1 || col(opCol) === -1,
+          col(opCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("CDC op must be +1 (ingest) or -1 (forget), got "),
+            col(opCol).cast("string")))).as("_op"),
+        size(filter(TextStats.tokens(col(textCol)),
+          t => length(t) > 0)).cast("long").as("_dl"))
+      .agg(sum(col("_op") * col("_dl")).as("_L"),
+        sum(col("_op")).as("_N"))
+
   /** One CDC snapshot row: `seq` is a per-token update counter — df
     * can now DECREASE, so "latest = max df" no longer identifies the
     * current row; readers take the max-`seq` row per token instead. */

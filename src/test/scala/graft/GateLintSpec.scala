@@ -39,4 +39,34 @@ class GateLintSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("every gate query has a RECORDED sf0.1 bench reading in " +
+    "scripts/bench_ledger.json (the commit-time budget gate)") {
+    // The r14 q125 lesson: a gate row landed with no bench reading
+    // and turned out to cost 91.9 s (32% of the whole bench). This
+    // lint makes the reading a precondition: a new queries key fails
+    // the suite until its sf0.1 entry-seconds is measured and
+    // recorded (SPARK_GRAFT_ONLY=<name> bench run, then update the
+    // ledger). Budget OVERRUNS stay the bench facet's job
+    // (n_over_budget) — this gate only refuses UNMEASURED entries.
+    val ledgerPath = java.nio.file.Paths.get("scripts/bench_ledger.json")
+    assert(java.nio.file.Files.exists(ledgerPath),
+      "scripts/bench_ledger.json missing")
+    val ledger = ujsonKeys(new String(
+      java.nio.file.Files.readAllBytes(ledgerPath), "UTF-8"))
+    val unmeasured = SparkEntry.queries.keySet -- ledger
+    assert(unmeasured.isEmpty,
+      s"gate entries with NO recorded sf0.1 bench reading: " +
+        s"${unmeasured.toSeq.sorted.mkString(", ")} — run " +
+        s"SPARK_GRAFT_ONLY=<name> graft.Bench at sf0.1 and record " +
+        s"the seconds in scripts/bench_ledger.json before shipping")
+    val stale = ledger -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"ledger rows without a queries entry (stale): $stale")
+  }
+
+  /** Top-level keys of a flat JSON object {"name": 1.23, ...} without
+    * a JSON dependency: good enough for the ledger's fixed shape. */
+  private def ujsonKeys(s: String): Set[String] =
+    "\"([^\"]+)\"\\s*:".r.findAllMatchIn(s).map(_.group(1)).toSet
 }

@@ -385,6 +385,40 @@ class StreamingIndexSpec extends SparkSpec {
     }
   }
 
+  test("BM25 scalars CDC: the signed (L, N) aggregation converges to " +
+    "the batch bm25Stats scalars on the net corpus, token-less docs " +
+    "counting in N only") {
+    val rnd = new scala.util.Random(71)
+    val vocab = (0 until 6).map(i => ('a' + i).toChar.toString)
+    val corpus = (1L to 30L).map { i =>
+      val n = rnd.nextInt(8) // 0-token docs included
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toMap
+    val dead = corpus.keys.toSeq.sorted.filter(_ % 4 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, String)]
+    val query = StreamingIndex.bm25ScalarsCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "text")
+      .writeStream.format("memory").queryName("bm25_cdc_out")
+      .outputMode("complete").start()
+    try {
+      val feed = corpus.toSeq.sortBy(_._1).map { case (i, t) => (1, i, t) } ++
+        dead.map(i => (-1, i, corpus(i)))
+      feed.grouped(7).foreach { b =>
+        stream.addData(b); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val Array(l, n) = spark.table("bm25_cdc_out").collect()(0)
+      .toSeq.map(_.toString.toLong).toArray
+    val net = (corpus.keySet -- dead).toSeq.sorted
+      .map(i => (i, corpus(i)))
+    val (_, _, nl) = TextStats.bm25Stats(net.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val Array(lB, nB) = nl.collect()(0).toSeq.map(_.toString.toLong).toArray
+    assert((l, n) === ((lB, nB)), s"cdc ($l, $n) vs batch ($lB, $nB)")
+    assert(n === 23L, "forget schedule must have fired (30 - 7 dead)")
+  }
+
   test("streaming inverted index equals the batch build on a " +
     "randomized corpus split into random micro-batches") {
     val rnd = new scala.util.Random(59)

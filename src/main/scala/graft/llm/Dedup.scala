@@ -886,12 +886,19 @@ object Dedup {
         explode(expr(s"sequence(_s, _s + $k - 1)")).as("_p"))
       .distinct()
       .groupBy(col(idCol)).agg(collect_set(col("_p")).as("_cov"))
+    // kept indices via ONE hash-set array_except (O(L + |cov|)) —
+    // an array_contains(_cov, i) inside the rebuild lambda would be
+    // O(L·|cov|), quadratic on a boilerplate-heavy long document
+    // (the scrubRefSpans lesson)
+    val keptIdx = array_except(
+      sequence(lit(0), size(col("_ts")) - 1),
+      coalesce(col("_cov"), array().cast("array<int>")))
     base.join(covered, Seq(idCol), "left")
       .select(col(idCol),
-        concat_ws(" ", expr(
-          "filter(transform(_ts, (t, i) -> " +
-            "IF(_cov IS NOT NULL AND array_contains(_cov, i), NULL, t)), " +
-            "x -> x IS NOT NULL)")).as("text_clean"),
+        when(size(col("_ts")) > 0,
+          concat_ws(" ", transform(keptIdx,
+            j => element_at(col("_ts"), j + 1))))
+          .otherwise(lit("")).as("text_clean"),
         coalesce(size(col("_cov")), lit(0)).as("n_tokens_removed"))
   }
 

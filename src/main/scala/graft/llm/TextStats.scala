@@ -397,10 +397,15 @@ object TextStats {
         .select(col(idCol), col("positions").as(s"_p$o"))
     }
     val joined = frames.reduce(_.join(_, idCol))
-    val occ = size(filter(col("_p0"), p =>
-      phrase.indices.drop(1).map(o =>
-          array_contains(col(s"_p$o"), p + lit(o)))
-        .reduceOption(_ && _).getOrElse(lit(true))))
+    // hash-based intersection of the anchor list with each term's
+    // back-shifted list: O(Σ|positions|) per doc, where the previous
+    // per-anchor array_contains scan was O(|p0|·Σ|p_o|) — quadratic
+    // on a document that repeats a phrase term heavily. Positions are
+    // distinct, so the intersection size IS the occurrence count.
+    val occ = size(phrase.indices.drop(1).foldLeft(col("_p0")) {
+      (acc, o) =>
+        array_intersect(acc, transform(col(s"_p$o"), p => p - lit(o)))
+    })
     joined.select(col(idCol), occ.cast("long").as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
   }

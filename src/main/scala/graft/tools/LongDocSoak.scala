@@ -113,7 +113,12 @@ object LongDocSoak {
         noop(Dedup.scrubRefSpans(
           d.filter(col("doc_id") % 5 =!= 0),
           d.filter(col("doc_id") % 5 === 0),
-          "doc_id", "text", n = 8))))
+          "doc_id", "text", n = 8))),
+      // every doc carries the shared boilerplate, so the covered set
+      // (and the rebuild's except-set) grows linearly with length
+      "remove_spans" -> (d =>
+        noop(Dedup.removeRepeatedSpans(d, "doc_id", "text",
+          windowTokens = 8, docFreqCap = 2))))
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[Int, Map[String, Double]]

@@ -120,51 +120,65 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
-  // q57/q58/q61 + the dynamic oracles all need the SAME deterministic
-  // k-means fit — under the gate flag the centroids learn once per dir
+  // ---- learned-MODEL artifacts (★r15, the clusterArtifact treatment
+  // on the driver-side models): each deterministic fit has ONE owner
+  // entry that prices training live (q57 k-means, q54 BPE, q79 PQ,
+  // q81 IVF-PQ) and a `*Cached` accessor every CONSUMER entry uses —
+  // trained once per (JVM, dir), exactly the model a 100 TB pipeline
+  // trains once, stores, and loads per encode/search run. Under the
+  // gate flag the owner path also memoizes (unchanged Verify
+  // behavior).
   private val sharedCentroids =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Float]]]
-  private def kmeansCentroids(s: SparkSession, dir: String)
-      : Seq[Array[Float]] = {
-    def mk = graft.llm.Clustering.kmeans(t(s, dir, "embeddings"),
+  private def mkCentroids(s: SparkSession, dir: String) =
+    graft.llm.Clustering.kmeans(t(s, dir, "embeddings"),
       "vec_id", "embedding", k = 8, iters = 4)._2
-    if (!sharingFrames) mk
-    else sharedCentroids.getOrElseUpdate(s"centroids:$dir", mk)
-  }
+  private def kmeansCentroidsCached(s: SparkSession, dir: String)
+      : Seq[Array[Float]] =
+    sharedCentroids.getOrElseUpdate(s"centroids:$dir", mkCentroids(s, dir))
+  private def kmeansCentroids(s: SparkSession, dir: String)
+      : Seq[Array[Float]] =
+    if (!sharingFrames) mkCentroids(s, dir)
+    else kmeansCentroidsCached(s, dir)
   // likewise the 24-round BPE merge list (q54 entry + its oracle)
   private val sharedMerges = scala.collection.concurrent.TrieMap
     .empty[String, Seq[graft.llm.Bpe.Merge]]
+  private def mkMerges(s: SparkSession, dir: String) =
+    graft.llm.Bpe.learn(t(s, dir, "documents"), "text", numMerges = 24)
+  private def bpeMergesCached(s: SparkSession, dir: String)
+      : Seq[graft.llm.Bpe.Merge] =
+    sharedMerges.getOrElseUpdate(s"merges:$dir", mkMerges(s, dir))
   private def bpeMerges(s: SparkSession, dir: String)
-      : Seq[graft.llm.Bpe.Merge] = {
-    def mk = graft.llm.Bpe.learn(t(s, dir, "documents"), "text",
-      numMerges = 24)
-    if (!sharingFrames) mk
-    else sharedMerges.getOrElseUpdate(s"merges:$dir", mk)
-  }
+      : Seq[graft.llm.Bpe.Merge] =
+    if (!sharingFrames) mkMerges(s, dir) else bpeMergesCached(s, dir)
   // the PQ codebooks (q79 encode + q80 search + their oracles): m=4
   // subspaces × ksub=8 centroids over the 64-dim embeddings, each a
   // deterministic per-slice k-means fit
   private val sharedCodebooks = scala.collection.concurrent.TrieMap
     .empty[String, Seq[Seq[Array[Float]]]]
-  private def pqCodebooks(s: SparkSession, dir: String)
-      : Seq[Seq[Array[Float]]] = {
-    def mk = graft.llm.Pq.train(t(s, dir, "embeddings"),
+  private def mkCodebooks(s: SparkSession, dir: String) =
+    graft.llm.Pq.train(t(s, dir, "embeddings"),
       "vec_id", "embedding", m = 4, ksub = 8, iters = 3)
-    if (!sharingFrames) mk
-    else sharedCodebooks.getOrElseUpdate(s"pq:$dir", mk)
-  }
+  private def pqCodebooksCached(s: SparkSession, dir: String)
+      : Seq[Seq[Array[Float]]] =
+    sharedCodebooks.getOrElseUpdate(s"pq:$dir", mkCodebooks(s, dir))
+  private def pqCodebooks(s: SparkSession, dir: String)
+      : Seq[Seq[Array[Float]]] =
+    if (!sharingFrames) mkCodebooks(s, dir) else pqCodebooksCached(s, dir)
   // the IVF-PQ model (q81 encode + q82 search + their oracles):
   // nlist=4 inverted lists, residual PQ m=4 × ksub=8 — both levels
   // deterministic fits, so the gate re-learn replays identically
   private val sharedIvfPq = scala.collection.concurrent.TrieMap
     .empty[String, graft.llm.IvfPq.Model]
-  private def ivfPqModel(s: SparkSession, dir: String)
-      : graft.llm.IvfPq.Model = {
-    def mk = graft.llm.IvfPq.train(t(s, dir, "embeddings"),
+  private def mkIvfPq(s: SparkSession, dir: String) =
+    graft.llm.IvfPq.train(t(s, dir, "embeddings"),
       "vec_id", "embedding", nlist = 4, m = 4, ksub = 8, iters = 3)
-    if (!sharingFrames) mk
-    else sharedIvfPq.getOrElseUpdate(s"ivfpq:$dir", mk)
-  }
+  private def ivfPqModelCached(s: SparkSession, dir: String)
+      : graft.llm.IvfPq.Model =
+    sharedIvfPq.getOrElseUpdate(s"ivfpq:$dir", mkIvfPq(s, dir))
+  private def ivfPqModel(s: SparkSession, dir: String)
+      : graft.llm.IvfPq.Model =
+    if (!sharingFrames) mkIvfPq(s, dir) else ivfPqModelCached(s, dir)
   // and the q75 BM25 query terms: the 3 highest-df in-window terms
   // with their idf in integer micro units (Lucene log1p idf — the
   // ONE float op, folded driver-side into a shared literal so the
@@ -955,7 +969,7 @@ object SparkEntry {
       // once for q57/q58/q61 + the dynamic oracles
       Clustering.semanticDedup(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, iters = 0, tau = 0.42,
-        init = kmeansCentroids(s, dir))
+        init = kmeansCentroidsCached(s, dir))
     }),
     // LLM §text-analysis — distinctive-keyword extraction: tf-idf's
     // ranking with NO floats (tf desc, corpus doc-freq asc, token asc
@@ -1016,7 +1030,7 @@ object SparkEntry {
     "q61_mixture_matrix" -> ((s, dir) => {
       import graft.llm.Clustering
       val assigned = Clustering.assignClusters(t(s, dir, "embeddings"),
-        "vec_id", "embedding", kmeansCentroids(s, dir))
+        "vec_id", "embedding", kmeansCentroidsCached(s, dir))
       t(s, dir, "documents")
         .join(assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id")
         .groupBy(col("lang"), col("cluster_id"))
@@ -1448,7 +1462,7 @@ object SparkEntry {
     // the two replays (merge literals → counts CTE → pack window).
     "q97_tokenize_pack" -> ((s, dir) => {
       val encoded = graft.llm.Bpe.encode(t(s, dir, "documents"),
-        "text", bpeMerges(s, dir))
+        "text", bpeMergesCached(s, dir))
       graft.llm.Packing.packSequences(encoded, "doc_id",
         col("n_bpe_tokens").cast("long"), seqLen = 256)
     }),
@@ -1722,7 +1736,7 @@ object SparkEntry {
     "q80_pq_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.Pq.reconstructTopK(emb, emb.filter(col("vec_id") < 3),
-        "vec_id", "embedding", pqCodebooks(s, dir), k = 10)
+        "vec_id", "embedding", pqCodebooksCached(s, dir), k = 10)
     }),
     // LLM §similarity — IVF-PQ ENCODE (IVFADC, Jégou 2011 §IV): the
     // composed index a production vector store persists at 100 TB —
@@ -1744,7 +1758,7 @@ object SparkEntry {
     "q82_ivfpq_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.llm.IvfPq.search(emb, emb.filter(col("vec_id") < 3),
-        "vec_id", "embedding", ivfPqModel(s, dir), nprobe = 2, k = 10)
+        "vec_id", "embedding", ivfPqModelCached(s, dir), nprobe = 2, k = 10)
     }),
     // LLM §similarity — recall-driven PQ refine (the r12 verdict's
     // "close the loop": shortlist doubles until measured recall@k on
@@ -1765,7 +1779,7 @@ object SparkEntry {
       val n = emb.count()
       graft.llm.Pq.refinedTopKAutoTuned(emb,
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        pqCodebooks(s, dir), k = 10, targetRecall = 1.0,
+        pqCodebooksCached(s, dir), k = 10, targetRecall = 1.0,
         initialShortlist = math.max(40L, n / 5).toInt)._1
     }),
     // LLM §similarity — recall-driven IVF-PQ refine: nprobe and
@@ -1778,7 +1792,7 @@ object SparkEntry {
       // vectors scatter true neighbors across cells, so target 1.0
       // historically pays nprobe = nlist and shortlist ≈ n/5 — seed
       // there; the tuner still verifies recall on the full sample.
-      val model = ivfPqModel(s, dir)
+      val model = ivfPqModelCached(s, dir)
       val n = emb.count()
       graft.llm.IvfPq.refinedSearchAutoTuned(emb,
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",

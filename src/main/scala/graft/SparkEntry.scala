@@ -1353,6 +1353,31 @@ object SparkEntry {
           lit(-1L).as("doc_id"), lit("<overflow>").as("positions"))
       live.unionByName(marker)
     }),
+    // ... the BM25 (L, N) scalars through the same feed: the signed
+    // one-row aggregation must equal the batch scalars of the net
+    // corpus — token-less docs count in N only, both engines.
+    "q128_bm25_cdc" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val chunk = math.max(1, rows.size / 4)
+      val batches =
+        rows.map { case (i, x) => (1, i, x) }.grouped(chunk).toSeq ++
+          rows.filter(_._1 % 7 == 0)
+            .map { case (i, x) => (-1, i, x) }.grouped(chunk).toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, Long, String)]
+      val qn = s"bm25_cdc_gate_${cdcGateNames.incrementAndGet()}"
+      val q = graft.streaming.StreamingIndex.bm25ScalarsCdc(
+          stream.toDF().toDF("op", "doc_id", "text"), "op", "text")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      s.table(qn).select(col("_L").as("corpus_tokens"),
+        col("_N").as("corpus_docs"))
+    }),
     // ... and the inverted sibling through the same feed: snapshot ≡
     // DuckDB inverted build on the net corpus, '<overflow>' on
     // ever-overflowed tokens (exact net df either way).
@@ -3015,6 +3040,13 @@ object SparkEntry {
         |   '<overflow>' AS positions
         | FROM dnet JOIN dfull USING (token)
         | WHERE dfull.dff > 400""".stripMargin.replace("\n", " "),
+    // CDC BM25 scalars gate: the net-corpus (L, N) pair
+    "q128_bm25_cdc" ->
+      """SELECT CAST(sum(len(list_filter(string_split(text, ' '),
+        |     x -> x <> ''))) AS BIGINT) AS corpus_tokens,
+        |   CAST(count(*) AS BIGINT) AS corpus_docs
+        | FROM documents WHERE doc_id % 7 <> 0""".stripMargin
+        .replace("\n", " "),
     // CDC inverted gate: same feed, q118's formatting
     "q127_inverted_cdc" ->
       """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (

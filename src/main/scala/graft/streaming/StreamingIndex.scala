@@ -169,6 +169,10 @@ object StreamingIndex {
     * once (the df counter is all the state there is — the
     * [[StreamingSketch.cmsCountersSigned]] contract). Any other op
     * value is a contract violation and fails the stream loudly.
+    * Within one micro-batch, ingests apply before forgets (doc
+    * ascending — the positional sibling's normalization), so a
+    * same-batch ±1 pair folds deterministically rather than in
+    * partition order.
     * Tokens whose net df reaches 0 shrink to a MINIMAL state (just
     * the seq counter — O(1), bounded by vocabulary, not stream
     * length): dropping state entirely would restart seq at 1 on
@@ -296,7 +300,13 @@ object StreamingIndex {
           var overflowed = prev.overflowed
           var postings = prev.postings.toSet
           var changed = false
-          rows.foreach { case (op, id, _) =>
+          // normalize within-batch order (ingests first, doc asc) —
+          // iterator order after the shuffle is partition order, so
+          // an unsorted fold would make a same-batch +1/−1 pair for
+          // one doc nondeterministic; the positional sibling's rule
+          val ordered = rows.toSeq.map(r => (r._1, r._2))
+            .sortBy { case (op, id) => (-op, id) }
+          ordered.foreach { case (op, id) =>
             if (op == 1) {
               if (overflowed) { df += 1; changed = true }
               else if (!postings.contains(id)) {

@@ -1,0 +1,133 @@
+package graft.tools
+
+import graft.llm.TextStats
+import graft.streaming.StreamingIndex
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak for the streaming CDC index loop — the missing scale
+  * evidence for the lifecycle matrix's STREAM axis (build / forget /
+  * insert are soaked by [[IndexForgetSoak]], the CDC operator was
+  * spec-and-gate only): drive the [[DedupSoak]] adversarial corpus
+  * through [[StreamingIndex.invertedIndexCdc]] — ingest everything,
+  * then forget HALF the hot-boilerplate carriers (10% of the corpus) — and require the
+  * max-seq snapshot to equal the batch index built FROM SCRATCH on
+  * the net corpus, at every scale.
+  *
+  * The corpus's ~20 boilerplate tokens are census-scale hot keys
+  * (df = n/5): they overflow immediately (maxDf = 200), exercise the
+  * marker path at scale, and the forget batch halves their df while
+  * keeping them over the window — honest markers with exact net df
+  * at census scale (full tombstone + re-ingest is spec-pinned). The random vocabulary
+  * stays in-window and must match the batch build token-for-token,
+  * posting-for-posting.
+  *
+  * Reported per scale: ingest + forget wall seconds, end-to-end
+  * docs/min through the stateful operator, snapshot row count, and
+  * the assertion verdicts. Near-linear wall growth in corpus size is
+  * the scale criterion (state is vocabulary-keyed; per-batch work is
+  * batch-sized).
+  *
+  * Usage: `runMain graft.tools.CdcSoak [scales]` (default "1,10" —
+  * multiples of the 5,000-doc sf0.1 documents shape). */
+object CdcSoak {
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.getOrElse("1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val baseDocs = 5000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "HDFSBackedStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").write
+      .format("noop").mode(SaveMode.Overwrite).save()
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[Int, Double]
+    scales.foreach { k =>
+      val n = baseDocs * k
+      // driver-side feed rows (bounded: ~50 tokens/doc of 6 chars)
+      val docs = DedupSoak.corpus(spark, n)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val dead = docs.filter(_._1 % 10 == 3).map(_._1).toSet // HALF the
+      // boilerplate carriers: hot tokens stay hot (net df = n/10 >
+      // maxDf) so the marker path is exercised at census scale
+      val feed =
+        docs.map { case (i, x) => (1, i, x) }.grouped(2000).toSeq ++
+          docs.filter(d => dead(d._1))
+            .map { case (i, x) => (-1, i, x) }.grouped(2000).toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, Long, String)]
+      val qn = s"cdc_soak_$k"
+      val query = StreamingIndex.invertedIndexCdc(
+          stream.toDF().toDF("op", "doc_id", "text"),
+          "op", "doc_id", "text", maxDf = 200)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("update").start()
+      val t0 = System.nanoTime()
+      try feed.foreach { b => stream.addData(b); query.processAllAvailable() }
+      finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // max-seq snapshot, tombstones dropped by the reader rule
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("token").orderBy(col("seq").desc)
+      val snap = spark.table(qn)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col("df") > 0)
+        .select(col("token"), col("df"),
+          // concat_ws over a NULL array yields "" (never NULL), so
+          // the marker branch must test the array itself
+          when(col("postings").isNull, lit("<overflow>"))
+            .otherwise(concat_ws(",", transform(col("postings"),
+              _.cast("string")))).as("p"))
+        .persist()
+      val nSnap = snap.count()
+      val nMarkers = snap.filter(col("p") === "<overflow>").count()
+      // batch truth on the net corpus: ever-overflow = FULL-corpus
+      // df > maxDf (ingests precede forgets, so peak df = full df)
+      val full = DedupSoak.corpus(spark, n)
+      val net = full.filter(!(col("doc_id") % 10 === 3))
+      val dfFull = full.select(col("doc_id"), explode(array_distinct(
+          filter(TextStats.tokens(col("text")), t => length(t) > 0)))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("_dff"))
+      val batch = TextStats.invertedIndex(net, "doc_id", "text",
+          minDf = 1, maxDf = Int.MaxValue)
+        .join(dfFull, "token")
+        .select(col("token"), col("df"),
+          when(col("_dff") > 200, lit("<overflow>"))
+            .otherwise(concat_ws(",", transform(col("postings"),
+              _.cast("string")))).as("p"))
+      val diff = snap.exceptAll(batch)
+        .unionAll(batch.exceptAll(snap)).count()
+      require(diff == 0,
+        s"scale $k: CDC snapshot != batch net-corpus index " +
+          s"($diff rows differ)")
+      require(nMarkers > 0 || k == 0,
+        s"scale $k: no marker rows — hot tokens failed to overflow")
+      snap.unpersist()
+      results(k) = sec
+      val dpm = (docs.size + dead.size) / sec * 60.0
+      println(s"""{"scale":$k,"docs":$n,"cdc_sec":${f"$sec%.2f"},""" +
+        s""""docs_per_min":${f"$dpm%.0f"},"snapshot_tokens":$nSnap,""" +
+        s""""marker_tokens":$nMarkers,"maintained_eq_rebuilt":true}""")
+    }
+    if (scales.size >= 2) {
+      val r = results(scales.last) / math.max(results(scales.head), 1e-9)
+      val kR = scales.last.toDouble / scales.head
+      println(s"""{"metric":"cdc_soak_ratios","scale_ratio":$kR,""" +
+        s""""time_ratio":${f"$r%.2f"},"near_linear":${r < 2.5 * kR}}""")
+    }
+    spark.stop()
+  }
+}

@@ -419,6 +419,71 @@ class StreamingIndexSpec extends SparkSpec {
     assert(n === 23L, "forget schedule must have fired (30 - 7 dead)")
   }
 
+  test("CDC inverted index survives a query RESTART from checkpoint: " +
+    "state carries across, committed batches are not reprocessed, and " +
+    "the post-restart snapshot equals the batch build on the net corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cdc-ckpt-").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cdc-out-").resolve("snap").toString
+    val stream = MemoryStream[(Int, Long, String)]
+    def start() = StreamingIndex.invertedIndexCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "doc_id",
+        "text", maxDf = 3)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingIndex.TokenPostingsCdc],
+         _: Long) => b.write.mode("append").parquet(out)
+      }
+      .start()
+    // phase 1: ingest docs 1-3, then STOP the query
+    val q1 = start()
+    try {
+      stream.addData(Seq((1, 1L, "a b"), (1, 2L, "a c")))
+      q1.processAllAvailable()
+      stream.addData(Seq((1, 3L, "a d")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // phase 2: NEW query, SAME checkpoint — per-token state (dfs,
+    // postings, seq counters) must be restored; the forget of doc 2
+    // and ingest of doc 9 apply on top of it
+    val q2 = start()
+    try {
+      stream.addData(Seq((-1, 2L, "a c"), (1, 9L, "d e")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy(org.apache.spark.sql.functions
+        .col("seq").desc)
+    import org.apache.spark.sql.functions._
+    val snap = spark.read.parquet(out)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("df") > 0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getSeq[Long](2)).map(_.toSeq)))
+      .toMap
+    // net corpus: docs 1 (a b), 3 (a d), 9 (d e)
+    assert(snap("a") == ((2L, Some(Seq(1L, 3L)))),
+      s"a: ${snap("a")} — a seq/state reset across restart would " +
+        "either resurrect doc 2 or restart df")
+    assert(snap("b") == ((1L, Some(Seq(1L)))) &&
+      snap("d") == ((2L, Some(Seq(3L, 9L)))) &&
+      snap("e") == ((1L, Some(Seq(9L)))), snap.toString)
+    assert(!snap.contains("c"),
+      s"c fully forgotten with doc 2 — must be tombstoned: $snap")
+    // restart did NOT reprocess committed batches: doc 1's 'a' row
+    // appears in exactly the micro-batches that touched it (batch 0
+    // ingest + the post-restart forget emission), never duplicated
+    val aRows = spark.read.parquet(out)
+      .filter(col("token") === "a").collect()
+    assert(aRows.map(_.getLong(3)).sorted.toSeq ==
+      aRows.map(_.getLong(3)).distinct.sorted.toSeq,
+      s"duplicate seq emissions for 'a': ${aRows.mkString(", ")}")
+  }
+
   test("streaming inverted index equals the batch build on a " +
     "randomized corpus split into random micro-batches") {
     val rnd = new scala.util.Random(59)

@@ -116,11 +116,60 @@ object CdcSoak {
       require(nMarkers > 0 || k == 0,
         s"scale $k: no marker rows — hot tokens failed to overflow")
       snap.unpersist()
+      // ---- the POSITIONAL shape through the same feed: heavier
+      // state (per-doc position lists), same contract
+      val pstream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, Long, String)]
+      val pqn = s"cdc_soak_pos_$k"
+      val pquery = StreamingIndex.positionalIndexCdc(
+          pstream.toDF().toDF("op", "doc_id", "text"),
+          "op", "doc_id", "text", maxDf = 200)
+        .writeStream.format("memory").queryName(pqn)
+        .outputMode("update").start()
+      val pt0 = System.nanoTime()
+      try feed.foreach { b =>
+        pstream.addData(b); pquery.processAllAvailable()
+      } finally pquery.stop()
+      val psec = (System.nanoTime() - pt0) / 1e9
+      val psnap = spark.table(pqn)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col("df") > 0)
+        .select(col("token"), col("df"),
+          when(col("docs").isNull, lit("<overflow>"))
+            .otherwise(concat_ws(";", transform(col("docs"), e =>
+              concat_ws(":", e.getField("doc_id").cast("string"),
+                concat_ws(",", transform(e.getField("positions"),
+                  _.cast("string"))))))).as("p"))
+        .persist()
+      val pBatch = graft.llm.IndexMaintain
+        .positionalIndexWithOverflow(net, "doc_id", "text",
+          minDf = 1, maxDf = Int.MaxValue)
+        .join(dfFull, "token")
+        .groupBy(col("token"))
+        .agg(max(col("df")).as("df"), max(col("_dff")).as("_dff"),
+          sort_array(collect_list(when(col("doc_id").isNotNull,
+            struct(col("doc_id"), col("positions"))))).as("_rows"))
+        .select(col("token"), col("df"),
+          when(col("_dff") > 200, lit("<overflow>"))
+            .otherwise(concat_ws(";", transform(col("_rows"), e =>
+              concat_ws(":", e.getField("doc_id").cast("string"),
+                concat_ws(",", transform(e.getField("positions"),
+                  _.cast("string"))))))).as("p"))
+      val pdiff = psnap.exceptAll(pBatch)
+        .unionAll(pBatch.exceptAll(psnap)).count()
+      require(pdiff == 0,
+        s"scale $k: positional CDC snapshot != batch net-corpus " +
+          s"index ($pdiff rows differ)")
+      psnap.unpersist()
       results(k) = sec
       val dpm = (docs.size + dead.size) / sec * 60.0
+      val pdpm = (docs.size + dead.size) / psec * 60.0
       println(s"""{"scale":$k,"docs":$n,"cdc_sec":${f"$sec%.2f"},""" +
         s""""docs_per_min":${f"$dpm%.0f"},"snapshot_tokens":$nSnap,""" +
-        s""""marker_tokens":$nMarkers,"maintained_eq_rebuilt":true}""")
+        s""""marker_tokens":$nMarkers,""" +
+        s""""pos_cdc_sec":${f"$psec%.2f"},""" +
+        s""""pos_docs_per_min":${f"$pdpm%.0f"},""" +
+        s""""maintained_eq_rebuilt":true}""")
     }
     if (scales.size >= 2) {
       val r = results(scales.last) / math.max(results(scales.head), 1e-9)

@@ -414,12 +414,21 @@ object TextStats {
     * cousin of [[phraseSearchIndexed]]: documents where some
     * occurrence of `terms(0)` (the ANCHOR) has EVERY other term
     * occurring within `window` token positions of it, counted per
-    * anchor occurrence. Anchor-window semantics — exact, order-free
-    * within the window, and expressible as pure array expressions
-    * over the joined posting lists (the minimal-cover-window variant
-    * needs a per-doc two-pointer sweep that leaves codegen). Same
-    * plan shape as phrase search: one bounded posting frame per term,
-    * k−1 equi-joins on the document id, zero corpus scans.
+    * anchor occurrence. Anchor-window semantics — exact and
+    * order-free within the window. Same plan shape as phrase search:
+    * one bounded posting frame per term, k−1 equi-joins on the
+    * document id, zero corpus scans.
+    *
+    * Per-doc shape: an interval-stabbing SWEEP, not a per-anchor
+    * membership scan (that is O(|p0|·Σ|p_o|), quadratic on a doc
+    * that repeats a query term heavily): each non-anchor occurrence
+    * q contributes a [q−window, q+window] interval as (start, end)
+    * events, anchors are probe events, one `array_sort` orders them
+    * and ONE `aggregate` fold sweeps with a per-term live-interval
+    * depth counter — k is known at plan time, so the state struct
+    * carries one depth field per term, all inside the fold's O(1)
+    * per-event work. O(E log E) per document, E = |p0| + 2·Σ|p_o|;
+    * no derived array is referenced from inside a lambda.
     *
     * Output: (idCol, `n_anchors` > 0). */
   def proximitySearch(index: org.apache.spark.sql.DataFrame,
@@ -432,10 +441,36 @@ object TextStats {
         .select(col(idCol), col("positions").as(s"_p$o"))
     }
     val joined = frames.reduce(_.join(_, idCol))
-    val anchors = size(filter(col("_p0"), p =>
-      terms.indices.drop(1).map(o =>
-          exists(col(s"_p$o"), q => abs(q - p) <= lit(window)))
-        .reduceOption(_ && _).getOrElse(lit(true))))
+    val others = terms.indices.drop(1)
+    // event kinds sort (pos, kind): 0 = interval start, 1 = anchor
+    // probe, 2 = interval end — a start at p admits an anchor at p,
+    // an end at q+window still covers an anchor there (closed
+    // intervals on both sides)
+    val events = concat(
+      transform(col("_p0"), p =>
+        struct(p.as("pos"), lit(1).as("kind"), lit(0).as("term"))) +:
+      others.map(o => concat(
+        transform(col(s"_p$o"), q => struct((q - window).as("pos"),
+          lit(0).as("kind"), lit(o).as("term"))),
+        transform(col(s"_p$o"), q => struct((q + window).as("pos"),
+          lit(2).as("kind"), lit(o).as("term"))))): _*)
+    def zeroState = struct((lit(0L).as("m") +:
+      others.map(o => lit(0).as(s"d$o"))): _*)
+    val anchors = aggregate(array_sort(events), zeroState,
+      (acc, e) => {
+        val live = others.map(o => acc(s"d$o") > 0)
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val m = (acc("m") + when(e("kind") === 1 && live, 1L)
+          .otherwise(0L)).as("m")
+        val ds = others.map { o =>
+          (acc(s"d$o") + when(e("term") === o,
+            when(e("kind") === 0, 1)
+              .when(e("kind") === 2, -1).otherwise(0))
+            .otherwise(0)).as(s"d$o")
+        }
+        struct((m +: ds): _*)
+      },
+      acc => acc("m"))
     joined.select(col(idCol), anchors.cast("long").as("n_anchors"))
       .filter(col("n_anchors") > 0)
   }

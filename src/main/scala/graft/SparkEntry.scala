@@ -56,12 +56,30 @@ object SparkEntry {
     else sharedFrames.getOrElseUpdate(s"pairs:$dir",
       mk.localCheckpoint(true))
   }
+  // the pairs frame as a stored artifact (★r15): q29 owns and prices
+  // the pairs census live; clustering (q31) consumes the STORED
+  // pairs — the same ownership split as clusterArtifact one level
+  // down. Written once per (JVM, dir).
+  private val pairArtifacts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pairsArtifact(s: SparkSession, dir: String): DataFrame = {
+    val path = pairArtifacts.getOrElseUpdate(s"pairs:$dir", {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-pairs-artifact-")
+        .resolve("pairs.parquet").toString
+      docPairs(s, dir).write.mode("overwrite").parquet(p)
+      graft.llm.Dedup.releaseCaches()
+      p
+    })
+    s.read.parquet(path)
+  }
   private def docClusters(s: SparkSession, dir: String): DataFrame = {
     def mk = graft.llm.Dedup.duplicateClusters(
-      docPairs(s, dir), "id_a", "id_b")
+      pairsArtifact(s, dir), "id_a", "id_b")
     if (!sharingFrames) mk
     else sharedFrames.getOrElseUpdate(s"clusters:$dir",
-      mk.localCheckpoint(true))
+      graft.llm.Dedup.duplicateClusters(docPairs(s, dir), "id_a", "id_b")
+        .localCheckpoint(true))
   }
   // ---- STORED-artifact reuse (★r15): the duplicate-cluster frame is
   // what a 100 TB pipeline WRITES once (it is already the forget-join

@@ -73,6 +73,24 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+  // the duplicated-SPAN census (★r15): q129 owns and prices the
+  // census (the one char-scale aggregation of the span family); the
+  // q95 coverage audit and q102 keep-first surgery consume the
+  // stored, vocabulary-scale frame via their FromCensus variants.
+  private val spanCensusArtifacts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def spanCensusArtifact(s: SparkSession, dir: String): DataFrame = {
+    val path = spanCensusArtifacts.getOrElseUpdate(s"spans:$dir", {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-span-census-")
+        .resolve("census.parquet").toString
+      graft.llm.Dedup.spanCensus(t(s, dir, "documents"),
+        "doc_id", "text", shingleLen = 16)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
   private def docClusters(s: SparkSession, dir: String): DataFrame = {
     def mk = graft.llm.Dedup.duplicateClusters(
       pairsArtifact(s, dir), "id_a", "id_b")
@@ -1103,7 +1121,16 @@ object SparkEntry {
     // one aggregate fold rebuild. Whole pipeline integer/string
     // exact → full SQL replay.
     "q102_span_dedup" -> ((s, dir) =>
-      graft.llm.Dedup.dedupSpansKeepFirst(t(s, dir, "documents"),
+      graft.llm.Dedup.dedupSpansKeepFirstFromCensus(
+        t(s, dir, "documents"), spanCensusArtifact(s, dir),
+        "doc_id", "text", shingleLen = 16)),
+    // LLM §dedup — the duplicated-span CENSUS itself (★r15): the one
+    // char-scale aggregation of the span family, priced here and
+    // WRITTEN once; q95/q102 read the stored, vocabulary-scale frame
+    // (duplication is rare relative to corpus chars). Canonical pick
+    // is min(struct) with map-side partials — no per-gram window.
+    "q129_span_census" -> ((s, dir) =>
+      graft.llm.Dedup.spanCensus(t(s, dir, "documents"),
         "doc_id", "text", shingleLen = 16)),
     // LLM §retrieval + §forget — POSITIONAL-index maintenance (q99's
     // move on the q85 structure): per-doc position rows of forgotten
@@ -1488,7 +1515,8 @@ object SparkEntry {
     // number q62's winnowing samples. One gram hash agg + a PER-DOC
     // window (never global) + integer micro-unit division.
     "q95_dup_coverage" -> ((s, dir) =>
-      graft.llm.Dedup.dupSpanCoverage(t(s, dir, "documents"),
+      graft.llm.Dedup.dupSpanCoverageFromCensus(
+        t(s, dir, "documents"), spanCensusArtifact(s, dir),
         "doc_id", "text", shingleLen = 16)),
     // LLM §layout — deterministic EPOCH SHUFFLE (epoch 1, 64-doc
     // shards): md5(epoch#id)-ordered permutation ranked by the q64
@@ -3311,6 +3339,23 @@ object SparkEntry {
     // per-gram windows (rn = 1 ⇔ the engine's min(struct) canonical —
     // same (doc_id, i) total order), per-doc interval merge, then
     // string_agg of the kept segments + the tail
+    // the span-census artifact replay: q102's occ/od CTEs, cut at
+    // the canonical row
+    "q129_span_census" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS lt
+        |   FROM documents WHERE doc_id IS NOT NULL),
+        | idx AS (SELECT unnest(range(1, 2000)) AS i),
+        | occ AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |     substr(text, CAST(i AS INT), 16) AS g
+        |   FROM d JOIN idx ON i <= lt - 15),
+        | od AS (SELECT g, doc_id, i,
+        |     row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+        |     count(*) OVER (PARTITION BY g) AS cnt
+        |   FROM occ)
+        | SELECT g AS gram, CAST(cnt AS BIGINT) AS n_occ,
+        |   doc_id AS keep_id, i AS keep_pos
+        | FROM od WHERE cnt >= 2 AND rn = 1""".stripMargin
+        .replace("\n", " "),
     "q102_span_dedup" ->
       """WITH d AS (SELECT doc_id, text, len(text) AS lt
         |   FROM documents WHERE doc_id IS NOT NULL),

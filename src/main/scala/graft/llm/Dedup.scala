@@ -902,39 +902,14 @@ object Dedup {
         coalesce(size(col("_cov")), lit(0)).as("n_tokens_removed"))
   }
 
-  /** ONE-COPY span dedup — the "remove all but one occurrence of
-    * duplicated training text" policy (Lee et al. 2022, "Deduplicating
-    * Training Data Makes Language Models Better") as an exact,
-    * deterministic operator: every occurrence of a corpus-duplicated
-    * `shingleLen`-char shingle EXCEPT its canonical first copy (the
-    * lexicographically least (doc, offset)) marks its characters for
-    * removal; each document is rebuilt from the surviving character
-    * ranges. Contrast [[removeRepeatedSpans]], which strips a hot
-    * span from EVERY document (boilerplate has no copy worth
-    * keeping) — here exactly one copy of each duplicated shingle
-    * survives at its canonical site. The per-shingle guarantee is the
-    * honest contract: a canonical occurrence's characters can still
-    * be excised when a DIFFERENT shingle's non-canonical interval
-    * overlaps them (overlapping shingles interact the same way in
-    * the suffix-array formulation) — what is exact is the removal
-    * set's definition, identical in both engines.
-    *
-    * Scale shape: occurrences ∝ corpus chars (the q95 frame); gram
-    * stats are ONE hash aggregation with map-side partials —
-    * `min(struct(id, i))` is the canonical pick, so no per-gram
-    * window ever sorts a census-scale shingle's occurrence list; the
-    * interval merge runs under per-DOCUMENT windows only; the
-    * rebuild is one `aggregate` fold over each doc's bounded merged
-    * interval list.
-    *
-    * Output: (id, `text_clean`, `n_chars_removed`) — one row per
-    * input document. */
-  def dedupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
-                          shingleLen: Int): DataFrame = {
-    require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
-    import org.apache.spark.sql.expressions.Window
-    val L = shingleLen
-    val occ = df.filter(col(idCol).isNotNull)
+  /** The shared span-occurrence frame of the character-shingle
+    * family: one row per (doc, 1-based char position) with the
+    * `shingleLen`-char shingle starting there. Map-side (explode +
+    * substr) — cheap to re-derive; the expensive per-GRAM statistics
+    * over it are what [[spanCensus]] stores. */
+  private def spanOcc(df: DataFrame, idCol: String, textCol: String,
+                      L: Int): DataFrame =
+    df.filter(col(idCol).isNotNull)
       .select(col(idCol),
         explode(when(length(col(textCol)) >= L,
           sequence(lit(1), length(col(textCol)) - (L - 1)))
@@ -942,12 +917,48 @@ object Dedup {
         col(textCol).as("_txt"))
       .select(col(idCol), col("_i").cast("long").as("_i"),
         col("_txt").substr(col("_i"), lit(L)).as("_g"))
-    val stats = occ.groupBy(col("_g"))
-      .agg(count(lit(1)).as("_cnt"),
+
+  /** Corpus-duplicated shingle CENSUS — THE stored artifact of the
+    * span family ([[dupSpanCoverage]] reports and
+    * [[dedupSpansKeepFirst]] surgery both hang off it, via their
+    * `FromCensus` variants): one row per `shingleLen`-char shingle
+    * occurring ≥ 2× in the corpus, with its occurrence count and the
+    * canonical first copy (lexicographically least (doc, offset) —
+    * `min(struct)` with map-side partials, never a per-gram window).
+    * Duplication is RARE relative to corpus chars, so this frame is
+    * vocabulary-scale where the occurrence frame is char-scale — at
+    * 100 TB a pipeline writes it once and every span screen reads it
+    * (the [[graft.llm.TextStats.gramCensus]] pattern at character
+    * level).
+    *
+    * Output: (`gram`, `n_occ`, `keep_id`, `keep_pos`). */
+  def spanCensus(df: DataFrame, idCol: String, textCol: String,
+                 shingleLen: Int): DataFrame = {
+    require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
+    spanOcc(df, idCol, textCol, shingleLen)
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_occ"),
         min(struct(col(idCol), col("_i"))).as("_c"))
-      .filter(col("_cnt") >= 2)
-      .select(col("_g"), col("_c").getField(idCol).as("_cid"),
-        col("_c").getField("_i").as("_ci"))
+      .filter(col("n_occ") >= 2)
+      .select(col("_g").as("gram"), col("n_occ"),
+        col("_c").getField(idCol).as("keep_id"),
+        col("_c").getField("_i").as("keep_pos"))
+  }
+
+  /** [[dedupSpansKeepFirst]] served from a STORED [[spanCensus]] —
+    * identical output, zero per-gram aggregation: the occurrence
+    * frame re-derives map-side and joins the (vocabulary-scale)
+    * census, so the corpus' char-scale rows cross one join instead
+    * of an aggregation AND a join. */
+  def dedupSpansKeepFirstFromCensus(df: DataFrame, census: DataFrame,
+                                    idCol: String, textCol: String,
+                                    shingleLen: Int): DataFrame = {
+    require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
+    import org.apache.spark.sql.expressions.Window
+    val L = shingleLen
+    val occ = spanOcc(df, idCol, textCol, L)
+    val stats = census.select(col("gram").as("_g"),
+      col("keep_id").as("_cid"), col("keep_pos").as("_ci"))
     val rem = occ.join(stats, "_g")
       .filter(!(col(idCol) === col("_cid") && col("_i") === col("_ci")))
       .select(col(idCol), col("_i"))
@@ -986,6 +997,39 @@ object Dedup {
           .as("text_clean"),
         coalesce(col("_nrm"), lit(0L)).as("n_chars_removed"))
   }
+
+  /** ONE-COPY span dedup — the "remove all but one occurrence of
+    * duplicated training text" policy (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") as an exact,
+    * deterministic operator: every occurrence of a corpus-duplicated
+    * `shingleLen`-char shingle EXCEPT its canonical first copy (the
+    * lexicographically least (doc, offset)) marks its characters for
+    * removal; each document is rebuilt from the surviving character
+    * ranges. Contrast [[removeRepeatedSpans]], which strips a hot
+    * span from EVERY document (boilerplate has no copy worth
+    * keeping) — here exactly one copy of each duplicated shingle
+    * survives at its canonical site. The per-shingle guarantee is the
+    * honest contract: a canonical occurrence's characters can still
+    * be excised when a DIFFERENT shingle's non-canonical interval
+    * overlaps them (overlapping shingles interact the same way in
+    * the suffix-array formulation) — what is exact is the removal
+    * set's definition, identical in both engines.
+    *
+    * Scale shape: occurrences ∝ corpus chars (the q95 frame); gram
+    * stats are ONE hash aggregation with map-side partials —
+    * `min(struct(id, i))` is the canonical pick, so no per-gram
+    * window ever sorts a census-scale shingle's occurrence list; the
+    * interval merge runs under per-DOCUMENT windows only; the
+    * rebuild is one `aggregate` fold over each doc's bounded merged
+    * interval list.
+    *
+    * Output: (id, `text_clean`, `n_chars_removed`) — one row per
+    * input document. */
+  def dedupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int): DataFrame =
+    dedupSpansKeepFirstFromCensus(df,
+      spanCensus(df, idCol, textCol, shingleLen),
+      idCol, textCol, shingleLen)
 
   /** Span-level CROSS-corpus decontamination — the surgical sibling
     * of doc-level [[DedupForget]] deletion and within-corpus
@@ -1256,23 +1300,23 @@ object Dedup {
     * Output: (idCol, `n_chars`, `dup_chars`, `dup_micro`) — one row
     * per input document (dup-free and sub-L docs report 0). */
   def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
-                      shingleLen: Int): DataFrame = {
+                      shingleLen: Int): DataFrame =
+    dupSpanCoverageFromCensus(df,
+      spanCensus(df, idCol, textCol, shingleLen),
+      idCol, textCol, shingleLen)
+
+  /** [[dupSpanCoverage]] served from a STORED [[spanCensus]] — the
+    * coverage report with the per-gram aggregation replaced by one
+    * join of the map-side occurrence frame against the
+    * vocabulary-scale census (only its gram set is used). */
+  def dupSpanCoverageFromCensus(df: DataFrame, census: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleLen: Int): DataFrame = {
     require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
     import org.apache.spark.sql.expressions.Window
     val L = shingleLen
-    // sequence(1, 0) would DESCEND ([1,0] — default step -1), handing
-    // sub-L docs two phantom shingles; gate it like [[shinglesOf]]
-    val occ = df.filter(col(idCol).isNotNull)
-      .select(col(idCol),
-        explode(when(length(col(textCol)) >= L,
-          sequence(lit(1), length(col(textCol)) - (L - 1)))
-          .otherwise(array())).as("_i"),
-        col(textCol).as("_txt"))
-      .select(col(idCol), col("_i").cast("long").as("_i"),
-        col("_txt").substr(col("_i"), lit(L)).as("_g"))
-    val dupGrams = occ.groupBy(col("_g"))
-      .agg(count(lit(1)).as("_cnt"))
-      .filter(col("_cnt") >= 2).select(col("_g"))
+    val occ = spanOcc(df, idCol, textCol, L)
+    val dupGrams = census.select(col("gram").as("_g"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("_i"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val covered = occ.join(dupGrams, "_g")

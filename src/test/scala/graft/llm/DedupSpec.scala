@@ -672,4 +672,37 @@ class DedupSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(re == out)
   }
+
+  test("span census round-trip: coverage and keep-first served from a " +
+    "STORED spanCensus are bit-identical to the standalone operators") {
+    val rnd = new scala.util.Random(89)
+    val docs = (1L to 40L).map { i =>
+      // planted cross-doc duplication: every 4th doc embeds a shared
+      // span; the rest are random hex
+      val body = Seq.fill(30)("0123456789abcdef"(rnd.nextInt(16))).mkString
+      (i, if (i % 4 == 0) body.take(10) + "SHAREDSPANHERE" + body.drop(10)
+          else body)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-census-spec-")
+      .resolve("census.parquet").toString
+    Dedup.spanCensus(docs, "doc_id", "text", shingleLen = 8)
+      .write.parquet(dir)
+    val stored = spark.read.parquet(dir)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(m(Dedup.dupSpanCoverageFromCensus(docs, stored,
+        "doc_id", "text", 8)) ===
+      m(Dedup.dupSpanCoverage(docs, "doc_id", "text", 8)))
+    assert(m(Dedup.dedupSpansKeepFirstFromCensus(docs, stored,
+        "doc_id", "text", 8)) ===
+      m(Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", 8)))
+    // the census itself carries the canonical first copy
+    val c = Dedup.spanCensus(docs, "doc_id", "text", 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(c.nonEmpty && c.forall(_._2 >= 2))
+    val shared = c.filter(_._1 == "SHAREDSP")
+    assert(shared.map(x => (x._2, x._3, x._4)).toSeq == Seq((10L, 4L, 11L)),
+      s"canonical pick: ${shared.toSeq}")
+  }
 }

@@ -605,6 +605,23 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("graft-cluster-artifact-"),
         s"$q clusters not served from the stored artifact in:\n$plan")
     }
+    // same contract one level down: the span family's coverage/
+    // surgery entries consume the STORED span census (q129 owns it).
+    // q31's pairs-artifact read is NOT plan-assertable — its
+    // connected components run iterative driver-side rounds over
+    // localCheckpoints, so the final plan reads a checkpoint RDD;
+    // the stored-pairs consumption shows in the bench split instead
+    // (q29 prices the census, q31 1.3 s prices CC).
+    Seq("q95_dup_coverage" -> "graft-span-census-",
+        "q102_span_dedup" -> "graft-span-census-").foreach {
+      case (q, marker) =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        df.collect()
+        graft.llm.Dedup.releaseCaches()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains(marker),
+          s"$q not served from the stored artifact ($marker) in:\n$plan")
+    }
   }
 
   test("curation v3 (q124): the scrubbed frame's exchange is reused " +

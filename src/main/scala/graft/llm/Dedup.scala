@@ -90,11 +90,25 @@ object Dedup {
   def shingles(textCol: String, n: Int): Column =
     shinglesOf(col(textCol), n)
 
+  /** Distinct `n`-char shingles of a string column, O(length·n):
+    * the string splits to a char array ONCE and shingles assemble by
+    * element-wise concat of `n` shifted slices — NEVER a per-position
+    * `substr`, whose UTF8String implementation scans from the string
+    * START to find the char offset (O(position) per call, O(L²) per
+    * document — invisible on 300-char gate fixtures, fatal on real
+    * 100k-char documents; the long-doc soak is what caught it).
+    * Char = code point on BMP text; the test corpora are ASCII (the
+    * [[Bpe.encodeOracleSql]] caveat). */
   def shinglesOf(c: Column, n: Int): Column =
-    array_distinct(filter(
-      transform(sequence(lit(1), greatest(length(c) - (n - 1), lit(0))),
-        i => c.substr(i, lit(n))),
-      s => length(s) === n))
+    array_distinct(
+      when(length(c) >= n, {
+        val cs = split(c, "")
+        val g = length(c) - (n - 1)
+        (1 until n).foldLeft(slice(cs, lit(1), g)) { (acc, o) =>
+          zip_with(acc, slice(cs, lit(o + 1), g),
+            (a, b) => concat(a, b))
+        }
+      }).otherwise(array().cast("array<string>")))
 
   /** Exact Jaccard of two array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -909,14 +923,20 @@ object Dedup {
     * over it are what [[spanCensus]] stores. */
   private def spanOcc(df: DataFrame, idCol: String, textCol: String,
                       L: Int): DataFrame =
+    // chars projected ONCE below the explode (the Generate boundary
+    // stops projection collapse, and codegen carries the array by
+    // reference); the shingle is then one O(L) slice per position —
+    // a per-position substr would SCAN to the char offset, O(len)
+    // per call and O(len²) per doc (see [[shinglesOf]])
     df.filter(col(idCol).isNotNull)
-      .select(col(idCol),
-        explode(when(length(col(textCol)) >= L,
-          sequence(lit(1), length(col(textCol)) - (L - 1)))
-          .otherwise(array())).as("_i"),
-        col(textCol).as("_txt"))
+      .select(col(idCol), split(col(textCol), "").as("_cs"),
+        length(col(textCol)).as("_len"))
+      .select(col(idCol), col("_cs"),
+        explode(when(col("_len") >= L,
+          sequence(lit(1), col("_len") - (L - 1)))
+          .otherwise(array())).as("_i"))
       .select(col(idCol), col("_i").cast("long").as("_i"),
-        col("_txt").substr(col("_i"), lit(L)).as("_g"))
+        concat_ws("", slice(col("_cs"), col("_i"), lit(L))).as("_g"))
 
   /** Corpus-duplicated shingle CENSUS — THE stored artifact of the
     * span family ([[dupSpanCoverage]] reports and
@@ -979,18 +999,30 @@ object Dedup {
         .as("_ivs"),
         sum(col("_e") - col("_s") + 1).as("_nrm"))
     val txt = col(textCol)
-    val stitched = aggregate(
-      col("_ivs"),
-      struct(lit(1L).as("p"), lit("").as("a")),
-      (st, iv) => struct(
-        (iv.getField("_e") + lit(1L)).as("p"),
-        concat(st.getField("a"),
-          txt.substr(st.getField("p").cast("int"),
-            (iv.getField("_s") - st.getField("p")).cast("int"))).as("a")),
-      st => concat(st.getField("a"),
-        txt.substr(st.getField("p").cast("int"),
-          (length(txt) - st.getField("p") + 1).cast("int"))))
+    // Rebuild = the kept CHAR-slice before each removed interval +
+    // the tail after the last, flattened and joined by ONE
+    // concat_ws. Two defects this shape avoids on long docs: an
+    // accumulator fold that concats the growing prefix per interval
+    // re-copies O(L) per step (O(L·k)/doc, k ∝ L when duplication
+    // is dense), and per-segment `substr` scans to the char offset
+    // (O(Σ starts) = O(L·k) again — see [[shinglesOf]]); array
+    // slices index in O(segment). _cs and _ivs are ATTRIBUTES, so
+    // the lambda's element_at/slice cannot be inflated by
+    // projection collapse.
+    val segs = concat(
+      transform(col("_ivs"), (iv, j) => {
+        val ks = when(j === 0, lit(1L))
+          .otherwise(element_at(col("_ivs"), j).getField("_e") + 1L)
+        slice(col("_cs"), ks.cast("int"),
+          (iv.getField("_s") - ks).cast("int"))
+      }),
+      array(slice(col("_cs"),
+        (element_at(col("_ivs"), -1).getField("_e") + 1L).cast("int"),
+        (length(txt) -
+          element_at(col("_ivs"), -1).getField("_e")).cast("int"))))
+    val stitched = concat_ws("", flatten(segs))
     df.filter(col(idCol).isNotNull)
+      .withColumn("_cs", split(txt, ""))
       .join(ivs, Seq(idCol), "left")
       .select(col(idCol),
         when(col("_ivs").isNull, txt).otherwise(stitched)

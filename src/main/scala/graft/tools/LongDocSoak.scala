@@ -118,7 +118,19 @@ object LongDocSoak {
       // (and the rebuild's except-set) grows linearly with length
       "remove_spans" -> (d =>
         noop(Dedup.removeRepeatedSpans(d, "doc_id", "text",
-          windowTokens = 8, docFreqCap = 2))))
+          windowTokens = 8, docFreqCap = 2))),
+      // char-shingle span family (runs on docs/10 — see `fewer`
+      // below: the occurrence frame is CHAR-scale): removed-interval
+      // count grows linearly with length, so these catch any
+      // accumulator-fold rebuild that re-copies the prefix per
+      // interval (O(L·k)) as superlinear wall
+      "span_coverage" -> (d =>
+        noop(Dedup.dupSpanCoverage(d, "doc_id", "text",
+          shingleLen = 16))),
+      "span_surgery" -> (d =>
+        noop(Dedup.dedupSpansKeepFirst(d, "doc_id", "text",
+          shingleLen = 16))))
+    val fewer = Set("span_coverage", "span_surgery")
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[Int, Map[String, Double]]
@@ -126,11 +138,14 @@ object LongDocSoak {
       val toks = baseTokens * k
       val docs = corpus(spark, nDocs, toks).persist()
       docs.count() // materialize OUTSIDE the timed sections
+      val small = corpus(spark, math.max(nDocs / 10, 32), toks).persist()
+      small.count()
       val times = ops.map { case (name, run) =>
-        run(docs) // warm (codegen, broadcast)
-        name -> (timed(run(docs)) min timed(run(docs)))
+        val d = if (fewer(name)) small else docs
+        run(d) // warm (codegen, broadcast)
+        name -> (timed(run(d)) min timed(run(d)))
       }.toMap
-      docs.unpersist()
+      docs.unpersist(); small.unpersist()
       results(k) = times
       println(s"""{"scale":$k,"tokens_per_doc":$toks,"docs":$nDocs,""" +
         ops.map { case (n, _) => s""""${n}_sec":${f"${times(n)}%.2f"}""" }

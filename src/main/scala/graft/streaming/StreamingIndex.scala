@@ -48,6 +48,28 @@ object StreamingIndex {
       .select(explode(TextStats.gramsOf(col("_ts"), n)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("freq"))
 
+  /** Continuously-maintained n-gram frequency table over a ±1 CDC
+    * feed — [[ngramCounts]]' signed sibling (the
+    * [[StreamingSketch.histogramCountersSigned]] pattern): op = +1
+    * adds the document's gram occurrences, −1 removes them;
+    * aggregation state is the exact net gram table (vocabulary-
+    * sized), readers apply the `freq > 0` cut, after which a
+    * snapshot equals batch [[TextStats.topNgrams]] counts on the net
+    * corpus. Ops outside ±1 fail loudly map-side. */
+  def ngramCountsCdc(stream: DataFrame, opCol: String, textCol: String,
+                     n: Int): DataFrame =
+    stream
+      .select(
+        when(col(opCol) === 1 || col(opCol) === -1,
+          col(opCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("CDC op must be +1 (ingest) or -1 (forget), got "),
+            col(opCol).cast("string")))).as("_op"),
+        filter(split(col(textCol), " "), t => length(t) > 0).as("_ts"))
+      .select(col("_op"),
+        explode(TextStats.gramsOf(col("_ts"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(sum(col("_op")).as("freq"))
+
   /** One emitted posting-list snapshot: `postings` is null once the
     * term overflows `maxDf` (exact `df` keeps counting). */
   case class TokenPostings(token: String, df: Long, postings: Seq[Long])

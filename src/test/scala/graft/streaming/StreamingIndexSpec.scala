@@ -385,6 +385,40 @@ class StreamingIndexSpec extends SparkSpec {
     }
   }
 
+  test("ngram counts CDC: the signed gram table converges to batch " +
+    "topNgrams on the net corpus after interleaved ingests/forgets") {
+    val rnd = new scala.util.Random(73)
+    val vocab = (0 until 5).map(i => ('a' + i).toChar.toString)
+    val corpus = (1L to 25L).map(i => (i,
+      Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toMap
+    val dead = corpus.keys.toSeq.sorted.filter(_ % 3 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Int, Long, String)]
+    val query = StreamingIndex.ngramCountsCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "text", n = 2)
+      .writeStream.format("memory").queryName("ngram_cdc_out")
+      .outputMode("complete").start()
+    try {
+      val feed = corpus.toSeq.sortBy(_._1).map { case (i, t) => (1, i, t) } ++
+        dead.map(i => (-1, i, corpus(i)))
+      feed.grouped(6).foreach { b =>
+        stream.addData(b); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val snap = spark.table("ngram_cdc_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0).toMap
+    val net = (corpus.keySet -- dead).toSeq.sorted.map(i => (i, corpus(i)))
+    val batch = TextStats.topNgrams(net.toDF("doc_id", "text"),
+        "text", n = 2, k = 1000000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap === batch, s"cdc $snap\nbatch $batch")
+    assert(spark.table("ngram_cdc_out").collect()
+      .exists(_.getLong(1) == 0L),
+      "schedule must fully forget at least one gram (net 0 row)")
+  }
+
   test("BM25 scalars CDC: the signed (L, N) aggregation converges to " +
     "the batch bm25Stats scalars on the net corpus, token-less docs " +
     "counting in N only") {

@@ -1423,6 +1423,31 @@ object SparkEntry {
       s.table(qn).select(col("_L").as("corpus_tokens"),
         col("_N").as("corpus_docs"))
     }),
+    // ... the signed GRAM table through the same feed: net bigram
+    // counts (freq > 0 reader cut) ≡ DuckDB bigram counts on the net
+    // corpus.
+    "q130_ngram_cdc" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val chunk = math.max(1, rows.size / 4)
+      val batches =
+        rows.map { case (i, x) => (1, i, x) }.grouped(chunk).toSeq ++
+          rows.filter(_._1 % 7 == 0)
+            .map { case (i, x) => (-1, i, x) }.grouped(chunk).toSeq
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, Long, String)]
+      val qn = s"ngram_cdc_gate_${cdcGateNames.incrementAndGet()}"
+      val q = graft.streaming.StreamingIndex.ngramCountsCdc(
+          stream.toDF().toDF("op", "doc_id", "text"), "op", "text",
+          n = 2)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      s.table(qn).filter(col("freq") > 0)
+    }),
     // ... and the inverted sibling through the same feed: snapshot ≡
     // DuckDB inverted build on the net corpus, '<overflow>' on
     // ever-overflowed tokens (exact net df either way).
@@ -3093,6 +3118,17 @@ object SparkEntry {
         |   CAST(count(*) AS BIGINT) AS corpus_docs
         | FROM documents WHERE doc_id % 7 <> 0""".stripMargin
         .replace("\n", " "),
+    // CDC gram-table gate: net-corpus bigram counts
+    "q130_ngram_cdc" ->
+      """WITH d AS (SELECT list_filter(string_split(text, ' '),
+        |     x -> x <> '') AS ts
+        |   FROM documents WHERE doc_id % 7 <> 0),
+        | g AS (SELECT unnest(list_transform(range(1, len(ts)),
+        |     i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]))
+        |     AS ngram
+        |   FROM d)
+        | SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+        | FROM g GROUP BY 1""".stripMargin.replace("\n", " "),
     // CDC inverted gate: same feed, q118's formatting
     "q127_inverted_cdc" ->
       """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (

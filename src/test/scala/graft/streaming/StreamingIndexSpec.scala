@@ -518,6 +518,52 @@ class StreamingIndexSpec extends SparkSpec {
       s"duplicate seq emissions for 'a': ${aRows.mkString(", ")}")
   }
 
+  test("positional CDC survives a query RESTART from checkpoint: " +
+    "per-token position tables and seq counters carry across") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-poscdc-ckpt-").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-poscdc-out-").resolve("snap").toString
+    val stream = MemoryStream[(Int, Long, String)]
+    def start() = StreamingIndex.positionalIndexCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "doc_id",
+        "text", maxDf = 3)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingIndex.TokenPositionalCdc],
+         _: Long) => b.write.mode("append").parquet(out)
+      }
+      .start()
+    val q1 = start()
+    try {
+      stream.addData(Seq((1, 1L, "a b a"), (1, 2L, "a c")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      stream.addData(Seq((-1, 2L, "a c"), (1, 9L, "b a")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy(col("seq").desc)
+    val snap = spark.read.parquet(out)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("df") > 0)
+      .as[StreamingIndex.TokenPositionalCdc].collect()
+      .map(t => t.token -> t).toMap
+    // net corpus: docs 1 ("a b a"), 9 ("b a")
+    assert(snap("a").df == 2L && snap("a").docs ==
+      Seq(StreamingIndex.DocPositions(1L, Seq(1, 3)),
+        StreamingIndex.DocPositions(9L, Seq(2))),
+      s"a: ${snap("a")} — restored state must keep doc 1's positions " +
+        "and fold the post-restart forget/ingest on top")
+    assert(snap("b").df == 2L && !snap.contains("c"), snap.toString)
+  }
+
   test("streaming inverted index equals the batch build on a " +
     "randomized corpus split into random micro-batches") {
     val rnd = new scala.util.Random(59)

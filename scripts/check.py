@@ -104,7 +104,11 @@ for name in sorted(p.name for p in outdir.iterdir() if p.is_dir()):
 ledger_path = Path(__file__).parent / "bench_ledger.json"
 if ledger_path.exists():
     ledger = set(json.loads(ledger_path.read_text()))
-    ran = set(p.name for p in outdir.iterdir() if p.is_dir())
+    # intersect with the CURRENT query set (oracle_sql.json is rewritten
+    # by every Verify run) so a stale outdir left by a renamed/removed
+    # gate entry doesn't fail as "unmeasured"; GateLintSpec separately
+    # enforces ledger == SparkEntry.queries 1:1 at sbt-test time
+    ran = set(p.name for p in outdir.iterdir() if p.is_dir()) & set(oracle)
     unmeasured = sorted(ran - ledger)
     if unmeasured:
         fails.extend(unmeasured)

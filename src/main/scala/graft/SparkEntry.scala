@@ -56,41 +56,24 @@ object SparkEntry {
     else sharedFrames.getOrElseUpdate(s"pairs:$dir",
       mk.localCheckpoint(true))
   }
-  // the pairs frame as a stored artifact (★r15): q29 owns and prices
-  // the pairs census live; clustering (q31) consumes the STORED
-  // pairs — the same ownership split as clusterArtifact one level
-  // down. Written once per (JVM, dir).
-  private val pairArtifacts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def pairsArtifact(s: SparkSession, dir: String): DataFrame = {
-    val path = pairArtifacts.getOrElseUpdate(s"pairs:$dir", {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-pairs-artifact-")
-        .resolve("pairs.parquet").toString
-      docPairs(s, dir).write.mode("overwrite").parquet(p)
-      graft.llm.Dedup.releaseCaches()
-      p
-    })
-    s.read.parquet(path)
-  }
+  // the pairs frame as a stored artifact (★r15, registry factored to
+  // ArtifactStore ★r16): q29 owns and prices the pairs census live;
+  // clustering (q31) consumes the STORED pairs — the same ownership
+  // split as clusterArtifact one level down. Written once per
+  // (JVM, dir).
+  private def pairsArtifact(s: SparkSession, dir: String): DataFrame =
+    graft.tools.ArtifactStore.frame(s, s"pairs:$dir",
+      "graft-pairs-artifact-")(docPairs(s, dir))(
+      graft.llm.Dedup.releaseCaches())
   // the duplicated-SPAN census (★r15): q129 owns and prices the
   // census (the one char-scale aggregation of the span family); the
   // q95 coverage audit and q102 keep-first surgery consume the
   // stored, vocabulary-scale frame via their FromCensus variants.
-  private val spanCensusArtifacts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def spanCensusArtifact(s: SparkSession, dir: String): DataFrame = {
-    val path = spanCensusArtifacts.getOrElseUpdate(s"spans:$dir", {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-span-census-")
-        .resolve("census.parquet").toString
+  private def spanCensusArtifact(s: SparkSession, dir: String): DataFrame =
+    graft.tools.ArtifactStore.frame(s, s"spans:$dir",
+      "graft-span-census-")(
       graft.llm.Dedup.spanCensus(t(s, dir, "documents"),
-        "doc_id", "text", shingleLen = 16)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+        "doc_id", "text", shingleLen = 16))()
   private def docClusters(s: SparkSession, dir: String): DataFrame = {
     def mk = graft.llm.Dedup.duplicateClusters(
       pairsArtifact(s, dir), "id_a", "id_b")
@@ -109,109 +92,136 @@ object SparkEntry {
   // entry's bench re-runs) reads the scan. q31 — the entry that OWNS
   // the clustering — stays on the live derivation, so its bench
   // median keeps pricing the real clustering cost.
-  // ---- CDC gate plumbing (★r15): drive a ±1 MemoryStream feed of
-  // the documents table — ingest ALL docs, then forget doc_id % 7 ==
-  // 0 (the q118/q101 split) — through a streaming CDC index operator
-  // and return the per-token max-seq snapshot as a batch frame. The
-  // driver-side feed is gate-scale only (bounded by the sf table; a
-  // production feed is a real source). Ingest and forget batches
-  // never interleave, so a doc's ±1 events never share a
-  // micro-batch. Unique memory-sink names per invocation so bench
-  // re-runs don't collide.
+  // ---- CDC gate plumbing (★r15; file-based feed ★r16): drive a ±1
+  // CDC feed of the documents table — ingest ALL docs, then forget
+  // doc_id % 7 == 0 (the q118/q101 split) — through a streaming CDC
+  // index operator. The feed rides the PRODUCTION data path end to
+  // end: each micro-batch is written as json-lines FILES (a Spark
+  // write, executor-side — no driver collect anywhere) and dropped
+  // into a watched directory the operator consumes via `readStream`
+  // (Spark's file source); `processAllAvailable` drains between
+  // drops, so the directory drop IS the micro-batch boundary and a
+  // doc's +1/−1 events never share a batch. Ingest is chunked on
+  // pmod(doc_id, 4) — the snapshot is chunking-invariant (during the
+  // ingest phase df only grows, so ever-overflowed = full-corpus
+  // df > maxDf under ANY +1 order; forgets commute). Unique
+  // memory-sink names per invocation so bench re-runs don't collide.
   private val cdcGateNames = new java.util.concurrent.atomic.AtomicInteger
+  private def runCdcFeed(s: SparkSession, dir: String, name: String,
+                         mode: String)
+      (mk: DataFrame => DataFrame): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-feed-")
+    val watch = root.resolve("feed")
+    java.nio.file.Files.createDirectories(watch)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("op INT, doc_id BIGINT, text STRING")
+    val qn = s"${name}_${cdcGateNames.incrementAndGet()}"
+    val q = mk(s.readStream.schema(schema).json(watch.toString))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(mode).start()
+    val batches: Seq[DataFrame] =
+      (0 until 4).map(b =>
+        docs.filter(pmod(col("doc_id"), lit(4)) === b)
+          .select(lit(1).as("op"), col("doc_id"), col("text"))) ++
+        (0 until 4).map(b =>
+          docs.filter(col("doc_id") % 7 === 0 &&
+              pmod(col("doc_id"), lit(4)) === b)
+            .select(lit(-1).as("op"), col("doc_id"), col("text")))
+    try batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = root.resolve(s"stage-$i")
+      // coalesce(1): one file per drop — gate-scale batches; a
+      // production feed drops whatever file set its upstream wrote
+      b.coalesce(1).write.mode("overwrite").json(stage.toString)
+      val parts = java.nio.file.Files.list(stage).iterator()
+      var j = 0
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.getFileName.toString.startsWith("part-")) {
+          java.nio.file.Files.move(p,
+            watch.resolve(f"batch-$i%02d-$j.json"))
+          j += 1
+        }
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qn)
+  }
+  /** Update-mode CDC gate: run the ±1 feed, return the per-token
+    * max-seq snapshot as a batch frame (the reader rule). */
   private def runCdcGate(s: SparkSession, dir: String, name: String)
       (mk: DataFrame => DataFrame): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    val chunk = math.max(1, rows.size / 4)
-    val batches =
-      rows.map { case (i, x) => (1, i, x) }.grouped(chunk).toSeq ++
-        rows.filter(_._1 % 7 == 0)
-          .map { case (i, x) => (-1, i, x) }.grouped(chunk).toSeq
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Int, Long, String)]
-    val qn = s"${name}_${cdcGateNames.incrementAndGet()}"
-    val q = mk(stream.toDF().toDF("op", "doc_id", "text"))
-      .writeStream.format("memory").queryName(qn)
-      .outputMode("update").start()
-    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
-    finally q.stop()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("token").orderBy(col("seq").desc)
-    s.table(qn).withColumn("_rn", row_number().over(w))
+    runCdcFeed(s, dir, name, "update")(mk)
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "seq")
   }
 
-  private val clusterArtifacts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def clusterArtifact(s: SparkSession, dir: String): DataFrame = {
-    val path = clusterArtifacts.getOrElseUpdate(s"clusters:$dir", {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-cluster-artifact-")
-        .resolve("clusters.parquet").toString
-      docClusters(s, dir).write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-  // ---- learned-MODEL artifacts (★r15, the clusterArtifact treatment
-  // on the driver-side models): each deterministic fit has ONE owner
-  // entry that prices training live (q57 k-means, q54 BPE, q79 PQ,
-  // q81 IVF-PQ) and a `*Cached` accessor every CONSUMER entry uses —
-  // trained once per (JVM, dir), exactly the model a 100 TB pipeline
+  private def clusterArtifact(s: SparkSession, dir: String): DataFrame =
+    graft.tools.ArtifactStore.frame(s, s"clusters:$dir",
+      "graft-cluster-artifact-")(docClusters(s, dir))()
+  // ---- learned-MODEL artifacts (★r15; SERIALIZED ★r16): each
+  // deterministic fit has ONE owner entry that prices training live
+  // (q57 k-means, q54 BPE, q79 PQ, q81 IVF-PQ) and a `*Cached`
+  // accessor every CONSUMER entry uses — trained once per (JVM, dir),
+  // STORED as a parquet model frame ([[graft.llm.ModelIo]]), and the
+  // copy consumers compute on is the disk ROUND TRIP (bit-identity
+  // spec-pinned in ModelIoSpec), exactly the model a 100 TB pipeline
   // trains once, stores, and loads per encode/search run. Under the
   // gate flag the owner path also memoizes (unchanged Verify
   // behavior).
-  private val sharedCentroids =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Float]]]
   private def mkCentroids(s: SparkSession, dir: String) =
     graft.llm.Clustering.kmeans(t(s, dir, "embeddings"),
       "vec_id", "embedding", k = 8, iters = 4)._2
   private def kmeansCentroidsCached(s: SparkSession, dir: String)
       : Seq[Array[Float]] =
-    sharedCentroids.getOrElseUpdate(s"centroids:$dir", mkCentroids(s, dir))
+    graft.tools.ArtifactStore.model(s, s"centroids:$dir",
+      "graft-kmeans-model-")(mkCentroids(s, dir))(
+      graft.llm.ModelIo.saveCentroids(s, _),
+      graft.llm.ModelIo.loadCentroids)
   private def kmeansCentroids(s: SparkSession, dir: String)
       : Seq[Array[Float]] =
     if (!sharingFrames) mkCentroids(s, dir)
     else kmeansCentroidsCached(s, dir)
   // likewise the 24-round BPE merge list (q54 entry + its oracle)
-  private val sharedMerges = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[graft.llm.Bpe.Merge]]
   private def mkMerges(s: SparkSession, dir: String) =
     graft.llm.Bpe.learn(t(s, dir, "documents"), "text", numMerges = 24)
   private def bpeMergesCached(s: SparkSession, dir: String)
       : Seq[graft.llm.Bpe.Merge] =
-    sharedMerges.getOrElseUpdate(s"merges:$dir", mkMerges(s, dir))
+    graft.tools.ArtifactStore.model(s, s"merges:$dir",
+      "graft-bpe-model-")(mkMerges(s, dir))(
+      graft.llm.ModelIo.saveMerges(s, _), graft.llm.ModelIo.loadMerges)
   private def bpeMerges(s: SparkSession, dir: String)
       : Seq[graft.llm.Bpe.Merge] =
     if (!sharingFrames) mkMerges(s, dir) else bpeMergesCached(s, dir)
   // the PQ codebooks (q79 encode + q80 search + their oracles): m=4
   // subspaces × ksub=8 centroids over the 64-dim embeddings, each a
   // deterministic per-slice k-means fit
-  private val sharedCodebooks = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[Seq[Array[Float]]]]
   private def mkCodebooks(s: SparkSession, dir: String) =
     graft.llm.Pq.train(t(s, dir, "embeddings"),
       "vec_id", "embedding", m = 4, ksub = 8, iters = 3)
   private def pqCodebooksCached(s: SparkSession, dir: String)
       : Seq[Seq[Array[Float]]] =
-    sharedCodebooks.getOrElseUpdate(s"pq:$dir", mkCodebooks(s, dir))
+    graft.tools.ArtifactStore.model(s, s"pq:$dir",
+      "graft-pq-model-")(mkCodebooks(s, dir))(
+      graft.llm.ModelIo.saveCodebooks(s, _),
+      graft.llm.ModelIo.loadCodebooks)
   private def pqCodebooks(s: SparkSession, dir: String)
       : Seq[Seq[Array[Float]]] =
     if (!sharingFrames) mkCodebooks(s, dir) else pqCodebooksCached(s, dir)
   // the IVF-PQ model (q81 encode + q82 search + their oracles):
   // nlist=4 inverted lists, residual PQ m=4 × ksub=8 — both levels
   // deterministic fits, so the gate re-learn replays identically
-  private val sharedIvfPq = scala.collection.concurrent.TrieMap
-    .empty[String, graft.llm.IvfPq.Model]
   private def mkIvfPq(s: SparkSession, dir: String) =
     graft.llm.IvfPq.train(t(s, dir, "embeddings"),
       "vec_id", "embedding", nlist = 4, m = 4, ksub = 8, iters = 3)
   private def ivfPqModelCached(s: SparkSession, dir: String)
       : graft.llm.IvfPq.Model =
-    sharedIvfPq.getOrElseUpdate(s"ivfpq:$dir", mkIvfPq(s, dir))
+    graft.tools.ArtifactStore.model(s, s"ivfpq:$dir",
+      "graft-ivfpq-model-")(mkIvfPq(s, dir))(
+      graft.llm.ModelIo.saveIvfPq(s, _), graft.llm.ModelIo.loadIvfPq)
   private def ivfPqModel(s: SparkSession, dir: String)
       : graft.llm.IvfPq.Model =
     if (!sharingFrames) mkIvfPq(s, dir) else ivfPqModelCached(s, dir)
@@ -1402,51 +1412,19 @@ object SparkEntry {
     // one-row aggregation must equal the batch scalars of the net
     // corpus — token-less docs count in N only, both engines.
     "q128_bm25_cdc" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      val chunk = math.max(1, rows.size / 4)
-      val batches =
-        rows.map { case (i, x) => (1, i, x) }.grouped(chunk).toSeq ++
-          rows.filter(_._1 % 7 == 0)
-            .map { case (i, x) => (-1, i, x) }.grouped(chunk).toSeq
-      val stream = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Int, Long, String)]
-      val qn = s"bm25_cdc_gate_${cdcGateNames.incrementAndGet()}"
-      val q = graft.streaming.StreamingIndex.bm25ScalarsCdc(
-          stream.toDF().toDF("op", "doc_id", "text"), "op", "text")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
-      try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
-      finally q.stop()
-      s.table(qn).select(col("_L").as("corpus_tokens"),
-        col("_N").as("corpus_docs"))
+      runCdcFeed(s, dir, "bm25_cdc_gate", "complete")(df =>
+        graft.streaming.StreamingIndex.bm25ScalarsCdc(df, "op", "text"))
+        .select(col("_L").as("corpus_tokens"),
+          col("_N").as("corpus_docs"))
     }),
     // ... the signed GRAM table through the same feed: net bigram
     // counts (freq > 0 reader cut) ≡ DuckDB bigram counts on the net
     // corpus.
     "q130_ngram_cdc" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      val chunk = math.max(1, rows.size / 4)
-      val batches =
-        rows.map { case (i, x) => (1, i, x) }.grouped(chunk).toSeq ++
-          rows.filter(_._1 % 7 == 0)
-            .map { case (i, x) => (-1, i, x) }.grouped(chunk).toSeq
-      val stream = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Int, Long, String)]
-      val qn = s"ngram_cdc_gate_${cdcGateNames.incrementAndGet()}"
-      val q = graft.streaming.StreamingIndex.ngramCountsCdc(
-          stream.toDF().toDF("op", "doc_id", "text"), "op", "text",
-          n = 2)
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
-      try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
-      finally q.stop()
-      s.table(qn).filter(col("freq") > 0)
+      runCdcFeed(s, dir, "ngram_cdc_gate", "complete")(df =>
+        graft.streaming.StreamingIndex.ngramCountsCdc(df, "op", "text",
+          n = 2))
+        .filter(col("freq") > 0)
     }),
     // ... and the inverted sibling through the same feed: snapshot ≡
     // DuckDB inverted build on the net corpus, '<overflow>' on

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (local iteration only; the driver passes two):
+    // comma-separated name substrings — run just the matching queries
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +25,10 @@ object Verify {
     // per-query timings keep their standalone definition)
     System.setProperty("graft.gate.shareFrames", "1")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // non-fatal here (GateLintSpec is the hard gate) — but loud,

@@ -153,8 +153,14 @@ object StreamingIndex {
           .otherwise(raise_error(concat(
             lit("CDC op must be +1 (ingest) or -1 (forget), got "),
             col(opCol).cast("string")))).as("_op"),
-        size(filter(TextStats.tokens(col(textCol)),
-          t => length(t) > 0)).cast("long").as("_dl"))
+        // explicit null guard: under legacy (non-ANSI) configs
+        // size(NULL) is -1, which would shift L by -op per null-text
+        // doc while batch bm25Stats leaves L untouched — pin the
+        // batch convention (0 tokens) regardless of
+        // spark.sql.ansi.enabled
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(filter(TextStats.tokens(col(textCol)),
+            t => length(t) > 0)).cast("long")).as("_dl"))
       .agg(sum(col("_op") * col("_dl")).as("_L"),
         sum(col("_op")).as("_N"))
 
@@ -325,7 +331,11 @@ object StreamingIndex {
           // normalize within-batch order (ingests first, doc asc) —
           // iterator order after the shuffle is partition order, so
           // an unsorted fold would make a same-batch +1/−1 pair for
-          // one doc nondeterministic; the positional sibling's rule
+          // one doc nondeterministic; the positional sibling's rule.
+          // NOTE the toSeq buffers a token's rows for ONE micro-batch
+          // on the executor heap — O(hot-token rows per batch), batch-
+          // bounded (CdcSoak covers the census-scale hot keys), never
+          // stream-length-bounded
           val ordered = rows.toSeq.map(r => (r._1, r._2))
             .sortBy { case (op, id) => (-op, id) }
           ordered.foreach { case (op, id) =>

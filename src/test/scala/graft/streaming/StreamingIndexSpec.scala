@@ -607,4 +607,83 @@ class StreamingIndexSpec extends SparkSpec {
       assert(df == dfAll(tok), s"$tok: stream df $df vs ${dfAll(tok)}")
     }
   }
+
+  test("BM25 scalars CDC survive a query RESTART from checkpoint: the " +
+    "signed aggregation state carries across and committed batches " +
+    "are not reprocessed") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bm25cdc-ckpt-").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-bm25cdc-out-").resolve("snap").toString
+    val stream = MemoryStream[(Int, Long, String)]
+    def start() = StreamingIndex.bm25ScalarsCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "text")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(out) // complete-mode snapshot
+      }
+      .start()
+    // phase 1: ingest docs 1 (3 tokens) + 2 (2 tokens), STOP
+    val q1 = start()
+    try {
+      stream.addData(Seq((1, 1L, "a b c"), (1, 2L, "d e")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // phase 2: NEW query, SAME checkpoint — only the forget of doc 2
+    // and ingest of doc 3 arrive; a state reset would leave L = -1,
+    // N = 0, a replay would double-count phase 1
+    val q2 = start()
+    try {
+      stream.addData(Seq((-1, 2L, "d e"), (1, 3L, "f")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val Array(l, n) = spark.read.parquet(out).collect()(0)
+      .toSeq.map(_.toString.toLong).toArray
+    assert((l, n) === ((4L, 2L)),
+      s"restored scalars ($l, $n) != net-corpus batch (4, 2)")
+  }
+
+  test("ngram counts CDC survive a query RESTART from checkpoint: the " +
+    "signed gram table carries across, including a gram netting to " +
+    "zero only after the restart") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ngramcdc-ckpt-").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ngramcdc-out-").resolve("snap").toString
+    val stream = MemoryStream[(Int, Long, String)]
+    def start() = StreamingIndex.ngramCountsCdc(
+        stream.toDF().toDF("op", "doc_id", "text"), "op", "text", n = 2)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    // phase 1: docs 1 ("a b a" → 'a b','b a') + 2 ("a b c" → 'a b',
+    // 'b c'), STOP
+    val q1 = start()
+    try {
+      stream.addData(Seq((1, 1L, "a b a"), (1, 2L, "a b c")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // phase 2: forget doc 2 (nets 'b c' to zero — only correct if doc
+    // 2's phase-1 counts were restored), ingest doc 3 ("b a x")
+    val q2 = start()
+    try {
+      stream.addData(Seq((-1, 2L, "a b c"), (1, 3L, "b a x")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val snap = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap.filter(_._2 > 0) ===
+      Map("a b" -> 1L, "b a" -> 2L, "a x" -> 1L),
+      s"net gram table after restart: $snap")
+    assert(snap.get("b c").contains(0L),
+      s"'b c' must net to exactly zero across the restart: $snap")
+  }
 }

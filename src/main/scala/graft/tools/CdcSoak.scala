@@ -28,13 +28,24 @@ import org.apache.spark.sql.functions._
   * the scale criterion (state is vocabulary-keyed; per-batch work is
   * batch-sized).
   *
-  * Usage: `runMain graft.tools.CdcSoak [scales]` (default "1,10" —
-  * multiples of the 5,000-doc sf0.1 documents shape). */
+  * A CHURN tier (★r16) follows the scale runs: a production CDC feed
+  * cycles forget→re-ingest on the same keys for months, so one
+  * long-lived query drives N cycles over the base corpus, asserting
+  * after EVERY half-cycle that the snapshot equals the batch build on
+  * the then-net corpus, and that the state-store row count is FLAT
+  * across cycles — state is keyed by vocabulary (tombstones shrink to
+  * seq-only, they never leave), which is the operator's core memory
+  * claim; this verifies it empirically.
+  *
+  * Usage: `runMain graft.tools.CdcSoak [scales] [churnCycles]`
+  * (defaults "1,10" — multiples of the 5,000-doc sf0.1 documents
+  * shape — and 4 cycles). */
 object CdcSoak {
 
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10")
       .split(",").map(_.trim.toInt).toSeq
+    val churnCycles = args.lift(1).map(_.trim.toInt).getOrElse(4)
     val baseDocs = 5000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -176,6 +187,91 @@ object CdcSoak {
       val kR = scales.last.toDouble / scales.head
       println(s"""{"metric":"cdc_soak_ratios","scale_ratio":$kR,""" +
         s""""time_ratio":${f"$r%.2f"},"near_linear":${r < 2.5 * kR}}""")
+    }
+
+    // ---- CHURN tier (★r16): one long-lived query, `churnCycles`
+    // forget→re-ingest rounds on the same dead set. Snapshot must
+    // equal the batch build after EVERY half-cycle; state rows must
+    // be FLAT (vocabulary-keyed — tombstones shrink, never leave).
+    if (churnCycles > 0) {
+      val n = baseDocs * scales.head
+      val docs = DedupSoak.corpus(spark, n)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val dead = docs.filter(_._1 % 10 == 3)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, Long, String)]
+      val qn = "cdc_churn"
+      val query = StreamingIndex.invertedIndexCdc(
+          stream.toDF().toDF("op", "doc_id", "text"),
+          "op", "doc_id", "text", maxDf = 200)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("update").start()
+      def drive(rows: Seq[(Int, Long, String)]): Unit =
+        rows.grouped(2000).foreach { b =>
+          stream.addData(b); query.processAllAvailable()
+        }
+      def stateRows(): Long =
+        Option(query.lastProgress).toSeq
+          .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("token").orderBy(col("seq").desc)
+      // ever-overflow is stable across cycles: peak df = full-corpus
+      // df (no token with full df > maxDf ever nets to 0 in this
+      // corpus — hot boilerplate keeps half its carriers), so the
+      // batch marker condition stays "full df > 200" all soak long
+      val full = DedupSoak.corpus(spark, n)
+      val net = full.filter(!(col("doc_id") % 10 === 3))
+      val dfFull = full.select(col("doc_id"), explode(array_distinct(
+          filter(TextStats.tokens(col("text")), t => length(t) > 0)))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("_dff"))
+      def batchTruth(corpus: org.apache.spark.sql.DataFrame) =
+        TextStats.invertedIndex(corpus, "doc_id", "text",
+            minDf = 1, maxDf = Int.MaxValue)
+          .join(dfFull, "token")
+          .select(col("token"), col("df"),
+            when(col("_dff") > 200, lit("<overflow>"))
+              .otherwise(concat_ws(",", transform(col("postings"),
+                _.cast("string")))).as("p"))
+      def snapshotDiff(corpus: org.apache.spark.sql.DataFrame): Long = {
+        val snap = spark.table(qn)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1 && col("df") > 0)
+          .select(col("token"), col("df"),
+            when(col("postings").isNull, lit("<overflow>"))
+              .otherwise(concat_ws(",", transform(col("postings"),
+                _.cast("string")))).as("p"))
+        val truth = batchTruth(corpus)
+        snap.exceptAll(truth).unionAll(truth.exceptAll(snap)).count()
+      }
+      try {
+        drive(docs.map { case (i, x) => (1, i, x) })
+        val state0 = stateRows()
+        val states = scala.collection.mutable.ArrayBuffer(state0)
+        (1 to churnCycles).foreach { c =>
+          val t0 = System.nanoTime()
+          drive(dead.map { case (i, x) => (-1, i, x) })
+          val dForget = snapshotDiff(net)
+          drive(dead.map { case (i, x) => (1, i, x) })
+          val dBack = snapshotDiff(full)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val sr = stateRows()
+          states += sr
+          require(dForget == 0 && dBack == 0,
+            s"churn cycle $c: snapshot != batch (forget diff $dForget, " +
+              s"re-ingest diff $dBack)")
+          println(s"""{"churn_cycle":$c,"sec":${f"$sec%.2f"},""" +
+            s""""state_rows":$sr,"forget_eq":true,"reingest_eq":true}""")
+        }
+        require(states.max == states.min,
+          s"state-store rows must be FLAT across churn cycles " +
+            s"(vocabulary-bounded), got $states")
+        println(s"""{"metric":"cdc_churn","cycles":$churnCycles,""" +
+          s""""docs":$n,"state_rows_flat":true,""" +
+          s""""state_rows":${states.max}}""")
+      } finally query.stop()
     }
     spark.stop()
   }

@@ -132,6 +132,17 @@ object LongDocSoak {
           shingleLen = 16))))
     val fewer = Set("span_coverage", "span_surgery")
 
+    // INDEX-SEARCH tier (★r16): the three index-query operators'
+    // cost driver is positions-per-token, which grows with doc
+    // length — build the positional + inverted indexes per scale
+    // (outside the timed window: build cost is the exploded-positions
+    // aggregation, soaked elsewhere) and run the searches with
+    // deliberately HOT terms: 'the' ≈ 16% of all tokens (proximity's
+    // sweep sees ~0.2·L events/doc), the boilerplate trigram recurs
+    // every ~500 tokens (phrase's intersection lists grow ∝ L).
+    val idxOpNames =
+      Seq("proximity_search", "phrase_search", "conjunctive_search")
+
     val results = scala.collection.mutable.LinkedHashMap
       .empty[Int, Map[String, Double]]
     scales.foreach { k =>
@@ -145,17 +156,36 @@ object LongDocSoak {
         run(d) // warm (codegen, broadcast)
         name -> (timed(run(d)) min timed(run(d)))
       }.toMap
+      val posIdx = TextStats.positionalIndex(docs, "doc_id", "text")
+        .persist()
+      posIdx.count() // index build OUTSIDE the timed sections
+      val invIdx = TextStats.invertedIndex(docs, "doc_id", "text",
+        minDf = 1).persist()
+      invIdx.count()
+      val idxRuns: Seq[(String, () => Unit)] = Seq(
+        "proximity_search" -> (() => noop(TextStats.proximitySearch(
+          posIdx, "doc_id", Seq("the", "and", "of"), window = 6))),
+        "phrase_search" -> (() => noop(TextStats.phraseSearchIndexed(
+          posIdx, "doc_id", Seq("boil0er", "boil1er", "boil2er")))),
+        "conjunctive_search" -> (() => noop(TextStats.conjunctiveSearch(
+          invIdx, nTerms = 3))))
+      val idxTimes = idxRuns.map { case (name, run) =>
+        run() // warm
+        name -> (timed(run()) min timed(run()))
+      }.toMap
+      posIdx.unpersist(); invIdx.unpersist()
       docs.unpersist(); small.unpersist()
-      results(k) = times
+      results(k) = times ++ idxTimes
       println(s"""{"scale":$k,"tokens_per_doc":$toks,"docs":$nDocs,""" +
-        ops.map { case (n, _) => s""""${n}_sec":${f"${times(n)}%.2f"}""" }
+        (ops.map(_._1) ++ idxOpNames).map { n =>
+          s""""${n}_sec":${f"${results(k)(n)}%.2f"}""" }
           .mkString(",") + "}")
     }
 
     if (scales.size >= 2) {
       val lo = results(scales.head); val hi = results(scales.last)
       val kRatio = scales.last.toDouble / scales.head
-      val ratios = ops.map { case (name, _) =>
+      val ratios = (ops.map(_._1) ++ idxOpNames).map { name =>
         name -> hi(name) / math.max(lo(name), 1e-9)
       }
       val superlinear = ratios.filter(_._2 > 2.5 * kRatio).map(_._1)

@@ -27,11 +27,21 @@ for t in Path(sfdir).glob("*.parquet"):
     con.execute(f"CREATE VIEW {t.stem} AS SELECT * FROM parquet_scan('{t}')")
 
 oracle = json.loads((outdir / "oracle_sql.json").read_text())
+# Ledger loaded up front so the NO_ORACLE branch can still apply the
+# bench-presence gate: an entry whose oracle failed to generate must
+# not silently bypass BOTH checks (ADVICE r16).
+ledger_path = Path(__file__).parent / "bench_ledger.json"
+ledger = (set(json.loads(ledger_path.read_text()))
+          if ledger_path.exists() else set())
 fails = []
 for name in sorted(p.name for p in outdir.iterdir() if p.is_dir()):
     spark_tbl = pq.read_table(str(outdir / name))
     if name not in oracle:
-        print(f"{name}: NO_ORACLE rows={spark_tbl.num_rows}")
+        if name not in ledger:
+            fails.append(name)
+            print(f"{name}: NO_ORACLE_AND_UNMEASURED rows={spark_tbl.num_rows}")
+        else:
+            print(f"{name}: NO_ORACLE rows={spark_tbl.num_rows}")
         continue
     try:
         duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
@@ -101,19 +111,32 @@ for name in sorted(p.name for p in outdir.iterdir() if p.is_dir()):
 # recorded sf0.1 bench reading in scripts/bench_ledger.json — an entry
 # shipped un-benched is how r14's q125 (91.9 s, 32% of the bench)
 # landed. Presence is the gate; overruns are the bench facet's job.
-ledger_path = Path(__file__).parent / "bench_ledger.json"
 if ledger_path.exists():
-    ledger = set(json.loads(ledger_path.read_text()))
-    # intersect with the CURRENT query set (oracle_sql.json is rewritten
-    # by every Verify run) so a stale outdir left by a renamed/removed
-    # gate entry doesn't fail as "unmeasured"; GateLintSpec separately
-    # enforces ledger == SparkEntry.queries 1:1 at sbt-test time
-    ran = set(p.name for p in outdir.iterdir() if p.is_dir()) & set(oracle)
+    # intersect with the CURRENT query set — oracle keys ∪ ledger keys —
+    # (oracle_sql.json is rewritten by every Verify run) so a stale
+    # outdir left by a renamed/removed gate entry doesn't fail as
+    # "unmeasured", while an entry whose oracle FAILED to generate
+    # (NO_ORACLE) still hits the ledger check instead of silently
+    # bypassing both gates; GateLintSpec separately enforces
+    # ledger == SparkEntry.queries 1:1 at sbt-test time
+    ran = (set(p.name for p in outdir.iterdir() if p.is_dir())
+           & (set(oracle) | ledger))
     unmeasured = sorted(ran - ledger)
     if unmeasured:
         fails.extend(unmeasured)
         print(f"UNMEASURED (no sf0.1 reading in bench_ledger.json): "
               f"{unmeasured}")
+    # Staleness WARN (not a fail): readings older than the last commit
+    # touching SparkEntry.scala price the PREVIOUS round's code — the
+    # r16 postmortem found 4 phantom "regressions" from exactly this.
+    def last_commit(path):
+        r = subprocess.run(["git", "log", "-1", "--format=%ct", "--", path],
+                           cwd="/root/repo", capture_output=True, text=True)
+        return int(r.stdout.strip() or 0)
+    if last_commit("src/main/scala/graft/SparkEntry.scala") > \
+            last_commit("scripts/bench_ledger.json"):
+        print("WARN: bench_ledger.json predates the last commit touching "
+              "SparkEntry.scala — refresh readings from a clean sf0.1 bench")
 else:
     fails.append("bench_ledger.json")
     print("MISSING scripts/bench_ledger.json — record sf0.1 per-entry "

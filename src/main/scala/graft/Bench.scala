@@ -21,6 +21,13 @@ import scala.util.control.NonFatal
   *     [[DistributedRewrite]] job; objects/min + rows/s.
   */
 object Bench {
+  /** Non-query facet keys allowed to carry readings in
+    * scripts/bench_ledger.json alongside the gate queries (GateLint's
+    * stale-key check consults this — a ledger key must be either a
+    * SparkEntry.queries entry or one of these). */
+  val LedgerFacets: Set[String] =
+    Set("find_join_fallback", "model_load_search")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -249,13 +256,28 @@ object Bench {
     // noise (round-over-round ±40% wobble on untouched code paths made
     // regressions unattributable). The median absorbs a one-off slow
     // run without hiding a real slowdown the way min would.
+    //
+    // Drift convention (★r17, VERDICT r16 #3): entries whose 3-sample
+    // median lands under ~2 s are dominated by FIXED overhead (job
+    // submit, codegen, file listing), where proportional variance is
+    // largest — r16 saw untouched sub-2 s entries read 3× with zero
+    // code change. Those entries take 2 extra samples (median-of-5);
+    // the per-entry MINIMUM is additionally recorded in the detail
+    // file (`query_mins`) as the noise floor — a real regression moves
+    // the min, ambient contention only moves the median.
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val cheapEntrySec = 2.0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => wanted(q._1)).foreach { case (name, fn) =>
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var attempts = 0
       var lastElapsed = 0.0
-      while (attempts < 3 && !failed) {
+      def maxAttempts: Int =
+        if (samples.size >= 3 &&
+            samples.sorted.apply(samples.size / 2) < cheapEntrySec) 5
+        else 3
+      while (attempts < maxAttempts && !failed) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop")
@@ -279,6 +301,7 @@ object Bench {
       times(name) =
         if (samples.nonEmpty) samples.sorted.apply(samples.size / 2)
         else lastElapsed
+      if (samples.nonEmpty) mins(name) = samples.min
     }
 
     // facet (a): identifier-column scan ratio — (i) plan-side from the
@@ -348,6 +371,37 @@ object Bench {
           times("find_join_fallback") = 0.0
           ok("find_join_fallback") = false
           errors += s"find_join_fallback: ${String.valueOf(e.getMessage).take(200)}"
+      }
+    }
+
+    // production model-load path (★r17, VERDICT r16 #4): load the
+    // STORED IVF-PQ model frame from disk (the ModelIo round trip,
+    // bypassing the in-JVM memo) and run the q82 search on the loaded
+    // copy. Training + store are q81's price and happen untimed; the
+    // timed span is load + search — the per-run cost of a pipeline
+    // that trains once and serves many, previously exercised only
+    // under Verify.
+    if (wanted("model_load_search")) {
+      import org.apache.spark.sql.functions.col
+      try {
+        SparkEntry.ivfPqModelCached(spark, sfDir) // untimed: train+store
+        val path = graft.tools.ArtifactStore.pathOf(s"ivfpq:$sfDir").get
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val samples = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val m = graft.llm.ModelIo.loadIvfPq(spark.read.parquet(path))
+          graft.llm.IvfPq.search(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", m, nprobe = 2, k = 10)
+            .write.format("noop").mode(SaveMode.Overwrite).save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        times("model_load_search") = samples.sorted.apply(1)
+        ok("model_load_search") = true
+      } catch {
+        case NonFatal(e) =>
+          times("model_load_search") = 0.0
+          ok("model_load_search") = false
+          errors += s"model_load_search: ${String.valueOf(e.getMessage).take(200)}"
       }
     }
 
@@ -458,6 +512,8 @@ object Bench {
     def rate(n: Double, sec: Double): Double = if (sec > 0) n / sec else 0.0
     val qs = times.map { case (k, v) => s""""$k":${jd(v)}""" }
       .mkString("{", ",", "}")
+    val qMins = mins.map { case (k, v) => s""""$k":${jd(v)}""" }
+      .mkString("{", ",", "}")
     val oks = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" +
       e.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -476,7 +532,7 @@ object Bench {
       .map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec",""" +
-      s""""queries":$qs,"ok":$oks,"errors":$errJson,""" +
+      s""""queries":$qs,"query_mins":$qMins,"ok":$oks,"errors":$errJson,""" +
       s""""entries_over_budget":$overBudgetJson,""" +
       s""""n_over_budget":${overBudget.size},""" +
       s""""entry_budget_sec":${jd(entryBudgetSec)},""" +

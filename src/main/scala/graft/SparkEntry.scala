@@ -106,46 +106,120 @@ object SparkEntry {
   // ingest phase df only grows, so ever-overflowed = full-corpus
   // df > maxDf under ANY +1 order; forgets commute). Unique
   // memory-sink names per invocation so bench re-runs don't collide.
+  //
+  // Feed files STAGED once per (JVM, dir) (★r17, VERDICT r16 #1): the
+  // 8 batch files are identical bytes across all four gate entries
+  // (and across bench re-runs), but each invocation used to re-derive
+  // and re-write them with Spark jobs — ~half of every gate's cost,
+  // and q127 was riding 3% under its commit-time budget. Now the
+  // Spark writes happen once (ArtifactStore-style memoization of the
+  // staged DIRECTORY); each gate replays its OWN drop-by-drop stream
+  // by hard-linking the staged files, one batch at a time, into a
+  // private watch dir — a filesystem op, not a Spark job, so the
+  // micro-batch boundary semantics are unchanged. Watch dirs are
+  // deleted in the finally (the memory sink holds the result); the
+  // staged dir is deleted at JVM exit.
   private val cdcGateNames = new java.util.concurrent.atomic.AtomicInteger
+  private val cdcFeeds =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(deleteRecursively) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+  /** The 8 staged batch files (`batch-<i>-<j>.json`), built once per
+    * (JVM, dir) by Spark json writes — the shared feed bytes every
+    * gate invocation replays. */
+  private def stagedCdcFeed(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    cdcFeeds.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft-cdc-feed-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteRecursively(root) catch { case _: Exception => () }))
+      val batches: Seq[DataFrame] =
+        (0 until 4).map(b =>
+          docs.filter(pmod(col("doc_id"), lit(4)) === b)
+            .select(lit(1).as("op"), col("doc_id"), col("text"))) ++
+          (0 until 4).map(b =>
+            docs.filter(col("doc_id") % 7 === 0 &&
+                pmod(col("doc_id"), lit(4)) === b)
+              .select(lit(-1).as("op"), col("doc_id"), col("text")))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = root.resolve(s"stage-$i")
+        // coalesce(1): one file per drop — gate-scale batches; a
+        // production feed drops whatever file set its upstream wrote
+        b.coalesce(1).write.mode("overwrite").json(stage.toString)
+        val parts = java.nio.file.Files.list(stage)
+        val found =
+          try {
+            val it = parts.iterator()
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[java.nio.file.Path]
+            while (it.hasNext) {
+              val p = it.next()
+              if (p.getFileName.toString.startsWith("part-")) buf += p
+            }
+            buf.sortBy(_.getFileName.toString)
+          } finally parts.close()
+        found.zipWithIndex.foreach { case (p, j) =>
+          java.nio.file.Files.move(p, root.resolve(f"batch-$i%02d-$j.json"))
+        }
+        deleteRecursively(stage)
+      }
+      root
+    })
   private def runCdcFeed(s: SparkSession, dir: String, name: String,
                          mode: String)
       (mk: DataFrame => DataFrame): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val root = java.nio.file.Files.createTempDirectory("graft-cdc-feed-")
-    val watch = root.resolve("feed")
-    java.nio.file.Files.createDirectories(watch)
+    val staged = stagedCdcFeed(s, dir)
+    val listing = java.nio.file.Files.list(staged)
+    // batch files grouped by drop index ("batch-00" prefix), ordered
+    val byBatch =
+      try {
+        val it = listing.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("batch-")) buf += p
+        }
+        buf.groupBy(_.getFileName.toString.take(8)).toSeq.sortBy(_._1)
+      } finally listing.close()
+    val watch = java.nio.file.Files.createTempDirectory("graft-cdc-watch-")
     val schema = org.apache.spark.sql.types.StructType
       .fromDDL("op INT, doc_id BIGINT, text STRING")
     val qn = s"${name}_${cdcGateNames.incrementAndGet()}"
-    val q = mk(s.readStream.schema(schema).json(watch.toString))
-      .writeStream.format("memory").queryName(qn)
-      .outputMode(mode).start()
-    val batches: Seq[DataFrame] =
-      (0 until 4).map(b =>
-        docs.filter(pmod(col("doc_id"), lit(4)) === b)
-          .select(lit(1).as("op"), col("doc_id"), col("text"))) ++
-        (0 until 4).map(b =>
-          docs.filter(col("doc_id") % 7 === 0 &&
-              pmod(col("doc_id"), lit(4)) === b)
-            .select(lit(-1).as("op"), col("doc_id"), col("text")))
-    try batches.zipWithIndex.foreach { case (b, i) =>
-      val stage = root.resolve(s"stage-$i")
-      // coalesce(1): one file per drop — gate-scale batches; a
-      // production feed drops whatever file set its upstream wrote
-      b.coalesce(1).write.mode("overwrite").json(stage.toString)
-      val parts = java.nio.file.Files.list(stage).iterator()
-      var j = 0
-      while (parts.hasNext) {
-        val p = parts.next()
-        if (p.getFileName.toString.startsWith("part-")) {
-          java.nio.file.Files.move(p,
-            watch.resolve(f"batch-$i%02d-$j.json"))
-          j += 1
-        }
+    // Stateful streams pin their state-store partition count at first
+    // start from spark.sql.shuffle.partitions — at gate scale, 32
+    // partitions means 32 state commits (each a checkpoint-file write)
+    // PER micro-batch × 8 drops; 8 partitions carries the same state
+    // with 1/4 the fixed commit I/O. A production deployment sizes
+    // this to its cluster exactly the same way. Restored in finally —
+    // the partition count is baked into the query at start().
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try mk(s.readStream.schema(schema).json(watch.toString))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(mode).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try byBatch.foreach { case (_, files) =>
+      files.foreach { p =>
+        val dst = watch.resolve(p.getFileName)
+        // hard link where the FS allows (same /tmp volume); copy else
+        try java.nio.file.Files.createLink(dst, p)
+        catch { case _: Exception => java.nio.file.Files.copy(p, dst) }
       }
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the memory-sink table, not the files, is what's read after
+      try deleteRecursively(watch) catch { case _: Exception => () }
+    }
     s.table(qn)
   }
   /** Update-mode CDC gate: run the ±1 feed, return the per-token
@@ -217,7 +291,7 @@ object SparkEntry {
   private def mkIvfPq(s: SparkSession, dir: String) =
     graft.llm.IvfPq.train(t(s, dir, "embeddings"),
       "vec_id", "embedding", nlist = 4, m = 4, ksub = 8, iters = 3)
-  private def ivfPqModelCached(s: SparkSession, dir: String)
+  private[graft] def ivfPqModelCached(s: SparkSession, dir: String)
       : graft.llm.IvfPq.Model =
     graft.tools.ArtifactStore.model(s, s"ivfpq:$dir",
       "graft-ivfpq-model-")(mkIvfPq(s, dir))(

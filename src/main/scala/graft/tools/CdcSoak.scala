@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.llm.TextStats
 import graft.streaming.StreamingIndex
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale soak for the streaming CDC index loop — the missing scale
@@ -189,10 +189,11 @@ object CdcSoak {
         s""""time_ratio":${f"$r%.2f"},"near_linear":${r < 2.5 * kR}}""")
     }
 
-    // ---- CHURN tier (★r16): one long-lived query, `churnCycles`
-    // forget→re-ingest rounds on the same dead set. Snapshot must
-    // equal the batch build after EVERY half-cycle; state rows must
-    // be FLAT (vocabulary-keyed — tombstones shrink, never leave).
+    // ---- CHURN tier (★r16; positional shape ★r17): one long-lived
+    // query PER CDC index shape, `churnCycles` forget→re-ingest
+    // rounds on the same dead set. Snapshot must equal the batch
+    // build after EVERY half-cycle; state rows must be FLAT
+    // (vocabulary-keyed — tombstones shrink, never leave).
     if (churnCycles > 0) {
       val n = baseDocs * scales.head
       val docs = DedupSoak.corpus(spark, n)
@@ -200,21 +201,6 @@ object CdcSoak {
       val dead = docs.filter(_._1 % 10 == 3)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext =
         spark.sqlContext
-      val stream = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Int, Long, String)]
-      val qn = "cdc_churn"
-      val query = StreamingIndex.invertedIndexCdc(
-          stream.toDF().toDF("op", "doc_id", "text"),
-          "op", "doc_id", "text", maxDf = 200)
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("update").start()
-      def drive(rows: Seq[(Int, Long, String)]): Unit =
-        rows.grouped(2000).foreach { b =>
-          stream.addData(b); query.processAllAvailable()
-        }
-      def stateRows(): Long =
-        Option(query.lastProgress).toSeq
-          .flatMap(_.stateOperators).map(_.numRowsTotal).sum
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("token").orderBy(col("seq").desc)
       // ever-overflow is stable across cycles: peak df = full-corpus
@@ -227,7 +213,12 @@ object CdcSoak {
           filter(TextStats.tokens(col("text")), t => length(t) > 0)))
           .as("token"))
         .groupBy("token").agg(count(lit(1)).as("_dff"))
-      def batchTruth(corpus: org.apache.spark.sql.DataFrame) =
+      def invCanon(snap: DataFrame): DataFrame = snap
+        .select(col("token"), col("df"),
+          when(col("postings").isNull, lit("<overflow>"))
+            .otherwise(concat_ws(",", transform(col("postings"),
+              _.cast("string")))).as("p"))
+      def invTruth(corpus: DataFrame): DataFrame =
         TextStats.invertedIndex(corpus, "doc_id", "text",
             minDf = 1, maxDf = Int.MaxValue)
           .join(dfFull, "token")
@@ -235,43 +226,87 @@ object CdcSoak {
             when(col("_dff") > 200, lit("<overflow>"))
               .otherwise(concat_ws(",", transform(col("postings"),
                 _.cast("string")))).as("p"))
-      def snapshotDiff(corpus: org.apache.spark.sql.DataFrame): Long = {
-        val snap = spark.table(qn)
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1 && col("df") > 0)
+      def posCanon(snap: DataFrame): DataFrame = snap
+        .select(col("token"), col("df"),
+          when(col("docs").isNull, lit("<overflow>"))
+            .otherwise(concat_ws(";", transform(col("docs"), e =>
+              concat_ws(":", e.getField("doc_id").cast("string"),
+                concat_ws(",", transform(e.getField("positions"),
+                  _.cast("string"))))))).as("p"))
+      def posTruth(corpus: DataFrame): DataFrame =
+        graft.llm.IndexMaintain
+          .positionalIndexWithOverflow(corpus, "doc_id", "text",
+            minDf = 1, maxDf = Int.MaxValue)
+          .join(dfFull, "token")
+          .groupBy(col("token"))
+          .agg(max(col("df")).as("df"), max(col("_dff")).as("_dff"),
+            sort_array(collect_list(when(col("doc_id").isNotNull,
+              struct(col("doc_id"), col("positions"))))).as("_rows"))
           .select(col("token"), col("df"),
-            when(col("postings").isNull, lit("<overflow>"))
-              .otherwise(concat_ws(",", transform(col("postings"),
-                _.cast("string")))).as("p"))
-        val truth = batchTruth(corpus)
-        snap.exceptAll(truth).unionAll(truth.exceptAll(snap)).count()
-      }
-      try {
-        drive(docs.map { case (i, x) => (1, i, x) })
-        val state0 = stateRows()
-        val states = scala.collection.mutable.ArrayBuffer(state0)
-        (1 to churnCycles).foreach { c =>
-          val t0 = System.nanoTime()
-          drive(dead.map { case (i, x) => (-1, i, x) })
-          val dForget = snapshotDiff(net)
-          drive(dead.map { case (i, x) => (1, i, x) })
-          val dBack = snapshotDiff(full)
-          val sec = (System.nanoTime() - t0) / 1e9
-          val sr = stateRows()
-          states += sr
-          require(dForget == 0 && dBack == 0,
-            s"churn cycle $c: snapshot != batch (forget diff $dForget, " +
-              s"re-ingest diff $dBack)")
-          println(s"""{"churn_cycle":$c,"sec":${f"$sec%.2f"},""" +
-            s""""state_rows":$sr,"forget_eq":true,"reingest_eq":true}""")
+            when(col("_dff") > 200, lit("<overflow>"))
+              .otherwise(concat_ws(";", transform(col("_rows"), e =>
+                concat_ws(":", e.getField("doc_id").cast("string"),
+                  concat_ws(",", transform(e.getField("positions"),
+                    _.cast("string"))))))).as("p"))
+      def churnRun(shape: String,
+          mk: DataFrame => org.apache.spark.sql.Dataset[_],
+          canon: DataFrame => DataFrame,
+          truth: DataFrame => DataFrame): Unit = {
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Int, Long, String)]
+        val qn = s"cdc_churn_$shape"
+        val query = mk(stream.toDF().toDF("op", "doc_id", "text"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("update").start()
+        def drive(rows: Seq[(Int, Long, String)]): Unit =
+          rows.grouped(2000).foreach { b =>
+            stream.addData(b); query.processAllAvailable()
+          }
+        def stateRows(): Long =
+          Option(query.lastProgress).toSeq
+            .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+        def snapshotDiff(corpus: DataFrame): Long = {
+          val snap = canon(spark.table(qn)
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1 && col("df") > 0))
+          val t = truth(corpus)
+          snap.exceptAll(t).unionAll(t.exceptAll(snap)).count()
         }
-        require(states.max == states.min,
-          s"state-store rows must be FLAT across churn cycles " +
-            s"(vocabulary-bounded), got $states")
-        println(s"""{"metric":"cdc_churn","cycles":$churnCycles,""" +
-          s""""docs":$n,"state_rows_flat":true,""" +
-          s""""state_rows":${states.max}}""")
-      } finally query.stop()
+        try {
+          drive(docs.map { case (i, x) => (1, i, x) })
+          val states = scala.collection.mutable.ArrayBuffer(stateRows())
+          (1 to churnCycles).foreach { c =>
+            val t0 = System.nanoTime()
+            drive(dead.map { case (i, x) => (-1, i, x) })
+            val dForget = snapshotDiff(net)
+            drive(dead.map { case (i, x) => (1, i, x) })
+            val dBack = snapshotDiff(full)
+            val sec = (System.nanoTime() - t0) / 1e9
+            val sr = stateRows()
+            states += sr
+            require(dForget == 0 && dBack == 0,
+              s"$shape churn cycle $c: snapshot != batch (forget diff " +
+                s"$dForget, re-ingest diff $dBack)")
+            println(s"""{"churn_cycle":$c,"shape":"$shape",""" +
+              s""""sec":${f"$sec%.2f"},"state_rows":$sr,""" +
+              s""""forget_eq":true,"reingest_eq":true}""")
+          }
+          require(states.max == states.min,
+            s"$shape state-store rows must be FLAT across churn cycles " +
+              s"(vocabulary-bounded), got $states")
+          println(s"""{"metric":"cdc_churn","shape":"$shape",""" +
+            s""""cycles":$churnCycles,"docs":$n,"state_rows_flat":true,""" +
+            s""""state_rows":${states.max}}""")
+        } finally query.stop()
+      }
+      churnRun("inverted",
+        df => StreamingIndex.invertedIndexCdc(
+          df, "op", "doc_id", "text", maxDf = 200),
+        invCanon, invTruth)
+      churnRun("positional",
+        df => StreamingIndex.positionalIndexCdc(
+          df, "op", "doc_id", "text", maxDf = 200),
+        posCanon, posTruth)
     }
     spark.stop()
   }

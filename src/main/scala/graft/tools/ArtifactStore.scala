@@ -39,14 +39,30 @@ object ArtifactStore {
   private val models =
     scala.collection.concurrent.TrieMap.empty[String, Any]
 
+  // artifacts live for the JVM (the gate analog of a warehouse) but
+  // not beyond it: delete the temp dirs at exit so repeated gate /
+  // bench invocations don't accumulate /tmp copies (the r17 ADVICE
+  // class fixed for the CDC feed dirs, applied here for parity)
+  private def cleanupAtExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(dir) catch { case _: Exception => () }))
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   /** Write-once/read-many parquet frame: derive `mk` on first call,
     * store, return a scan of the stored path. `afterWrite` runs once,
     * after the store (cache-release hooks for the derivation). */
   def frame(s: SparkSession, key: String, prefix: String)
            (mk: => DataFrame)(afterWrite: => Unit = ()): DataFrame = {
     val p = paths.getOrElseUpdate(key, {
-      val dir = Files.createTempDirectory(prefix)
-        .resolve("data.parquet").toString
+      val root = Files.createTempDirectory(prefix)
+      cleanupAtExit(root)
+      val dir = root.resolve("data.parquet").toString
       mk.write.mode("overwrite").parquet(dir)
       afterWrite
       dir
@@ -65,8 +81,9 @@ object ArtifactStore {
       // path registration rides the SAME guarded write as `frame` —
       // one keyspace, one discipline (VERDICT r16 "What's wrong" #3)
       val dir = paths.getOrElseUpdate(key, {
-        val d = Files.createTempDirectory(prefix)
-          .resolve("model.parquet").toString
+        val root = Files.createTempDirectory(prefix)
+        cleanupAtExit(root)
+        val d = root.resolve("model.parquet").toString
         save(train).write.mode("overwrite").parquet(d)
         d
       })

@@ -63,6 +63,11 @@ class GateLintSpec extends SparkSpec {
     val stale = ledger -- SparkEntry.queries.keySet -- Bench.LedgerFacets
     assert(stale.isEmpty,
       s"ledger rows without a queries entry (stale): $stale")
+    // facets declared ledger-worthy must actually carry readings —
+    // otherwise a facet can ship priced-nowhere exactly like a gate row
+    val unmeasuredFacets = Bench.LedgerFacets -- ledger
+    assert(unmeasuredFacets.isEmpty,
+      s"declared ledger facets with NO recorded reading: $unmeasuredFacets")
   }
 
   /** Top-level keys of a flat JSON object {"name": 1.23, ...} without

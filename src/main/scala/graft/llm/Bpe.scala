@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * The 100 TB design rests on one collapse: BPE statistics depend only
   * on the WORD FREQUENCY table, so the corpus is aggregated once
   * (explode + groupBy — the only corpus-sized job) and every merge
-  * round after that runs on the vocabulary-sized table: adjacent-pair
-  * counts weighted by word frequency (map-side partial aggregation),
-  * a single global argmax via `TakeOrderedAndProject` (top-1, never a
-  * full sort), and a map-side merge application. 50 merges = 50 cheap
-  * jobs over millions of rows, not 50 passes over the corpus.
-  * Lineage is cut per round (localCheckpoint, as
-  * [[Dedup.duplicateClusters]] does) so round N's plan does not embed
-  * rounds 1..N-1.
+  * round after that runs on the vocabulary-sized table, cached as
+  * plain RDD rows: adjacent-pair counts via `reduceByKey` (map-side
+  * partial aggregation, pair counts stay distributed), a global top-1
+  * treeAggregate (never a full sort), and a map-side merge
+  * application — a round is two small jobs with no per-round plan
+  * analysis or codegen. 50 merges = 50 cheap rounds over millions of
+  * rows, not 50 passes over the corpus; each round's table is
+  * materialized before its parent is unpersisted, so rounds never
+  * recompute transitively.
   *
   * Determinism: the argmax tie-breaks lexicographically on the pair,
   * so the learned merge list is identical across partitionings and
@@ -42,12 +43,6 @@ object Bpe {
 
   private val toSymbols =
     udf((w: String) => w.map(_.toString))
-  private val adjacentPairs =
-    udf((syms: Seq[String]) =>
-      if (syms.length < 2) Seq.empty[String]
-      else syms.sliding(2).map(p => p(0) + Sep + p(1)).toSeq)
-  private def mergeOnce(a: String, b: String) =
-    udf((syms: Seq[String]) => applyMergeSeq(syms, a, b))
 
   /** Greedy left-to-right single-merge application (the BPE step). */
   private[llm] def applyMergeSeq(syms: Seq[String], a: String,
@@ -72,36 +67,82 @@ object Bpe {
 
   /** Learn `numMerges` merges. Stops early when the best remaining
     * pair's weighted count falls below `minPairCount`. */
+  /** UTF8-binary string order — what the former DataFrame
+    * `orderBy(p)` compared pair keys with (default UTF8_BINARY
+    * collation = unsigned byte order), replicated so the closure
+    * argmax picks the identical merge on tie. Differs from
+    * `String.compareTo` (UTF-16 unit order) for supplementary
+    * characters. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   def learn(df: DataFrame, textCol: String, numMerges: Int,
             minPairCount: Long = 2): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1")
-    var words = wordFrequencies(df, textCol).localCheckpoint(true)
+    // merge rounds run over the cached vocabulary rows as plain RDD
+    // jobs: pair counting keeps the map-side-combine shuffle shape
+    // (reduceByKey ≡ the former groupBy — pair counts stay
+    // distributed, never a driver map), but a round no longer pays
+    // Catalyst analysis + codegen + an eager checkpoint job. The
+    // argmax is the unique (count desc, pair asc) maximum, so the
+    // reduce is partition-order-independent; pair-string comparison
+    // replicates the former orderBy's UTF8-binary collation.
+    var words: org.apache.spark.rdd.RDD[(Long, Seq[String])] =
+      wordFrequencies(df, textCol)
+        .select(col("freq"), col("syms")).rdd
+        .map(r => (r.getLong(0), r.getSeq[String](1)))
+        .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (!done && merges.length < numMerges) {
-      // weighted pair counts; top-1 by (count desc, pair asc) — the
-      // lexicographic tie-break makes the argmax deterministic
-      val top = words
-        .select(explode(adjacentPairs(col("syms"))).as("p"), col("freq"))
-        .groupBy("p").agg(sum(col("freq")).as("n"))
-        .orderBy(col("n").desc, col("p")).limit(1)
-        .collect()
-      if (top.isEmpty || top(0).getLong(1) < minPairCount) done = true
-      else {
-        val parts = top(0).getString(0).split(Sep, 2)
-        val m = Merge(parts(0), parts(1))
-        merges += m
-        val prev = words
-        words = words
-          .withColumn("syms", mergeOnce(m.a, m.b)(col("syms")))
-          .localCheckpoint(true) // cut lineage: round N ⊅ rounds 1..N-1
-        prev.unpersist()
+      val top = words.flatMap { case (freq, syms) =>
+        if (syms.length < 2) Iterator.empty
+        else syms.iterator.sliding(2).withPartial(false)
+          .map(p => (p.head + Sep + p(1), freq))
+      }.reduceByKey(_ + _)
+        .treeAggregate(Option.empty[(String, Long)])(
+          seqOp = (acc, kv) => pickTop(acc, Some(kv)),
+          combOp = (a, b) => pickTop(a, b))
+      top match {
+        case Some((pair, n)) if n >= minPairCount =>
+          val parts = pair.split(Sep, 2)
+          val m = Merge(parts(0), parts(1))
+          merges += m
+          val prev = words
+          words = words
+            .map { case (f, syms) => (f, applyMergeSeq(syms, m.a, m.b)) }
+            .persist()
+          words.count() // materialize before dropping the parent
+          prev.unpersist()
+        case _ => done = true
       }
     }
     words.unpersist()
     merges.toSeq
   }
+
+  /** Max by (count desc, pair asc in UTF8-binary order) over optional
+    * candidates — associative and commutative, with a unique winner
+    * (pair keys are distinct after reduceByKey). */
+  private def pickTop(a: Option[(String, Long)],
+                      b: Option[(String, Long)]): Option[(String, Long)] =
+    (a, b) match {
+      case (Some((pa, na)), Some((pb, nb))) =>
+        if (na > nb || (na == nb && utf8Compare(pa, pb) <= 0)) a else b
+      case (None, x) => x
+      case (x, None) => x
+    }
 
   /** Encode each document with a learned merge list: whitespace words
     * to BPE symbol sequences (merges applied in learned order —

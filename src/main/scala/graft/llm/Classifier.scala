@@ -103,32 +103,68 @@ object Classifier {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lrNum >= 1 && lrDen >= 1, "learning rate must be positive")
     val k = FeatureNames.size
+    // ONE codegen'd corpus pass extracts the integer feature rows
+    // (row(0) = y·1e6, row(1..k) = features); epochs then run as
+    // treeAggregate jobs over the cached rows — the MLlib GD shape.
+    // The per-epoch DataFrame alternative re-analyzes and re-codegens
+    // the margin expression every epoch (the weights are folded
+    // literals), costing ~130 ms/epoch of fixed overhead at ANY data
+    // size; a closure epoch on cached rows is ~10 ms. Long sums stay
+    // associative and commutative, so the fit is exactly as
+    // partition-order-independent as the aggregation it replaces.
     val feat = df.select(
       (labelCol.cast("long") * lit(1000000L)).as("_ymicro") +:
         featureColumns(col(textCol)).zipWithIndex
           .map { case (c, j) => c.as(s"_f$j") }: _*)
-      .persist()
+      .rdd.map { r =>
+        val a = new Array[Long](k + 1)
+        var j = 0
+        while (j <= k) { a(j) = r.getLong(j); j += 1 }
+        a
+      }.persist()
     try {
-      val n = feat.count()
+      // one pass for n and the preconditioner Sⱼ = Σ fⱼ²
+      val (n, s) = feat.treeAggregate((0L, new Array[Long](k)))(
+        seqOp = { case ((cnt, sq), row) =>
+          var j = 0
+          while (j < k) { sq(j) += row(j + 1) * row(j + 1); j += 1 }
+          (cnt + 1L, sq)
+        },
+        combOp = { case ((ca, sa), (cb, sb)) =>
+          var j = 0
+          while (j < k) { sa(j) += sb(j); j += 1 }
+          (ca + cb, sa)
+        })
       require(n > 0, "training frame is empty — cannot fit a classifier")
-      // Sⱼ = Σ fⱼ² — the preconditioner, one extra aggregation up front
-      val sqSums = feat.agg(
-        sum(col("_f0") * col("_f0")).as("_s0"),
-        (1 until k).map(j => sum(col(s"_f$j") * col(s"_f$j")).as(s"_s$j")): _*)
-        .collect()(0)
-      val s = Array.tabulate(k)(j => math.max(1L, sqSums.getLong(j)))
+      for (j <- 0 until k) s(j) = math.max(1L, s(j))
       val w = Array.fill(k)(0L)
       for (_ <- 1 to iters) {
-        val margin = (0 until k)
-          .map(j => col(s"_f$j") * lit(w(j))).reduce(_ + _)
-        val p = lit(1.0) / (lit(1.0) + exp(-margin.cast("double") / lit(1e6)))
-        val rMicro = round(p * lit(1e6)).cast("long") - col("_ymicro")
-        val grads = (0 until k)
-          .map(j => sum(rMicro * col(s"_f$j")).as(s"_g$j"))
-        val row = feat.agg(grads.head, grads.tail: _*).collect()(0)
+        val wCur = w.clone() // stable closure capture for this epoch
+        val g = feat.treeAggregate(new Array[Long](k))(
+          seqOp = (acc, row) => {
+            var m = 0L
+            var j = 0
+            while (j < k) { m += row(j + 1) * wCur(j); j += 1 }
+            val p = 1.0 / (1.0 + math.exp(-m.toDouble / 1e6))
+            // Spark round(double) semantics: decimal-string BigDecimal,
+            // HALF_UP — keeps the fit bit-identical to the former
+            // expression epoch (round(p·1e6) is non-negative, but the
+            // exact tie handling must match)
+            val r = java.math.BigDecimal.valueOf(p * 1e6)
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .longValue() - row(0)
+            j = 0
+            while (j < k) { acc(j) += r * row(j + 1); j += 1 }
+            acc
+          },
+          combOp = (a, b) => {
+            var j = 0
+            while (j < k) { a(j) += b(j); j += 1 }
+            a
+          })
         // Δwⱼ(micro) = −lr·4·Gⱼ/Sⱼ  (Gⱼ already carries the 1e6 scale)
         for (j <- 0 until k)
-          w(j) -= (lrNum * 4L * row.getLong(j)) / (lrDen * s(j))
+          w(j) -= (lrNum * 4L * g(j)) / (lrDen * s(j))
       }
       Model(w.toIndexedSeq)
     } finally { feat.unpersist(); () }

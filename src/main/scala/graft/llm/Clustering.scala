@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Embedding-space clustering for training-data curation — the coarse
   * structure pass behind semantic dedup (SemDeDup, Abbas et al. 2023),
@@ -75,37 +74,64 @@ object Clustering {
       } else {
         val cents = centroids.toArray
         val assign = udf { (vec: Seq[Float]) =>
-          val v = vec.toArray
-          var best = 0; var bestSim = Double.NegativeInfinity
-          var c = 0
-          while (c < cents.length) {
-            val cv = cents(c)
-            val m = math.min(v.length, cv.length)
-            var dot = 0.0; var na = 0.0; var nb = 0.0
-            var i = 0
-            while (i < m) {
-              val x = v(i).toDouble; val y = cv(i).toDouble
-              dot += x * y; na += x * x; nb += y * y
-              i += 1
-            }
-            val denom = math.sqrt(na) * math.sqrt(nb)
-            val sim = if (denom == 0.0) 0.0 else dot / denom
-            // strict > keeps the FIRST max — the lower-index tie-break
-            if (sim > bestSim) { bestSim = sim; best = c }
-            c += 1
-          }
-          best
+          nearestCentroid(vec.toArray, cents)
         }
         data.select(col(idCol), col(vecCol),
           assign(col(vecCol)).as("cluster_id"))
       }
   }
 
+  /** The cosine argmax both [[assignWith]] paths and the Lloyd-round
+    * closure compute: [[graft.functions.FloatVectorCosine]] arithmetic
+    * op-for-op (double accumulation in element order, clamp to the
+    * shorter array, `sqrt(na)*sqrt(nb)` denominator, 0.0 on zero
+    * norm), strict `>` keeping the FIRST max — the lower-index
+    * tie-break. */
+  private[llm] def nearestCentroid(v: Array[Float],
+                                   cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val sim = cosineSim(v, cents(c))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** [[graft.functions.FloatVectorCosine]] arithmetic op-for-op:
+    * double accumulation in element order, clamp to the shorter
+    * array, `sqrt(na)*sqrt(nb)` denominator, 0.0 on zero norm. */
+  private[llm] def cosineSim(v: Array[Float], cv: Array[Float]): Double = {
+    val m = math.min(v.length, cv.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < m) {
+      val x = v(i).toDouble; val y = cv(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Spark SQL's double total order (`SQLOrderingUtil`): NaN is
+    * greatest and equal to itself, −0.0 equals 0.0 — what the former
+    * `orderBy`/`array_max` rounds compared with, replicated so the
+    * closure rounds pick identical rows. */
+  private def cmpDouble(a: Double, b: Double): Int =
+    if (a < b) -1 else if (a > b) 1 else if (a == b) 0
+    else {
+      val an = java.lang.Double.isNaN(a)
+      val bn = java.lang.Double.isNaN(b)
+      if (an && bn) 0 else if (an) 1 else -1
+    }
+
   /** Deterministic farthest-first init (the k-means++ idea without the
     * randomness): the min-id vector seeds the set, then each round
     * adds the point with the LOWEST max-cosine to the chosen set
-    * (= angularly farthest; ties to the smaller id). One
-    * TakeOrderedAndProject scan per centroid — use for coarse k; at
+    * (= angularly farthest; ties to the smaller id). One treeReduce
+    * round over the cached rows per centroid — use for coarse k; at
     * SemDeDup-scale k (tens of thousands) pass a pre-sampled `init`
     * to [[kmeans]] instead. Deterministic for any partitioning: each
     * round is a global (score, id) argmin. Well-separated groups are
@@ -115,21 +141,46 @@ object Clustering {
   def farthestFirstInit(data: DataFrame, idCol: String, vecCol: String,
                         k: Int): Seq[Array[Float]] = {
     require(k >= 1, s"k must be >= 1, got $k")
-    graft.functions.GraftFunctions.register(data.sparkSession)
-    val first = data.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(1).collect()
-    require(first.nonEmpty, "k-means needs a non-empty corpus")
-    val chosen = scala.collection.mutable.ArrayBuffer(
-      first(0).getSeq[Float](1).toArray)
-    while (chosen.length < k) {
-      val maxSim = array_max(array(chosen.toSeq.map(c =>
-        graft.functions.GraftFunctions.cosine(
-          col(vecCol), typedLit(c.toSeq))): _*))
-      val next = data.select(col(idCol), col(vecCol), maxSim.as("_m"))
-        .orderBy(col("_m"), col(idCol)).limit(1).collect()
-      chosen += next(0).getSeq[Float](1).toArray
-    }
-    chosen.toSeq
+    // each round is a (max-cosine-to-chosen, id) argmin — a treeReduce
+    // over the cached (id, vec) rows, instead of k−1 full-table
+    // TakeOrdered scans whose sim expression grows (and re-codegens)
+    // every round. The argmin is a unique total-order minimum
+    // ((score, id), ids distinct), so the reduce is deterministic for
+    // any partitioning; score comparison replicates the SQL double
+    // order ([[cmpDouble]]) the former orderBy used.
+    val rows = data.select(col(idCol), col(vecCol)).rdd.map { r =>
+      val id = r.get(0) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => throw new IllegalArgumentException(
+          s"farthestFirstInit needs an integral id column, got: $other")
+      }
+      (id, r.getSeq[Float](1).toArray)
+    }.persist()
+    try {
+      val first = rows.takeOrdered(1)(Ordering.by(_._1))
+      require(first.nonEmpty, "k-means needs a non-empty corpus")
+      val chosen = scala.collection.mutable.ArrayBuffer(first(0)._2)
+      while (chosen.length < k) {
+        val cents = chosen.toArray
+        val next = rows.map { case (id, v) =>
+          // array_max over the per-chosen sims, in list order
+          var m = cosineSim(v, cents(0))
+          var j = 1
+          while (j < cents.length) {
+            val sim = cosineSim(v, cents(j))
+            if (cmpDouble(sim, m) > 0) m = sim
+            j += 1
+          }
+          (m, id, v)
+        }.treeReduce { (a, b) =>
+          val c = cmpDouble(a._1, b._1)
+          if (c < 0 || (c == 0 && a._2 <= b._2)) a else b
+        }
+        chosen += next._3
+      }
+      chosen.toSeq
+    } finally { rows.unpersist(); () }
   }
 
   /** Deterministic Lloyd k-means: `iters` assignment/update rounds
@@ -152,26 +203,63 @@ object Clustering {
       if (init.nonEmpty) init
       else farthestFirstInit(data, idCol, vecCol, k)
     val dim = centroids.head.length
-    for (_ <- 0 until iters) {
-      // exact decimal per-dimension sums: order-independent, so the
-      // new centroids are identical for any partitioning of `data`
-      val rows = assignWith(data, idCol, vecCol, centroids)
-        .select(col("cluster_id"),
-          posexplode(col(vecCol)).as(Seq("_d", "_x")))
-        .groupBy("cluster_id", "_d")
-        .agg(sum(col("_x").cast(DecimalType(30, 12))).as("_s"),
-          count(lit(1)).as("_n"))
-        .collect() // k·dim tiny rows
-      val next = centroids.map(_.clone()).toArray
-      rows.foreach { r =>
-        val c = r.getInt(0); val d = r.getInt(1)
-        val s = r.getDecimal(2); val n = r.getLong(3)
-        next(c)(d) = s
-          .divide(java.math.BigDecimal.valueOf(n), 12,
-            java.math.RoundingMode.HALF_EVEN)
-          .floatValue()
-      }
-      centroids = next.toSeq
+    if (iters > 0) {
+      // Lloyd rounds run as treeAggregate jobs over the cached vector
+      // rows (the MLlib shape): a round is assignment + per-(cluster,
+      // dim) sum/count folded into ONE closure pass — no per-round
+      // plan analysis, no shuffle, no posexplode blow-up. Each addend
+      // is the float's decimal-string BigDecimal rounded HALF_UP to
+      // scale 12 — exactly the former `cast(x as decimal(30,12))` —
+      // so sums are EXACT and the learned centroids bit-identical to
+      // the aggregation this replaces, for any partitioning. The
+      // repartition spreads the round's decimal work across the
+      // cluster; one shuffle total, outside the loop.
+      val parts = data.sparkSession.sparkContext.defaultParallelism
+      val vecs = data.select(col(vecCol))
+        .rdd.map(_.getSeq[Float](0).toArray)
+        .repartition(parts).persist()
+      try {
+        for (_ <- 0 until iters) {
+          val cents = centroids.map(_.clone()).toArray
+          val zero = (Array.fill(k, dim)(java.math.BigDecimal.ZERO),
+            Array.fill(k, dim)(0L))
+          val (sums, counts) = vecs.treeAggregate(zero)(
+            seqOp = { case (acc @ (s, n), v) =>
+              val c = nearestCentroid(v, cents)
+              var d = 0
+              val m = math.min(v.length, dim)
+              while (d < m) {
+                s(c)(d) = s(c)(d).add(java.math.BigDecimal
+                  .valueOf(v(d).toDouble)
+                  .setScale(12, java.math.RoundingMode.HALF_UP))
+                n(c)(d) += 1L
+                d += 1
+              }
+              acc
+            },
+            combOp = { case (a @ (sa, na), (sb, nb)) =>
+              var c = 0
+              while (c < k) {
+                var d = 0
+                while (d < dim) {
+                  sa(c)(d) = sa(c)(d).add(sb(c)(d))
+                  na(c)(d) += nb(c)(d)
+                  d += 1
+                }
+                c += 1
+              }
+              a
+            })
+          // an empty (cluster, dim) cell keeps its previous value
+          val next = centroids.map(_.clone()).toArray
+          for (c <- 0 until k; d <- 0 until dim if counts(c)(d) > 0)
+            next(c)(d) = sums(c)(d)
+              .divide(java.math.BigDecimal.valueOf(counts(c)(d)), 12,
+                java.math.RoundingMode.HALF_EVEN)
+              .floatValue()
+          centroids = next.toSeq
+        }
+      } finally { vecs.unpersist(); () }
     }
     (assignClusters(data, idCol, vecCol, centroids), centroids)
   }

@@ -213,11 +213,14 @@ object Clustering {
       // so sums are EXACT and the learned centroids bit-identical to
       // the aggregation this replaces, for any partitioning. The
       // repartition spreads the round's decimal work across the
-      // cluster; one shuffle total, outside the loop.
+      // cluster — only when the scan yields FEWER partitions than the
+      // cluster has slots (small inputs); a big corpus already arrives
+      // wide and repartitioning it would be a full-corpus shuffle.
       val parts = data.sparkSession.sparkContext.defaultParallelism
-      val vecs = data.select(col(vecCol))
+      val raw = data.select(col(vecCol))
         .rdd.map(_.getSeq[Float](0).toArray)
-        .repartition(parts).persist()
+      val vecs = (if (raw.getNumPartitions < parts) raw.repartition(parts)
+                  else raw).persist()
       try {
         for (_ <- 0 until iters) {
           val cents = centroids.map(_.clone()).toArray

@@ -148,16 +148,45 @@ object Bpe {
     * to BPE symbol sequences (merges applied in learned order —
     * standard BPE inference). Map-side only against the broadcast
     * merge list; output (original columns..., `bpe_tokens`,
-    * `n_bpe_tokens`). */
+    * `n_bpe_tokens`).
+    *
+    * Encoding is a pure function of the word, and word frequencies
+    * are Zipfian — distinct words are orders of magnitude rarer than
+    * occurrences — so each task memoizes encodings per word instead
+    * of re-running the full merge scan per occurrence. The memo is
+    * per-task (the closure deserializes once per task, so no sharing
+    * across threads) and size-capped, so an adversarial open
+    * vocabulary bounds at ~64k cached words; eviction is just
+    * "stop inserting", which keeps the Zipf head that carries the
+    * savings. A distinct-words-then-join restructure would buy the
+    * same reuse at the price of two shuffles — the map-side memo
+    * keeps the operator shuffle-free. */
   def encode(df: DataFrame, textCol: String,
              merges: Seq[Merge]): DataFrame = {
     val ms = merges.map(m => (m.a, m.b)) // serializable shape
-    val enc = udf((text: String) =>
-      text.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+    val enc = udf(new (String => Seq[String]) with Serializable {
+      @transient private lazy val memo =
+        new java.util.HashMap[String, Array[String]]()
+      private def encodeWord(w: String): Array[String] = {
         var syms: Seq[String] = w.map(_.toString)
         ms.foreach { case (a, b) => syms = applyMergeSeq(syms, a, b) }
-        syms
-      }.toSeq)
+        syms.toArray
+      }
+      def apply(text: String): Seq[String] = {
+        val out = Seq.newBuilder[String]
+        text.split("\\s+").foreach { w =>
+          if (w.nonEmpty) {
+            var r = memo.get(w)
+            if (r == null) {
+              r = encodeWord(w)
+              if (memo.size < 65536) memo.put(w, r)
+            }
+            out ++= r
+          }
+        }
+        out.result()
+      }
+    })
     df.withColumn("bpe_tokens", enc(col(textCol)))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
   }

@@ -99,4 +99,19 @@ class BpeSpec extends SparkSpec {
     assert(bpeTokens < charTokens / 2,
       s"12 merges should halve the token count: $bpeTokens vs $charTokens")
   }
+
+  test("per-task encode memo: a >64k-word vocabulary stays correct past " +
+    "the cache cap (miss path == hit path)") {
+    // 70,000 distinct words in ONE document (one task) overflows the
+    // 65,536-entry memo, so the tail encodes uncached — counts must
+    // match the closed form either way
+    val merges = Seq(Bpe.Merge("l", "o"), Bpe.Merge("lo", "w"))
+    val n = 70000
+    val text = (0 until n).map(i => s"low$i").mkString(" ")
+    val got = Bpe.encode(Seq((1L, text)).toDF("id", "text"),
+        "text", merges)
+      .select("n_bpe_tokens").as[Int].head()
+    val expected = (0 until n).map(i => 1 + i.toString.length).sum
+    assert(got == expected, s"$got != $expected")
+  }
 }

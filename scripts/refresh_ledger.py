@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Refresh the bench ledger from the round's final clean bench run.
+
+Reads target/bench-latest.json (written by graft.Bench) and rewrites
+ - scripts/bench_ledger.json       {entry: median seconds}  — the
+   commit-time presence gate (GateLintSpec / check.py) and the
+   cross-round regression baseline
+ - scripts/bench_ledger_mins.json  {entry: min seconds}     — each
+   entry's NOISE FLOOR under the drift convention (STATUS r17): a
+   real regression moves the min, ambient contention only moves the
+   median. Persisted here because target/ is gitignored, so without
+   this file the next round has no min baseline to compare against.
+
+Keys already in the ledger but absent from the run (e.g. a
+SPARK_GRAFT_ONLY partial run) keep their old readings — refresh from
+a FULL run at sf0.1 for a clean baseline.
+
+Usage: python3 scripts/refresh_ledger.py [path/to/bench-latest.json]
+"""
+import json
+import sys
+from pathlib import Path
+
+root = Path(__file__).resolve().parent.parent
+latest_path = Path(sys.argv[1]) if len(sys.argv) > 1 \
+    else root / "target" / "bench-latest.json"
+ledger_path = root / "scripts" / "bench_ledger.json"
+mins_path = root / "scripts" / "bench_ledger_mins.json"
+
+latest = json.loads(latest_path.read_text())
+queries = latest.get("queries", {})
+query_mins = latest.get("query_mins", {})
+ledger = json.loads(ledger_path.read_text()) if ledger_path.exists() else {}
+
+kept = sorted(k for k in ledger if k not in queries)
+new_ledger = {k: (round(queries[k], 3) if k in queries else ledger[k])
+              for k in set(ledger) | set(queries)}
+new_mins = {k: round(query_mins[k], 3)
+            for k in new_ledger if k in query_mins}
+
+for path, data in ((ledger_path, new_ledger), (mins_path, new_mins)):
+    path.write_text(json.dumps(dict(sorted(data.items())), indent=1) + "\n")
+
+print(f"ledger: {len(new_ledger)} keys -> {ledger_path}")
+print(f"mins:   {len(new_mins)} keys -> {mins_path}")
+if kept:
+    print(f"kept stale (not in this run): {', '.join(kept)}")

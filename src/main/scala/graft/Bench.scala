@@ -26,7 +26,9 @@ object Bench {
     * stale-key check consults this — a ledger key must be either a
     * SparkEntry.queries entry or one of these). */
   val LedgerFacets: Set[String] =
-    Set("find_join_fallback", "model_load_search")
+    Set("find_join_fallback", "model_load_search",
+      "forget_rewrite_64obj", "forget_rewrite_1024obj",
+      "forget_rewrite_10240obj", "pii_scrub_64obj")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -173,6 +173,10 @@ object Bpe {
         syms.toArray
       }
       def apply(text: String): Seq[String] = {
+        // null text = zero words (Spark calls String UDFs WITH the
+        // null; the oracle's LEFT JOIN + COALESCE reads such a doc
+        // as n_bpe_tokens = 0, so an empty token list matches it)
+        if (text == null) return Seq.empty
         val out = Seq.newBuilder[String]
         text.split("\\s+").foreach { w =>
           if (w.nonEmpty) {

@@ -112,15 +112,26 @@ object Classifier {
     // size; a closure epoch on cached rows is ~10 ms. Long sums stay
     // associative and commutative, so the fit is exactly as
     // partition-order-independent as the aggregation it replaces.
+    // A null text (or null label) nulls every feature except the lit
+    // bias, which nulled the row's whole gradient contribution in the
+    // former expression epochs (sums skip null terms) — the closure
+    // replicates that by SKIPPING the row, not by NPE-ing the job on
+    // Row.getLong(null).
     val feat = df.select(
       (labelCol.cast("long") * lit(1000000L)).as("_ymicro") +:
         featureColumns(col(textCol)).zipWithIndex
           .map { case (c, j) => c.as(s"_f$j") }: _*)
-      .rdd.map { r =>
-        val a = new Array[Long](k + 1)
+      .rdd.flatMap { r =>
+        var anyNull = false
         var j = 0
-        while (j <= k) { a(j) = r.getLong(j); j += 1 }
-        a
+        while (j <= k) { if (r.isNullAt(j)) anyNull = true; j += 1 }
+        if (anyNull) Iterator.empty
+        else {
+          val a = new Array[Long](k + 1)
+          j = 0
+          while (j <= k) { a(j) = r.getLong(j); j += 1 }
+          Iterator.single(a)
+        }
       }.persist()
     try {
       // one pass for n and the preconditioner Sⱼ = Σ fⱼ²

@@ -73,8 +73,11 @@ object Clustering {
               .cast("int").as("cluster_id"))
       } else {
         val cents = centroids.toArray
+        // null vec -> null cluster_id, matching the expression branch
+        // (cosine's nullSafeEval nulls the sims -> null argmax)
         val assign = udf { (vec: Seq[Float]) =>
-          nearestCentroid(vec.toArray, cents)
+          if (vec == null) None
+          else Some(nearestCentroid(vec.toArray, cents))
         }
         data.select(col(idCol), col(vecCol),
           assign(col(vecCol)).as("cluster_id"))
@@ -148,14 +151,20 @@ object Clustering {
     // ((score, id), ids distinct), so the reduce is deterministic for
     // any partitioning; score comparison replicates the SQL double
     // order ([[cmpDouble]]) the former orderBy used.
-    val rows = data.select(col(idCol), col(vecCol)).rdd.map { r =>
-      val id = r.get(0) match {
-        case l: Long => l
-        case i: Int => i.toLong
-        case other => throw new IllegalArgumentException(
-          s"farthestFirstInit needs an integral id column, got: $other")
+    // null vectors are SKIPPED, as the former expression plan did by
+    // null propagation (a null array reaches no sim/aggregate term) —
+    // the closure must not NPE the job on getSeq(null).toArray
+    val rows = data.select(col(idCol), col(vecCol)).rdd.flatMap { r =>
+      if (r.isNullAt(1)) Iterator.empty
+      else {
+        val id = r.get(0) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(
+            s"farthestFirstInit needs an integral id column, got: $other")
+        }
+        Iterator.single((id, r.getSeq[Float](1).toArray))
       }
-      (id, r.getSeq[Float](1).toArray)
     }.persist()
     try {
       val first = rows.takeOrdered(1)(Ordering.by(_._1))
@@ -217,8 +226,12 @@ object Clustering {
       // cluster has slots (small inputs); a big corpus already arrives
       // wide and repartitioning it would be a full-corpus shuffle.
       val parts = data.sparkSession.sparkContext.defaultParallelism
-      val raw = data.select(col(vecCol))
-        .rdd.map(_.getSeq[Float](0).toArray)
+      // null vectors contribute to no (cluster, dim) sum — the former
+      // posexplode aggregation dropped them; skip, don't NPE
+      val raw = data.select(col(vecCol)).rdd.flatMap { r =>
+        if (r.isNullAt(0)) Iterator.empty
+        else Iterator.single(r.getSeq[Float](0).toArray)
+      }
       val vecs = (if (raw.getNumPartitions < parts) raw.repartition(parts)
                   else raw).persist()
       try {

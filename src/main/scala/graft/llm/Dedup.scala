@@ -174,9 +174,14 @@ object Dedup {
 
   /** Distinct shingle set of a text, built in one linear pass (the SQL
     * `substr`-expression form re-scans codepoints per shingle — quadratic
-    * per document and measurably slow at scale). */
+    * per document and measurably slow at scale). A null text is an
+    * empty set: Spark invokes String-typed Scala UDFs WITH the null
+    * (no null-safe wrapping for reference types), so without this
+    * guard one null-text document kills the whole job — and the SQL
+    * oracles agree (substring of NULL yields no shingles). */
   private[graft] def shingleSet(text: String, n: Int): java.util.HashSet[String] = {
     val set = new java.util.HashSet[String]()
+    if (text == null) return set
     var i = 0
     while (i + n <= text.length) {
       set.add(text.substring(i, i + n))
@@ -185,11 +190,15 @@ object Dedup {
     set
   }
 
-  /** Banded MinHash keys for a pre-computed shingle array. */
+  /** Banded MinHash keys for a pre-computed shingle array. A null or
+    * empty array keys to NO bands (same as [[textBandKeys]]'s empty
+    * branch — without the guard every shingle-less doc derives the
+    * same all-MaxValue signature and they ALL co-bucket). */
   def minhashBandKeys(bands: Int, rows: Int, seed: Int = 42)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (sh: Seq[String]) =>
-      bandKeysFromHashes(sh.iterator.map(hashOf(_, seed)), bands, rows)
+      if (sh == null || sh.isEmpty) Array.empty[Long]
+      else bandKeysFromHashes(sh.iterator.map(hashOf(_, seed)), bands, rows)
     }
 
   /** Banded MinHash keys straight from the text (shingling inlined). */
@@ -1201,7 +1210,11 @@ object Dedup {
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
       val counts = new Array[Int](64)
-      text.split(SimhashTokenRe).foreach { tok =>
+      // null ≡ empty text: zero token votes, the same deterministic
+      // all-ties fingerprint an empty string already produces (the
+      // UDF is called WITH the null — no null-safe wrapping)
+      val safe = if (text == null) "" else text
+      safe.split(SimhashTokenRe).foreach { tok =>
         if (tok.nonEmpty) {
           val hex = tokenMd5Hex(seed, tok)
           var b = 0

@@ -119,6 +119,11 @@ object IvfPq {
     // denominator, 0.0 on zero norm) so the probe ranking agrees with
     // the assignment's sims — and with the SQL replay's
     val probe = udf { (vec: Seq[Float]) =>
+      // a null query probes no cells (explode of empty drops the row;
+      // the UDF is called WITH the null — no null-safe wrapping for
+      // reference types)
+      if (vec == null) Array.empty[Int]
+      else {
       val v = vec.toArray
       coarseArr.zipWithIndex.map { case (cv, c) =>
         val n = math.min(v.length, cv.length)
@@ -138,6 +143,7 @@ object IvfPq {
         // tie breaks by cell asc. NaN is impossible (zero-norm guard).
         if (sa == sb) ca < cb else sa > sb
       }.take(nprobe).map(_._2)
+      }
     }
     val q = broadcast(queries
       .select(col(idCol).as("q_id"), col(vecCol).as("_q_vec"))

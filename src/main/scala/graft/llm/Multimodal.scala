@@ -57,7 +57,9 @@ object Multimodal {
 
   private def crc(bytes: Array[Byte]): Long = {
     val c = new CRC32()
-    c.update(bytes)
+    // null payload hashes like an empty one — decodeImage already
+    // stubs it, and the stub path must not NPE the task on crc
+    if (bytes != null) c.update(bytes)
     c.getValue
   }
 

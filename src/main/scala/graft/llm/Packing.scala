@@ -55,9 +55,12 @@ object Packing {
     // shuffle; the offset job reuses the same lineage, so its map stage
     // is skipped and the data is shuffled exactly once.
     val rdd = sorted.rdd
+    // a null length contributes 0 to the scan, exactly as the SQL
+    // replay's SUM window skips null terms (getLong on a null cell
+    // would NPE the task instead)
     val partSums: Array[Long] = rdd.mapPartitions { it =>
       var s = 0L
-      it.foreach(r => s += r.getLong(1))
+      it.foreach(r => if (!r.isNullAt(1)) s += r.getLong(1))
       Iterator.single(s)
     }.collect()
     // exclusive scan: partition p's first row starts at sum of earlier
@@ -67,7 +70,7 @@ object Packing {
     val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = bc.value(pid)
       it.map { r =>
-        val t = r.getLong(1)
+        val t = if (r.isNullAt(1)) 0L else r.getLong(1)
         val o = acc
         acc += t
         Row(r.get(0), t, o)

@@ -164,6 +164,7 @@ object Similarity {
     // ids.
     val centroids: Array[Array[Float]] = data
       .select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull) // a null vec can't be a centroid
       .orderBy(xxhash64(col(idCol), lit(sampleSeed)), col(idCol))
       .limit(nlist)
       .collect()
@@ -188,11 +189,17 @@ object Similarity {
       }
     }
     val assignList = udf { (vec: Seq[Float]) =>
-      // nearest centroid, ties to the lower list id
-      centroidSims(vec).maxBy { case (c, s) => (s, -c) }._1
+      // nearest centroid, ties to the lower list id; a null vector
+      // lands in no list (null _list never meets a probe in the join —
+      // the UDF is called WITH the null, reference types get no
+      // null-safe wrapping)
+      if (vec == null) None
+      else Some(centroidSims(vec).maxBy { case (c, s) => (s, -c) }._1)
     }
     val probeLists = udf { (vec: Seq[Float]) =>
-      centroidSims(vec).sortBy { case (c, s) => (-s, c) }
+      // a null query probes nothing (explode of empty drops the row)
+      if (vec == null) Array.empty[Int]
+      else centroidSims(vec).sortBy { case (c, s) => (-s, c) }
         .take(nprobe).map(_._1)
     }
     val dataListed = data.select(col(idCol), col(vecCol))
@@ -365,9 +372,13 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
     Array.fill(tables * bits, dim)(rnd.nextGaussian())
   }
 
-  /** Bucket ids (one per table) for a float-array vector column. */
+  /** Bucket ids (one per table) for a float-array vector column. A
+    * null vector keys to NO buckets — it can never pair (the UDF is
+    * called WITH the null; reference types get no null-safe wrap). */
   val signature: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (vec: Seq[Float]) =>
+      if (vec == null) Array.empty[Int]
+      else {
       val v = vec.toArray
       Array.tabulate(tables) { t =>
         var bucket = 0
@@ -382,6 +393,7 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
           b += 1
         }
         t * (1 << bits) + bucket
+      }
       }
     }
 

@@ -54,13 +54,16 @@ object Classifier {
     filter(TextStats.tokens(text), t => length(t) > 0)
 
   /** The feature vector as Long columns — shared verbatim by train
-    * and score so the two can never drift. */
+    * and score so the two can never drift. sizeOrNull, not size: the
+    * DuckDB replay reads NULL features for a null text (len(NULL) is
+    * NULL), and legacy `size(NULL) = -1` would instead feed the fit a
+    * phantom row of −1 counts on an ANSI-off cluster. */
   def featureColumns(text: Column): Seq[Column] = Seq(
     lit(1L),
-    size(toks(text)).cast("long"),
-    size(array_distinct(toks(text))).cast("long"),
+    TextStats.sizeOrNull(toks(text)).cast("long"),
+    TextStats.sizeOrNull(array_distinct(toks(text))).cast("long"),
     length(text).cast("long"),
-    size(filter(toks(text), t => t.isin(
+    TextStats.sizeOrNull(filter(toks(text), t => t.isin(
       TextStats.EnglishStopwords.map(_.asInstanceOf[Any]): _*)))
       .cast("long"))
 

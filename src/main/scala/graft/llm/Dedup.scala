@@ -110,10 +110,14 @@ object Dedup {
         }
       }).otherwise(array().cast("array<string>")))
 
-  /** Exact Jaccard of two array columns. */
+  /** Exact Jaccard of two array columns. NULL when either side is a
+    * null array under EVERY config — plain `size(NULL)` reads −1 with
+    * the legacy flag ANSI-off implies, which would turn a null side
+    * into a garbage finite value ([[TextStats.sizeOrNull]]). */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(a) + size(b) - size(array_intersect(a, b))
+    val inter = TextStats.sizeOrNull(array_intersect(a, b)).cast("double")
+    val uni = TextStats.sizeOrNull(a) + TextStats.sizeOrNull(b) -
+      TextStats.sizeOrNull(array_intersect(a, b))
     when(uni === 0, lit(0.0)).otherwise(inter / uni.cast("double"))
   }
 
@@ -922,7 +926,10 @@ object Dedup {
           concat_ws(" ", transform(keptIdx,
             j => element_at(col("_ts"), j + 1))))
           .otherwise(lit("")).as("text_clean"),
-        coalesce(size(col("_cov")), lit(0)).as("n_tokens_removed"))
+        // sizeOrNull: a join-miss _cov is NULL, and legacy size(NULL)
+        // = -1 would slip through the coalesce as a -1 count
+        coalesce(TextStats.sizeOrNull(col("_cov")), lit(0))
+          .as("n_tokens_removed"))
   }
 
   /** The shared span-occurrence frame of the character-shingle
@@ -1126,8 +1133,11 @@ object Dedup {
       coalesce(col("_cov"), array().cast("array<int>")))
     ts.join(hits, Seq(idCol), "left")
       .select(col(idCol),
-        size(col("_ts")).cast("long").as("n_tokens"),
-        coalesce(size(col("_cov")), lit(0)).cast("long").as("n_removed"),
+        // sizeOrNull: legacy size(NULL) = -1 would emit -1 counts for
+        // a null-token doc / join-miss _cov (ANSI-mode divergence)
+        TextStats.sizeOrNull(col("_ts")).cast("long").as("n_tokens"),
+        coalesce(TextStats.sizeOrNull(col("_cov")), lit(0))
+          .cast("long").as("n_removed"),
         when(size(col("_ts")) > 0,
           array_join(transform(keptIdx,
             j => element_at(col("_ts"), j + 1)), " "))

@@ -54,10 +54,12 @@ object PiiScrub {
   private def kinds: Seq[String] = Detectors.map(_._1)
 
   /** Per-kind match count over the original text (one column per
-    * detector, named `n_<kind>`). */
+    * detector, named `n_<kind>`). sizeOrNull: a null text counts
+    * NULL under every config — legacy `size(NULL)` would read −1. */
   def countColumns(text: Column): Seq[Column] =
     Detectors.map { case (kind, pat, _) =>
-      size(regexp_extract_all(text, lit(pat), lit(0))).as(s"n_$kind")
+      TextStats.sizeOrNull(regexp_extract_all(text, lit(pat), lit(0)))
+        .as(s"n_$kind")
     }
 
   /** Redacted text: every detector span replaced by its `[KIND]` tag,

@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Validated (m, dsub) for a training frame: D must split evenly. */
+  /** Validated (m, dsub) for a training frame: D must split evenly.
+    * The probe row is taken from the non-null vectors — a null first
+    * row would read dim −1/NULL depending on config. */
   private def subDims(data: DataFrame, vecCol: String, m: Int): Int = {
-    val d = data.select(size(col(vecCol))).limit(1).collect().headOption
+    val d = data.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect().headOption
       .map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
         s"empty training frame: cannot infer $vecCol dimension"))

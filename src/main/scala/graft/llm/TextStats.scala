@@ -14,17 +14,27 @@ object TextStats {
   /** Whitespace tokens (single-space-joined corpora split exactly). */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** `size` that reads NULL for a null array under EVERY config:
+    * plain `size(NULL)` is −1 when `spark.sql.legacy.sizeOfNull` is
+    * on (which `spark.sql.ansi.enabled=false` implies), and that −1
+    * poisons every count/ratio/score built on it — a null-text doc
+    * would carry qualityScore −1.408 on an ANSI-off cluster and NULL
+    * on an ANSI-on one (the r16 bm25ScalarsCdc bug class, pinned
+    * batch-side by AnsiParitySpec). */
+  private[llm] def sizeOrNull(arr: Column): Column =
+    when(arr.isNull, lit(null).cast("int")).otherwise(size(arr))
+
+  def tokenCount(text: Column): Column = sizeOrNull(tokens(text))
 
   /** BPE-ish subword proxy: alphabetic runs, digit runs, and single
     * non-alphanumeric marks — a deterministic stand-in for a real BPE
     * vocabulary (same regex class semantics in Spark and DuckDB). */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text,
+    sizeOrNull(regexp_extract_all(text,
       lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
 
   def distinctTokenRatio(text: Column): Column =
-    size(array_distinct(tokens(text))).cast("double") /
+    sizeOrNull(array_distinct(tokens(text))).cast("double") /
       greatest(tokenCount(text), lit(1)).cast("double")
 
   def avgTokenLength(text: Column): Column =
@@ -37,7 +47,7 @@ object TextStats {
 
   def stopwordRatio(text: Column,
                     stopwords: Seq[String] = EnglishStopwords): Column = {
-    val hits = size(filter(tokens(text),
+    val hits = sizeOrNull(filter(tokens(text),
       t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
     hits.cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
   }
@@ -220,9 +230,9 @@ object TextStats {
                   minTokens: Int = 30, maxTokens: Int = 400,
                   minDistinctPct: Int = 40,
                   minStopPermille: Int = 20): Column = {
-    val n = size(tokens(text))
-    val nd = size(array_distinct(tokens(text)))
-    val ns = size(filter(tokens(text),
+    val n = sizeOrNull(tokens(text))
+    val nd = sizeOrNull(array_distinct(tokens(text)))
+    val ns = sizeOrNull(filter(tokens(text),
       t => t.isin(EnglishStopwords.map(_.asInstanceOf[Any]): _*)))
     n >= minTokens && n <= maxTokens &&
       nd * 100 >= n * minDistinctPct &&

@@ -20,9 +20,15 @@ object TextStats {
     * poisons every count/ratio/score built on it — a null-text doc
     * would carry qualityScore −1.408 on an ANSI-off cluster and NULL
     * on an ANSI-on one (the r16 bm25ScalarsCdc bug class, pinned
-    * batch-side by AnsiParitySpec). */
-  private[llm] def sizeOrNull(arr: Column): Column =
-    when(arr.isNull, lit(null).cast("int")).otherwise(size(arr))
+    * batch-side by AnsiParitySpec). `array_size`, not a
+    * `when(arr.isNull)` wrapper: ArraySize hard-codes the non-legacy
+    * null-in-null-out semantics in ONE branch-free expression — the
+    * when-form references the (often expensive, split/filter-derived)
+    * array twice, once unconditionally and once inside a CaseWhen
+    * branch, a shape codegen's common-subexpression elimination is
+    * not guaranteed to merge (same-machine A/B read no difference at
+    * gate scale, but array_size is strictly the simpler plan). */
+  private[llm] def sizeOrNull(arr: Column): Column = array_size(arr)
 
   def tokenCount(text: Column): Column = sizeOrNull(tokens(text))
 

@@ -31,12 +31,17 @@ latest = json.loads(latest_path.read_text())
 queries = latest.get("queries", {})
 query_mins = latest.get("query_mins", {})
 ledger = json.loads(ledger_path.read_text()) if ledger_path.exists() else {}
+old_mins = json.loads(mins_path.read_text()) if mins_path.exists() else {}
 
 kept = sorted(k for k in ledger if k not in queries)
 new_ledger = {k: (round(queries[k], 3) if k in queries else ledger[k])
               for k in set(ledger) | set(queries)}
-new_mins = {k: round(query_mins[k], 3)
-            for k in new_ledger if k in query_mins}
+# merge mins exactly like medians: a partial (SPARK_GRAFT_ONLY) run
+# must not wipe the noise-floor baselines of the entries it skipped
+new_mins = {k: (round(query_mins[k], 3) if k in query_mins
+                else old_mins[k])
+            for k in new_ledger
+            if k in query_mins or k in old_mins}
 
 for path, data in ((ledger_path, new_ledger), (mins_path, new_mins)):
     path.write_text(json.dumps(dict(sorted(data.items())), indent=1) + "\n")

@@ -275,10 +275,18 @@ object Bench {
       var failed = false
       var attempts = 0
       var lastElapsed = 0.0
-      def maxAttempts: Int =
-        if (samples.size >= 3 &&
-            samples.sorted.apply(samples.size / 2) < cheapEntrySec) 5
-        else 3
+      // latched: the 3→5 extension decision is made ONCE, when the
+      // 3rd sample lands. Re-evaluating per iteration let a 4th
+      // sample push the running median back over the threshold and
+      // stop the loop at 4 samples — recording sorted(2) of 4, an
+      // upper-middle value that is neither median-of-3 nor
+      // median-of-5.
+      var extended = false
+      def maxAttempts: Int = {
+        if (!extended && samples.size == 3 &&
+            samples.sorted.apply(1) < cheapEntrySec) extended = true
+        if (extended) 5 else 3
+      }
       while (attempts < maxAttempts && !failed) {
         val t0 = System.nanoTime()
         try {

@@ -120,26 +120,19 @@ object SparkEntry {
   // deleted in the finally (the memory sink holds the result); the
   // staged dir is deleted at JVM exit.
   private val cdcGateNames = new java.util.concurrent.atomic.AtomicInteger
-  private val cdcFeeds =
-    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val s = java.nio.file.Files.list(p)
-      try s.forEach(deleteRecursively) finally s.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.tools.ArtifactStore.deleteRecursively(p)
   /** The 8 staged batch files (`batch-<i>-<j>.json`), built once per
     * (JVM, dir) by Spark json writes — the shared feed bytes every
-    * gate invocation replays. */
+    * gate invocation replays. Registered as an [[graft.tools
+    * .ArtifactStore.dir]] artifact: one registry, one temp-dir
+    * lifecycle, one exit-time cleanup. */
   private def stagedCdcFeed(s: SparkSession, dir: String)
       : java.nio.file.Path =
-    cdcFeeds.getOrElseUpdate(dir, {
+    graft.tools.ArtifactStore.dir(s"cdcfeed:$dir", "graft-cdc-feed-") {
+      root =>
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("graft-cdc-feed-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try deleteRecursively(root) catch { case _: Exception => () }))
       val batches: Seq[DataFrame] =
         (0 until 4).map(b =>
           docs.filter(pmod(col("doc_id"), lit(4)) === b)
@@ -170,8 +163,7 @@ object SparkEntry {
         }
         deleteRecursively(stage)
       }
-      root
-    })
+    }
   private def runCdcFeed(s: SparkSession, dir: String, name: String,
                          mode: String)
       (mk: DataFrame => DataFrame): DataFrame = {
@@ -198,15 +190,18 @@ object SparkEntry {
     // partitions means 32 state commits (each a checkpoint-file write)
     // PER micro-batch × 8 drops; 8 partitions carries the same state
     // with 1/4 the fixed commit I/O. A production deployment sizes
-    // this to its cluster exactly the same way. Restored in finally —
-    // the partition count is baked into the query at start().
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // this to its cluster exactly the same way. The override lives on
+    // a CLONED session (same SparkContext, private conf + catalog), so
+    // the shared session's parallelism is never mutated — a
+    // set/restore on `s` would leak partitions=8 to anything planned
+    // concurrently and is not re-entrant (a nested call would
+    // "restore" the inner 8).
+    val runner = s.newSession()
+    runner.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
-      try mk(s.readStream.schema(schema).json(watch.toString))
+      mk(runner.readStream.schema(schema).json(watch.toString))
         .writeStream.format("memory").queryName(qn)
         .outputMode(mode).start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try byBatch.foreach { case (_, files) =>
       files.foreach { p =>
         val dst = watch.resolve(p.getFileName)
@@ -220,7 +215,8 @@ object SparkEntry {
       // the memory-sink table, not the files, is what's read after
       try deleteRecursively(watch) catch { case _: Exception => () }
     }
-    s.table(qn)
+    // the memory sink registered qn in the RUNNER's catalog
+    runner.table(qn)
   }
   /** Update-mode CDC gate: run the ±1 feed, return the per-token
     * max-seq snapshot as a batch frame (the reader rule). */

@@ -98,11 +98,22 @@ object Bpe {
     // argmax is the unique (count desc, pair asc) maximum, so the
     // reduce is partition-order-independent; pair-string comparison
     // replicates the former orderBy's UTF8-binary collation.
+    // MEMORY_AND_DISK, not the MEMORY_ONLY default: an evicted
+    // partition of round N's RDD would otherwise recompute through N
+    // chained applyMergeSeq maps back to the corpus-scale
+    // wordFrequencies scan — disk fallback caps an eviction at one
+    // local read. localCheckpoint every CutEvery rounds additionally
+    // BOUNDS the lineage chain (the former per-round eager checkpoint
+    // paid a full job every round; a vocabulary-sized cut every few
+    // rounds is ~free and keeps the transitive-recompute window
+    // shallow on executor loss).
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val CutEvery = 8
     var words: org.apache.spark.rdd.RDD[(Long, Seq[String])] =
       wordFrequencies(df, textCol)
         .select(col("freq"), col("syms")).rdd
         .map(r => (r.getLong(0), r.getSeq[String](1)))
-        .persist()
+        .persist(level)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (!done && merges.length < numMerges) {
@@ -120,9 +131,12 @@ object Bpe {
           val m = Merge(parts(0), parts(1))
           merges += m
           val prev = words
-          words = words
+          val next = words
             .map { case (f, syms) => (f, applyMergeSeq(syms, m.a, m.b)) }
-            .persist()
+            .persist(level)
+          words =
+            if (merges.length % CutEvery == 0) next.localCheckpoint()
+            else next
           words.count() // materialize before dropping the parent
           prev.unpersist()
         case _ => done = true

@@ -115,11 +115,15 @@ object Classifier {
     // size; a closure epoch on cached rows is ~10 ms. Long sums stay
     // associative and commutative, so the fit is exactly as
     // partition-order-independent as the aggregation it replaces.
-    // A null text (or null label) nulls every feature except the lit
-    // bias, which nulled the row's whole gradient contribution in the
-    // former expression epochs (sums skip null terms) — the closure
-    // replicates that by SKIPPING the row, not by NPE-ing the job on
-    // Row.getLong(null).
+    // A row with a null text or label is EXCLUDED from the fit
+    // entirely (features, preconditioner, and n). This is a deliberate
+    // semantics choice, not a replication of the former expression
+    // epochs: those let the never-null lit(1L) bias column of such a
+    // row leak into S_0 while every other term of the row vanished as
+    // a null — a phantom half-sample. Whole-row exclusion is the
+    // coherent contract (NullToleranceSpec pins fit-without-null-row
+    // ≡ fit-with), and fits on null-free corpora are bit-identical to
+    // the former epochs either way.
     val feat = df.select(
       (labelCol.cast("long") * lit(1000000L)).as("_ymicro") +:
         featureColumns(col(textCol)).zipWithIndex
@@ -194,7 +198,11 @@ object Classifier {
       .map { case (f, wj) => f * lit(wj) }.reduce(_ + _)
     df.filter(col(idCol).isNotNull)
       .select(col(idCol), margin.as("margin_micro"),
-        (margin > 0).cast("int").as("keep_pred"))
+        // when/otherwise, not a bare cast: a null-text doc has a NULL
+        // margin, and the oracle's CASE WHEN dot > 0 THEN 1 ELSE 0
+        // maps that NULL to 0 — (NULL > 0).cast("int") would read
+        // NULL and hash-diverge from the replay on such a row
+        when(margin > 0, lit(1)).otherwise(lit(0)).as("keep_pred"))
   }
 
   /** DuckDB replay of [[score]] from the weight literals — the same

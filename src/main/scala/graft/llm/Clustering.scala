@@ -151,11 +151,12 @@ object Clustering {
     // ((score, id), ids distinct), so the reduce is deterministic for
     // any partitioning; score comparison replicates the SQL double
     // order ([[cmpDouble]]) the former orderBy used.
-    // null vectors are SKIPPED, as the former expression plan did by
-    // null propagation (a null array reaches no sim/aggregate term) —
-    // the closure must not NPE the job on getSeq(null).toArray
+    // null-vector AND null-id rows are SKIPPED (neither can be a
+    // deterministic centroid pick, and the former expression plan
+    // dropped them by null propagation) — the closure must not NPE
+    // on getSeq(null).toArray or abort the fit on a stray null id
     val rows = data.select(col(idCol), col(vecCol)).rdd.flatMap { r =>
-      if (r.isNullAt(1)) Iterator.empty
+      if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
       else {
         val id = r.get(0) match {
           case l: Long => l

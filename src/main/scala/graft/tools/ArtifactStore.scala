@@ -46,7 +46,11 @@ object ArtifactStore {
   private def cleanupAtExit(dir: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try deleteRecursively(dir) catch { case _: Exception => () }))
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+
+  /** Recursive best-effort delete — the repo's one shared copy (the
+    * staged-feed and watch-dir cleanups delegate here rather than
+    * keeping private clones of the same idiom). */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
       try s.forEach(deleteRecursively) finally s.close()
@@ -89,6 +93,22 @@ object ArtifactStore {
       })
       load(s.read.parquet(dir))
     }).asInstanceOf[T]
+
+  /** Write-once staged DIRECTORY: `build` populates a fresh temp dir
+    * on the first call for `key`; every call returns the same path.
+    * The [[frame]] discipline applied to a raw file TREE (the CDC
+    * gates' staged feed files) — same keyspace, same temp-dir
+    * lifecycle, same exit-time cleanup, instead of a hand-rolled
+    * TrieMap + createTempDirectory + shutdown-hook clone at the call
+    * site. */
+  def dir(key: String, prefix: String)
+         (build: java.nio.file.Path => Unit): java.nio.file.Path =
+    java.nio.file.Paths.get(paths.getOrElseUpdate(key, {
+      val root = Files.createTempDirectory(prefix)
+      cleanupAtExit(root)
+      build(root)
+      root.toString
+    }))
 
   /** Stored location of an artifact, if it has been materialized —
     * the audit seam (specs assert consumers scan this path). */

@@ -126,6 +126,21 @@ class NullToleranceSpec extends SparkSpec {
     assert(assigned(3).isNullAt(0), s"null vec got a cluster: $assigned")
   }
 
+  test("Classifier.score: null text -> NULL margin but keep_pred 0, " +
+    "matching the oracle's CASE WHEN dot > 0 THEN 1 ELSE 0") {
+    val m = Classifier.Model(IndexedSeq(1L, 2L, 3L, 4L, 5L))
+    val out = Classifier.score(
+      Seq((1L, "some words"), (2L, null: String)).toDF("id", "text"),
+      "id", "text", m)
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && out(0).getInt(2) == 1 ||
+      out(0).getInt(2) == 0) // non-null doc: defined 0/1
+    assert(out(1).isNullAt(1), "null text should have NULL margin")
+    assert(out(1).getInt(2) == 0,
+      s"null margin must predict keep_pred 0 (oracle's ELSE), got " +
+        s"${out(1).get(2)}")
+  }
+
   test("Clustering.kmeans: a null-vector row contributes nothing — " +
     "centroids identical to the fit without it") {
     val base = Seq(

@@ -127,16 +127,68 @@ if ledger_path.exists():
         print(f"UNMEASURED (no sf0.1 reading in bench_ledger.json): "
               f"{unmeasured}")
     # Staleness WARN (not a fail): readings older than the last commit
-    # touching SparkEntry.scala price the PREVIOUS round's code — the
+    # touching src/main/scala price the PREVIOUS round's code — the
     # r16 postmortem found 4 phantom "regressions" from exactly this.
+    # Compared against the whole source tree, not SparkEntry.scala
+    # alone (ADVICE r17: most perf-relevant changes land in llm/).
     def last_commit(path):
         r = subprocess.run(["git", "log", "-1", "--format=%ct", "--", path],
                            cwd="/root/repo", capture_output=True, text=True)
         return int(r.stdout.strip() or 0)
-    if last_commit("src/main/scala/graft/SparkEntry.scala") > \
-            last_commit("scripts/bench_ledger.json"):
+    if last_commit("src/main/scala") > last_commit("scripts/bench_ledger.json"):
         print("WARN: bench_ledger.json predates the last commit touching "
-              "SparkEntry.scala — refresh readings from a clean sf0.1 bench")
+              "src/main/scala — refresh readings from a clean sf0.1 bench")
+
+    # Epoch-normalized perf-regression gate (★r18, VERDICT r17 #2):
+    # two same-code A/B benches measured GLOBAL ±13-16% machine-epoch
+    # shifts, so raw median-vs-ledger comparison either flags phantom
+    # regressions (+13% epoch) or masks real ones (-13% epoch hiding a
+    # 1.3x). Automate the STATUS-prose convention: divide each entry's
+    # median by the run's total-ratio (sum over common keys) before the
+    # 1.3x (>=2 s entries) / 1.4x (sub-2 s wobble class) comparisons;
+    # the min-floor check stays ABSOLUTE (a real regression moves the
+    # minimum; ambient contention only moves the median). An entry
+    # FAILS only when BOTH the normalized median and the absolute min
+    # floor trip — either alone is a WARN.
+    latest_path = Path("/root/repo/target/bench-latest.json")
+    mins_ledger_path = Path(__file__).parent / "bench_ledger_mins.json"
+    ledger_map = json.loads(ledger_path.read_text())
+    if latest_path.exists() and isinstance(ledger_map, dict):
+        latest = json.loads(latest_path.read_text())
+        cur = latest.get("queries", {})
+        cur_mins = latest.get("query_mins", {})
+        old_mins = (json.loads(mins_ledger_path.read_text())
+                    if mins_ledger_path.exists() else {})
+        common = [k for k in cur if k in ledger_map
+                  and cur[k] > 0 and ledger_map[k] > 0]
+        tot_cur = sum(cur[k] for k in common)
+        tot_led = sum(ledger_map[k] for k in common)
+        if common and tot_led > 0:
+            epoch = tot_cur / tot_led  # >1: this run's machine-epoch is slow
+            print(f"bench epoch ratio (latest/ledger over {len(common)} "
+                  f"common entries): {epoch:.3f}")
+            for k in sorted(common):
+                led = ledger_map[k]
+                norm = cur[k] / epoch
+                thresh = 1.4 if led < 2.0 else 1.3
+                med_trip = norm > led * thresh
+                # absolute min-floor: only meaningful when both runs
+                # recorded a min; sub-noise deltas (<0.5 s) never trip
+                min_trip = (k in cur_mins and k in old_mins
+                            and cur_mins[k] > old_mins[k] * thresh
+                            and cur_mins[k] - old_mins[k] > 0.5)
+                if med_trip and min_trip:
+                    fails.append(k)
+                    print(f"{k}: PERF_REGRESSION median {led:.2f}->"
+                          f"{cur[k]:.2f} (norm {norm:.2f}, >{thresh}x) AND "
+                          f"min {old_mins[k]:.2f}->{cur_mins[k]:.2f}")
+                elif med_trip or min_trip:
+                    which = "median(norm)" if med_trip else "min-floor"
+                    print(f"WARN {k}: {which} over {thresh}x "
+                          f"(median {led:.2f}->{cur[k]:.2f} norm {norm:.2f}"
+                          + (f", min {old_mins[k]:.2f}->{cur_mins[k]:.2f}"
+                             if k in cur_mins and k in old_mins else "")
+                          + ") — not failing without the other signal")
 else:
     fails.append("bench_ledger.json")
     print("MISSING scripts/bench_ledger.json — record sf0.1 per-entry "

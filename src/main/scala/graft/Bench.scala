@@ -28,7 +28,19 @@ object Bench {
   val LedgerFacets: Set[String] =
     Set("find_join_fallback", "model_load_search",
       "forget_rewrite_64obj", "forget_rewrite_1024obj",
-      "forget_rewrite_10240obj", "pii_scrub_64obj")
+      "forget_rewrite_10240obj", "forget_rewrite_40960obj",
+      "forget_json_1024obj", "pii_scrub_64obj")
+
+  /** Entries that are DELIBERATELY long-running scale soaks — they
+    * exist to sit far above the noise floor (and, for the forget
+    * rungs, to pin obj/min flatness against object count), so they
+    * exceed the 8 s per-entry budget BY DESIGN. The budget lint
+    * reports them separately (`soak_entries`) instead of counting
+    * them in `n_over_budget`, which tracks UNEXPECTED overruns only
+    * (★r18: with two soak rungs the old total-count would read 2 on
+    * every healthy run and stop signalling anything). */
+  val SoakFacets: Set[String] =
+    Set("forget_rewrite_10240obj", "forget_rewrite_40960obj")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -201,6 +213,96 @@ object Bench {
       ok("forget_rewrite_10240obj") = okAll
     }
 
+    // scale rung: 40,960 objects in ONE job (★r18, VERDICT r17 #5 —
+    // the shape the reference runs at 45,300 objects,
+    // docs/COST_OVERVIEW.md:288). Same total row math as every other
+    // rung (the full lineitem), 4× the object count of the 10,240
+    // soak at ~1/4 the rows per object — so obj/min flat vs the
+    // 10,240 reading pins the per-object overhead (footer read,
+    // staging commit, version capture) as the scaling direction, the
+    // way the CdcSoak 10× tier pinned state flatness. Deliberately
+    // long; reported under `soak_entries`, not `n_over_budget`.
+    var (forget40960Sec, forget40960Objects, rows40960) = (0.0, 0, 0L)
+    if (wanted("forget_rewrite_40960obj")) {
+      val (sec, n, rp, _, okAll) =
+        forgetFacet(40960, timedRuns = 1, warm = false)
+      forget40960Sec = sec; forget40960Objects = n; rows40960 = rp
+      times("forget_rewrite_40960obj") = sec
+      ok("forget_rewrite_40960obj") = okAll
+    }
+
+    // JSON-lines forget rung (★r18, VERDICT r17 #6): the reference's
+    // scenario 5 — gzip JSON objects, row-format table, full-scan
+    // Find, byte-preserving raw-line rewrite (159 obj/min on their
+    // fleet, docs/COST_OVERVIEW.md:302-322) — previously had NO bench
+    // analog, so a regression in the text-mode rewrite path
+    // (DistributedRewrite raw-line + gzip in/out) was invisible to
+    // the ledger. Stage lineitem as 1,024 gzip JSON-lines objects,
+    // Find pass untimed (row-format Find is a full scan by design),
+    // fresh staged copy per run (the rewrite mutates its objects).
+    var (forgetJsonSec, forgetJsonObjects, rowsJson, rowsJsonDeleted) =
+      (0.0, 0, 0L, 0L)
+    if (wanted("forget_json_1024obj")) {
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      val master = s"$stage/json-master1024"
+      li.repartition(1024).write.mode(SaveMode.Overwrite)
+        .option("compression", "gzip").json(master)
+      val jsonTable = TableDef("lij", master, DataFormat.JsonLines,
+        li.schema)
+      val jsonGroups = Finder.plan(
+        DataMapper("lij", "lij", Seq("l_returnflag"),
+          format = DataFormat.JsonLines),
+        jsonTable, Seq(DeletionQueueItem("q", MatchId.Simple("R"))))
+      // full-scan Find (scenario-5 semantics), untimed: declared
+      // schema + the json reader, distinct containing files
+      val matchedJson = spark.read.schema(li.schema).json(master)
+        .withColumn("_f", input_file_name())
+        .filter(col("l_returnflag") === "R")
+        .select(col("_f")).distinct().collect()
+        .map(r => new java.io.File(
+          graft.forget.Forget.stripScheme(r.getString(0))).getName)
+        .toSet
+      forgetJsonObjects = matchedJson.size
+      def listJsonGz(dir: String): Seq[String] = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          val it = s.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val p = it.next().toString
+            if (p.endsWith(".json.gz")) buf += p
+          }
+          buf.toSeq
+        } finally s.close()
+      }
+      var allOk = true
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (run <- 0 to 3) { // run 0 is the untimed warm-up
+        val dir = s"$stage/json-run-$run/lineitem"
+        copyDir(master, dir)
+        val units = listJsonGz(dir)
+          .filter(p => matchedJson(new java.io.File(p).getName))
+          .map(f => ObjectWorkUnit(s"json-bench-$run", f, "lij",
+            DataFormat.JsonLines, true))
+        val t0 = System.nanoTime()
+        val events = DistributedRewrite.run(spark,
+          s"json-bench-$run", units, jsonGroups)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val updated = events.count(_.eventName == JobEventName.ObjectUpdated)
+        if (updated != units.size) {
+          allOk = false
+          errors += s"forget_json_1024obj(run $run): " +
+            s"only $updated/${units.size} objects updated"
+        }
+        if (run > 0) samples += sec
+        rowsJson = events.map(_.statsProcessed).sum
+        rowsJsonDeleted = events.map(_.statsDeleted).sum
+      }
+      forgetJsonSec = samples.sorted.apply(samples.size / 2)
+      times("forget_json_1024obj") = forgetJsonSec
+      ok("forget_json_1024obj") = allOk
+    }
+
     // facet (c): PII scrub throughput — the redaction counterpart of
     // facet (b), through the same distributed rewrite machinery. The
     // documents corpus is staged as 64 objects with identifiers
@@ -253,6 +355,21 @@ object Bench {
       ok("pii_scrub_64obj") = allOk
     }
 
+
+    // Eager-stage the write-once shared artifacts (pairs/cluster/span
+    // frames, serialized models, CDC feed files) BEFORE any timed
+    // sample (★r18, VERDICT r17 #1): a consumer entry's first sample
+    // must never pay another entry's one-time artifact build — that is
+    // how q31's median read 8.07 s against a 1.79 s floor in r17.
+    // Untimed by design (a 100 TB pipeline writes these once, outside
+    // any query's cost); skipped when SPARK_GRAFT_ONLY selects no gate
+    // query (e.g. forget-facet-only A/B runs).
+    if (only.isEmpty || SparkEntry.queries.keySet.exists(only)) {
+      val t0 = System.nanoTime()
+      SparkEntry.stageSharedArtifacts(spark, sfDir)
+      System.err.println(f"[bench] artifact staging (untimed): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
 
     // Median-of-3 per query: single-iteration timings ride on JIT/IO
     // noise (round-over-round ±40% wobble on untouched code paths made
@@ -536,15 +653,21 @@ object Bench {
     // some entries (the 10240-object forget soak) are deliberately
     // long, and the facet makes that spend visible instead of silent.
     val entryBudgetSec = 8.0
-    val overBudget = times.toSeq.filter(_._2 > entryBudgetSec)
+    // deliberate soaks (SoakFacets) are long by design — they go to
+    // `soak_entries`; `n_over_budget` counts UNEXPECTED overruns only
+    val overBudget = times.toSeq
+      .filter { case (k, v) => v > entryBudgetSec && !SoakFacets(k) }
       .sortBy(-_._2)
     val overBudgetJson = overBudget
+      .map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
+    val soakJson = times.toSeq.filter(t => SoakFacets(t._1))
       .map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec",""" +
       s""""queries":$qs,"query_mins":$qMins,"ok":$oks,"errors":$errJson,""" +
       s""""entries_over_budget":$overBudgetJson,""" +
       s""""n_over_budget":${overBudget.size},""" +
+      s""""soak_entries":$soakJson,""" +
       s""""entry_budget_sec":${jd(entryBudgetSec)},""" +
       s""""find_scan_ratio_lineitem":${jd(scanLineitem.ratio)},""" +
       s""""find_scan_ratio_customer":${jd(scanCustomer.ratio)},""" +
@@ -557,6 +680,11 @@ object Bench {
       s""""forget_1024_rows_per_sec":${jd(rate(rows1024.toDouble, forget1024Sec))},""" +
       s""""forget_10240_objects_per_min":${jd(rate(forget10240Objects * 60.0, forget10240Sec))},""" +
       s""""forget_10240_rows_per_sec":${jd(rate(rows10240.toDouble, forget10240Sec))},""" +
+      s""""forget_40960_objects_per_min":${jd(rate(forget40960Objects * 60.0, forget40960Sec))},""" +
+      s""""forget_40960_rows_per_sec":${jd(rate(rows40960.toDouble, forget40960Sec))},""" +
+      s""""forget_json_objects_per_min":${jd(rate(forgetJsonObjects * 60.0, forgetJsonSec))},""" +
+      s""""forget_json_rows_per_sec":${jd(rate(rowsJson.toDouble, forgetJsonSec))},""" +
+      s""""forget_json_rows_deleted":$rowsJsonDeleted,""" +
       s""""pii_scrub_objects_per_min":${jd(rate(piiObjects * 60.0, piiSec))},""" +
       s""""pii_scrub_rows_per_sec":${jd(rate(piiRows.toDouble, piiSec))},""" +
       s""""pii_scrub_rows_redacted":$piiRedacted,""" +
@@ -598,6 +726,8 @@ object Bench {
       s""""n_over_budget":${overBudget.size},""" +
       s""""find_runtime_scan_ratio":${jd(findRuntimeRatio)},""" +
       s""""forget_10240_objects_per_min":${jd(rate(forget10240Objects * 60.0, forget10240Sec))},""" +
+      s""""forget_40960_objects_per_min":${jd(rate(forget40960Objects * 60.0, forget40960Sec))},""" +
+      s""""forget_json_objects_per_min":${jd(rate(forgetJsonObjects * 60.0, forgetJsonSec))},""" +
       s""""pii_scrub_objects_per_min":${jd(rate(piiObjects * 60.0, piiSec))},""" +
       s""""ann_recall_lsh_min":${jd(recallLsh)},""" +
       s""""ann_recall_ivf_min":${jd(recallIvf)},""" +

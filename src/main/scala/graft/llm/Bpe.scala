@@ -114,6 +114,11 @@ object Bpe {
         .select(col("freq"), col("syms")).rdd
         .map(r => (r.getLong(0), r.getSeq[String](1)))
         .persist(level)
+    // the most recent localCheckpoint'ed generation — its blocks ARE
+    // the truncated lineage's recovery root, so it stays persisted
+    // until the next cut is materialized (see the unpersist note
+    // below)
+    var lastCut: org.apache.spark.rdd.RDD[(Long, Seq[String])] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (!done && merges.length < numMerges) {
@@ -138,11 +143,24 @@ object Bpe {
             if (merges.length % CutEvery == 0) next.localCheckpoint()
             else next
           words.count() // materialize before dropping the parent
-          prev.unpersist()
+          // A localCheckpoint'ed generation's BLOCKS are its lineage
+          // truncation point — unpersisting it deletes the checkpoint
+          // data, and partition loss in any descendant then FAILS
+          // instead of recomputing (★r18, ADVICE r17: the old code
+          // unpersisted the cut on the very next round). Keep the
+          // latest cut persisted until the NEXT cut is materialized;
+          // intermediate generations recompute from it through at
+          // most CutEvery-1 narrow maps on executor loss.
+          if (prev ne lastCut) prev.unpersist()
+          if (merges.length % CutEvery == 0) {
+            if (lastCut != null && (lastCut ne prev)) lastCut.unpersist()
+            lastCut = words
+          }
         case _ => done = true
       }
     }
     words.unpersist()
+    if (lastCut != null && (lastCut ne words)) lastCut.unpersist()
     merges.toSeq
   }
 

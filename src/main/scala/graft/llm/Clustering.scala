@@ -154,21 +154,33 @@ object Clustering {
     // null-vector AND null-id rows are SKIPPED (neither can be a
     // deterministic centroid pick, and the former expression plan
     // dropped them by null propagation) — the closure must not NPE
-    // on getSeq(null).toArray or abort the fit on a stray null id
+    // on getSeq(null).toArray or abort the fit on a stray null id.
+    // Ids keep their ORIGINAL values (★r18, ADVICE r17: the RDD
+    // rewrite briefly narrowed accepted id types to Long/Int, which
+    // the former orderBy(idCol) path never required) — tie-breaks
+    // compare via [[cmpId]], a generic ordering over whatever
+    // Comparable type the column yields (integrals fast-pathed as
+    // Long, strings/decimals/dates via compareTo).
     val rows = data.select(col(idCol), col(vecCol)).rdd.flatMap { r =>
       if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
       else {
-        val id = r.get(0) match {
+        val id: Any = r.get(0) match {
           case l: Long => l
           case i: Int => i.toLong
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+          case c: Comparable[_] => c
           case other => throw new IllegalArgumentException(
-            s"farthestFirstInit needs an integral id column, got: $other")
+            "farthestFirstInit needs an orderable (Comparable) id " +
+              s"column for deterministic tie-breaks, got: " +
+              s"${other.getClass.getName}")
         }
         Iterator.single((id, r.getSeq[Float](1).toArray))
       }
     }.persist()
     try {
-      val first = rows.takeOrdered(1)(Ordering.by(_._1))
+      val first = rows.takeOrdered(1)(Ordering.fromLessThan[
+        (Any, Array[Float])]((a, b) => cmpId(a._1, b._1) < 0))
       require(first.nonEmpty, "k-means needs a non-empty corpus")
       val chosen = scala.collection.mutable.ArrayBuffer(first(0)._2)
       while (chosen.length < k) {
@@ -185,12 +197,28 @@ object Clustering {
           (m, id, v)
         }.treeReduce { (a, b) =>
           val c = cmpDouble(a._1, b._1)
-          if (c < 0 || (c == 0 && a._2 <= b._2)) a else b
+          if (c < 0 || (c == 0 && cmpId(a._2, b._2) <= 0)) a else b
         }
         chosen += next._3
       }
       chosen.toSeq
     } finally { rows.unpersist(); () }
+  }
+
+  /** Generic id comparison for the deterministic argmin tie-breaks:
+    * integrals are normalized to Long at extraction (so a Long
+    * fast-path covers them all); every other orderable external type
+    * (String, BigDecimal, Date, Timestamp, ...) compares via its own
+    * Comparable — same-column values are same-class, so the cast is
+    * safe for any column Spark can ORDER BY. Note Java String
+    * compareTo is UTF-16 code-unit order, which differs from SQL's
+    * UTF-8 binary order only for supplementary characters vs
+    * [U+E000, U+FFFF] — and only TIE-BREAKS, never scores, consult
+    * this order. */
+  private def cmpId(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case _ =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b.asInstanceOf[AnyRef])
   }
 
   /** Deterministic Lloyd k-means: `iters` assignment/update rounds

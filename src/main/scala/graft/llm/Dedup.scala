@@ -176,6 +176,60 @@ object Dedup {
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
   }
 
+  /** MurmurHash3.stringHash replayed over the `n`-char window of
+    * `text` starting at `start` — BIT-IDENTICAL to
+    * `stringHash(text.substring(start, start+n), seed)` without the
+    * substring allocation (the scala-library algorithm: chars mixed
+    * pairwise, odd tail via mixLast, finalized with the length). The
+    * hot-path kernel of every shingling pass: at corpus scale the
+    * per-window `substring` + HashSet-of-String dedup + re-hash was
+    * 3-4 O(n) passes per window; this is one. */
+  private def murmurWindow(text: String, start: Int, n: Int,
+                           seed: Int): Int = {
+    import scala.util.hashing.{MurmurHash3 => MH}
+    var h = seed
+    var i = 0
+    while (i + 1 < n) {
+      val data = (text.charAt(start + i) << 16) + text.charAt(start + i + 1)
+      h = MH.mix(h, data)
+      i += 2
+    }
+    if (i < n) h = MH.mixLast(h, text.charAt(start + i).toInt)
+    MH.finalizeHash(h, n)
+  }
+
+  /** 64-bit window hash — bit-identical to
+    * `hashOf(text.substring(start, start+n), seed)`. */
+  private[llm] def windowHash64(text: String, start: Int, n: Int,
+                                seed: Int): Long = {
+    val h1 = murmurWindow(text, start, n, seed)
+    val h2 = murmurWindow(text, start, n, seed ^ 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** Sorted, hash-deduped 64-bit shingle hashes of a text, one
+    * allocation-free pass — exactly the values
+    * `shingleSet(text, n).map(hashOf(_, seed))` yields (two distinct
+    * window STRINGS colliding to one hash dedup here rather than in
+    * the consumer; every consumer already dedups or is min-fold
+    * insensitive to duplicates). Null/short text = empty array. */
+  private[llm] def windowHashes(text: String, n: Int,
+                                seed: Int): Array[Long] = {
+    if (text == null || text.length < n) return Array.emptyLongArray
+    val m = text.length - n + 1
+    val raw = new Array[Long](m)
+    var i = 0
+    while (i < m) { raw(i) = windowHash64(text, i, n, seed); i += 1 }
+    java.util.Arrays.sort(raw)
+    var k = 0
+    var j = 0
+    while (j < m) { // in-place dedup of the sorted run
+      if (k == 0 || raw(k - 1) != raw(j)) { raw(k) = raw(j); k += 1 }
+      j += 1
+    }
+    if (k == m) raw else java.util.Arrays.copyOf(raw, k)
+  }
+
   /** Distinct shingle set of a text, built in one linear pass (the SQL
     * `substr`-expression form re-scans codepoints per shingle — quadratic
     * per document and measurably slow at scale). A null text is an
@@ -205,17 +259,16 @@ object Dedup {
       else bandKeysFromHashes(sh.iterator.map(hashOf(_, seed)), bands, rows)
     }
 
-  /** Banded MinHash keys straight from the text (shingling inlined). */
+  /** Banded MinHash keys straight from the text (shingling inlined,
+    * allocation-free via [[windowHashes]] — bit-identical band keys:
+    * the one-permutation bins fold min-per-bin, which neither hash
+    * order nor duplicate occurrences can move). */
   def textBandKeys(shingleLen: Int, bands: Int, rows: Int, seed: Int = 42)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
-      val set = shingleSet(text, shingleLen)
-      if (set.isEmpty) Array.empty[Long]
-      else {
-        import scala.jdk.CollectionConverters._
-        bandKeysFromHashes(set.iterator().asScala.map(hashOf(_, seed)),
-          bands, rows)
-      }
+      val hs = windowHashes(text, shingleLen, seed)
+      if (hs.isEmpty) Array.empty[Long]
+      else bandKeysFromHashes(hs.iterator, bands, rows)
     }
 
   /** Exact shingle-set Jaccard of two texts (single pass each). */
@@ -413,7 +466,7 @@ object Dedup {
     // fan-out below.
     val dfMap = censusDfMap(df, textCol, shingleLen, commonShingleCap,
       censusSampleFraction)
-    val dfB = df.sparkSession.sparkContext.broadcast(dfMap)
+    val dfB = df.sparkSession.sparkContext.broadcast(censusLookup(dfMap))
     val t = threshold
     // The candidate stage self-joins the prefix index; without a persist
     // the whole shingle→sort→posexplode subtree executes TWICE (once per
@@ -427,24 +480,7 @@ object Dedup {
     // clearCache() would evict unrelated caches).
     val prefix = prefixIndex(df, idCol, textCol, shingleLen, t, dfB,
       saltBlock, maxSalts)
-    // hot-key salting: entry → (key, salt); left picks one salt by id
-    // hash, right replicates to all of the key's salts — every pair
-    // meets in exactly one (key, salt) group
-    val a = prefix.select(col("_g").as("_ga"), col("_id").as("id_a"),
-      col("_sz").as("_sza"), (col("_pos0") + 1).as("_pa"),
-      pmod(xxhash64(col("_id")), col("_ns")).cast("int").as("_salt_a"))
-    val b = prefix.select(col("_g").as("_gb"), col("_id").as("id_b"),
-      col("_sz").as("_szb"), (col("_pos0") + 1).as("_pb"),
-      explode(sequence(lit(0), col("_ns") - 1)).as("_salt_b"))
-    val alpha = ceil(lit(t) * (col("_sza") + col("_szb")) / (1.0 + t))
-    val candidates = a.join(b,
-        col("_ga") === col("_gb") && col("_salt_a") === col("_salt_b") &&
-          col("id_a") < col("id_b") &&
-          col("_szb") >= lit(t) * col("_sza") &&
-          col("_sza") >= lit(t) * col("_szb") &&
-          lit(1) + least(col("_sza") - col("_pa"),
-            col("_szb") - col("_pb")) >= alpha)
-      .select(col("id_a"), col("id_b")).distinct()
+    val candidates = selfJoinCandidates(prefix, t)
     val texts = df.select(col(idCol), col(textCol))
     val out = candidates
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_txt_a")),
@@ -456,6 +492,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     (out, () => { prefix.unpersist(false); () })
+  }
+
+  /** The salted prefix-index self-join producing distinct candidate
+    * (id_a, id_b) pairs — the stage between the index build and the
+    * exact verify. Hot-key salting: entry → (key, salt); left picks
+    * one salt by id hash, right replicates to all of the key's
+    * salts — every pair meets in exactly one (key, salt) group. */
+  private def selfJoinCandidates(prefix: DataFrame, t: Double)
+      : DataFrame = {
+    val a = prefix.select(col("_g").as("_ga"), col("_id").as("id_a"),
+      col("_sz").as("_sza"), (col("_pos0") + 1).as("_pa"),
+      pmod(xxhash64(col("_id")), col("_ns")).cast("int").as("_salt_a"))
+    val b = prefix.select(col("_g").as("_gb"), col("_id").as("id_b"),
+      col("_sz").as("_szb"), (col("_pos0") + 1).as("_pb"),
+      explode(sequence(lit(0), col("_ns") - 1)).as("_salt_b"))
+    val alpha = ceil(lit(t) * (col("_sza") + col("_szb")) / (1.0 + t))
+    a.join(b,
+        col("_ga") === col("_gb") && col("_salt_a") === col("_salt_b") &&
+          col("id_a") < col("id_b") &&
+          col("_szb") >= lit(t) * col("_sza") &&
+          col("_sza") >= lit(t) * col("_szb") &&
+          lit(1) + least(col("_sza") - col("_pa"),
+            col("_szb") - col("_pb")) >= alpha)
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Dev-probe seam: the sampled-census stage alone (returns the map
+    * size so the driver work is forced). */
+  private[graft] def censusForProbe(df: DataFrame, textCol: String,
+                                    shingleLen: Int): Int =
+    censusDfMap(df, textCol, shingleLen, 100000, 1.0).size
+
+  /** Dev-probe seam: census + prefix-index build alone (count forces
+    * the persist; released via [[releaseCaches]]). */
+  private[graft] def prefixIndexForProbe(df: DataFrame, idCol: String,
+                                         textCol: String, shingleLen: Int,
+                                         threshold: Double): Long = {
+    val dfMap = censusDfMap(df, textCol, shingleLen, 100000, 1.0)
+    val dfB = df.sparkSession.sparkContext.broadcast(censusLookup(dfMap))
+    val prefix = prefixIndex(df, idCol, textCol, shingleLen, threshold,
+      dfB, 2048, 64)
+    registerCleanup(() => { prefix.unpersist(false); () })
+    prefix.count()
+  }
+
+  /** Dev-probe seam: the candidate stage of [[jaccardPairsExact]]
+    * WITHOUT the exact-verify join — timing (full − candidates)
+    * attributes the verify stage's cost. Registers its prefix-index
+    * release with [[releaseCaches]] like the public overload. */
+  private[graft] def jaccardCandidatesForProbe(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, threshold: Double): DataFrame = {
+    val dfMap = censusDfMap(df, textCol, shingleLen, 100000, 1.0)
+    val dfB = df.sparkSession.sparkContext.broadcast(censusLookup(dfMap))
+    val prefix = prefixIndex(df, idCol, textCol, shingleLen, threshold,
+      dfB, 2048, 64)
+    registerCleanup(() => { prefix.unpersist(false); () })
+    selfJoinCandidates(prefix, threshold)
   }
 
   /** Persisted prefix index of one corpus: (_id, _sz, _pos0, _g, _ns)
@@ -488,33 +582,28 @@ object Dedup {
     * materialized. */
   private def prefixIndex(df: DataFrame, idCol: String, textCol: String,
                           shingleLen: Int, t: Double,
-                          dfB: org.apache.spark.broadcast.Broadcast[Map[Long, Long]],
+                          dfB: org.apache.spark.broadcast.Broadcast[CensusLookup],
                           saltBlock: Int, maxSalts: Int): DataFrame = {
     val prefixUdf = udf { (text: String) =>
-      val set = shingleSet(text, shingleLen)
-      val raw = new Array[Long](set.size)
-      var i = 0
-      val it = set.iterator()
-      while (it.hasNext) { raw(i) = hashOf(it.next(), 42); i += 1 }
-      java.util.Arrays.sort(raw)
-      var n = 0
-      var j = 0
-      while (j < raw.length) { // in-place dedup of colliding hashes
-        if (n == 0 || raw(n - 1) != raw(j)) { raw(n) = raw(j); n += 1 }
-        j += 1
-      }
+      val hs = windowHashes(text, shingleLen, 42)
+      val n = hs.length
       if (n == 0) null
       else {
-        val hs = java.util.Arrays.copyOf(raw, n)
         val dfm = dfB.value
         val plen = n - math.ceil(t * n).toInt + 1
-        hs.sortBy(h => (dfm.getOrElse(h, 1L), h)).take(plen)
-          .map(h => (n, h))
+        // rarest-first pick, primitive end to end: df per hash via
+        // binary search, tandem sort by (df, h), first plen kept —
+        // identical order to the former boxed sortBy
+        val dfs = new Array[Long](n)
+        var i = 0
+        while (i < n) { dfs(i) = dfm.dfOf(hs(i)); i += 1 }
+        sortByDfThenHash(dfs, hs, n)
+        Array.tabulate(math.min(plen, n))(j => (n, hs(j)))
       }
     }
     val nSaltsUdf = udf { (h: Long) =>
       math.min(maxSalts.toLong,
-        1L + dfB.value.getOrElse(h, 1L) / saltBlock).toInt
+        1L + dfB.value.dfOf(h) / saltBlock).toInt
     }
     df.select(col(idCol).as("_id"),
         posexplode(prefixUdf(col(textCol))).as(Seq("_pos0", "_e")))
@@ -583,7 +672,7 @@ object Dedup {
       .unionByName(right.select(col(textCol)))
     val dfMap = censusDfMap(both, textCol, shingleLen, commonShingleCap,
       censusSampleFraction)
-    val dfB = left.sparkSession.sparkContext.broadcast(dfMap)
+    val dfB = left.sparkSession.sparkContext.broadcast(censusLookup(dfMap))
     val t = threshold
     val lIdx = prefixIndex(left, idCol, textCol, shingleLen, t, dfB,
       saltBlock, maxSalts)
@@ -689,6 +778,87 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Broadcast-side census as two primitive parallel arrays (hashes
+    * sorted, dfs aligned) — the prefix/salt closures do one binary
+    * search per window hash instead of a boxed `Map[Long, Long]`
+    * lookup (a java.lang.Long allocation per probe, at one probe per
+    * window per document — a real term at corpus scale). */
+  private[llm] final class CensusLookup(keys: Array[Long],
+                                        dfs: Array[Long])
+      extends Serializable {
+    def dfOf(h: Long): Long = {
+      val i = java.util.Arrays.binarySearch(keys, h)
+      if (i >= 0) dfs(i) else 1L
+    }
+  }
+
+  private[llm] def censusLookup(m: Map[Long, Long]): CensusLookup = {
+    val keys = m.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    val dfs = new Array[Long](keys.length)
+    var i = 0
+    while (i < keys.length) { dfs(i) = m(keys(i)); i += 1 }
+    new CensusLookup(keys, dfs)
+  }
+
+  /** Tandem quicksort of parallel primitive arrays by (df asc, h asc)
+    * over [0, n) — the prefix pick's rarest-first order without the
+    * per-window tuple boxing `sortBy` pays (pairs are unique: h is
+    * deduped, so no stability concern). Insertion sort below 16,
+    * middle-of-range pivot (h arrives pre-sorted, so a first-element
+    * pivot would go quadratic). */
+  private def sortByDfThenHash(df: Array[Long], h: Array[Long],
+                               n: Int): Unit = {
+    def less(i: Int, j: Int): Boolean =
+      df(i) < df(j) || (df(i) == df(j) && h(i) < h(j))
+    def lessV(dv: Long, hv: Long, j: Int): Boolean =
+      dv < df(j) || (dv == df(j) && hv < h(j))
+    def swap(i: Int, j: Int): Unit = {
+      val td = df(i); df(i) = df(j); df(j) = td
+      val th = h(i); h(i) = h(j); h(j) = th
+    }
+    def insertion(lo: Int, hi: Int): Unit = {
+      var i = lo + 1
+      while (i <= hi) {
+        val dv = df(i); val hv = h(i)
+        var j = i - 1
+        while (j >= lo && lessV(dv, hv, j)) {
+          df(j + 1) = df(j); h(j + 1) = h(j); j -= 1
+        }
+        df(j + 1) = dv; h(j + 1) = hv
+        i += 1
+      }
+    }
+    // explicit stack, larger side deferred — bounded depth
+    var stack = List((0, n - 1))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.head
+      stack = stack.tail
+      if (hi - lo < 16) { if (lo < hi) insertion(lo, hi) }
+      else {
+        val mid = lo + (hi - lo) / 2
+        // median-of-three pivot to mid
+        if (less(mid, lo)) swap(lo, mid)
+        if (less(hi, lo)) swap(lo, hi)
+        if (less(hi, mid)) swap(mid, hi)
+        swap(mid, hi - 1)
+        val p = hi - 1
+        var i = lo
+        var j = p
+        var done = false
+        while (!done) {
+          i += 1
+          while (less(i, p)) i += 1
+          j -= 1
+          while (less(p, j)) j -= 1
+          if (i >= j) done = true else swap(i, j)
+        }
+        swap(i, p)
+        stack = (lo, i - 1) :: (i + 1, hi) :: stack
+      }
+    }
+  }
+
   /** Sampled document-frequency census over 64-bit shingle hashes —
     * seeds [[jaccardPairsExact]]'s prefix order and salt sizing.
     * Returns scaled df estimates for the top `commonShingleCap` hashes.
@@ -731,11 +901,7 @@ object Dedup {
     * n-char strings, no string array ever materialized. */
   private[llm] def shingleHashesUdf(shingleLen: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      import scala.jdk.CollectionConverters._
-      shingleSet(text, shingleLen).iterator().asScala
-        .map(hashOf(_, 42)).toArray
-    }
+    udf { (text: String) => windowHashes(text, shingleLen, 42) }
 
   /** Duplicate-CLUSTER assignment from a near/exact-duplicate pair
     * frame: connected components with the component's minimum id as the

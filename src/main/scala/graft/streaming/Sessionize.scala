@@ -70,9 +70,20 @@ object Sessionize {
   def sessions(events: DataFrame, userCol: String, tsCol: String,
                gapMs: Long, watermarkDelay: String): DataFrame = {
     require(gapMs > 0, s"gapMs must be > 0, got $gapMs")
-    val keyed = events.select(
-      col(userCol).cast("string").as("user"),
-      col(tsCol).cast("timestamp").as("ts"))
+    // P7 ingest tolerance (★r18): an event with a NULL user has no
+    // session key and one with a NULL/uncastable ts has no position
+    // on the time axis — both are dropped, in BOTH branches (the
+    // find-side null-identifier rule; previously a null ts NPE'd the
+    // streaming closure's ts.getTime and a null user hit the key
+    // encoder). try_cast, filtered AFTER the cast: a malformed ts
+    // drops identically under ANSI on (where a plain cast would
+    // error) and off (where it would null then NPE) — ANSI-mode
+    // parity by construction.
+    val keyed = events
+      .select(
+        col(userCol).cast("string").as("user"),
+        col(tsCol).try_cast("timestamp").as("ts"))
+      .filter(col("user").isNotNull && col("ts").isNotNull)
     if (events.isStreaming) {
       keyed
         .withWatermark("ts", watermarkDelay)

@@ -64,7 +64,7 @@ object StreamingIndex {
           col(opCol).cast("long"))
           .otherwise(raise_error(concat(
             lit("CDC op must be +1 (ingest) or -1 (forget), got "),
-            col(opCol).cast("string")))).as("_op"),
+            coalesce(col(opCol).cast("string"), lit("NULL"))))).as("_op"),
         filter(split(col(textCol), " "), t => length(t) > 0).as("_ts"))
       .select(col("_op"),
         explode(TextStats.gramsOf(col("_ts"), n)).as("ngram"))
@@ -104,6 +104,10 @@ object StreamingIndex {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
+      // P7 ingest tolerance (★r18): NULL-id rows are skipped — no
+      // identity to post; a null id previously crashed the
+      // primitive-Long encoder
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(array_distinct(filter(TextStats.tokens(col(textCol)),
           t => length(t) > 0))).as("token"))
@@ -152,7 +156,7 @@ object StreamingIndex {
           col(opCol).cast("long"))
           .otherwise(raise_error(concat(
             lit("CDC op must be +1 (ingest) or -1 (forget), got "),
-            col(opCol).cast("string")))).as("_op"),
+            coalesce(col(opCol).cast("string"), lit("NULL"))))).as("_op"),
         // explicit null guard: under legacy (non-ANSI) configs
         // size(NULL) is -1, which would shift L by -op per null-text
         // doc while batch bm25Stats leaves L untouched — pin the
@@ -252,7 +256,20 @@ object StreamingIndex {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
-      .select(col(opCol).cast("int").as("op"),
+      // P7 ingest tolerance (★r18): an event with a NULL id has no
+      // identity to key state on — skipped, the find-side
+      // null-identifier rule (a null doc_id previously reached the
+      // primitive-Long encoder and crashed the stream). A NULL op is
+      // feed corruption, not tolerable noise — same loud raise_error
+      // as an op outside ±1.
+      .filter(col(idCol).isNotNull)
+      .select(
+        when(col(opCol) === 1 || col(opCol) === -1,
+          col(opCol).cast("int"))
+          .otherwise(raise_error(concat(
+            lit("CDC op must be +1 (ingest) or -1 (forget), got "),
+            coalesce(col(opCol).cast("string"), lit("NULL")))).cast("int"))
+          .as("op"),
         col(idCol).cast("long").as("doc_id"),
         posexplode(filter(TextStats.tokens(col(textCol)),
           t => length(t) > 0)).as(Seq("_pos0", "token")))
@@ -312,7 +329,16 @@ object StreamingIndex {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
-      .select(col(opCol).cast("int").as("op"),
+      // P7 ingest tolerance (★r18) — see positionalIndexCdc: NULL id
+      // rows are skipped (no identity to key), NULL op fails loudly
+      .filter(col(idCol).isNotNull)
+      .select(
+        when(col(opCol) === 1 || col(opCol) === -1,
+          col(opCol).cast("int"))
+          .otherwise(raise_error(concat(
+            lit("CDC op must be +1 (ingest) or -1 (forget), got "),
+            coalesce(col(opCol).cast("string"), lit("NULL")))).cast("int"))
+          .as("op"),
         col(idCol).cast("long").as("doc_id"),
         explode(array_distinct(filter(TextStats.tokens(col(textCol)),
           t => length(t) > 0))).as("token"))

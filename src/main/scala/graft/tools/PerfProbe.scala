@@ -99,6 +99,24 @@ object PerfProbe {
       time("jaccard_exact_warm") {
         graft.llm.Dedup.jaccardPairsExact(docs, "doc_id", "text",
           shingleLen = 16, threshold = 0.8).count() }
+      // stage attribution for the q29 pipeline (★r18): candidates
+      // WITHOUT the exact-verify stage vs the full pipeline — the
+      // difference prices the per-pair string re-shingling the verify
+      // UDF pays, the piece VERDICT r17 #1 asks to reconcile with the
+      // 8 s budget.
+      time("jaccard_census_only") {
+        graft.llm.Dedup.censusForProbe(docs, "text", 16) }
+      time("jaccard_prefix_index") {
+        graft.llm.Dedup.prefixIndexForProbe(docs, "doc_id", "text",
+          16, 0.8) }
+      graft.llm.Dedup.releaseCaches()
+      time("jaccard_candidates_only") {
+        graft.llm.Dedup.jaccardCandidatesForProbe(docs, "doc_id",
+          "text", shingleLen = 16, threshold = 0.8).count() }
+      graft.llm.Dedup.releaseCaches()
+      time("jaccard_full_again") {
+        graft.llm.Dedup.jaccardPairsExact(docs, "doc_id", "text",
+          shingleLen = 16, threshold = 0.8).count() }
     }
     spark.stop()
   }

@@ -54,6 +54,37 @@ class ClusteringSpec extends SparkSpec {
       "distinct planted groups must land in distinct clusters")
   }
 
+  test("farthestFirstInit accepts STRING ids (generic Comparable " +
+    "tie-break, ADVICE r17) and picks the same centroids as the " +
+    "integral-id frame under the aligned order") {
+    // vectors chosen so scores tie nowhere except the seed pick —
+    // the id order only selects the FIRST centroid; "d01".."d10"
+    // sort like 1..10 zero-padded, so both frames must choose the
+    // same vector sequence
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 10).map(_ => Array.fill(8)(rnd.nextGaussian().toFloat))
+    val longIds = vecs.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v.toSeq) }
+      .toDF("id", "vec")
+    val strIds = vecs.zipWithIndex
+      .map { case (v, i) => (f"d${i + 1}%02d", v.toSeq) }
+      .toDF("id", "vec")
+    val a = Clustering.farthestFirstInit(longIds, "id", "vec", k = 3)
+    val b = Clustering.farthestFirstInit(strIds, "id", "vec", k = 3)
+    assert(a.map(_.toSeq) == b.map(_.toSeq),
+      "string-id frame must pick the same centroid sequence")
+    // and a decidedly non-orderable id column still fails loudly
+    val arr = vecs.take(2).zipWithIndex
+      .map { case (v, i) => (Seq(i.toLong), v.toSeq) }.toDF("id", "vec")
+    val e = intercept[org.apache.spark.SparkException] {
+      Clustering.farthestFirstInit(arr, "id", "vec", k = 2)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("orderable")), e.getMessage)
+  }
+
   test("assignClusters ties break to the LOWER cluster index") {
     val data = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
     // two identical centroids: cosine ties exactly; first must win

@@ -662,8 +662,15 @@ object Bench {
       .map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
     val soakJson = times.toSeq.filter(t => SoakFacets(t._1))
       .map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
+    // round-over-round comparisons need the query total SEPARATED from
+    // deliberate soak spend: adding a soak rung (e.g. the ★r18
+    // 40,960-object forget tier, ~74 s by design) moves `value` without
+    // any query regressing — `total_ex_soak` is the comparable series
+    val totalExSoak = times.toSeq.filterNot(t => SoakFacets(t._1))
+      .map(_._2).sum
     val line =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec",""" +
+      s""""total_ex_soak":${jd(totalExSoak)},""" +
       s""""queries":$qs,"query_mins":$qMins,"ok":$oks,"errors":$errJson,""" +
       s""""entries_over_budget":$overBudgetJson,""" +
       s""""n_over_budget":${overBudget.size},""" +
@@ -721,6 +728,7 @@ object Bench {
       .map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec",""" +
+      s""""total_ex_soak":${jd(totalExSoak)},""" +
       s""""n_queries":${times.size},"n_ok":${ok.values.count(identity)},""" +
       s""""n_errors":${errors.size},"queries":$topQs,""" +
       s""""n_over_budget":${overBudget.size},""" +

@@ -696,7 +696,14 @@ object SparkEntry {
     "q21_partition_prune" -> ((s, dir) => {
       import graft.catalog.{Catalog, Staging, TableDef}
       val loc = Staging.partitionedCustomer(s, dir)
-      val data = s.read.parquet(loc)
+      // The CATALOG owns the schema (the reference reads it from Glue,
+      // never from data-file inference — generate_queries.py:264-265)
+      // — so read the staged layout with the source table's schema.
+      // Schema inference dies on a pruned-to-empty partitioned table
+      // (zero data files to infer from, ★r18 empty-corpus sweep);
+      // a catalog-declared schema reads it as zero rows, correctly.
+      val declared = t(s, dir, "customer").schema
+      val data = s.read.schema(declared).parquet(loc)
       val table = TableDef("customer_part", loc, DataFormat.Parquet,
         data.schema, partitionKeys = Seq("c_mktsegment"))
       val mapper = DataMapper("cp", "customer_part", Seq("c_custkey"),

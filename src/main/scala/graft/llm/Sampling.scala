@@ -86,12 +86,17 @@ object Sampling {
     * selection under quota q is a PREFIX of its selection under any
     * q' > q — quota changes never reshuffle what was already picked).
     * Strata absent from `quotas` are dropped (filtered before hashing
-    * — excluded strata never heap). Same bounded-heap two-phase shape
+    * — excluded strata never heap); an EMPTY quota map (a
+    * corpus-derived quota table over an empty corpus, ★r18
+    * empty-corpus sweep) admits no stratum and yields the empty
+    * result, not an error. Same bounded-heap two-phase shape
     * as [[capSample]]; the quota map rides the closure and a literal
     * CASE, never a join. */
   def capSampleQuotas(df: DataFrame, keyCol: String, strataCol: String,
                       quotas: Map[String, Int]): DataFrame = {
-    require(quotas.nonEmpty, "quotas must be non-empty")
+    if (quotas.isEmpty)
+      return df.select(col(strataCol).cast("string").as(strataCol),
+        col(keyCol), lit(1).cast("int").as("rank")).limit(0)
     quotas.foreach { case (s, q) =>
       require(q >= 0, s"quota for stratum '$s' must be >= 0, got $q") }
     val lenExpr = quotas.foldLeft(lit(0)) { case (acc, (s, q)) =>
@@ -302,9 +307,13 @@ object Sampling {
     * C(offset+w) − C(offset) with C(x) = ⌈x·k/W⌉, which TELESCOPES to
     * exactly k over the corpus. A document with w > W/k can be drawn
     * multiple times (the PPS-with-replacement convention for
-    * oversized units); zero-weight documents are never drawn. All
-    * arithmetic BIGINT (bound: W·k < 9.2e18), so any engine replays
-    * the identical draw.
+    * oversized units); zero-weight documents are never drawn — and a
+    * corpus whose TOTAL weight is zero (empty, or all-zero weights)
+    * draws nothing: the empty frame, not an error, exactly what the
+    * oracle's grid join produces on the same input (★r18 empty-corpus
+    * sweep — a pruned-to-empty partition must sample as zero rows).
+    * All arithmetic BIGINT (bound: W·k < 9.2e18), so any engine
+    * replays the identical draw.
     *
     * Output: (idCol, `weight`, `n_picks` >= 1) — drawn rows only. */
   def systematicPps(df: DataFrame, idCol: String,
@@ -318,10 +327,12 @@ object Sampling {
           lit("systematicPps: negative weight at "),
           col(idCol).cast("string")))).as("_w")),
       idCol, "_w")
+    // total weight 0 (or NULL: empty corpus) leaves the 1-row total
+    // frame empty, and the cross join below with an empty build side
+    // yields the empty result — zero draws, no error
     val tot = off.agg(sum(col("_w")).as("_wraw"))
-      .select(when(col("_wraw") > 0, col("_wraw")).otherwise(raise_error(
-        lit("systematicPps: total weight is zero — nothing to draw")))
-        .as("_wtot"))
+      .filter(col("_wraw") > 0)
+      .select(col("_wraw").as("_wtot"))
     off.crossJoin(broadcast(tot))
       .withColumn("n_picks",
         expr(s"((tok_offset + _w) * $k + _wtot - 1) div _wtot - " +

@@ -1922,7 +1922,10 @@ object TextStats {
     * (spec-asserted), one corpus scan at any scale. Documents whose
     * stratum has no learned target score the neutral 0 (they fall
     * through to other signals — the [[dsirScore]] gramless
-    * convention, applied to the stratum axis).
+    * convention, applied to the stratum axis); an EMPTY target map
+    * (no stratum learned a target — e.g. the targets were derived
+    * from a pruned-to-empty corpus, ★r18 empty-corpus sweep) scores
+    * EVERY document the neutral 0 by the same rule, not an error.
     *
     * Output: (idCol, stratumCol, `n_grams`, `dsir_micro`). */
   def dsirScoreStratified(df: org.apache.spark.sql.DataFrame,
@@ -1931,7 +1934,6 @@ object TextStats {
                           targetByStratum: Map[String, IndexedSeq[Long]],
                           rawLogpMicro: IndexedSeq[Long], n: Int = 2)
       : org.apache.spark.sql.DataFrame = {
-    require(targetByStratum.nonEmpty, "need at least one stratum target")
     require(targetByStratum.values.forall(_.size == rawLogpMicro.size),
       "bucket counts differ between a stratum target and the raw LM")
     val buckets = rawLogpMicro.size

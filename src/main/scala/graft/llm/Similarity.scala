@@ -546,8 +546,15 @@ object SimilarityEval {
     var knobs = initial
     var done = false
     while (!done) {
-      val minRecall = recallAtK(run(sample, knobs), exact, idCol, k)
-        .agg(min(col("recall"))).head().getDouble(0)
+      val mr = recallAtK(run(sample, knobs), exact, idCol, k)
+        .agg(min(col("recall"))).head()
+      // empty ground truth (no probe query has ANY non-self
+      // neighbor — e.g. a 1-row corpus, or every probe's vector is
+      // null) makes min(recall) NULL: recall over an empty truth set
+      // is VACUOUSLY at target, so the walk stops at the initial
+      // knobs instead of force-reading the null (★r18 degenerate-
+      // cardinality sweep: ROW_VALUE_IS_NULL on a 1-row corpus)
+      val minRecall = if (mr.isNullAt(0)) 1.0 else mr.getDouble(0)
       if (minRecall >= targetRecall || atCap(knobs)) done = true
       else knobs = escalate(knobs)
     }

@@ -84,12 +84,15 @@ class EmptyInputSpec extends SparkSpec {
     c
   }
 
-  test("every gate query tolerates a zero-row corpus: transforms " +
-    "return empty, fits fail loudly — allowlist pinned exactly") {
+  /** Run every gate query against `dir`; graceless crashes (anything
+    * but a message-carrying IllegalArgumentException) must be none,
+    * and the set of loud failures must equal `allowedLoud` exactly. */
+  private def sweep(dir: String, label: String,
+                    allowedLoud: Set[String]): Unit = {
     val graceless = scala.collection.mutable.ArrayBuffer.empty[String]
     val loud = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, emptyDir).collect(); () }
+      try { fn(spark, dir).collect(); () }
       catch {
         case e: Throwable => rootCause(e) match {
           case iae: IllegalArgumentException
@@ -103,11 +106,54 @@ class EmptyInputSpec extends SparkSpec {
     }
     assert(graceless.isEmpty,
       s"\n${graceless.size} gate queries crash GRACELESSLY on a " +
-        s"zero-row corpus:\n${graceless.mkString("\n")}")
-    assert(loud.toSet == loudFits,
-      s"\nfit-class drift: unexpectedly loud = " +
-        s"${(loud.toSet -- loudFits).toSeq.sorted.mkString(", ")}; " +
+        s"$label corpus:\n${graceless.mkString("\n")}")
+    assert(loud.toSet == allowedLoud,
+      s"\nfit-class drift on the $label corpus: unexpectedly loud = " +
+        s"${(loud.toSet -- allowedLoud).toSeq.sorted.mkString(", ")}; " +
         s"unexpectedly silent = " +
-        s"${(loudFits -- loud).toSeq.sorted.mkString(", ")}")
+        s"${(allowedLoud -- loud).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every gate query tolerates a zero-row corpus: transforms " +
+    "return empty, fits fail loudly — allowlist pinned exactly") {
+    sweep(emptyDir, "zero-row", loudFits)
+  }
+
+  /** A clone of sf0.001 where every table holds exactly ONE row —
+    * the fewer-points-than-k shape (k-means k=8 on 1 vector, PQ
+    * ksub=8 on 1 training point, IVF-PQ nlist > n): at 100 TB a rare
+    * stratum or freshly-onboarded tenant hands the fits exactly
+    * this. */
+  private lazy val oneRowDir: String = {
+    val src = "/root/testdata/sf0.001"
+    val dst = Files.createTempDirectory("graft-onerow-sf-")
+    sys.addShutdownHook(
+      graft.tools.ArtifactStore.deleteRecursively(dst))
+    tables.foreach { name =>
+      spark.read.parquet(s"$src/$name.parquet")
+        .limit(1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    dst.toString
+  }
+
+  /** The one-row loud set is a strict SUBSET of the zero-row one:
+    * k-means/IVF degrade to fewer-than-k centroids gracefully, the
+    * LM/classifier fits have one document of signal, and the
+    * phrase/bigram derivations find a bigram in one text — while the
+    * PQ/IVF-PQ codebook fits still require n >= seed centroids (their
+    * documented contract) and Moore-Lewis still needs a non-empty
+    * background split. q56 (the recall-driven IVF knob walk) is the
+    * one entry this sweep FIXED: a 1-row corpus has no non-self
+    * neighbors, so the tuning ground truth is empty and min(recall)
+    * is NULL — vacuously at target now, was ROW_VALUE_IS_NULL. */
+  private val loudFitsOneRow: Set[String] = Set(
+    "q75_bm25", "q79_pq_encode", "q80_pq_search", "q81_ivfpq_encode",
+    "q82_ivfpq_search", "q83_pq_refined_tuned", "q84_ivfpq_refined_tuned",
+    "q87_proximity_search", "q90_moore_lewis", "q98_hybrid_rrf")
+
+  test("every gate query tolerates a ONE-row corpus (fewer points " +
+    "than k): fits degrade or fail loudly — allowlist pinned exactly") {
+    sweep(oneRowDir, "one-row", loudFitsOneRow)
   }
 }

@@ -62,6 +62,14 @@ object Clustering {
   private[llm] def assignWith(data: DataFrame, idCol: String, vecCol: String,
                               centroids: Seq[Array[Float]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
+    // non-finite vectors take NULL cluster_id on BOTH branches (★r18
+    // numeric-pathology sweep), joining the null-vector convention: a
+    // NaN/Inf vector's sims are all NaN, NaN compares greatest AND
+    // equal to itself under Spark's total order, so the expression
+    // argmax "assigned" it to cluster 0 — a directionless corrupt
+    // vector must not land in (and skew the consumers of) a real
+    // cluster. Finite rows, including zero vectors (sim-0 convention),
+    // are untouched.
     if (centroids.length <= ExprAssignMaxK) {
         graft.functions.GraftFunctions.register(data.sparkSession)
         val sims = array(centroids.map(c =>
@@ -69,14 +77,15 @@ object Clustering {
             col(vecCol), typedLit(c.toSeq))): _*)
         data.select(col(idCol), col(vecCol), sims.as("_sims"))
           .select(col(idCol), col(vecCol),
-            (array_position(col("_sims"), array_max(col("_sims"))) - 1)
-              .cast("int").as("cluster_id"))
+            when(Similarity.finiteVecCol(col(vecCol)),
+              (array_position(col("_sims"), array_max(col("_sims"))) - 1)
+                .cast("int")).as("cluster_id"))
       } else {
         val cents = centroids.toArray
-        // null vec -> null cluster_id, matching the expression branch
-        // (cosine's nullSafeEval nulls the sims -> null argmax)
+        // null/non-finite vec -> null cluster_id, matching the
+        // expression branch
         val assign = udf { (vec: Seq[Float]) =>
-          if (vec == null) None
+          if (!Similarity.finiteVec(vec)) None
           else Some(nearestCentroid(vec.toArray, cents))
         }
         data.select(col(idCol), col(vecCol),
@@ -161,8 +170,12 @@ object Clustering {
     // compare via [[cmpId]], a generic ordering over whatever
     // Comparable type the column yields (integrals fast-pathed as
     // Long, strings/decimals/dates via compareTo).
+    // null-id, null-vector AND non-finite-vector rows are skipped
+    // (★r18: a NaN/Inf vector scores NaN against everything — as the
+    // min-id seed it would poison every round's farthest pick)
     val rows = data.select(col(idCol), col(vecCol)).rdd.flatMap { r =>
-      if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+      if (r.isNullAt(0) || r.isNullAt(1) ||
+          !Similarity.finiteVec(r.getSeq[Float](1))) Iterator.empty
       else {
         val id: Any = r.get(0) match {
           case l: Long => l
@@ -256,10 +269,19 @@ object Clustering {
       // wide and repartitioning it would be a full-corpus shuffle.
       val parts = data.sparkSession.sparkContext.defaultParallelism
       // null vectors contribute to no (cluster, dim) sum — the former
-      // posexplode aggregation dropped them; skip, don't NPE
+      // posexplode aggregation dropped them; skip, don't NPE. Same
+      // whole-vector exclusion for NON-FINITE elements (★r18
+      // numeric-pathology sweep): BigDecimal.valueOf(NaN/Inf) throws
+      // NumberFormatException, so ONE corrupt vector in 10^11 killed
+      // the entire fit (and the former ANSI-on decimal cast crashed
+      // on it too — there is no silent precedent to preserve).
       val raw = data.select(col(vecCol)).rdd.flatMap { r =>
         if (r.isNullAt(0)) Iterator.empty
-        else Iterator.single(r.getSeq[Float](0).toArray)
+        else {
+          val a = r.getSeq[Float](0).toArray
+          if (Similarity.finiteVec(a)) Iterator.single(a)
+          else Iterator.empty
+        }
       }
       val vecs = (if (raw.getNumPartitions < parts) raw.repartition(parts)
                   else raw).persist()

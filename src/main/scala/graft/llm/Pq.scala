@@ -55,12 +55,18 @@ object Pq {
                               vecCol: String, n: Int): Seq[Array[Float]] = {
     val seeds: Array[Array[Float]] = data
       .select(col(idCol), col(vecCol))
+      // null / non-finite vectors can't seed (★r18 numeric-pathology
+      // sweep): a NaN/Inf seed is a dead codeword whose sims are all
+      // NaN, and a null one NPE'd the collect below. Clean corpora
+      // pick identical seeds (the filter drops nothing).
+      .filter(Similarity.finiteVecCol(col(vecCol)))
       .orderBy(xxhash64(col(idCol), lit(0)), col(idCol))
       .limit(n)
       .collect()
       .map(_.getSeq[Float](1).toArray)
     require(seeds.length == n,
-      s"corpus has only ${seeds.length} rows for $n seed centroids")
+      s"corpus has only ${seeds.length} usable (finite, non-null) " +
+        s"rows for $n seed centroids")
     seeds.toSeq
   }
 
@@ -91,11 +97,17 @@ object Pq {
             m: Int, ksub: Int, iters: Int): Seq[Seq[Array[Float]]] = {
     require(ksub >= 1 && iters >= 0,
       s"need ksub >= 1, iters >= 0; got $ksub, $iters")
+    // whole-VECTOR exclusion of null/non-finite rows, BEFORE slicing
+    // (★r18 numeric-pathology sweep): a NaN in subspace 0 leaves the
+    // row's subspace-1 slice finite, so the per-slice kmeans guard
+    // alone would let a corrupt vector contribute to SOME codebooks —
+    // the contract is that it contributes to none
+    val usable = data.filter(Similarity.finiteVecCol(col(vecCol)))
     val dsub = subDims(data, vecCol, m)
-    val seeds = seedSample(data, idCol, vecCol, ksub)
+    val seeds = seedSample(usable, idCol, vecCol, ksub)
     (0 until m).map { j =>
       Clustering.kmeans(
-        data.select(col(idCol), sliceCol(vecCol, j, dsub).as(vecCol)),
+        usable.select(col(idCol), sliceCol(vecCol, j, dsub).as(vecCol)),
         idCol, vecCol, ksub, iters,
         init = seeds.map(_.slice(j * dsub, (j + 1) * dsub)))._2
     }

@@ -36,6 +36,33 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** True iff the float-array column is non-null with every element
+    * FINITE — the usability predicate for centroid seeding (★r18
+    * numeric-pathology sweep). A NaN/±Inf element makes every cosine
+    * against the vector NaN: as a sampled centroid it becomes a list
+    * every row "wins" into (NaN compares greatest under Spark/Scala
+    * total order), and in a fit's decimal sums it crashes the
+    * BigDecimal conversion — one corrupt vector in 10^11 must do
+    * neither. NaN needs the explicit isnan (it passes ANY order
+    * comparison under Spark's total order); ±Inf fail the strict
+    * open-interval bounds. */
+  private[llm] def finiteVecCol(c: Column): Column =
+    c.isNotNull && forall(c, x =>
+      !isnan(x) && x > lit(Float.NegativeInfinity) &&
+        x < lit(Float.PositiveInfinity))
+
+  /** Closure twin of [[finiteVecCol]] (same truth table, including
+    * null = unusable). */
+  private[llm] def finiteVec(v: Seq[Float]): Boolean = {
+    if (v == null) return false
+    var i = 0
+    while (i < v.length) {
+      if (!java.lang.Float.isFinite(v(i))) return false
+      i += 1
+    }
+    true
+  }
+
   /** Cosine similarity; 0 when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
@@ -88,8 +115,21 @@ object Similarity {
   private[llm] def rankTopK(scored: DataFrame, idCol: String,
                             k: Int): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
+    // a NaN or NULL similarity is not a value, it's the absence of
+    // one — a non-finite or null data/query vector (★r18
+    // numeric-pathology sweep). Excluded HERE, centrally, for every
+    // search operator: otherwise a NaN-vector query "ranks" the whole
+    // corpus at NaN (ties to id order — garbage presented as nearest
+    // neighbors), a corrupt data vector fills top-k slots whenever
+    // candidates run short, and a NULL-vector data row ranked FIRST —
+    // its null `ns` struct field sorts before every real sim (nulls
+    // first), and isnan(NULL) is false, so neither sort nor a bare
+    // NaN test excludes it. Finite sims (including the zero-norm 0.0
+    // convention) unchanged.
+    val finite = scored.filter(
+      col("_sim").isNotNull && !isnan(col("_sim")))
     val entry = struct((-col("_sim")).as("ns"), col(idCol).as("i"))
-    val partial = scored
+    val partial = finite
       .groupBy(col("q_id"), spark_partition_id().as("_p"))
       .agg(slice(array_sort(collect_list(entry)), 1, k).as("_top"))
     partial
@@ -164,7 +204,11 @@ object Similarity {
     // ids.
     val centroids: Array[Array[Float]] = data
       .select(col(idCol), col(vecCol))
-      .filter(col(vecCol).isNotNull) // a null vec can't be a centroid
+      // a null OR non-finite vec can't be a centroid: sims against a
+      // NaN/Inf seed are NaN, which every row "wins" into (NaN is
+      // greatest under the total order) — one corrupt vector would
+      // collapse the whole index into a single brute-force list
+      .filter(finiteVecCol(col(vecCol)))
       .orderBy(xxhash64(col(idCol), lit(sampleSeed)), col(idCol))
       .limit(nlist)
       .collect()

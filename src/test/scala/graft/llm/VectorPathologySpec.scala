@@ -1,0 +1,146 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Numeric-pathology tolerance of the vector family (★r18 — the
+  * fourth proactive robustness class: null-text r17, ANSI-parity
+  * r16/r17, empty/one-row corpus r18, and now non-finite values). At
+  * 100 TB a NaN or ±Inf element WILL appear in an embedding column
+  * (a failed encoder batch, a corrupt shard, an overflow upstream).
+  * Before these guards, ONE such vector:
+  *
+  *  - crashed the k-means / PQ / IVF-PQ fits outright
+  *    (`BigDecimal.valueOf(NaN)` → NumberFormatException — and the
+  *    expression plans these closure fits replaced crashed on the
+  *    ANSI decimal cast too, so failing was never useful behavior);
+  *  - "won" every ranking it touched when candidates ran short, and a
+  *    NaN-vector QUERY returned the corpus in id order dressed up as
+  *    nearest neighbors (NaN compares greatest and equal to itself
+  *    under Spark's total order);
+  *  - was assigned to a REAL cluster (cluster 0) by the expression
+  *    argmax, skewing every downstream consumer;
+  *  - as a sampled IVF/PQ seed, became a centroid every row "wins"
+  *    into — collapsing the index into one brute-force list.
+  *
+  * Pinned contract (the null-vector convention extended): a vector
+  * with ANY non-finite element contributes NOTHING to a fit, seeds
+  * nothing, ranks nowhere, and clusters as NULL. Zero vectors keep
+  * the documented sim-0.0 convention; short vectors keep the
+  * clamp-to-shorter prefix cosine. NaN similarities are excluded
+  * centrally in `rankTopK` — a NaN sim is the absence of a value,
+  * not a value.
+  */
+class VectorPathologySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(xs: Float*): Array[Float] = xs.toArray
+
+  private val cleanRows = Seq(
+    (1L, v(1f, 0f, 0f, 0f)), (2L, v(0f, 1f, 0f, 0f)),
+    (3L, v(0f, 0f, 1f, 0f)), (4L, v(0f, 0f, 0f, 1f)),
+    (5L, v(1f, 1f, 0f, 0f)), (6L, v(0f, 1f, 1f, 0f)),
+    (7L, v(0f, 0f, 1f, 1f)), (8L, v(1f, 0f, 0f, 1f)))
+  private val pathoRows = Seq(
+    (100L, v(Float.NaN, 1f, 0f, 0f)),
+    (101L, v(Float.PositiveInfinity, 0f, 1f, 0f)),
+    (102L, v(Float.NegativeInfinity, 0f, 0f, 1f)),
+    (103L, null: Array[Float]))
+  private lazy val clean = cleanRows.toDF("vec_id", "embedding")
+  private lazy val all = (cleanRows ++ pathoRows).toDF("vec_id", "embedding")
+  private lazy val q1 = clean.filter(col("vec_id") === 1L)
+
+  test("kmeans / PQ / IVF-PQ fits: a NaN/Inf/null vector contributes " +
+    "NOTHING — no crash, models bit-identical to the clean-frame fit") {
+    val (_, cClean) = Clustering.kmeans(clean, "vec_id", "embedding",
+      k = 3, iters = 3)
+    val (_, cAll) = Clustering.kmeans(all, "vec_id", "embedding",
+      k = 3, iters = 3)
+    assert(cAll.map(_.toSeq) == cClean.map(_.toSeq))
+
+    val pqClean = Pq.train(clean, "vec_id", "embedding", m = 2,
+      ksub = 2, iters = 2)
+    val pqAll = Pq.train(all, "vec_id", "embedding", m = 2,
+      ksub = 2, iters = 2)
+    assert(pqAll.map(_.map(_.toSeq)) == pqClean.map(_.map(_.toSeq)))
+
+    val ivfpqClean = IvfPq.train(clean, "vec_id", "embedding",
+      nlist = 2, m = 2, ksub = 2, iters = 2)
+    val ivfpqAll = IvfPq.train(all, "vec_id", "embedding",
+      nlist = 2, m = 2, ksub = 2, iters = 2)
+    assert(ivfpqAll.coarse.map(_.toSeq) == ivfpqClean.coarse.map(_.toSeq))
+    assert(ivfpqAll.codebooks.map(_.map(_.toSeq)) ==
+      ivfpqClean.codebooks.map(_.map(_.toSeq)))
+  }
+
+  test("searches: non-finite data vectors rank nowhere (results equal " +
+    "the clean corpus); a non-finite query returns ZERO rows") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      df.select(col("q_id").cast("long"), col("vec_id").cast("long"),
+        col("rank").cast("int")).as[(Long, Long, Int)].collect().toSeq.sorted
+
+    assert(rows(Similarity.bruteForceTopK(all, q1, "vec_id",
+        "embedding", 5)) ==
+      rows(Similarity.bruteForceTopK(clean, q1, "vec_id",
+        "embedding", 5)))
+    // nlist covers the corpus -> every list probed -> exact: the
+    // corrupt rows change neither the sampled centroids nor the top-k
+    assert(rows(Similarity.ivfTopK(all, q1, "vec_id", "embedding", 5,
+        nlist = 2, nprobe = 2)) ==
+      rows(Similarity.ivfTopK(clean, q1, "vec_id", "embedding", 5,
+        nlist = 2, nprobe = 2)))
+
+    val badQueries = all.filter(col("vec_id").isin(100L, 101L, 102L))
+    assert(Similarity.bruteForceTopK(clean, badQueries, "vec_id",
+      "embedding", 3).count() == 0L)
+  }
+
+  test("assignClusters: non-finite -> NULL cluster_id on BOTH the " +
+    "expression and UDF branches; finite rows identical") {
+    val cents2 = Seq(v(1f, 0f, 0f, 0f), v(0f, 1f, 1f, 0f))
+    val cents40 = (0 until 40).map(i =>
+      v(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat, 0.1f, 0f))
+    for (cents <- Seq(cents2, cents40)) {
+      val got = Clustering.assignClusters(all, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cluster_id"))
+        .as[(Long, Option[Int])].collect().toMap
+      assert(Seq(100L, 101L, 102L, 103L).forall(got(_).isEmpty),
+        s"k=${cents.length}: ${got.filter(_._1 >= 100L)}")
+      val cleanGot = Clustering.assignClusters(clean, "vec_id",
+          "embedding", cents)
+        .select(col("vec_id"), col("cluster_id"))
+        .as[(Long, Option[Int])].collect().toMap
+      assert(cleanRows.forall { case (id, _) => got(id) == cleanGot(id) })
+    }
+  }
+
+  test("seedSample skips unusable vectors: PQ seeds drawn from a " +
+    "corrupt-heavy frame equal the clean frame's; too few usable " +
+    "rows still fails loudly") {
+    assert(Pq.seedSample(all, "vec_id", "embedding", 4)
+        .map(_.toSeq) ==
+      Pq.seedSample(clean, "vec_id", "embedding", 4).map(_.toSeq))
+    val onlyBad = pathoRows.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pq.seedSample(onlyBad, "vec_id", "embedding", 2)
+    }
+    assert(e.getMessage.contains("usable"), e.getMessage)
+  }
+
+  test("documented conventions unchanged: zero vector keeps sim 0.0 " +
+    "(ranks, deterministically last among positives); short vector " +
+    "keeps the clamp-to-shorter prefix cosine") {
+    val withZero = (cleanRows :+ (200L, v(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ranked = Similarity.bruteForceTopK(withZero, q1, "vec_id",
+        "embedding", 8)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(ranked.contains(200L)) // sim 0.0 is a value, not NaN
+    val short = Seq((1L, v(1f, 0f, 0f, 0f)), (2L, v(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val sim = Similarity.bruteForceTopK(short,
+        short.filter(col("vec_id") === 1L), "vec_id", "embedding", 1)
+      .count()
+    assert(sim == 1L) // prefix cosine ranks it, by the clamp contract
+  }
+}

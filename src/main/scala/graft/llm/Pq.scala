@@ -101,9 +101,11 @@ object Pq {
     // (★r18 numeric-pathology sweep): a NaN in subspace 0 leaves the
     // row's subspace-1 slice finite, so the per-slice kmeans guard
     // alone would let a corrupt vector contribute to SOME codebooks —
-    // the contract is that it contributes to none
-    val usable = data.filter(Similarity.finiteVecCol(col(vecCol)))
-    val dsub = subDims(data, vecCol, m)
+    // the contract is that it contributes to none. The UDF form keeps
+    // the filter above IvfPq's computed residual projection (see
+    // [[Similarity.finiteVecUdf]]).
+    val usable = data.filter(Similarity.finiteVecUdf(col(vecCol)))
+    val dsub = subDims(usable, vecCol, m)
     val seeds = seedSample(usable, idCol, vecCol, ksub)
     (0 until m).map { j =>
       Clustering.kmeans(

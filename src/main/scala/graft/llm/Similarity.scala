@@ -46,10 +46,20 @@ object Similarity {
     * neither. NaN needs the explicit isnan (it passes ANY order
     * comparison under Spark's total order); ±Inf fail the strict
     * open-interval bounds. */
-  private[llm] def finiteVecCol(c: Column): Column =
-    c.isNotNull && forall(c, x =>
-      !isnan(x) && x > lit(Float.NegativeInfinity) &&
-        x < lit(Float.PositiveInfinity))
+  private[llm] def finiteVecCol(c: Column): Column = {
+    // single-pass form: the DOUBLE sum of float elements is finite
+    // iff every element is — a NaN element propagates, a lone ±Inf
+    // survives the fold, and +Inf with −Inf cancels to NaN (all
+    // caught); finite floats cannot overflow a double accumulator
+    // (2^31 · 3.4e38 ≪ 1.8e308). One add per element where a
+    // forall(!isnan && bounds) pays three interpreted predicates;
+    // the single `nanvl` keeps the aggregate referenced ONCE (no
+    // duplicate evaluation risk where subexpression elimination
+    // doesn't reach).
+    c.isNotNull &&
+      abs(nanvl(aggregate(c, lit(0.0d), (acc, x) => acc + x),
+        lit(Double.PositiveInfinity))) < lit(Double.PositiveInfinity)
+  }
 
   /** Closure twin of [[finiteVecCol]] (same truth table, including
     * null = unusable). */
@@ -62,6 +72,20 @@ object Similarity {
     }
     true
   }
+
+  /** [[finiteVec]] as a predicate UDF, marked non-deterministic ONLY
+    * to pin the filter ABOVE a computed projection: a deterministic
+    * predicate is pushed through a Project with its alias INLINED, so
+    * filtering an expensive derived vector column (the IVF-PQ
+    * residual: a cosine-argmax assignment + zip_with subtraction)
+    * re-evaluated the whole derivation once in the predicate and
+    * again downstream — q81/q84 paid ~25% for it. The function itself
+    * is pure; the marker is an optimizer fence, not a semantics
+    * claim. Use [[finiteVecCol]] on STORED columns (where scan-level
+    * pushdown is exactly what we want) and this on computed ones. */
+  private[llm] val finiteVecUdf
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) => finiteVec(v) }.asNondeterministic()
 
   /** Cosine similarity; 0 when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column = {
@@ -126,10 +150,25 @@ object Similarity {
     // first), and isnan(NULL) is false, so neither sort nor a bare
     // NaN test excludes it. Finite sims (including the zero-norm 0.0
     // convention) unchanged.
-    val finite = scored.filter(
-      col("_sim").isNotNull && !isnan(col("_sim")))
-    val entry = struct((-col("_sim")).as("ns"), col(idCol).as("i"))
-    val partial = finite
+    //
+    // The exclusion is FUSED into the ranking entry (one projection,
+    // one evaluation of _sim per row — subexpression elimination
+    // shares the references inside the single expression tree): a
+    // separate filter OPERATOR re-evaluates the similarity, which
+    // doubled the int8 path's HOF scoring cost when first tried.
+    // Unusable sims map to ns = +Inf, sort LAST in both phases (so
+    // they displace nothing and survive the merge only when a query
+    // has fewer than k usable candidates), and are dropped after the
+    // merge — never renumbering earlier ranks. A true +Inf/−Inf sim
+    // is equally the product of a corrupt vector, so the sentinel
+    // collides with nothing rankable.
+    val usable = col("_sim").isNotNull && !isnan(col("_sim")) &&
+      abs(col("_sim")) < lit(Double.PositiveInfinity)
+    val entry = struct(
+      when(usable, -col("_sim"))
+        .otherwise(lit(Double.PositiveInfinity)).as("ns"),
+      col(idCol).as("i"))
+    val partial = scored
       .groupBy(col("q_id"), spark_partition_id().as("_p"))
       .agg(slice(array_sort(collect_list(entry)), 1, k).as("_top"))
     partial
@@ -137,6 +176,7 @@ object Similarity {
       .agg(slice(array_sort(flatten(collect_list(col("_top")))), 1, k)
         .as("_top"))
       .select(col("q_id"), posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .filter(col("_e.ns") < lit(Double.PositiveInfinity))
       .select(col("q_id"), col("_e.i").as(idCol),
         (col("_pos") + 1).as("rank"))
   }

@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   * clamp-to-shorter prefix cosine. NaN similarities are excluded
   * centrally in `rankTopK` — a NaN sim is the absence of a value,
   * not a value.
+  *
+  * Out of scope by contract: null ELEMENTS inside a vector
+  * (`array<float>` with containsNull) — the embeddings ingestion
+  * contract is non-null elements (whole-vector null is the "missing
+  * embedding" representation); a containsNull schema should be
+  * normalized at ingest (null element → null vector), not absorbed
+  * per-operator.
   */
 class VectorPathologySpec extends SparkSpec {
   import spark.implicits._

@@ -157,16 +157,34 @@ if ledger_path.exists():
         latest = json.loads(latest_path.read_text())
         cur = latest.get("queries", {})
         cur_mins = latest.get("query_mins", {})
+        cur_cpu = latest.get("queries_cpu", {})
+        cur_gc = latest.get("queries_gc", {})
         old_mins = (json.loads(mins_ledger_path.read_text())
                     if mins_ledger_path.exists() else {})
+        # soaks excluded from the epoch ESTIMATE (★r19, ADVICE r18):
+        # a sum-based epoch was dominated by the ~100 s soak rungs, so
+        # a regression in a dominant entry inflated the epoch and
+        # partially masked itself. Median of per-entry ratios is robust
+        # to any single regressed entry by construction.
+        soaks = set(latest.get("soak_entries", {})) or {
+            "forget_rewrite_10240obj", "forget_rewrite_40960obj"}
         common = [k for k in cur if k in ledger_map
                   and cur[k] > 0 and ledger_map[k] > 0]
-        tot_cur = sum(cur[k] for k in common)
-        tot_led = sum(ledger_map[k] for k in common)
-        if common and tot_led > 0:
-            epoch = tot_cur / tot_led  # >1: this run's machine-epoch is slow
-            print(f"bench epoch ratio (latest/ledger over {len(common)} "
-                  f"common entries): {epoch:.3f}")
+        epoch_keys = [k for k in common if k not in soaks]
+        if epoch_keys:
+            ratios = sorted(cur[k] / ledger_map[k] for k in epoch_keys)
+            epoch = ratios[len(ratios) // 2]
+            print(f"bench epoch ratio (median of per-entry latest/ledger "
+                  f"over {len(epoch_keys)} non-soak entries): {epoch:.3f}")
+
+            def cpu_note(k):
+                if k not in cur_cpu or cur[k] <= 0:
+                    return ""
+                r = cur_cpu[k] / cur[k]
+                g = f", gc {cur_gc[k]:.1f}s" if k in cur_gc else ""
+                return f" [cpu/wall {r:.1f}{g}]"
+
+            min_trips = []
             for k in sorted(common):
                 led = ledger_map[k]
                 norm = cur[k] / epoch
@@ -177,18 +195,34 @@ if ledger_path.exists():
                 min_trip = (k in cur_mins and k in old_mins
                             and cur_mins[k] > old_mins[k] * thresh
                             and cur_mins[k] - old_mins[k] > 0.5)
+                if min_trip:
+                    min_trips.append(k)
                 if med_trip and min_trip:
                     fails.append(k)
                     print(f"{k}: PERF_REGRESSION median {led:.2f}->"
                           f"{cur[k]:.2f} (norm {norm:.2f}, >{thresh}x) AND "
-                          f"min {old_mins[k]:.2f}->{cur_mins[k]:.2f}")
+                          f"min {old_mins[k]:.2f}->{cur_mins[k]:.2f}"
+                          + cpu_note(k))
                 elif med_trip or min_trip:
                     which = "median(norm)" if med_trip else "min-floor"
                     print(f"WARN {k}: {which} over {thresh}x "
                           f"(median {led:.2f}->{cur[k]:.2f} norm {norm:.2f}"
                           + (f", min {old_mins[k]:.2f}->{cur_mins[k]:.2f}"
                              if k in cur_mins and k in old_mins else "")
-                          + ") — not failing without the other signal")
+                          + f"){cpu_note(k)}"
+                          + " — not failing without the other signal")
+            # systemic check (★r19, ADVICE r18): a uniform shared-code
+            # regression moves MANY min-floors at once while the
+            # normalized medians stay clean (the epoch normalization
+            # absorbs it) — the one shape the per-entry AND-rule can
+            # never fail. Five simultaneous floor trips is far outside
+            # ambient-contention behavior (contention moves medians,
+            # not minimums).
+            if len(min_trips) >= 5:
+                fails.append(f"SYSTEMIC_MIN_FLOOR({len(min_trips)})")
+                print(f"SYSTEMIC min-floor regression: {len(min_trips)} "
+                      f"entries' floors over threshold at once: "
+                      f"{min_trips}")
 else:
     fails.append("bench_ledger.json")
     print("MISSING scripts/bench_ledger.json — record sf0.1 per-entry "

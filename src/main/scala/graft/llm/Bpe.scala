@@ -151,11 +151,18 @@ object Bpe {
           // latest cut persisted until the NEXT cut is materialized;
           // intermediate generations recompute from it through at
           // most CutEvery-1 narrow maps on executor loss.
-          if (prev ne lastCut) prev.unpersist()
           if (merges.length % CutEvery == 0) {
-            if (lastCut != null && (lastCut ne prev)) lastCut.unpersist()
+            // the new cut replaces the previous recovery root: drop
+            // the superseded root AND the pre-merge generation. The
+            // two are distinct objects at CutEvery > 1 and the SAME
+            // object at CutEvery == 1 (prev eq lastCut) — the shape
+            // that leaked every superseded cut under the old
+            // `prev ne lastCut` / `lastCut ne prev` pair, where
+            // NEITHER unpersist fired (★r19, ADVICE r18).
+            if (lastCut != null && (lastCut ne words)) lastCut.unpersist()
+            if ((prev ne lastCut) && (prev ne words)) prev.unpersist()
             lastCut = words
-          }
+          } else if (prev ne lastCut) prev.unpersist()
         case _ => done = true
       }
     }

@@ -278,8 +278,11 @@ object Clustering {
       val raw = data.select(col(vecCol)).rdd.flatMap { r =>
         if (r.isNullAt(0)) Iterator.empty
         else {
-          val a = r.getSeq[Float](0).toArray
-          if (Similarity.finiteVec(a)) Iterator.single(a)
+          // usability check on the row-backed seq BEFORE toArray:
+          // toArray unboxes, turning a null element into 0.0f where
+          // finiteVec could no longer see it (★r19, ADVICE r18)
+          val s = r.getSeq[Float](0)
+          if (Similarity.finiteVec(s)) Iterator.single(s.toArray)
           else Iterator.empty
         }
       }

@@ -57,12 +57,24 @@ object IvfPq {
   def train(data: DataFrame, idCol: String, vecCol: String,
             nlist: Int, m: Int, ksub: Int, iters: Int): Model = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
-    val seeds = Pq.seedSample(data, idCol, vecCol, nlist)
-    val (_, coarse) = Clustering.kmeans(data, idCol, vecCol, nlist,
+    // Whole-vector usability applied ONCE, on the STORED source — the
+    // expression predicate pushes to the scan, and the residual frame
+    // is corrupt-free by construction (finite − finite centroid stays
+    // finite; the float-overflow |a−b| > maxFloat edge needs
+    // |elements| ≳ 1.7e38 and is out of scope like containsNull — the
+    // per-slice kmeans closures still exclude non-finite as a
+    // backstop). Filtering the RESIDUAL instead (the r18 shape) is a
+    // predicate above a computed Project: Catalyst inlines the whole
+    // argmax+zip_with derivation into it — determinism marker or not
+    // (★r19, pinned in VectorPathologySpec) — re-paying the
+    // derivation once per row per Lloyd scan across all m fits.
+    val clean = data.filter(Similarity.finiteVecCol(col(vecCol)))
+    val seeds = Pq.seedSample(clean, idCol, vecCol, nlist)
+    val (_, coarse) = Clustering.kmeans(clean, idCol, vecCol, nlist,
       iters, init = seeds)
-    val resid = residuals(data, idCol, vecCol, coarse)
+    val resid = residuals(clean, idCol, vecCol, coarse)
       .select(col(idCol), col(vecCol))
-    Model(coarse, Pq.train(resid, idCol, vecCol, m, ksub, iters))
+    Model(coarse, Pq.trainPrefiltered(resid, idCol, vecCol, m, ksub, iters))
   }
 
   /** (idCol, `cell` int, vecCol := v − coarse(cell)): the residual

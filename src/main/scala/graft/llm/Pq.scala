@@ -94,17 +94,34 @@ object Pq {
     * only on ids). Returns codebooks(j)(c) = the c-th centroid of
     * subspace j (each of length D/m). */
   def train(data: DataFrame, idCol: String, vecCol: String,
-            m: Int, ksub: Int, iters: Int): Seq[Seq[Array[Float]]] = {
-    require(ksub >= 1 && iters >= 0,
-      s"need ksub >= 1, iters >= 0; got $ksub, $iters")
+            m: Int, ksub: Int, iters: Int): Seq[Seq[Array[Float]]] =
     // whole-VECTOR exclusion of null/non-finite rows, BEFORE slicing
     // (★r18 numeric-pathology sweep): a NaN in subspace 0 leaves the
     // row's subspace-1 slice finite, so the per-slice kmeans guard
     // alone would let a corrupt vector contribute to SOME codebooks —
-    // the contract is that it contributes to none. The UDF form keeps
-    // the filter above IvfPq's computed residual projection (see
-    // [[Similarity.finiteVecUdf]]).
-    val usable = data.filter(Similarity.finiteVecUdf(col(vecCol)))
+    // the contract is that it contributes to none. On a STORED input
+    // (every public caller) the expression predicate pushes to the
+    // scan — exactly what we want. A COMPUTED input (the IVF-PQ
+    // residual frame) must NOT be filtered here: Catalyst pushes
+    // predicates through a deterministic-field Project REGARDLESS of
+    // the condition's own determinism (★r19 — pinned in
+    // VectorPathologySpec; the r18 asNondeterministic fence was inert),
+    // inlining the whole residual derivation into the predicate and
+    // re-paying it per Lloyd scan. Such callers filter their SOURCE
+    // and use [[trainPrefiltered]].
+    trainPrefiltered(data.filter(Similarity.finiteVecCol(col(vecCol))),
+      idCol, vecCol, m, ksub, iters)
+
+  /** [[train]] minus the usability filter — input contract: every row
+    * is non-null with finite elements (the caller filtered its STORED
+    * source, e.g. [[IvfPq.train]] before the residual projection).
+    * The per-slice kmeans closures retain their own non-finite
+    * exclusion as a backstop. */
+  private[llm] def trainPrefiltered(usable: DataFrame, idCol: String,
+                                    vecCol: String, m: Int, ksub: Int,
+                                    iters: Int): Seq[Seq[Array[Float]]] = {
+    require(ksub >= 1 && iters >= 0,
+      s"need ksub >= 1, iters >= 0; got $ksub, $iters")
     val dsub = subDims(usable, vecCol, m)
     val seeds = seedSample(usable, idCol, vecCol, ksub)
     (0 until m).map { j =>

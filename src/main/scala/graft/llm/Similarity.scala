@@ -62,30 +62,38 @@ object Similarity {
   }
 
   /** Closure twin of [[finiteVecCol]] (same truth table, including
-    * null = unusable). */
-  private[llm] def finiteVec(v: Seq[Float]): Boolean = {
+    * null = unusable and null ELEMENTS = unusable). Elements are
+    * inspected BOXED (★r19, ADVICE r18): a row-sourced seq
+    * (`Row.getSeq[Float]`) is boxed under the hood, and reading a
+    * null element through the `Seq[Float]` view unboxes it to 0.0f
+    * (`BoxesRunTime.unboxToFloat(null)`) — silently ACCEPTING a row
+    * the expression twin rejects (its double aggregate of a null
+    * element folds to NULL → filtered). The boxed view costs nothing
+    * on primitive-backed seqs (elements box on read and are never
+    * null) and catches the row-backed nulls. */
+  private[graft] def finiteVec(v: Seq[Float]): Boolean = {
     if (v == null) return false
+    val b = v.asInstanceOf[Seq[java.lang.Float]]
     var i = 0
-    while (i < v.length) {
-      if (!java.lang.Float.isFinite(v(i))) return false
+    while (i < b.length) {
+      val x = b(i)
+      if (x == null || !java.lang.Float.isFinite(x)) return false
       i += 1
     }
     true
   }
 
-  /** [[finiteVec]] as a predicate UDF, marked non-deterministic ONLY
-    * to pin the filter ABOVE a computed projection: a deterministic
-    * predicate is pushed through a Project with its alias INLINED, so
-    * filtering an expensive derived vector column (the IVF-PQ
-    * residual: a cosine-argmax assignment + zip_with subtraction)
-    * re-evaluated the whole derivation once in the predicate and
-    * again downstream — q81/q84 paid ~25% for it. The function itself
-    * is pure; the marker is an optimizer fence, not a semantics
-    * claim. Use [[finiteVecCol]] on STORED columns (where scan-level
-    * pushdown is exactly what we want) and this on computed ones. */
-  private[llm] val finiteVecUdf
-      : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Float]) => finiteVec(v) }.asNondeterministic()
+  // NOTE (★r19, retiring the r18 `finiteVecUdf` fence): filtering a
+  // COMPUTED vector column with ANY predicate re-pays the derivation —
+  // Catalyst pushes predicates through a deterministic-field Project
+  // regardless of the CONDITION's own determinism, inlining the alias,
+  // so the r18 `asNondeterministic` marker never actually fenced
+  // anything (pinned by a plan test in VectorPathologySpec). The r18
+  // speedup it was credited with came from the UDF referencing the
+  // alias ONCE where the expression form referenced it twice. The real
+  // fix is structural: filter the STORED source before the computed
+  // projection ([[graft.llm.IvfPq.train]] + `Pq.trainPrefiltered`),
+  // which is also one fewer derivation per row than any filtered form.
 
   /** Cosine similarity; 0 when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column = {

@@ -72,6 +72,123 @@ object DedupSoak {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Adversarial VALUE-skew corpus (★r19, VERDICT r18 #4): 10% of
+    * docs are BYTE-IDENTICAL (the 100 TB reality of licenses and
+    * boilerplate pages), the rest random. Every shingle of the clone
+    * text is an ultra-hot key whose census df equals the clone count —
+    * the shape that melts an unsalted prefix self-join into one
+    * p²-enumerating task. */
+  def hotCorpus(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val license = "permission is hereby granted free of charge to any " +
+      "person obtaining a copy of this software and associated " +
+      "documentation files to deal in the software without restriction " +
+      "including without limitation the rights to use copy modify merge " +
+      "publish distribute sublicense and or sell copies of the software " +
+      "and to permit persons to whom the software is furnished to do so"
+    spark.range(n).mapPartitions { ids =>
+      ids.map { boxed =>
+        val id: Long = boxed
+        if (id % 10 == 0) (id, license)
+        else {
+          val rnd = new java.util.Random(id * 0x9e3779b97f4a7c15L)
+          val toks = Array.fill(50) {
+            val w = new Array[Char](6)
+            var i = 0
+            while (i < 6) { w(i) = ('a' + rnd.nextInt(26)).toChar; i += 1 }
+            new String(w)
+          }
+          (id, toks.mkString(" "))
+        }
+      }
+    }.toDF("doc_id", "text")
+  }
+
+  /** The VALUE-skew tier: asserts, at each scale, that (a) the linear
+    * [[Dedup.exactDuplicates]] path collapses the clone mass into one
+    * bounded-roster cluster, (b) the salted prefix index keeps every
+    * (key, salt) LEFT-side group ~saltBlock regardless of the clone
+    * count (max load + the hottest key's salt fan-out, via
+    * [[Dedup.saltLoadForProbe]]), and (c) the candidate stage's time
+    * scales with its OUTPUT (clone pairs are quadratic in the clone
+    * count BY DEFINITION of all-pairs semantics — the claim is
+    * per-candidate flatness and bounded groups, not sub-quadratic
+    * output). Hard `require`s — a violated bound kills the soak. */
+  def hotKeyTier(spark: SparkSession, scales: Seq[Int],
+                 baseDocs: Long): Unit = {
+    val saltBlock = 2048
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[Int, Map[String, Double]]
+    scales.foreach { k =>
+      val n = baseDocs * k
+      val clones = n / 10
+      val docs = hotCorpus(spark, n).persist()
+      docs.count()
+
+      // (a) the production path for byte-identical mass duplication
+      val ((dupClusters, biggest), tExact) = timed {
+        val d = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+        (d.length.toLong, d.map(_.getAs[Long]("copies")).max)
+      }
+      require(biggest == clones,
+        s"hotkey($k): exactDuplicates saw $biggest copies, want $clones")
+
+      // (b) salted-group bound: max LEFT load and hottest fan-out
+      val (saltRow, tSalt) = timed {
+        Dedup.saltLoadForProbe(docs, "doc_id", "text",
+            shingleLen = 16, threshold = 0.8, saltBlock = saltBlock)
+          .agg(max(col("load")).as("maxload"),
+            max(col("_ns")).as("maxns"))
+          .head()
+      }
+      val maxLoad = saltRow.getLong(0)
+      val maxNs = saltRow.getInt(1)
+      val expNs = math.min(64L, 1L + clones / saltBlock).toInt
+      Dedup.releaseCaches()
+      require(maxNs == expNs,
+        s"hotkey($k): hottest salt fan-out $maxNs, want $expNs")
+      require(maxLoad <= 2L * saltBlock,
+        s"hotkey($k): max (key,salt) left load $maxLoad breaches " +
+          s"2*saltBlock=${2 * saltBlock}")
+
+      // (c) candidate stage over the skewed corpus
+      val (nCand, tCand) = timed {
+        Dedup.jaccardCandidatesForProbe(docs, "doc_id", "text",
+          shingleLen = 16, threshold = 0.8).count()
+      }
+      Dedup.releaseCaches()
+      val clonePairs = clones * (clones - 1) / 2
+      require(nCand >= clonePairs && nCand <= clonePairs + n,
+        s"hotkey($k): $nCand candidates, want ~$clonePairs")
+
+      docs.unpersist()
+      results(k) = Map("docs" -> n.toDouble, "exact_sec" -> tExact,
+        "salt_sec" -> tSalt, "max_salt_load" -> maxLoad.toDouble,
+        "max_ns" -> maxNs.toDouble, "cand_sec" -> tCand,
+        "cand_rows" -> nCand.toDouble)
+      println(s"""{"metric":"hotkey","scale":$k,"docs":$n,""" +
+        s""""clones":$clones,"exact_sec":${f"$tExact%.2f"},""" +
+        s""""dup_clusters":$dupClusters,""" +
+        s""""max_salt_load":$maxLoad,"max_ns":$maxNs,""" +
+        s""""salt_sec":${f"$tSalt%.2f"},""" +
+        s""""cand_rows":$nCand,"cand_sec":${f"$tCand%.2f"}}""")
+    }
+    if (scales.size >= 2) {
+      val lo = results(scales.head); val hi = results(scales.last)
+      val candRatio = hi("cand_rows") / math.max(lo("cand_rows"), 1.0)
+      val timeRatio = hi("cand_sec") / math.max(lo("cand_sec"), 1e-9)
+      // per-candidate flatness: time grows no faster than ~1.5x the
+      // output growth (the output IS quadratic in clones by all-pairs
+      // semantics; a salted-group failure would show up as
+      // time >> output growth when one task serializes the hot key)
+      println(s"""{"metric":"hotkey_ratios","cand_ratio":""" +
+        s"""${f"$candRatio%.2f"},"time_ratio":${f"$timeRatio%.2f"},""" +
+        s""""exact_time_ratio":${
+          f"${hi("exact_sec") / math.max(lo("exact_sec"), 1e-9)}%.2f"},""" +
+        s""""per_candidate_flat":${timeRatio <= 1.5 * candRatio}}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10")
       .split(",").map(_.trim.toInt).toSeq
@@ -87,6 +204,15 @@ object DedupSoak {
     // warmup: codegen + noop sink
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode(SaveMode.Overwrite).save()
+
+    // `DedupSoak <scales> hotkey` runs ONLY the adversarial value-skew
+    // tier (★r19) — its quadratic-output candidate stage is priced
+    // separately from the standard growth-curve tiers
+    if (args.length > 1 && args(1) == "hotkey") {
+      hotKeyTier(spark, scales, baseDocs)
+      spark.stop()
+      return
+    }
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[Int, Map[String, Double]]

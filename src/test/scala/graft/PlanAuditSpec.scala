@@ -651,4 +651,5 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"q100: join in:\n$plan")
     assert(plan.contains("partial_"), s"q100: no partial agg in:\n$plan")
   }
+
 }

@@ -705,4 +705,49 @@ class DedupSpec extends SparkSpec {
     assert(shared.map(x => (x._2, x._3, x._4)).toSeq == Seq((10L, 4L, 11L)),
       s"canonical pick: ${shared.toSeq}")
   }
+
+  test("windowHashes kernel == shingleSet(text,n).map(hashOf) — sorted, " +
+    "deduped — over random unicode incl. supplementary chars (ADVICE r18)") {
+    // The allocation-free rolling-murmur kernel (windowHash64 /
+    // windowHashes) claims bit-identity to hashing each substring
+    // window; until now that was pinned only transitively through the
+    // q29/q31 corpus hashes. This pins it DIRECTLY, so a drift in the
+    // hand-rolled murmur replay surfaces here, not as an unattributable
+    // corpus-level diff. Deterministic seeded generator: ASCII, BMP
+    // unicode, and supplementary characters (surrogate PAIRS — the char
+    // windows may split a pair; both implementations operate on raw
+    // chars, so they must agree there too), odd and even window sizes,
+    // texts shorter than / equal to / far longer than the window.
+    val rnd = new scala.util.Random(20190815L)
+    val alphabets = Seq[Array[String]](
+      Array("a", "b", "c", " "),
+      Array("\u00e9", "\u4e2d", "z", "\u00df", " "),
+      // supplementary: each is a surrogate PAIR (2 chars)
+      Array(new String(Character.toChars(0x1F600)),
+        new String(Character.toChars(0x10400)), "q", " "))
+    val seeds = Seq(0, 42, -12345, 0x5bd1e995)
+    var cases = 0
+    for (alpha <- alphabets; n <- Seq(1, 2, 3, 5, 8, 16); _ <- 1 to 12) {
+      val len = rnd.nextInt(64)
+      val sb = new StringBuilder
+      while (sb.length < len) sb.append(alpha(rnd.nextInt(alpha.length)))
+      val text = sb.toString
+      val seed = seeds(rnd.nextInt(seeds.length))
+      val fast = Dedup.windowHashes(text, n, seed)
+      // sortedness + in-place dedup contract
+      assert(fast.toSeq == fast.toSeq.sorted.distinct,
+        s"not sorted-distinct: text=${text.length} chars n=$n seed=$seed")
+      val slow = {
+        import scala.jdk.CollectionConverters._
+        Dedup.shingleSet(text, n).asScala.map(Dedup.hashOf(_, seed)).toSet
+      }
+      assert(fast.toSet == slow,
+        s"hash-set drift: n=$n seed=$seed text=[$text]")
+      cases += 1
+    }
+    assert(cases == 3 * 6 * 12)
+    // null / short-text contract
+    assert(Dedup.windowHashes(null, 4, 7).isEmpty)
+    assert(Dedup.windowHashes("abc", 4, 7).isEmpty)
+  }
 }

@@ -150,4 +150,61 @@ class VectorPathologySpec extends SparkSpec {
       .count()
     assert(sim == 1L) // prefix cosine ranks it, by the clamp contract
   }
+
+  test("IVF-PQ fit path: the usability filter sits on the STORED scan " +
+    "and the residual derivation is never inlined into a Filter " +
+    "(VERDICT r18 #5 — fence retired, structural split pinned)") {
+    // Discovery pinned below in the control: Catalyst pushes a
+    // predicate through a deterministic-field Project REGARDLESS of
+    // the condition's own determinism (inlining the alias), so the
+    // r18 `asNondeterministic` fence never blocked anything. The real
+    // contract is structural — IvfPq.train filters its STORED source
+    // and hands Pq.trainPrefiltered a residual frame that is never
+    // filtered above the computed projection. This test replicates
+    // the exact fit-frame shape and asserts the residual derivation
+    // (ZipWith) appears in a Project only, never in a Filter.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+      Project => LProject}
+    import org.apache.spark.sql.catalyst.expressions.ZipWith
+    // parquet-backed source: a Seq-based LocalRelation gets the whole
+    // filter+projection constant-folded away at optimization time
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Seq(Array.fill(64)(0f), Array.fill(64)(1f))
+    val clean = df.filter(Similarity.finiteVecCol(col("embedding")))
+    val resid = IvfPq.residuals(clean, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("embedding"))
+    // the per-subspace frame Pq.trainPrefiltered feeds each kmeans fit
+    val fit = resid.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val plan = fit.queryExecution.optimizedPlan
+    val filterWithDerivation = plan.collect { case f: LFilter => f }
+      .filter(_.condition.collectFirst { case z: ZipWith => z }.isDefined)
+    assert(filterWithDerivation.isEmpty,
+      s"residual derivation inlined into a Filter (re-paid per Lloyd " +
+        s"scan):\n$plan")
+    // the usability filter itself must survive, on the stored column
+    assert(plan.collect { case f: LFilter => f }.nonEmpty,
+      s"usability filter vanished:\n$plan")
+    assert(plan.collect { case p: LProject => p }.exists(
+      _.projectList.exists(
+        _.collectFirst { case z: ZipWith => z }.isDefined)),
+      s"no residual Project in:\n$plan")
+
+    // CONTROL — the retired r18 shape: a non-deterministic UDF
+    // predicate ABOVE the residual Project is STILL pushed + inlined
+    // on this Spark version (the marker is inert for the Project
+    // case). If this ever starts failing, Spark changed its pushdown
+    // semantics — revisit the structural-split note in Similarity.
+    val fenceUdf = udf { (vv: Seq[Float]) => Similarity.finiteVec(vv) }
+      .asNondeterministic()
+    val old = IvfPq.residuals(df, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("embedding"))
+      .filter(fenceUdf(col("embedding")))
+    val oplan = old.queryExecution.optimizedPlan
+    assert(oplan.collect { case f: LFilter => f }.exists(
+      _.condition.collectFirst { case z: ZipWith => z }.isDefined),
+      "Spark no longer inlines predicates through a computed Project - " +
+        s"the structural-split rationale should be re-checked:\n$oplan")
+  }
 }

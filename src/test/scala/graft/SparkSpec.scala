@@ -49,6 +49,27 @@ trait SparkSpec extends AnyFunSuite {
     p.toString
   }
 
+  def stageByteFile(content: Array[Byte], suffix: String = ".json")
+      : String = {
+    val p = Files.createTempFile("graft-test-", suffix)
+    Files.write(p, content)
+    p.toString
+  }
+
+  def stageGzipBytes(content: Array[Byte]): String = {
+    import java.util.zip.GZIPOutputStream
+    val p = Files.createTempFile("graft-test-", ".json.gz")
+    val out = new GZIPOutputStream(Files.newOutputStream(p))
+    try out.write(content) finally out.close()
+    p.toString
+  }
+
+  def readGzipBytes(p: String): Array[Byte] = {
+    import java.util.zip.GZIPInputStream
+    val in = new GZIPInputStream(Files.newInputStream(Paths.get(p)))
+    try in.readAllBytes() finally in.close()
+  }
+
   def stageGzipFile(content: String): String = {
     import java.util.zip.GZIPOutputStream
     val p = Files.createTempFile("graft-test-", ".json.gz")

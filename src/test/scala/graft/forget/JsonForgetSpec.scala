@@ -161,4 +161,76 @@ class JsonForgetSpec extends SparkSpec {
     assert(e.statsDeleted == 1L)
     assert(new String(readFileBytes(f), "UTF-8") == """{"name":42}""" + "\n")
   }
+
+  // ---- non-UTF-8 byte tolerance (★r19, VERDICT r18 #7 — the sixth
+  // proactive robustness class, scoped to the raw-line JSON path).
+  // At 100 TB, JSON-lines objects carry mojibake: latin-1 bytes pasted
+  // into "UTF-8" logs, truncated multi-byte sequences, stray 0xFF.
+  // The reference reads and writes LINE BYTES (json_handler.py:49-72,
+  // parsing a decoded copy only for the match) — so must we: a
+  // surviving line's invalid bytes are NOT ours to "fix", and a
+  // Java-side String round trip would silently rewrite them to U+FFFD.
+
+  /** 0xC3 0x28: an invalid 2-byte sequence; 0xFF: never valid in
+    * UTF-8; 0x80: a lone continuation byte. Planted inside a JSON
+    * string value, so the line stays structurally valid JSON. */
+  private def mojibakeLine(id: Long): Array[Byte] = {
+    val head = s"""{"customer_id":$id,"name":"x""".getBytes("UTF-8")
+    val tail = "\"}".getBytes("UTF-8")
+    head ++ Array(0xC3.toByte, 0x28.toByte, 0xFF.toByte, 0x80.toByte) ++ tail
+  }
+
+  test("non-UTF-8 bytes in SURVIVOR lines round-trip byte-identically " +
+    "(match evaluated on a decoded copy; raw bytes written through)") {
+    val nl = Array('\n'.toByte)
+    val content = mojibakeLine(1) ++ nl ++
+      """{"customer_id":2,"name":"clean"}""".getBytes("UTF-8") ++ nl ++
+      mojibakeLine(3) ++ nl
+    val f = stageByteFile(content)
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert((e.eventName, e.statsProcessed, e.statsDeleted) ==
+      (JobEventName.ObjectUpdated, 3L, 1L))
+    val expect = mojibakeLine(1) ++ nl ++ mojibakeLine(3) ++ nl
+    assert(java.util.Arrays.equals(readFileBytes(f), expect),
+      "surviving mojibake bytes were rewritten")
+  }
+
+  test("a MATCHED line whose other fields hold invalid UTF-8 is still " +
+    "identified and deleted (the id field itself is clean bytes)") {
+    val nl = Array('\n'.toByte)
+    val content = mojibakeLine(2) ++ nl ++
+      """{"customer_id":7,"name":"keep"}""".getBytes("UTF-8") ++ nl
+    val f = stageByteFile(content)
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert(e.statsDeleted == 1L)
+    assert(java.util.Arrays.equals(readFileBytes(f),
+      """{"customer_id":7,"name":"keep"}""".getBytes("UTF-8") ++ nl))
+  }
+
+  test("non-UTF-8 survivors round-trip through the GZIP path too") {
+    val nl = Array('\n'.toByte)
+    val content = mojibakeLine(1) ++ nl ++
+      """{"customer_id":2,"name":"drop"}""".getBytes("UTF-8") ++ nl
+    val f = stageGzipBytes(content)
+    val e = rewriteFile(f, groupsFor(Seq("customer_id"), simple2))
+    assert(e.statsDeleted == 1L)
+    assert(java.util.Arrays.equals(readGzipBytes(f),
+      mojibakeLine(1) ++ nl))
+  }
+
+  test("a STRING-typed identifier containing multi-byte UTF-8 matches " +
+    "exactly and surviving multi-byte text is untouched") {
+    // valid (not mojibake) non-ASCII: the decode/encode boundary case
+    // closest to the invalid-byte path — é and a surrogate pair
+    val content =
+      "{\"customer_id\":1,\"name\":\"caf\u00e9 \uD83D\uDE00\"}\n" +
+      "{\"customer_id\":2,\"name\":\"caf\u00e9\"}\n"
+    val f = stageTextFile(content)
+    val nameQueue = Seq(DeletionQueueItem("q", MatchId.Simple("caf\u00e9")))
+    val e = rewriteFile(f, groupsFor(Seq("name"), nameQueue))
+    // BOTH lines have name values; only the exact-equal one matches
+    assert(e.statsDeleted == 1L)
+    assert(new String(readFileBytes(f), "UTF-8") ==
+      "{\"customer_id\":1,\"name\":\"caf\u00e9 \uD83D\uDE00\"}\n")
+  }
 }

@@ -31,12 +31,15 @@ import org.apache.spark.sql.functions._
   * centrally in `rankTopK` — a NaN sim is the absence of a value,
   * not a value.
   *
-  * Out of scope by contract: null ELEMENTS inside a vector
-  * (`array<float>` with containsNull) — the embeddings ingestion
-  * contract is non-null elements (whole-vector null is the "missing
-  * embedding" representation); a containsNull schema should be
-  * normalized at ingest (null element → null vector), not absorbed
-  * per-operator.
+  * Null ELEMENTS inside a vector (`array<float>` with containsNull):
+  * the ingestion contract is still non-null elements (whole-vector
+  * null is the "missing embedding" representation; normalize at
+  * ingest), but since ★r19 (ADVICE r18) both usability twins agree
+  * on the shape anyway — `finiteVecCol`'s aggregate folds a null
+  * element to NULL (row rejected) and `finiteVec` inspects elements
+  * BOXED (a null used to unbox to 0.0f and be accepted), so the
+  * closure fit paths and the expression branches treat a
+  * containsNull row identically: unusable. Pinned below.
   */
 class VectorPathologySpec extends SparkSpec {
   import spark.implicits._
@@ -206,5 +209,50 @@ class VectorPathologySpec extends SparkSpec {
       _.condition.collectFirst { case z: ZipWith => z }.isDefined),
       "Spark no longer inlines predicates through a computed Project - " +
         s"the structural-split rationale should be re-checked:\n$oplan")
+  }
+
+  test("null ELEMENTS: the closure and expression usability twins " +
+    "agree (unusable) — row-backed seqs checked boxed (ADVICE r18)") {
+    // direct truth-table agreement, incl. the boxed-null shape a
+    // Row.getSeq[Float] view hands the closure fit paths
+    assert(!Similarity.finiteVec(null))
+    assert(Similarity.finiteVec(Seq(1f, 2f)))
+    assert(!Similarity.finiteVec(Seq(1f, Float.NaN)))
+    val boxedNull: Seq[Float] =
+      Seq[java.lang.Float](1f, null, 3f).asInstanceOf[Seq[Float]]
+    assert(!Similarity.finiteVec(boxedNull),
+      "null element unboxed to 0.0f and accepted")
+    // end-to-end: a containsNull row is unusable in BOTH branches —
+    // the expression assign yields NULL cluster_id and the closure
+    // fit paths (seed sample via its finiteVecCol filter, kmeans RDD
+    // exclusion) never see it. Parquet-backed so nothing folds away.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-containsnull-").toString
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding",
+        ArrayType(FloatType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Seq(1f, 0f, 0f, 0f)),
+      Row(2L, Seq[Any](null, 1f, 0f, 0f)), // null element
+      Row(3L, Seq(0f, 0f, 1f, 0f)))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val assigned = Clustering.assignClusters(df, "vec_id", "embedding",
+        Seq(v(1f, 0f, 0f, 0f), v(0f, 0f, 1f, 0f)))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("cluster_id"))) None
+         else Some(r.getInt(r.fieldIndex("cluster_id"))))).toMap
+    assert(assigned(2L).isEmpty, s"containsNull row clustered: $assigned")
+    assert(assigned(1L).contains(0) && assigned(3L).contains(1))
+    // and the fit excludes it: centroids identical to the clean frame
+    val clean = df.filter(col("vec_id") =!= 2L)
+    val a = Clustering.kmeans(df, "vec_id", "embedding", 2, 2)._2
+    val b = Clustering.kmeans(clean, "vec_id", "embedding", 2, 2)._2
+    assert(a.map(_.toSeq) == b.map(_.toSeq),
+      "containsNull row contributed to the fit")
   }
 }

@@ -177,12 +177,21 @@ if ledger_path.exists():
             print(f"bench epoch ratio (median of per-entry latest/ledger "
                   f"over {len(epoch_keys)} non-soak entries): {epoch:.3f}")
 
+            cpu_ledger_path = Path(__file__).parent / "bench_ledger_cpu.json"
+            ledger_cpu = (json.loads(cpu_ledger_path.read_text())
+                          if cpu_ledger_path.exists() else {})
+
             def cpu_note(k):
                 if k not in cur_cpu or cur[k] <= 0:
                     return ""
                 r = cur_cpu[k] / cur[k]
                 g = f", gc {cur_gc[k]:.1f}s" if k in cur_gc else ""
-                return f" [cpu/wall {r:.1f}{g}]"
+                # work-vs-work: process-CPU measures computation done,
+                # immune to machine-epoch — cpu_ratio >> 1 is a real
+                # change in work even on a slower machine (★r19)
+                w = (f", cpu_ratio {cur_cpu[k] / ledger_cpu[k]:.2f}"
+                     if ledger_cpu.get(k, 0) > 0 else "")
+                return f" [cpu/wall {r:.1f}{g}{w}]"
 
             min_trips = []
             for k in sorted(common):

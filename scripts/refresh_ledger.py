@@ -10,6 +10,11 @@ Reads target/bench-latest.json (written by graft.Bench) and rewrites
    real regression moves the min, ambient contention only moves the
    median. Persisted here because target/ is gitignored, so without
    this file the next round has no min baseline to compare against.
+ - scripts/bench_ledger_cpu.json   {entry: median-sample process-CPU
+   seconds} — the work-vs-work baseline (★r19): wall ratios mix real
+   regressions with machine-epoch shifts, but an entry's process-CPU
+   measures the WORK done; cur_cpu >> ledger_cpu is a real change in
+   computation regardless of how slow the machine was.
 
 Keys already in the ledger but absent from the run (e.g. a
 SPARK_GRAFT_ONLY partial run) keep their old readings — refresh from
@@ -30,8 +35,11 @@ mins_path = root / "scripts" / "bench_ledger_mins.json"
 latest = json.loads(latest_path.read_text())
 queries = latest.get("queries", {})
 query_mins = latest.get("query_mins", {})
+query_cpu = latest.get("queries_cpu", {})
 ledger = json.loads(ledger_path.read_text()) if ledger_path.exists() else {}
 old_mins = json.loads(mins_path.read_text()) if mins_path.exists() else {}
+cpu_path = root / "scripts" / "bench_ledger_cpu.json"
+old_cpu = json.loads(cpu_path.read_text()) if cpu_path.exists() else {}
 
 kept = sorted(k for k in ledger if k not in queries)
 new_ledger = {k: (round(queries[k], 3) if k in queries else ledger[k])
@@ -42,11 +50,16 @@ new_mins = {k: (round(query_mins[k], 3) if k in query_mins
                 else old_mins[k])
             for k in new_ledger
             if k in query_mins or k in old_mins}
+new_cpu = {k: (round(query_cpu[k], 3) if k in query_cpu else old_cpu[k])
+           for k in new_ledger
+           if k in query_cpu or k in old_cpu}
 
-for path, data in ((ledger_path, new_ledger), (mins_path, new_mins)):
+for path, data in ((ledger_path, new_ledger), (mins_path, new_mins),
+                   (cpu_path, new_cpu)):
     path.write_text(json.dumps(dict(sorted(data.items())), indent=1) + "\n")
 
 print(f"ledger: {len(new_ledger)} keys -> {ledger_path}")
 print(f"mins:   {len(new_mins)} keys -> {mins_path}")
+print(f"cpu:    {len(new_cpu)} keys -> {cpu_path}")
 if kept:
     print(f"kept stale (not in this run): {', '.join(kept)}")

@@ -129,4 +129,42 @@ class PiiScrubSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       plan)
   }
+
+  test("backtracking bomb defused (★r19): a 200k-char email-charset " +
+    "blob with no '@' scrubs in bounded time; real emails unchanged") {
+    // The unbounded `[class]+@` email detector measured 403 s on ONE
+    // such value (O(L²) Java backtracking — base64 blobs and minified
+    // JS are mostly email-charset bytes); the RFC-bounded pattern
+    // measured 0.23 s. Assert a generous ceiling so a rebound is a
+    // loud unit failure, not a walled 100 TB scrub job.
+    val cs = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz" +
+      "0123456789+."
+    val rnd = new java.util.Random(7)
+    val blob = {
+      val sb = new StringBuilder(200000)
+      (0 until 200000).foreach(_ => sb.append(cs(rnd.nextInt(cs.length))))
+      sb.toString
+    }
+    val t0 = System.nanoTime()
+    // both engines: the codegen'd Column path and the task-side
+    // compiled Redactor must stay linear-ish
+    val viaCol = {
+      import spark.implicits._
+      Seq((1L, blob)).toDF("doc_id", "text")
+        .select(PiiScrub.scrub(org.apache.spark.sql.functions.col("text"))
+          .as("t")).head().getString(0)
+    }
+    val viaRedactor = new PiiForget.Redactor().apply(blob)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(viaCol == blob && viaRedactor == blob,
+      "charset blob without '@' must not be redacted")
+    assert(sec < 30.0, f"pathological blob took $sec%.1f s — the " +
+      "email detector is backtracking again")
+    // real addresses still match end-to-end, including a max-length
+    // RFC local part (64 chars)
+    val local64 = "a" * 64
+    val txt = s"reach me at $local64@corp.example.net or x@y.io thanks"
+    val out = new PiiForget.Redactor().apply(txt)
+    assert(out == "reach me at [EMAIL] or [EMAIL] thanks", out)
+  }
 }

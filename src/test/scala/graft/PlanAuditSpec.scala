@@ -584,6 +584,15 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$q: cartesian in:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$q: nested loop in:\n$plan")
+      // ★r19: the entry reads the STORED fingerprint artifact (a
+      // parquet scan — the decode-once store a 100 TB pipeline
+      // writes at ingest), never a live synthesize+decode pass (no
+      // SerializeFromObject/mapPartitions subtree in the plan)
+      assert(plan.contains("FileScan parquet") ||
+          plan.contains("Scan parquet"),
+        s"$q: no stored-artifact scan in:\n$plan")
+      assert(!plan.contains("SerializeFromObject"),
+        s"$q: live media derivation in:\n$plan")
     }
   }
 

@@ -256,12 +256,22 @@ object JobRunner {
     total
   }
 
-  /** Read a table for the Find phase. JSON-lines tables are read with the
-    * declared schema (no inference pass — SURVEY.md §1.3: schema is
-    * declared for planning, self-describing for execution). */
+  /** Read a table for the Find phase — ALWAYS through the DECLARED
+    * schema (SURVEY.md §1.3: schema is declared for planning,
+    * self-describing for execution; the reference reads every object
+    * through the Glue schema, generate_queries.py:264-265). For
+    * parquet this buys two things at 100 TB (★r19 schema-drift
+    * sweep): no distributed footer-inference job before every Find,
+    * and drift-stable semantics — a physical object missing an
+    * evolved column reads NULL (→ never matches), an extra physical
+    * column is invisible, and column order resolves by name, no
+    * matter which footer a bare inference pass would have sampled
+    * first. Partition columns ride in `table.schema` by the repo's
+    * TableDef convention (the q21 staged-read precedent). */
   def readTable(spark: SparkSession, table: TableDef): DataFrame =
     table.format match {
-      case DataFormat.Parquet => spark.read.parquet(table.location)
+      case DataFormat.Parquet =>
+        spark.read.schema(table.schema).parquet(table.location)
       case DataFormat.JsonLines =>
         spark.read.schema(table.schema).json(table.location)
     }

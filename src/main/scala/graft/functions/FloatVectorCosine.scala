@@ -18,9 +18,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * form (custom Catalyst `Expression` with `doGenCode`) for a scalar
   * kernel the engine runs billions of times at 100 TB.
   *
-  * Semantics match [[graft.llm.Similarity.cosine]]: double accumulation
-  * in element order, 0.0 when either norm is zero, null if either input
-  * is null; lengths are clamped to the shorter array.
+  * Semantics match [[graft.llm.Similarity.cosine]] (the `zip_with` +
+  * `aggregate` composition) EXACTLY, on every input shape: double
+  * accumulation in element order, 0.0 when either norm is zero, null if
+  * either input is null — and null on a LENGTH MISMATCH or a null
+  * ELEMENT, because that is what the builtin composition yields
+  * (`zip_with` pads the shorter side with nulls; a null product folds
+  * the aggregate to NULL). ★r19 dimension-drift sweep: the kernel
+  * previously clamped to the shorter array, which DISAGREED with its
+  * own "matches the composition" contract and with the int8 path —
+  * a truncated corrupt vector got a valid-looking prefix cosine and
+  * could rank as a nearest neighbor, where every zip_with-scored path
+  * already excluded it. A mismatched pair has no cosine; NULL flows
+  * into [[graft.llm.Similarity.rankTopK]]'s central exclusion and
+  * every `>= threshold` pair filter. The null-element check is emitted
+  * only when an input's array type declares containsNull — clean
+  * corpora pay zero extra branches.
   */
 final case class FloatVectorCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,15 +53,32 @@ final case class FloatVectorCosine(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  // a length mismatch (or a null element) yields NULL even when both
+  // inputs are non-null, so the expression is nullable regardless of
+  // its children's nullability
+  override def nullable: Boolean = true
+
+  /** Whether a child's ARRAY TYPE admits null elements — decided at
+    * plan/codegen time, so non-containsNull inputs (every stored
+    * embedding column in the testdata) emit no per-element branch. */
+  private def elemNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elemNullable
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv
@@ -71,17 +101,30 @@ final case class FloatVectorCosine(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
+      val nullCheck =
+        if (elemNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }""".stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $xv = (double) $a.getFloat($i);
+         |    double $yv = (double) $b.getFloat($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $denom =
+         |      java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |  }
          |}
-         |double $denom =
-         |  java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 

@@ -62,14 +62,22 @@ object Clustering {
   private[llm] def assignWith(data: DataFrame, idCol: String, vecCol: String,
                               centroids: Seq[Array[Float]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
+    require(centroids.forall(_.length == centroids.head.length),
+      "centroids must share one dimension, got lengths " +
+        centroids.map(_.length).distinct.mkString(","))
     // non-finite vectors take NULL cluster_id on BOTH branches (★r18
     // numeric-pathology sweep), joining the null-vector convention: a
     // NaN/Inf vector's sims are all NaN, NaN compares greatest AND
     // equal to itself under Spark's total order, so the expression
     // argmax "assigned" it to cluster 0 — a directionless corrupt
     // vector must not land in (and skew the consumers of) a real
-    // cluster. Finite rows, including zero vectors (sim-0 convention),
-    // are untouched.
+    // cluster. WRONG-LENGTH vectors take NULL cluster_id too (★r19
+    // dimension-drift sweep): on the expression branch that is the
+    // kernel's own mismatch → NULL flowing through array_max /
+    // array_position (both NULL-in NULL-out), on the UDF branch an
+    // explicit length gate — the branches stay twins. Finite
+    // right-dimension rows, including zero vectors (sim-0
+    // convention), are untouched.
     if (centroids.length <= ExprAssignMaxK) {
         graft.functions.GraftFunctions.register(data.sparkSession)
         val sims = array(centroids.map(c =>
@@ -82,10 +90,11 @@ object Clustering {
                 .cast("int")).as("cluster_id"))
       } else {
         val cents = centroids.toArray
-        // null/non-finite vec -> null cluster_id, matching the
-        // expression branch
+        // null/non-finite/wrong-length vec -> null cluster_id,
+        // matching the expression branch
+        val dim = cents(0).length
         val assign = udf { (vec: Seq[Float]) =>
-          if (!Similarity.finiteVec(vec)) None
+          if (!Similarity.finiteVec(vec) || vec.length != dim) None
           else Some(nearestCentroid(vec.toArray, cents))
         }
         data.select(col(idCol), col(vecCol),
@@ -95,10 +104,12 @@ object Clustering {
 
   /** The cosine argmax both [[assignWith]] paths and the Lloyd-round
     * closure compute: [[graft.functions.FloatVectorCosine]] arithmetic
-    * op-for-op (double accumulation in element order, clamp to the
-    * shorter array, `sqrt(na)*sqrt(nb)` denominator, 0.0 on zero
-    * norm), strict `>` keeping the FIRST max — the lower-index
-    * tie-break. */
+    * op-for-op (double accumulation in element order, `sqrt(na)*
+    * sqrt(nb)` denominator, 0.0 on zero norm), strict `>` keeping the
+    * FIRST max — the lower-index tie-break. PRECONDITION: `v.length ==
+    * cents(i).length` for every i (every caller length-gates, ★r19) —
+    * a mismatched pair scores NaN, which never wins the strict `>`,
+    * and an ALL-mismatch call would fall through to index 0. */
   private[llm] def nearestCentroid(v: Array[Float],
                                    cents: Array[Array[Float]]): Int = {
     var best = 0; var bestSim = Double.NegativeInfinity
@@ -112,10 +123,16 @@ object Clustering {
   }
 
   /** [[graft.functions.FloatVectorCosine]] arithmetic op-for-op:
-    * double accumulation in element order, clamp to the shorter
-    * array, `sqrt(na)*sqrt(nb)` denominator, 0.0 on zero norm. */
+    * double accumulation in element order, `sqrt(na)*sqrt(nb)`
+    * denominator, 0.0 on zero norm. A LENGTH MISMATCH returns NaN —
+    * the closure-world analog of the kernel's NULL (★r19
+    * dimension-drift sweep; the old min-clip gave a truncated vector
+    * a valid-looking prefix cosine). Callers length-gate their rows,
+    * so a NaN here marks a caller bug, and it can never win
+    * [[nearestCentroid]]'s strict `>`. */
   private[llm] def cosineSim(v: Array[Float], cv: Array[Float]): Double = {
-    val m = math.min(v.length, cv.length)
+    if (v.length != cv.length) return Double.NaN
+    val m = v.length
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < m) {
@@ -192,13 +209,26 @@ object Clustering {
       }
     }.persist()
     try {
-      val first = rows.takeOrdered(1)(Ordering.fromLessThan[
+      // modal vector length (★r19 dimension-drift sweep): farthest-
+      // first LOVED a wrong-length vector — its clamped prefix cosine
+      // made it look far from everything chosen, so one truncated row
+      // was near-certain to be picked as a seed and poison the fit.
+      // The fit's dimension is the corpus's MODAL length (count desc,
+      // length asc tie-break — deterministic for any partitioning),
+      // and rows of any other length contribute nothing, matching the
+      // Lloyd fold's gate. One extra pass over the already-cached rows.
+      val lens = rows.map(_._2.length).countByValue()
+      val rowsAtDim = if (lens.size <= 1) rows else {
+        val d = lens.toSeq.minBy { case (len, n) => (-n, len) }._1
+        rows.filter(_._2.length == d)
+      }
+      val first = rowsAtDim.takeOrdered(1)(Ordering.fromLessThan[
         (Any, Array[Float])]((a, b) => cmpId(a._1, b._1) < 0))
       require(first.nonEmpty, "k-means needs a non-empty corpus")
       val chosen = scala.collection.mutable.ArrayBuffer(first(0)._2)
       while (chosen.length < k) {
         val cents = chosen.toArray
-        val next = rows.map { case (id, v) =>
+        val next = rowsAtDim.map { case (id, v) =>
           // array_max over the per-chosen sims, in list order
           var m = cosineSim(v, cents(0))
           var j = 1
@@ -253,6 +283,9 @@ object Clustering {
     var centroids: Seq[Array[Float]] =
       if (init.nonEmpty) init
       else farthestFirstInit(data, idCol, vecCol, k)
+    require(centroids.forall(_.length == centroids.head.length),
+      "init centroids must share one dimension, got lengths " +
+        centroids.map(_.length).distinct.mkString(","))
     val dim = centroids.head.length
     if (iters > 0) {
       // Lloyd rounds run as treeAggregate jobs over the cached vector
@@ -274,7 +307,12 @@ object Clustering {
       // numeric-pathology sweep): BigDecimal.valueOf(NaN/Inf) throws
       // NumberFormatException, so ONE corrupt vector in 10^11 killed
       // the entire fit (and the former ANSI-on decimal cast crashed
-      // on it too — there is no silent precedent to preserve).
+      // on it too — there is no silent precedent to preserve). And the
+      // same exclusion for a WRONG-LENGTH vector (★r19 dimension-drift
+      // sweep): the fold used to min-clip it, silently skewing the
+      // prefix dims of whichever centroid its clamped prefix cosine
+      // picked — a truncated encoder batch must contribute NOTHING,
+      // matching the NULL cluster_id the assignment gives it.
       val raw = data.select(col(vecCol)).rdd.flatMap { r =>
         if (r.isNullAt(0)) Iterator.empty
         else {
@@ -282,7 +320,8 @@ object Clustering {
           // toArray unboxes, turning a null element into 0.0f where
           // finiteVec could no longer see it (★r19, ADVICE r18)
           val s = r.getSeq[Float](0)
-          if (Similarity.finiteVec(s)) Iterator.single(s.toArray)
+          if (Similarity.finiteVec(s) && s.length == dim)
+            Iterator.single(s.toArray)
           else Iterator.empty
         }
       }
@@ -295,10 +334,10 @@ object Clustering {
             Array.fill(k, dim)(0L))
           val (sums, counts) = vecs.treeAggregate(zero)(
             seqOp = { case (acc @ (s, n), v) =>
+              // v.length == dim by the flatMap gate above
               val c = nearestCentroid(v, cents)
               var d = 0
-              val m = math.min(v.length, dim)
-              while (d < m) {
+              while (d < dim) {
                 s(c)(d) = s(c)(d).add(java.math.BigDecimal
                   .valueOf(v(d).toDouble)
                   .setScale(12, java.math.RoundingMode.HALF_UP))

@@ -45,6 +45,9 @@ object IvfPq {
                    codebooks: Seq[Seq[Array[Float]]]) {
     require(coarse.nonEmpty && codebooks.nonEmpty,
       "model needs coarse centroids and codebooks")
+    require(coarse.forall(_.length == coarse.head.length),
+      "coarse centroids must share one dimension, got lengths " +
+        coarse.map(_.length).distinct.mkString(","))
     def nlist: Int = coarse.length
     def m: Int = codebooks.length
     def dsub: Int = codebooks.head.head.length
@@ -68,13 +71,21 @@ object IvfPq {
     // argmax+zip_with derivation into it — determinism marker or not
     // (★r19, pinned in VectorPathologySpec) — re-paying the
     // derivation once per row per Lloyd scan across all m fits.
-    val clean = data.filter(Similarity.finiteVecCol(col(vecCol)))
+    // modal-length dimension inference + whole-vector usability (★r19
+    // dimension-drift sweep): a truncated row must neither seed the
+    // coarse quantizer nor contribute residuals. The residual
+    // projection preserves the dimension (same-length zip_with), so
+    // the filtered d flows to the sub-quantizer fit without probing
+    // the computed frame.
+    val d = Similarity.modalDim(data, vecCol)
+    val clean = data.filter(Similarity.usableVecCol(col(vecCol), d))
     val seeds = Pq.seedSample(clean, idCol, vecCol, nlist)
     val (_, coarse) = Clustering.kmeans(clean, idCol, vecCol, nlist,
       iters, init = seeds)
     val resid = residuals(clean, idCol, vecCol, coarse)
       .select(col(idCol), col(vecCol))
-    Model(coarse, Pq.trainPrefiltered(resid, idCol, vecCol, m, ksub, iters))
+    Model(coarse,
+      Pq.trainPrefiltered(resid, idCol, vecCol, m, ksub, iters, d))
   }
 
   /** (idCol, `cell` int, vecCol := v − coarse(cell)): the residual
@@ -97,9 +108,15 @@ object IvfPq {
   def encode(data: DataFrame, idCol: String, vecCol: String,
              model: Model): DataFrame = {
     graft.functions.GraftFunctions.register(data.sparkSession)
+    // an unusable row (null/non-finite/wrong-length — everything the
+    // assignment NULLs, ★r19) keeps NULL codes alongside its NULL
+    // cell, not an array of per-subspace NULLs: NULL cell already
+    // drops it from every probe join, and NULL codes keep the
+    // "no value" shape consistent with [[Pq.encode]]
     residuals(data, idCol, vecCol, model.coarse)
       .select(col(idCol), col("cell"),
-        Pq.codesCol(vecCol, model.dsub, model.codebooks).as("codes"))
+        when(col("cell").isNotNull,
+          Pq.codesCol(vecCol, model.dsub, model.codebooks)).as("codes"))
   }
 
   /** ADC search: each query probes its `nprobe` nearest cells (same
@@ -130,11 +147,14 @@ object IvfPq {
     // (double accumulation in element order, sqrt(na)*sqrt(nb)
     // denominator, 0.0 on zero norm) so the probe ranking agrees with
     // the assignment's sims — and with the SQL replay's
+    val dim = coarseArr(0).length
     val probe = udf { (vec: Seq[Float]) =>
       // a null query probes no cells (explode of empty drops the row;
       // the UDF is called WITH the null — no null-safe wrapping for
-      // reference types)
-      if (vec == null) Array.empty[Int]
+      // reference types); neither does a wrong-length query — it was
+      // embedded in a different space than the index (★r19
+      // dimension-drift sweep; the old clamp probed on a prefix)
+      if (vec == null || vec.length != dim) Array.empty[Int]
       else {
       val v = vec.toArray
       coarseArr.zipWithIndex.map { case (cv, c) =>

@@ -30,15 +30,9 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Validated (m, dsub) for a training frame: D must split evenly.
-    * The probe row is taken from the non-null vectors — a null first
-    * row would read dim −1/NULL depending on config. */
-  private def subDims(data: DataFrame, vecCol: String, m: Int): Int = {
-    val d = data.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).limit(1).collect().headOption
-      .map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException(
-        s"empty training frame: cannot infer $vecCol dimension"))
+  /** Validated dsub for a declared dimension: D must split evenly
+    * into the m subspaces. */
+  private def subDims(d: Int, m: Int): Int = {
     require(m >= 1 && d % m == 0,
       s"dim $d must be divisible by m=$m subspaces")
     d / m
@@ -94,35 +88,45 @@ object Pq {
     * only on ids). Returns codebooks(j)(c) = the c-th centroid of
     * subspace j (each of length D/m). */
   def train(data: DataFrame, idCol: String, vecCol: String,
-            m: Int, ksub: Int, iters: Int): Seq[Seq[Array[Float]]] =
-    // whole-VECTOR exclusion of null/non-finite rows, BEFORE slicing
-    // (★r18 numeric-pathology sweep): a NaN in subspace 0 leaves the
-    // row's subspace-1 slice finite, so the per-slice kmeans guard
-    // alone would let a corrupt vector contribute to SOME codebooks —
-    // the contract is that it contributes to none. On a STORED input
-    // (every public caller) the expression predicate pushes to the
-    // scan — exactly what we want. A COMPUTED input (the IVF-PQ
-    // residual frame) must NOT be filtered here: Catalyst pushes
-    // predicates through a deterministic-field Project REGARDLESS of
-    // the condition's own determinism (★r19 — pinned in
-    // VectorPathologySpec; the r18 asNondeterministic fence was inert),
-    // inlining the whole residual derivation into the predicate and
-    // re-paying it per Lloyd scan. Such callers filter their SOURCE
-    // and use [[trainPrefiltered]].
-    trainPrefiltered(data.filter(Similarity.finiteVecCol(col(vecCol))),
-      idCol, vecCol, m, ksub, iters)
+            m: Int, ksub: Int, iters: Int): Seq[Seq[Array[Float]]] = {
+    // the fit's dimension is the corpus's MODAL vector length (★r19
+    // dimension-drift sweep: the former single-row probe adopted
+    // whatever length its one probed row had)
+    val d = Similarity.modalDim(data, vecCol)
+    // whole-VECTOR exclusion of null/non-finite/wrong-length rows,
+    // BEFORE slicing (★r18 numeric-pathology sweep + ★r19 dimension
+    // gate): a NaN in subspace 0 leaves the row's subspace-1 slice
+    // finite — and a TRUNCATED vector leaves its EARLY slices full
+    // width — so the per-slice kmeans guard alone would let a corrupt
+    // vector contribute to SOME codebooks; the contract is that it
+    // contributes to none. On a STORED input (every public caller)
+    // the expression predicate pushes to the scan — exactly what we
+    // want. A COMPUTED input (the IVF-PQ residual frame) must NOT be
+    // filtered here: Catalyst pushes predicates through a
+    // deterministic-field Project REGARDLESS of the condition's own
+    // determinism (★r19 — pinned in VectorPathologySpec; the r18
+    // asNondeterministic fence was inert), inlining the whole
+    // residual derivation into the predicate and re-paying it per
+    // Lloyd scan. Such callers filter their SOURCE and use
+    // [[trainPrefiltered]].
+    trainPrefiltered(data.filter(Similarity.usableVecCol(col(vecCol), d)),
+      idCol, vecCol, m, ksub, iters, d)
+  }
 
   /** [[train]] minus the usability filter — input contract: every row
-    * is non-null with finite elements (the caller filtered its STORED
-    * source, e.g. [[IvfPq.train]] before the residual projection).
-    * The per-slice kmeans closures retain their own non-finite
-    * exclusion as a backstop. */
+    * is non-null with finite elements and length `dim` (the caller
+    * filtered its STORED source, e.g. [[IvfPq.train]] before the
+    * residual projection, and passes the dimension it filtered to —
+    * probing a COMPUTED frame for its dimension would re-pay its
+    * derivation). The per-slice kmeans closures retain their own
+    * non-finite/length exclusion as a backstop. */
   private[llm] def trainPrefiltered(usable: DataFrame, idCol: String,
                                     vecCol: String, m: Int, ksub: Int,
-                                    iters: Int): Seq[Seq[Array[Float]]] = {
+                                    iters: Int, dim: Int)
+      : Seq[Seq[Array[Float]]] = {
     require(ksub >= 1 && iters >= 0,
       s"need ksub >= 1, iters >= 0; got $ksub, $iters")
-    val dsub = subDims(usable, vecCol, m)
+    val dsub = subDims(dim, m)
     val seeds = seedSample(usable, idCol, vecCol, ksub)
     (0 until m).map { j =>
       Clustering.kmeans(
@@ -134,14 +138,28 @@ object Pq {
 
   /** The per-row PQ code array (`codes`(j) = nearest subspace-j
     * centroid by cosine, first-max tie-break): one codegen'd
-    * projection, no shuffle. Output: (idCol, `codes` array<int>). */
+    * projection, no shuffle. Output: (idCol, `codes` array<int>).
+    *
+    * The dimension comes from the MODEL (m · dsub), never probed from
+    * the data (★r19 dimension-drift sweep — encoding is serving, and
+    * the codebooks already declare what they can encode; this also
+    * drops the one probe job the old inference paid). A row that is
+    * null, non-finite, or not model-dimension gets NULL codes — the
+    * encode twin of the NULL cluster_id convention; its
+    * reconstruction is NULL, so it ranks nowhere downstream. */
   def encode(data: DataFrame, idCol: String, vecCol: String,
              codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
-    require(codebooks.nonEmpty, "need codebooks")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "need codebooks")
+    val dsub = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == dsub)),
+      "codebooks must share one subspace dimension, got lengths " +
+        codebooks.flatMap(_.map(_.length)).distinct.mkString(","))
     graft.functions.GraftFunctions.register(data.sparkSession)
-    val dsub = subDims(data, vecCol, codebooks.length)
+    val d = codebooks.length * dsub
     data.select(col(idCol),
-      codesCol(vecCol, dsub, codebooks).as("codes"))
+      when(Similarity.usableVecCol(col(vecCol), d),
+        codesCol(vecCol, dsub, codebooks)).as("codes"))
   }
 
   /** Asymmetric PQ top-k: exact queries against RECONSTRUCTED database

@@ -83,6 +83,40 @@ object Similarity {
     true
   }
 
+  /** [[finiteVecCol]] plus a declared-dimension gate — the FULL
+    * usability predicate where the expected dimension is known (★r19
+    * dimension-drift sweep): a truncated or over-long vector (a failed
+    * encoder batch, a schema-drifted shard) is as corrupt as a NaN —
+    * it has no cosine against the rest of the corpus, so it seeds
+    * nothing, contributes to no fit, and ranks nowhere. */
+  private[llm] def usableVecCol(c: Column, dim: Int): Column =
+    size(c) === lit(dim) && finiteVecCol(c)
+
+  /** Closure twin of [[usableVecCol]] (same truth table). */
+  private[graft] def usableVec(v: Seq[Float], dim: Int): Boolean =
+    v != null && v.length == dim && finiteVec(v)
+
+  /** The corpus's MODAL vector length — how a fit infers its declared
+    * dimension (★r19 dimension-drift sweep). The former single-row
+    * probe (`limit(1)`) was O(1) but a poisoned estimator: if the one
+    * probed row was the truncated one, the fit adopted the CORRUPT
+    * dimension and the usability filter then dropped the healthy
+    * corpus. The mode is robust to any minority of drifted rows,
+    * deterministic for any partitioning (count desc, length asc
+    * tie-break), and costs one size-only aggregate scan with map-side
+    * combine over a handful of distinct lengths — noise next to the
+    * multi-scan fits that call it. Loud on an empty/all-null frame
+    * (the fit-class contract: an empty training frame means a
+    * mis-pointed path). */
+  private[llm] def modalDim(data: DataFrame, vecCol: String): Int =
+    data.filter(col(vecCol).isNotNull)
+      .groupBy(size(col(vecCol)).as("_d")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("_d").asc)
+      .limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"empty training frame: cannot infer $vecCol dimension"))
+
   // NOTE (★r19, retiring the r18 `finiteVecUdf` fence): filtering a
   // COMPUTED vector column with ANY predicate re-pays the derivation —
   // Catalyst pushes predicates through a deterministic-field Project
@@ -246,11 +280,18 @@ object Similarity {
     // sort, no extra count() action). The hash order is a uniform
     // pseudo-random permutation of the ids, so this IS an even spread —
     // and unlike a `hash % stride == 0` filter (a binomial sample) it
-    // returns EXACTLY min(nlist, n) centroids, never silently fewer on
-    // an unlucky hash draw or zero on a small corpus. Deterministic
-    // across runs AND partitionings because the order depends only on
-    // ids.
-    val centroids: Array[Array[Float]] = data
+    // returns min(nlist, usable n) centroids, never zero on a small
+    // corpus. Deterministic across runs AND partitionings because the
+    // order depends only on ids.
+    // the sample takes 16 rows of SLACK beyond nlist (★r19
+    // dimension-drift sweep): centroids must share one dimension, the
+    // serve path can't afford a corpus-wide modal aggregate, and a
+    // bare-nlist sample can tie (or be dominated) on a degenerate
+    // draw — the slack window makes the sample-modal estimate robust
+    // to any drifted minority of the first nlist+16 hash slots, while
+    // a UNIFORM corpus picks exactly the first nlist rows it always
+    // picked (the slack rows are same-length and simply unused).
+    val sampled: Array[Array[Float]] = data
       .select(col(idCol), col(vecCol))
       // a null OR non-finite vec can't be a centroid: sims against a
       // NaN/Inf seed are NaN, which every row "wins" into (NaN is
@@ -258,18 +299,28 @@ object Similarity {
       // collapse the whole index into a single brute-force list
       .filter(finiteVecCol(col(vecCol)))
       .orderBy(xxhash64(col(idCol), lit(sampleSeed)), col(idCol))
-      .limit(nlist)
+      .limit(math.min(nlist.toLong + 16L, Int.MaxValue.toLong).toInt)
       .collect()
       .map(_.getSeq[Float](1).toArray)
-    require(centroids.nonEmpty, "IVF needs at least one centroid")
-    // (list, cosine) per centroid — shared by assignment and probing
+    require(sampled.nonEmpty, "IVF needs at least one centroid")
+    // modal length over the slack sample (count desc, length asc —
+    // deterministic, no extra job: the rows are already on the
+    // driver); a wrong-length sampled row used to become a centroid
+    // whose clamped prefix sims silently distorted every assignment
+    val cdim = sampled.groupBy(_.length).toSeq
+      .minBy { case (len, rs) => (-rs.length, len) }._1
+    val lists = sampled.filter(_.length == cdim).take(nlist)
+    // (list, cosine) per centroid — shared by assignment and probing;
+    // a wrong-length vector has no sims (it belongs to no list and
+    // probes nothing — the closure analog of the kernel's
+    // mismatch-NULL)
     def centroidSims(vec: Seq[Float]): Array[(Int, Double)] = {
       val v = vec.toArray
-      centroids.zipWithIndex.map { case (cv, c) =>
+      if (v.length != cdim) return Array.empty
+      lists.zipWithIndex.map { case (cv, c) =>
         var dotp = 0.0; var na = 0.0; var nb = 0.0
         var i = 0
-        val m = math.min(v.length, cv.length)
-        while (i < m) {
+        while (i < cdim) {
           dotp += v(i).toDouble * cv(i).toDouble
           na += v(i).toDouble * v(i).toDouble
           nb += cv(i).toDouble * cv(i).toDouble
@@ -281,15 +332,16 @@ object Similarity {
       }
     }
     val assignList = udf { (vec: Seq[Float]) =>
-      // nearest centroid, ties to the lower list id; a null vector
-      // lands in no list (null _list never meets a probe in the join —
-      // the UDF is called WITH the null, reference types get no
-      // null-safe wrapping)
-      if (vec == null) None
+      // nearest centroid, ties to the lower list id; a null or
+      // wrong-length vector lands in no list (null _list never meets
+      // a probe in the join — the UDF is called WITH the null,
+      // reference types get no null-safe wrapping)
+      if (vec == null || vec.length != cdim) None
       else Some(centroidSims(vec).maxBy { case (c, s) => (s, -c) }._1)
     }
     val probeLists = udf { (vec: Seq[Float]) =>
-      // a null query probes nothing (explode of empty drops the row)
+      // a null or wrong-length query probes nothing (explode of empty
+      // drops the row)
       if (vec == null) Array.empty[Int]
       else centroidSims(vec).sortBy { case (c, s) => (-s, c) }
         .take(nprobe).map(_._1)
@@ -389,8 +441,14 @@ object Similarity {
           lit(0L), (a, x) => a + x).cast("double"))
       .withColumn("_na", inorm(col("q")))
       .withColumn("_nb", inorm(col("_qq")))
+      // a NULL dot (length mismatch / null codes) must win over the
+      // zero-norm 0.0 convention (★r19 dimension-drift sweep): an
+      // EMPTY data vector against a real query used to take the
+      // na === 0 branch first and rank at a valid-looking 0.0, where
+      // the kernel-scored twin excludes the same mismatched pair
       .withColumn("_sim",
-        when(col("_na") === 0.0 || col("_nb") === 0.0, lit(0.0))
+        when(col("_dot").isNull, lit(null).cast("double"))
+          .when(col("_na") === 0.0 || col("_nb") === 0.0, lit(0.0))
           .otherwise(col("_dot") / (col("_na") * col("_nb"))))
     rankTopK(scored, idCol, k)
   }
@@ -466,10 +524,15 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
 
   /** Bucket ids (one per table) for a float-array vector column. A
     * null vector keys to NO buckets — it can never pair (the UDF is
-    * called WITH the null; reference types get no null-safe wrap). */
+    * called WITH the null; reference types get no null-safe wrap) —
+    * and neither does a vector whose length differs from the declared
+    * `dim` (★r19 dimension-drift sweep: the old clamped projection
+    * banded a truncated vector into real buckets, whose pairs then
+    * needed the exact re-score to throw them out; a dimension it was
+    * never embedded in is not a weaker signal, it is no signal). */
   val signature: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (vec: Seq[Float]) =>
-      if (vec == null) Array.empty[Int]
+      if (vec == null || vec.length != dim) Array.empty[Int]
       else {
       val v = vec.toArray
       Array.tabulate(tables) { t =>
@@ -479,8 +542,7 @@ final case class RandomHyperplaneLsh(dim: Int, bits: Int, tables: Int,
           val h = hyperplanes(t * bits + b)
           var s = 0.0
           var i = 0
-          val n = math.min(v.length, dim)
-          while (i < n) { s += h(i) * v(i); i += 1 }
+          while (i < dim) { s += h(i) * v(i); i += 1 }
           bucket = (bucket << 1) | (if (s >= 0) 1 else 0)
           b += 1
         }

@@ -223,7 +223,12 @@ object StreamingDedup {
       .select(col("_band0").cast("long").as("band"),
         col("id"), col("vec"), col("ts"))
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val m = math.min(a.length, b.length)
+      // unreachable through the banded path (the LSH signature bands
+      // only lsh.dim-length vectors, ★r19 dimension-drift sweep), but
+      // mirror the kernel's mismatch-NULL as NaN: NaN >= tau is false,
+      // so a mismatched pair emits nothing on either engine
+      if (a.length != b.length) return Double.NaN
+      val m = a.length
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < m) {

@@ -25,7 +25,10 @@ class FloatVectorCosineSpec extends SparkSpec {
     got.foreach { case (n, b) => assert(n == b, s"$n != $b") }
   }
 
-  test("null inputs -> null; zero norm -> 0.0; length mismatch clamps") {
+  test("null inputs -> null; zero norm -> 0.0; length mismatch -> null " +
+    "(★r19 dimension-drift sweep: the old clamp gave a truncated " +
+    "vector a valid-looking prefix cosine that disagreed with the " +
+    "zip_with composition this kernel claims to match)") {
     GraftFunctions.register(spark)
     val d = Seq(
       (Some(Seq(1f, 2f)), Some(Seq(1f, 2f))),
@@ -38,7 +41,34 @@ class FloatVectorCosineSpec extends SparkSpec {
     assert(got(0).exists(v => math.abs(v - 1.0) < 1e-12))
     assert(got(1).isEmpty)
     assert(got(2).contains(0.0))
-    assert(got(3).exists(v => math.abs(v - 1.0) < 1e-12)) // clamped
+    assert(got(3).isEmpty) // mismatch = no cosine, same as the builtin
+    // and the builtin composition agrees on the mismatch shape
+    val twin = d.select(Similarity.cosine(col("a"), col("b")))
+      .as[Option[Double]].collect().toSeq
+    assert(twin(3).isEmpty)
+  }
+
+  test("null ELEMENTS -> null, agreeing with the zip_with composition; " +
+    "parquet-backed so containsNull is true and the branch is emitted") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      Row(1, Seq(1f, 2f), Seq(1f, 2f)),
+      Row(2, Seq[Any](1f, null), Seq(1f, 2f)),
+      Row(3, Seq(1f, 2f), Seq[Any](null, 2f)))
+    val file = stageParquetFile(spark.createDataFrame(rows, schema))
+    val df = spark.read.parquet(file).orderBy("id")
+    val native = df.select(GraftFunctions.cosine(col("a"), col("b")))
+      .as[Option[Double]].collect().toSeq
+    val builtin = df.select(Similarity.cosine(col("a"), col("b")))
+      .as[Option[Double]].collect().toSeq
+    assert(native == builtin, s"$native != $builtin")
+    assert(native.count(_.isEmpty) == 2 && native.count(_.isDefined) == 1)
   }
 
   test("runs inside whole-stage codegen (no eval fallback)") {

@@ -26,10 +26,21 @@ import org.apache.spark.sql.functions._
   * Pinned contract (the null-vector convention extended): a vector
   * with ANY non-finite element contributes NOTHING to a fit, seeds
   * nothing, ranks nowhere, and clusters as NULL. Zero vectors keep
-  * the documented sim-0.0 convention; short vectors keep the
-  * clamp-to-shorter prefix cosine. NaN similarities are excluded
+  * the documented sim-0.0 convention. NaN similarities are excluded
   * centrally in `rankTopK` — a NaN sim is the absence of a value,
   * not a value.
+  *
+  * WRONG-LENGTH vectors joined the same contract in ★r19 (the
+  * dimension-drift sweep, [[DimensionDriftSpec]]): this spec's r18
+  * revision had scoped them out with "short vectors keep the
+  * clamp-to-shorter prefix cosine", but that convention turned out
+  * to be a fiction the engine never consistently implemented — the
+  * int8 ranking and every zip_with-scored path already EXCLUDED a
+  * mismatched pair (NULL sim), only the native kernel and the
+  * closure mirrors clamped, PQ encode silently produced wrong codes
+  * for a truncated row, and the fits min-clipped a partial
+  * contribution. A vector of the wrong length was embedded in a
+  * different space; it has no cosine here — excluded, like NaN.
   *
   * Null ELEMENTS inside a vector (`array<float>` with containsNull):
   * the ingestion contract is still non-null elements (whole-vector
@@ -137,9 +148,10 @@ class VectorPathologySpec extends SparkSpec {
     assert(e.getMessage.contains("usable"), e.getMessage)
   }
 
-  test("documented conventions unchanged: zero vector keeps sim 0.0 " +
-    "(ranks, deterministically last among positives); short vector " +
-    "keeps the clamp-to-shorter prefix cosine") {
+  test("documented conventions: zero vector keeps sim 0.0 (ranks, " +
+    "deterministically last among positives); a WRONG-LENGTH vector " +
+    "ranks nowhere (★r19 — the r18 clamp note was a fiction three " +
+    "paths already disagreed with; see DimensionDriftSpec)") {
     val withZero = (cleanRows :+ (200L, v(0f, 0f, 0f, 0f)))
       .toDF("vec_id", "embedding")
     val ranked = Similarity.bruteForceTopK(withZero, q1, "vec_id",
@@ -151,7 +163,7 @@ class VectorPathologySpec extends SparkSpec {
     val sim = Similarity.bruteForceTopK(short,
         short.filter(col("vec_id") === 1L), "vec_id", "embedding", 1)
       .count()
-    assert(sim == 1L) // prefix cosine ranks it, by the clamp contract
+    assert(sim == 0L) // a mismatched pair has no cosine — excluded
   }
 
   test("IVF-PQ fit path: the usability filter sits on the STORED scan " +

@@ -559,7 +559,13 @@ object SparkEntry {
     // §2.4 A1-A4 — grouped aggregation (TPC-H Q1 shape), exact decimals
     "q05_agg_stats" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        // explicit +00:00 so the boundary is the same INSTANT under
+        // any spark.sql.session.timeZone (★r19 timezone-parity sweep:
+        // a bare date literal parses to the SESSION zone's midnight —
+        // rows shipped inside the offset window silently flip in and
+        // out of the aggregate on a non-UTC cluster)
+        .filter(col("l_shipdate") <=
+          lit("1998-09-02 00:00:00+00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("decimal(12,2)"))

@@ -63,7 +63,13 @@ object Sessionize {
     *
     * @param events         streaming (or batch) frame
     * @param userCol        session key column
-    * @param tsCol          event-time column (castable to timestamp)
+    * @param tsCol          event-time column (castable to timestamp;
+    *                       a STRING column without an explicit offset
+    *                       is interpreted in the SESSION timezone —
+    *                       Spark's cast semantics. Feed
+    *                       timestamp/epoch types or offset-bearing
+    *                       strings for session-zone independence,
+    *                       ★r19 timezone-parity sweep)
     * @param gapMs          inactivity gap that closes a session
     * @param watermarkDelay how late events may arrive, e.g. "10 minutes"
     */

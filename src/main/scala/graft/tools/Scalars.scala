@@ -10,10 +10,25 @@ object Scalars {
 
   /** F6 — ISO-8601 → epoch seconds (boto_utils.py:182-189: space and 'T'
     * separators both accepted, fractional seconds optional, rounded to
-    * whole seconds); non-timestamp strings pass through as null. */
-  def isoToEpoch(c: Column): Column =
-    round(unix_micros(try_to_timestamp(regexp_replace(trim(c), " ", "T")))
+    * whole seconds); non-timestamp strings pass through as null.
+    *
+    * An explicit zone offset is REQUIRED, exactly like the reference:
+    * its strptime format ends in `%z`, so a NAIVE string raises
+    * ValueError and falls through to the passthrough branch. Mirroring
+    * that gate (★r19 timezone-parity sweep) is also what makes this
+    * scalar session-timezone independent by construction — the
+    * previous form handed a naive string to `try_to_timestamp`, which
+    * interprets it in `spark.sql.session.timeZone`: the same input
+    * row would encode a DIFFERENT epoch on a non-UTC cluster (and a
+    * date-only string, which the reference rejects, parsed to the
+    * session zone's midnight). */
+  def isoToEpoch(c: Column): Column = {
+    val norm = regexp_replace(trim(c), " ", "T")
+    val withOffset = when(
+      norm.rlike("(?:Z|[+-][0-9]{2}:?[0-9]{2})$"), norm)
+    round(unix_micros(try_to_timestamp(withOffset))
       .cast("double") / 1e6).cast("long")
+  }
 
   /** F6 — recursive date normalization over a parsed JSON-ish column is
     * the caller's map; this is the scalar kernel. */

@@ -44,6 +44,11 @@ object Bench {
     Set("forget_rewrite_10240obj", "forget_rewrite_40960obj")
 
   def main(args: Array[String]): Unit = {
+    // machine-readable output contract (★r19 default-locale
+    // sweep): the f"" interpolator formats through the JVM DEFAULT
+    // locale, so a comma-decimal locale (de-DE, tr-TR) would emit
+    // "1,234" into the JSON lines the driver parses
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -94,7 +94,10 @@ object GateLint {
   def oracleViolations(name: String, sql: String): Seq[String] =
     if (allowedOracles.contains(name)) Seq.empty
     else {
-      val lower = sql.toLowerCase
+      // Locale.ROOT: SQL keyword matching, not linguistic case (★r19
+      // default-locale sweep — "DISTINCT" lowercases to "dıstınct" on
+      // a tr-TR JVM)
+      val lower = sql.toLowerCase(java.util.Locale.ROOT)
       "(?i)[a-z_]*sum\\(".r.findAllMatchIn(sql).toSeq.collect {
         case m if !castEncloses(lower, m.start) =>
           s"$name: bare `${m.matched}` at offset ${m.start} — DuckDB " +

@@ -5,6 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // machine-readable output contract (★r19 default-locale
+    // sweep): the f"" interpolator formats through the JVM DEFAULT
+    // locale, so a comma-decimal locale (de-DE, tr-TR) would emit
+    // "1,234" into the JSON lines the driver parses
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     // optional 3rd arg (local iteration only; the driver passes two):
     // comma-separated name substrings — run just the matching queries
     val Array(sfDir, outDir) = args.take(2)

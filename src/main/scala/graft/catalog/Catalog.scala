@@ -120,7 +120,12 @@ object Catalog {
       s"SerDe lib $lib does not match declared format ${table.format}")
     if (lib == JsonOpenxSerde) {
       Seq("ignore.malformed.json", "dots.in.keys").foreach { p =>
-        require(!table.serdeParams.get(p).map(_.toUpperCase)
+        // Locale.ROOT: config-value comparison, not linguistic case
+        // (★r19 default-locale sweep — "true" happens to survive a
+        // tr-TR uppercase today, but the contract must not hinge on
+        // which letters the value contains)
+        require(!table.serdeParams.get(p)
+            .map(_.toUpperCase(java.util.Locale.ROOT))
             .contains("TRUE"),
           s"The parameter $p cannot be TRUE for SerDe library $lib")
       }

@@ -43,6 +43,11 @@ import org.apache.spark.sql.functions._
 object CdcSoak {
 
   def main(args: Array[String]): Unit = {
+    // machine-readable output contract (★r19 default-locale
+    // sweep): the f"" interpolator formats through the JVM DEFAULT
+    // locale, so a comma-decimal locale (de-DE, tr-TR) would emit
+    // "1,234" into the JSON lines the driver parses
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val scales = args.headOption.getOrElse("1,10")
       .split(",").map(_.trim.toInt).toSeq
     val churnCycles = args.lift(1).map(_.trim.toInt).getOrElse(4)

@@ -23,6 +23,11 @@ import scala.jdk.CollectionConverters._
   */
 object E2EDemo {
   def main(args: Array[String]): Unit = {
+    // machine-readable output contract (★r19 default-locale
+    // sweep): the f"" interpolator formats through the JVM DEFAULT
+    // locale, so a comma-decimal locale (de-DE, tr-TR) would emit
+    // "1,234" into the JSON lines the driver parses
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[8]")

@@ -17,6 +17,11 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * (sizes comma-separated; default 1000,10000,100000,200000) */
 object FindStrategyBench {
   def main(args: Array[String]): Unit = {
+    // machine-readable output contract (★r19 default-locale
+    // sweep): the f"" interpolator formats through the JVM DEFAULT
+    // locale, so a comma-decimal locale (de-DE, tr-TR) would emit
+    // "1,234" into the JSON lines the driver parses
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val sizes = args.lift(1).getOrElse("1000,10000,100000,200000")
       .split(",").map(_.trim.toInt).toSeq

@@ -28,7 +28,12 @@ object ParquetStats {
     * under it) vs all chunks of the file. */
   def columnBytes(conf: Configuration, file: String,
                   columns: Seq[String]): ScanBytes = {
-    val wanted = columns.map(_.toLowerCase)
+    // Locale.ROOT (★r19 default-locale sweep): a tr-TR JVM lowercases
+    // "L_SHIPDATE" to "l_shıpdate" (dotless ı), silently matching NO
+    // chunk — the selected-bytes ratio would read 0 for any uppercase
+    // identifier. Case-insensitivity here is an IDENTIFIER contract,
+    // never a linguistic one.
+    val wanted = columns.map(_.toLowerCase(java.util.Locale.ROOT))
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new HPath(file), conf))
     try {
@@ -38,7 +43,8 @@ object ParquetStats {
       r.getFooter.getBlocks.asScala.foreach { b =>
         rows += b.getRowCount
         b.getColumns.asScala.foreach { c =>
-          val path = c.getPath.toDotString.toLowerCase
+          val path = c.getPath.toDotString
+            .toLowerCase(java.util.Locale.ROOT)
           total += c.getTotalSize
           if (wanted.exists(w => path == w || path.startsWith(w + ".")))
             selected += c.getTotalSize

@@ -44,6 +44,11 @@ object ProfileSoak {
   }
 
   def main(args: Array[String]): Unit = {
+    // machine-readable output contract (★r19 default-locale
+    // sweep): the f"" interpolator formats through the JVM DEFAULT
+    // locale, so a comma-decimal locale (de-DE, tr-TR) would emit
+    // "1,234" into the JSON lines the driver parses
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val scales = args.headOption.getOrElse("1,10,30")
       .split(",").map(_.trim.toInt).toSeq
     val baseDocs = 5000L

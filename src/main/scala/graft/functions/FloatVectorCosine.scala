@@ -72,13 +72,21 @@ final case class FloatVectorCosine(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val checkNulls = elemNullable
+    // null-element scan SPLIT from the arithmetic loop (cheap bitmap
+    // reads; keeps the FMA loop branch-free), emitted only for
+    // containsNull inputs
+    if (elemNullable) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv
@@ -101,10 +109,16 @@ final case class FloatVectorCosine(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
-      val nullCheck =
+      // null-element scan SPLIT from the arithmetic loop: the bitmap
+      // reads stay out of the FMA loop (which the JIT can then keep
+      // tight/vectorized), and the scan is emitted AT ALL only when an
+      // input's array type declares containsNull
+      val nullScan =
         if (elemNullable)
-          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
-             |    ${ev.isNull} = true; break;
+          s"""for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+             |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |      ${ev.isNull} = true;
+             |    }
              |  }""".stripMargin
         else ""
       s"""
@@ -112,14 +126,14 @@ final case class FloatVectorCosine(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
-         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nullCheck
-         |    double $xv = (double) $a.getFloat($i);
-         |    double $yv = (double) $b.getFloat($i);
-         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
-         |  }
+         |  $nullScan
          |  if (!${ev.isNull}) {
+         |    double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $xv = (double) $a.getFloat($i);
+         |      double $yv = (double) $b.getFloat($i);
+         |      $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |    }
          |    double $denom =
          |      java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |    ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;

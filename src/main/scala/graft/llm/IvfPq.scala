@@ -112,11 +112,24 @@ object IvfPq {
     // assignment NULLs, ★r19) keeps NULL codes alongside its NULL
     // cell, not an array of per-subspace NULLs: NULL cell already
     // drops it from every probe join, and NULL codes keep the
-    // "no value" shape consistent with [[Pq.encode]]
+    // "no value" shape consistent with [[Pq.encode]]. Two-projection
+    // shape ([[Pq.simsCols]]): the sims arrays are aliased BELOW the
+    // gate, so the CASE consumes attributes and every cosine is
+    // evaluated once — a `when` directly around the codes expression
+    // disabled branch subexpression elimination (2.5× on this entry).
     residuals(data, idCol, vecCol, model.coarse)
+      .select(Seq(col(idCol), col("cell")) ++
+        Pq.simsCols(vecCol, model.dsub, model.codebooks): _*)
       .select(col(idCol), col("cell"),
-        when(col("cell").isNotNull,
-          Pq.codesCol(vecCol, model.dsub, model.codebooks)).as("codes"))
+        // NULL-propagation instead of CASE WHEN: slice's start index
+        // is 1 + cell*0 — exactly 1 when the row has a cell, NULL
+        // (hence NULL codes) when it doesn't. A `when(cell.isNotNull,
+        // codes)` measured +50% on this entry: CASE around an
+        // array-typed branch de-optimizes the projection even with
+        // every expensive input pre-aliased, where the slice is one
+        // m-int copy
+        slice(Pq.codesFromSims(model.m),
+          lit(1) + col("cell") * lit(0), lit(model.m)).as("codes"))
   }
 
   /** ADC search: each query probes its `nprobe` nearest cells (same

@@ -64,17 +64,33 @@ object Pq {
     seeds.toSeq
   }
 
-  /** The per-row PQ code ARRAY expression (`codes`(j) = nearest
-    * subspace-j centroid by cosine, first-max tie-break) — shared by
-    * [[encode]] and [[IvfPq.encode]] (which keeps its cell column
-    * alongside). Pure codegen'd projection. */
-  private[llm] def codesCol(vecCol: String, dsub: Int,
-                            codebooks: Seq[Seq[Array[Float]]]): Column =
-    array(codebooks.indices.map { j =>
-      val sims = array(codebooks(j).map(c =>
+  /** Per-subspace similarity ARRAYS (`_pq_sims_j`(c) = cosine of the
+    * j-th slice against codebook centroid c) — the LOWER projection of
+    * the two-projection encode shape shared by [[encode]] and
+    * [[IvfPq.encode]]. Split from [[codesFromSims]] (★r19): wrapping
+    * the whole codes expression in a usability `when(...)` disables
+    * codegen subexpression elimination for the conditional branch, so
+    * the single-projection form re-evaluated every cosine TWICE (once
+    * in `array_position`'s copy, once in `array_max`'s) — 2.5× on the
+    * IVF-PQ encode/search entries. Aliasing the sims arrays below the
+    * gate pins single evaluation structurally: each alias is consumed
+    * twice, which is exactly what stops CollapseProject from inlining
+    * it back under the CASE (the [[Clustering.assignWith]] move). */
+  private[llm] def simsCols(vecCol: String, dsub: Int,
+                            codebooks: Seq[Seq[Array[Float]]]): Seq[Column] =
+    codebooks.indices.map { j =>
+      array(codebooks(j).map(c =>
         graft.functions.GraftFunctions.cosine(
           sliceCol(vecCol, j, dsub), typedLit(c.toSeq))): _*)
-      (array_position(sims, array_max(sims)) - 1).cast("int")
+        .as(s"_pq_sims_$j")
+    }
+
+  /** The codes array from the [[simsCols]] attributes: `codes`(j) =
+    * first-max index of `_pq_sims_j` (the lower-centroid tie-break). */
+  private[llm] def codesFromSims(m: Int): Column =
+    array((0 until m).map { j =>
+      (array_position(col(s"_pq_sims_$j"), array_max(col(s"_pq_sims_$j")))
+        - 1).cast("int")
     }: _*)
 
   /** Train per-subspace codebooks: `m` independent deterministic
@@ -157,9 +173,13 @@ object Pq {
         codebooks.flatMap(_.map(_.length)).distinct.mkString(","))
     graft.functions.GraftFunctions.register(data.sparkSession)
     val d = codebooks.length * dsub
-    data.select(col(idCol),
-      when(Similarity.usableVecCol(col(vecCol), d),
-        codesCol(vecCol, dsub, codebooks)).as("codes"))
+    // two-projection shape (see [[simsCols]]): sims computed ONCE
+    // below the usability gate; the gate consumes only attributes
+    data.select(col(idCol) +: col(vecCol) +:
+        simsCols(vecCol, dsub, codebooks): _*)
+      .select(col(idCol),
+        when(Similarity.usableVecCol(col(vecCol), d),
+          codesFromSims(codebooks.length)).as("codes"))
   }
 
   /** Asymmetric PQ top-k: exact queries against RECONSTRUCTED database

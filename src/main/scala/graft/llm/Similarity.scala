@@ -129,11 +129,17 @@ object Similarity {
   // projection ([[graft.llm.IvfPq.train]] + `Pq.trainPrefiltered`),
   // which is also one fewer derivation per row than any filtered form.
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
+  /** Cosine similarity; 0 when either vector has zero norm, NULL on a
+    * length mismatch or null element (the `zip_with` pad makes the dot
+    * NULL — checked FIRST, so a zero-norm side can't turn a mismatched
+    * pair into a rankable 0.0; keeps this twin bit-agreeing with
+    * [[graft.functions.FloatVectorCosine]] on every input shape,
+    * ★r19 dimension-drift sweep). */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
-    when(n === 0.0, lit(0.0)).otherwise(d / n)
+    when(d.isNull, lit(null).cast("double"))
+      .when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
   /** Cosine via the native codegen'd kernel when a session is at hand

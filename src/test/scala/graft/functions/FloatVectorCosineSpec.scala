@@ -46,6 +46,15 @@ class FloatVectorCosineSpec extends SparkSpec {
     val twin = d.select(Similarity.cosine(col("a"), col("b")))
       .as[Option[Double]].collect().toSeq
     assert(twin(3).isEmpty)
+    // the zero-norm-AND-mismatch edge: NULL (mismatch wins) on BOTH
+    // engines — the builtin's n === 0 branch must not turn a
+    // mismatched pair into a rankable 0.0
+    val zn = Seq((Seq(0f, 0f), Seq(0f, 0f, 0f)))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b")).as("k"),
+        Similarity.cosine(col("a"), col("b")).as("t"))
+      .as[(Option[Double], Option[Double])].collect().head
+    assert(zn._1.isEmpty && zn._2.isEmpty, s"$zn")
   }
 
   test("null ELEMENTS -> null, agreeing with the zip_with composition; " +

@@ -60,6 +60,30 @@ object Banding {
     out.result()
   }
 
+  /** [[drainAudits]] that WAITS for the listener bus (test hook):
+    * `observe()` metrics arrive via a QueryExecutionListener, which
+    * fires ASYNCHRONOUSLY after the triggering action returns — on a
+    * loaded bus (a long suite run) the records can trail the collect
+    * by seconds, so an immediate drain races (★r19: one such flake in
+    * four same-code suite runs). Polls until at least `minRecords`
+    * arrive or the deadline passes, returning whatever arrived — the
+    * caller's assertion stays the truth test. */
+  def awaitAudits(minRecords: Int,
+                  timeoutMs: Long = 30000L): Seq[BandAudit] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    val acc = Vector.newBuilder[BandAudit]
+    var n = 0
+    var waiting = true
+    while (waiting) {
+      val got = drainAudits()
+      acc ++= got
+      n += got.size
+      if (n >= minRecords || System.nanoTime() > deadline) waiting = false
+      else Thread.sleep(50)
+    }
+    acc.result()
+  }
+
   private def ensureListener(spark: SparkSession): Unit =
     if (registered.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {

@@ -98,7 +98,11 @@ object GateLint {
       // default-locale sweep — "DISTINCT" lowercases to "dıstınct" on
       // a tr-TR JVM)
       val lower = sql.toLowerCase(java.util.Locale.ROOT)
-      "(?i)[a-z_]*sum\\(".r.findAllMatchIn(sql).toSeq.collect {
+      // match on the LOWERED string so offsets index the same string
+      // castEncloses slices — lowercasing can change length for
+      // non-ASCII input ('İ' lowers to a 2-char sequence), which would
+      // shift offsets and misclassify later sum( sites
+      "(?i)[a-z_]*sum\\(".r.findAllMatchIn(lower).toSeq.collect {
         case m if !castEncloses(lower, m.start) =>
           s"$name: bare `${m.matched}` at offset ${m.start} — DuckDB " +
             "widens sum to HUGEINT/decimal128; wrap in CAST(... AS BIGINT)"

@@ -61,7 +61,7 @@ final case class FloatVectorCosine(left: Expression, right: Expression)
   /** Whether a child's ARRAY TYPE admits null elements — decided at
     * plan/codegen time, so non-containsNull inputs (every stored
     * embedding column in the testdata) emit no per-element branch. */
-  private def elemNullable: Boolean =
+  private lazy val elemNullable: Boolean =
     Seq(left, right).exists(_.dataType match {
       case ArrayType(_, n) => n
       case _ => true

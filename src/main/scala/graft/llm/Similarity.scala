@@ -138,8 +138,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
-    when(d.isNull, lit(null).cast("double"))
-      .when(n === 0.0, lit(0.0)).otherwise(d / n)
+    // `d` appears only in mutually exclusive branches, so the expensive
+    // zip_with/aggregate dot is evaluated at most ONCE per row even
+    // though conditional branches defeat codegen subexpression
+    // elimination (the previous `when(d.isNull, ...).otherwise(d / n)`
+    // form paid it twice: condition + result). The inner when keeps the
+    // pinned contract: a zero-norm side never turns a mismatched/null
+    // pair into a rankable 0.0 (NULL dot stays NULL). `n` stays in the
+    // condition — a branch predicate can't be moved below its own gate.
+    when(n === 0.0, when(d.isNotNull, lit(0.0)).cast("double"))
+      .otherwise(d / n)
   }
 
   /** Cosine via the native codegen'd kernel when a session is at hand
@@ -316,6 +324,16 @@ object Similarity {
     val cdim = sampled.groupBy(_.length).toSeq
       .minBy { case (len, rs) => (-rs.length, len) }._1
     val lists = sampled.filter(_.length == cdim).take(nlist)
+    // the +16 slack covers drifted/minority-length rows in the sample
+    // window; if MORE than 16 land there we train fewer lists than
+    // asked and recall degrades — say so instead of degrading silently
+    if (lists.length < math.min(nlist, sampled.length)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ivfTopK: only ${lists.length}/$nlist centroids after dropping " +
+          s"${sampled.length - lists.length} non-modal-length rows " +
+          s"(modal dim $cdim) from the sample window — recall may " +
+          "degrade; raise the sample slack if the corpus is this ragged")
+    }
     // (list, cosine) per centroid — shared by assignment and probing;
     // a wrong-length vector has no sims (it belongs to no list and
     // probes nothing — the closure analog of the kernel's

@@ -24,8 +24,16 @@ object Scalars {
     * session zone's midnight). */
   def isoToEpoch(c: Column): Column = {
     val norm = regexp_replace(trim(c), " ", "T")
+    // Offset shape = CPython's %z capture (Lib/_strptime.py):
+    // `[+-]\d\d:?[0-5]\d(:?[0-5]\d)?` or literal Z — seconds-bearing
+    // offsets (+05:30:15 / +053015) are accepted, minutes/seconds are
+    // bounded to 00-59, and each colon is independently optional
+    // (Python accepts the mixed +0530:15 too). Python additionally
+    // allows fractional offset seconds (.ffffff); those stay on the
+    // null-passthrough branch here — no real timezone has ever carried
+    // a sub-second offset.
     val withOffset = when(
-      norm.rlike("(?:Z|[+-][0-9]{2}:?[0-9]{2})$"), norm)
+      norm.rlike("(?:Z|[+-][0-9]{2}:?[0-5][0-9](?::?[0-5][0-9])?)$"), norm)
     round(unix_micros(try_to_timestamp(withOffset))
       .cast("double") / 1e6).cast("long")
   }

@@ -84,6 +84,16 @@ class VersionedStoreSpec extends SparkSpec {
       .as[Option[Long]].collect().toSeq
     assert(got == Seq(Some(1672628645L), Some(1672628645L), None))
 
+    // seconds-bearing offsets — CPython %z accepts ±HH:MM:SS/±HHMMSS
+    // (Lib/_strptime.py), so the offset gate must too; out-of-range
+    // minutes (61) fail %z and must stay on the null branch
+    val offs = Seq("2023-01-02T03:04:05+05:30:15",
+      "2023-01-02T03:04:05+053015", "2023-01-02T03:04:05+05:61")
+      .toDF("s").select(Scalars.isoToEpoch(col("s")))
+      .as[Option[Long]].collect().toSeq
+    assert(offs == Seq(Some(1672628645L - 19815L),
+      Some(1672628645L - 19815L), None))
+
     val enc = Seq(BigDecimal("2.5"), BigDecimal("3.5"), BigDecimal("2.4"))
       .toDF("d").select(Scalars.decimalJsonEncode(col("d")))
       .as[Long].collect().toSeq

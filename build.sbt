@@ -35,3 +35,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The full-corpus robustness sweeps (tag graft.Sweeps — each replays
+// all gate queries over a cloned pathology corpus, minutes apiece)
+// dominated the ~35-min `sbt test` wall. Default `sbt test` excludes
+// them so the edit-compile-test loop stays fast; `sbt sweeps` runs
+// ONLY the sweeps, `sbt testAll` runs everything. Run the sweeps once
+// per round and before any commit touching their subject area — the
+// exclusion changes WHEN they run, never whether.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-l", "graft.Sweeps")
+addCommandAlias("sweeps",
+  "; set Test / testOptions := Seq(Tests.Argument(TestFrameworks.ScalaTest, \"-n\", \"graft.Sweeps\")); test")
+addCommandAlias("testAll",
+  "; set Test / testOptions := Seq(); test")

@@ -92,16 +92,25 @@ final class GraftApi(spark: SparkSession) {
   // ---- jobs (queue process_handler + jobs/handlers.py) ---------------
 
   /** Start a deletion job over every registered mapper and the current
-    * queue. One at a time (boto_utils.py:131-149 running_job_exists). */
-  def startJob(jobId: String, distributed: Boolean = true): JobRunner.JobRun = {
+    * queue. One at a time (boto_utils.py:131-149 running_job_exists;
+    * queue/handlers.py:122-126 process_handler rejects a second start —
+    * same message). The CAS sits OUTSIDE the try so a rejected start
+    * can never clear the running job's flag. `readTableFn` passes
+    * through to [[JobRunner.run]] (the JobRunnerSpec dispatch seam) —
+    * ApiSpec uses it to hold a job mid-Find and probe the guards. */
+  def startJob(jobId: String, distributed: Boolean = true,
+               readTableFn: (SparkSession, TableDef) =>
+                 org.apache.spark.sql.DataFrame = JobRunner.readTable)
+      : JobRunner.JobRun = {
     require(running.compareAndSet(false, true),
-      "A job is already running")
+      "There is already a job in progress")
     try {
       import scala.jdk.CollectionConverters._
       // snapshot the settings onto the job: changes made while it runs
       // must not affect it (queue/handlers.py:126-141)
       val run = JobRunner.run(spark, jobId, mappers.values.toSeq,
-        queue.asScala.toSeq, distributed, settings = settings.get())
+        queue.asScala.toSeq, distributed, settings = settings.get(),
+        readTableFn = readTableFn)
       // cleanup phase clears consumed queue items (stream_processor.py:129-139)
       val clearedIds = run.clearedQueue.map(_.id).toSet
       queue.removeIf(i => clearedIds.contains(i.id))

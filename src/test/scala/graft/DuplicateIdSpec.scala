@@ -35,10 +35,7 @@ import org.apache.spark.sql.functions._
   *     corpus — a duplicate id must not make a fit's seed pick or a
   *     cluster's keeper flap run-over-run.
   */
-class DuplicateIdSpec extends SparkSpec {
-
-  private val tables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
+class DuplicateIdSpec extends SparkSpec with SweepHarness {
 
   /** Clone of sf0.001 where 10% of documents/embeddings rows land
     * TWICE, byte-identical — the re-run-ingest shape. */
@@ -48,76 +45,34 @@ class DuplicateIdSpec extends SparkSpec {
     * reversed, vector negated) — the true PK-violation shape. */
   private lazy val conflictDir: String = mkDupDir(conflict = true)
 
-  private def mkDupDir(conflict: Boolean): String = {
-    val src = "/root/testdata/sf0.001"
-    val dst = Files.createTempDirectory(
-      s"graft-dupid-${if (conflict) "conflict" else "redeliver"}-")
-    sys.addShutdownHook(
-      graft.tools.ArtifactStore.deleteRecursively(dst))
-    tables.foreach { name =>
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      val out = name match {
-        case "documents" =>
-          val dup = base.filter(col("doc_id") % 10 === 0)
-          base.unionByName(
-            if (conflict) dup.withColumn("text", reverse(col("text")))
-            else dup)
-        case "embeddings" =>
-          val dup = base.filter(col("vec_id") % 10 === 0)
-          base.unionByName(
-            if (conflict)
-              dup.withColumn("embedding",
-                transform(col("embedding"), x => -x))
-            else dup)
-        case _ => base
-      }
-      out.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dst/$name.parquet")
+  private def mkDupDir(conflict: Boolean): String =
+    cloneCorpus(
+      s"dupid-${if (conflict) "conflict" else "redeliver"}") {
+      case ("documents", base) =>
+        val dup = base.filter(col("doc_id") % 10 === 0)
+        base.unionByName(
+          if (conflict) dup.withColumn("text", reverse(col("text")))
+          else dup)
+      case ("embeddings", base) =>
+        val dup = base.filter(col("vec_id") % 10 === 0)
+        base.unionByName(
+          if (conflict)
+            dup.withColumn("embedding",
+              transform(col("embedding"), x => -x))
+          else dup)
+      case (_, base) => base
     }
-    dst.toString
-  }
-
-  private def rootCause(e: Throwable): Throwable = {
-    var c = e
-    while (c.getCause != null && (c.getCause ne c)) c = c.getCause
-    c
-  }
-
-  private def sweep(dir: String, label: String,
-                    allowedLoud: Set[String]): Unit = {
-    val graceless = scala.collection.mutable.ArrayBuffer.empty[String]
-    val loud = scala.collection.mutable.Set.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, dir).collect(); () }
-      catch {
-        case e: Throwable => rootCause(e) match {
-          case iae: IllegalArgumentException
-            if Option(iae.getMessage).exists(_.trim.nonEmpty) =>
-            loud += name
-          case rc =>
-            graceless += s"$name: ${rc.getClass.getSimpleName}: " +
-              s"${Option(rc.getMessage).getOrElse("").take(160)}"
-        }
-      }
-    }
-    assert(graceless.isEmpty,
-      s"\n${graceless.size} gate queries crash GRACELESSLY on a " +
-        s"$label corpus:\n${graceless.mkString("\n")}")
-    assert(loud.toSet == allowedLoud,
-      s"\nloud-set drift on the $label corpus: unexpectedly loud = " +
-        s"${(loud.toSet -- allowedLoud).toSeq.sorted.mkString(", ")}; " +
-        s"unexpectedly silent = " +
-        s"${(allowedLoud -- loud).toSeq.sorted.mkString(", ")}")
-  }
 
   test("every gate query tolerates byte-identical duplicate ids " +
-    "(re-run ingest): no graceless crash, loud set pinned exactly") {
-    sweep(redeliveredDir, "redelivered-duplicate-id", Set.empty)
+    "(re-run ingest): no graceless crash, loud set pinned exactly",
+    Sweeps) {
+    sweepGate(redeliveredDir, "redelivered-duplicate-id", Set.empty)
   }
 
   test("every gate query tolerates CONFLICTING duplicate ids (true " +
-    "PK violation): no graceless crash, loud set pinned exactly") {
-    sweep(conflictDir, "conflicting-duplicate-id", Set.empty)
+    "PK violation): no graceless crash, loud set pinned exactly",
+    Sweeps) {
+    sweepGate(conflictDir, "conflicting-duplicate-id", Set.empty)
   }
 
   test("id-tie-sensitive derivations are run-over-run deterministic " +

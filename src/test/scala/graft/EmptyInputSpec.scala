@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 /** Empty-corpus tolerance sweep (★r18) — the third proactive
   * robustness class, after the null-text sweep (NullToleranceSpec)
   * and the ANSI-parity sweep (AnsiParitySpec).
@@ -41,26 +39,13 @@ import java.nio.file.Files
   *    the allowed class and a fit quietly going silent gets flagged
   *    too.
   */
-class EmptyInputSpec extends SparkSpec {
-
-  private val tables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
+class EmptyInputSpec extends SparkSpec with SweepHarness {
 
   /** A clone of sf0.001 where every table keeps its exact schema and
     * holds zero rows (limit(0) preserves the parquet footer schema,
     * including events.ts's physical type, through the write). */
-  private lazy val emptyDir: String = {
-    val src = "/root/testdata/sf0.001"
-    val dst = Files.createTempDirectory("graft-empty-sf-")
-    sys.addShutdownHook(
-      graft.tools.ArtifactStore.deleteRecursively(dst))
-    tables.foreach { name =>
-      spark.read.parquet(s"$src/$name.parquet")
-        .limit(0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
-    }
-    dst.toString
-  }
+  private lazy val emptyDir: String =
+    cloneCorpus("empty-sf")((_, base) => base.limit(0))
 
   /** The fit-class entries whose gate path TRAINS a model on (or
     * derives its query terms from) the corpus — on an empty corpus
@@ -78,45 +63,10 @@ class EmptyInputSpec extends SparkSpec {
     "q87_proximity_search", "q88_unigram_surprisal", "q89_bigram_surprisal",
     "q90_moore_lewis", "q91_quality_classifier", "q98_hybrid_rrf")
 
-  private def rootCause(e: Throwable): Throwable = {
-    var c = e
-    while (c.getCause != null && (c.getCause ne c)) c = c.getCause
-    c
-  }
-
-  /** Run every gate query against `dir`; graceless crashes (anything
-    * but a message-carrying IllegalArgumentException) must be none,
-    * and the set of loud failures must equal `allowedLoud` exactly. */
-  private def sweep(dir: String, label: String,
-                    allowedLoud: Set[String]): Unit = {
-    val graceless = scala.collection.mutable.ArrayBuffer.empty[String]
-    val loud = scala.collection.mutable.Set.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, dir).collect(); () }
-      catch {
-        case e: Throwable => rootCause(e) match {
-          case iae: IllegalArgumentException
-            if Option(iae.getMessage).exists(_.trim.nonEmpty) =>
-            loud += name
-          case rc =>
-            graceless += s"$name: ${rc.getClass.getSimpleName}: " +
-              s"${Option(rc.getMessage).getOrElse("").take(160)}"
-        }
-      }
-    }
-    assert(graceless.isEmpty,
-      s"\n${graceless.size} gate queries crash GRACELESSLY on a " +
-        s"$label corpus:\n${graceless.mkString("\n")}")
-    assert(loud.toSet == allowedLoud,
-      s"\nfit-class drift on the $label corpus: unexpectedly loud = " +
-        s"${(loud.toSet -- allowedLoud).toSeq.sorted.mkString(", ")}; " +
-        s"unexpectedly silent = " +
-        s"${(allowedLoud -- loud).toSeq.sorted.mkString(", ")}")
-  }
-
   test("every gate query tolerates a zero-row corpus: transforms " +
-    "return empty, fits fail loudly — allowlist pinned exactly") {
-    sweep(emptyDir, "zero-row", loudFits)
+    "return empty, fits fail loudly — allowlist pinned exactly",
+    Sweeps) {
+    sweepGate(emptyDir, "zero-row", loudFits)
   }
 
   /** A clone of sf0.001 where every table holds exactly ONE row —
@@ -124,18 +74,8 @@ class EmptyInputSpec extends SparkSpec {
     * ksub=8 on 1 training point, IVF-PQ nlist > n): at 100 TB a rare
     * stratum or freshly-onboarded tenant hands the fits exactly
     * this. */
-  private lazy val oneRowDir: String = {
-    val src = "/root/testdata/sf0.001"
-    val dst = Files.createTempDirectory("graft-onerow-sf-")
-    sys.addShutdownHook(
-      graft.tools.ArtifactStore.deleteRecursively(dst))
-    tables.foreach { name =>
-      spark.read.parquet(s"$src/$name.parquet")
-        .limit(1).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
-    }
-    dst.toString
-  }
+  private lazy val oneRowDir: String =
+    cloneCorpus("onerow-sf")((_, base) => base.limit(1))
 
   /** The one-row loud set is a strict SUBSET of the zero-row one:
     * k-means/IVF degrade to fewer-than-k centroids gracefully, the
@@ -153,7 +93,8 @@ class EmptyInputSpec extends SparkSpec {
     "q87_proximity_search", "q90_moore_lewis", "q98_hybrid_rrf")
 
   test("every gate query tolerates a ONE-row corpus (fewer points " +
-    "than k): fits degrade or fail loudly — allowlist pinned exactly") {
-    sweep(oneRowDir, "one-row", loudFitsOneRow)
+    "than k): fits degrade or fail loudly — allowlist pinned exactly",
+    Sweeps) {
+    sweepGate(oneRowDir, "one-row", loudFitsOneRow)
   }
 }

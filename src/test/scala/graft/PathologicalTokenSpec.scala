@@ -23,16 +23,9 @@ import org.apache.spark.sql.functions._
   * regex class) blows the ceiling loudly instead of walling a 100 TB
   * job silently.
   */
-class PathologicalTokenSpec extends SparkSpec {
-
-  private val tables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
+class PathologicalTokenSpec extends SparkSpec with SweepHarness {
 
   private lazy val pathoDir: String = {
-    val src = "/root/testdata/sf0.001"
-    val dst = Files.createTempDirectory("graft-pathotoken-")
-    sys.addShutdownHook(
-      graft.tools.ArtifactStore.deleteRecursively(dst))
     // deterministic 20k-char run of email-charset bytes, no '@' — the
     // backtracking-bomb shape (kept at 20k so the pre-fix behavior is
     // seconds-per-row, not minutes; the ceiling still catches it
@@ -47,57 +40,24 @@ class PathologicalTokenSpec extends SparkSpec {
     }
     val kiloToken = "x" * 1024
     val repeated = ("tok " * 20000).trim
-    tables.foreach { name =>
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      val out = name match {
-        case "documents" =>
-          base.withColumn("text",
-            when(col("doc_id") % 97 === 0, lit(blob))
-              .when(col("doc_id") % 89 === 0, lit(repeated))
-              .when(col("doc_id") % 83 === 0,
-                concat(lit(kiloToken), lit(" normal tail words "),
-                  col("text")))
-              .otherwise(col("text")))
-        case _ => base
-      }
-      out.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dst/$name.parquet")
+    cloneCorpus("pathotoken") {
+      case ("documents", base) =>
+        base.withColumn("text",
+          when(col("doc_id") % 97 === 0, lit(blob))
+            .when(col("doc_id") % 89 === 0, lit(repeated))
+            .when(col("doc_id") % 83 === 0,
+              concat(lit(kiloToken), lit(" normal tail words "),
+                col("text")))
+            .otherwise(col("text")))
+      case (_, base) => base
     }
-    dst.toString
-  }
-
-  private def rootCause(e: Throwable): Throwable = {
-    var c = e
-    while (c.getCause != null && (c.getCause ne c)) c = c.getCause
-    c
   }
 
   test("every gate query tolerates pathological tokens (base64-shaped " +
     "blob, kilobyte tokens, 20k-fold repetition): no graceless crash, " +
-    "loud set pinned EMPTY, sweep inside the linearity ceiling") {
-    val graceless = scala.collection.mutable.ArrayBuffer.empty[String]
-    val loud = scala.collection.mutable.Set.empty[String]
-    val t0 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, pathoDir).collect(); () }
-      catch {
-        case e: Throwable => rootCause(e) match {
-          case iae: IllegalArgumentException
-            if Option(iae.getMessage).exists(_.trim.nonEmpty) =>
-            loud += name
-          case rc =>
-            graceless += s"$name: ${rc.getClass.getSimpleName}: " +
-              s"${Option(rc.getMessage).getOrElse("").take(160)}"
-        }
-      }
-    }
-    val sec = (System.nanoTime() - t0) / 1e9
-    assert(graceless.isEmpty,
-      s"\n${graceless.size} gate queries crash GRACELESSLY on the " +
-        s"pathological-token corpus:\n${graceless.mkString("\n")}")
-    assert(loud.isEmpty,
-      s"\nunexpectedly loud on pathological tokens: " +
-        s"${loud.toSeq.sorted.mkString(", ")}")
+    "loud set pinned EMPTY, sweep inside the linearity ceiling",
+    Sweeps) {
+    val sec = sweepGate(pathoDir, "pathological-token", Set.empty)
     // generous linearity ceiling: the clean-corpus sweep runs in a
     // few minutes; a quadratic kernel rebound (the PII regex class —
     // seconds PER ROW at 20k chars across several pii/text entries)

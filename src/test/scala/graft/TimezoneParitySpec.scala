@@ -23,16 +23,10 @@ package graft
   * session zone produces a DIFFERENT instant, never just a different
   * rendering.
   */
-class TimezoneParitySpec extends SparkSpec {
+class TimezoneParitySpec extends SparkSpec with SweepHarness {
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
-
-  private def rootCause(e: Throwable): Throwable = {
-    var c = e
-    while (c.getCause != null && (c.getCause ne c)) c = c.getCause
-    c
-  }
 
   /** Either the canonical rows or the loud failure's class+message —
     * parity demands the ENTIRE outcome match, including failures. */
@@ -54,30 +48,19 @@ class TimezoneParitySpec extends SparkSpec {
     * timestamps are INSTANTS, so the planted rows themselves are
     * zone-independent by construction. */
   private lazy val plantedDir: String = {
-    val src = "/root/testdata/sf0.001"
-    val dst = java.nio.file.Files.createTempDirectory("graft-tzparity-")
-    sys.addShutdownHook(
-      graft.tools.ArtifactStore.deleteRecursively(dst))
-    val tables = Seq("region", "nation", "customer", "supplier",
-      "part", "orders", "lineitem", "events", "documents", "embeddings")
     val boundary = java.sql.Timestamp.from(
       java.time.Instant.parse("1998-09-02T00:00:00Z"))
-    tables.foreach { name =>
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      val out = name match {
-        case "lineitem" =>
-          base.union(base.limit(2).withColumn("l_shipdate",
-            org.apache.spark.sql.functions.lit(boundary)))
-        case _ => base
-      }
-      out.coalesce(1).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    cloneCorpus("tzparity") {
+      case ("lineitem", base) =>
+        base.union(base.limit(2).withColumn("l_shipdate",
+          org.apache.spark.sql.functions.lit(boundary)))
+      case (_, base) => base
     }
-    dst.toString
   }
 
   test("every gate query is session-timezone independent: identical " +
     "results (and identical failures) under UTC and Asia/Kolkata, on " +
-    "a corpus with boundary-instant probe rows planted") {
+    "a corpus with boundary-instant probe rows planted", Sweeps) {
     val dir = plantedDir
     val orig = spark.conf.get("spark.sql.session.timeZone")
     val mismatched = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -143,4 +143,63 @@ class ApiSpec extends SparkSpec {
     api.deleteDataMapper("m1")
     assert(api.listDataMappers().items.isEmpty)
   }
+
+  test("one-concurrent-job guard DURING a run: second start, queue " +
+    "cancel and mapper delete are rejected mid-flight; enqueue is NOT " +
+    "(reference allows it); guards lift when the job completes") {
+    // The reference hard-limits to one running job (docs/LIMITS.md:43):
+    // process_handler rejects a second start (queue/handlers.py:122-126),
+    // cancel_handler rejects queue deletion (queue/handlers.py:108-110),
+    // delete_data_mapper_handler rejects mapper deletion
+    // (data_mappers/handlers.py:100-102) — all via running_job_exists
+    // (boto_utils.py:131-149). Its enqueue handlers carry NO such gate:
+    // matches added during a run simply aren't in the running job's
+    // snapshot. This pins the guard IN THE WINDOW, not just before and
+    // after: the job is held inside its Find via the readTableFn seam.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val api = new GraftApi(spark)
+    val (_, table) = freshLake()
+    api.putDataMapper(DataMapper("m1", "t", Seq("customer_id")), table)
+    api.enqueue(Seq(DeletionQueueItem("q1", MatchId.Simple("7"))))
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val result = new java.util.concurrent.atomic.AtomicReference[
+      graft.driver.JobRunner.JobRun]()
+    val runner = new Thread(() => {
+      result.set(api.startJob("j1", readTableFn = (s, td) => {
+        entered.countDown()
+        release.await(60, TimeUnit.SECONDS)
+        graft.driver.JobRunner.readTable(s, td)
+      }))
+    })
+    runner.start()
+    try {
+      assert(entered.await(60, TimeUnit.SECONDS),
+        "job j1 never reached its Find")
+      assert(api.runningJobExists)
+      val eStart = intercept[IllegalArgumentException](api.startJob("j2"))
+      assert(eStart.getMessage.contains(
+        "There is already a job in progress"))
+      val eCancel = intercept[IllegalArgumentException](
+        api.deleteQueueItems(Set("q1")))
+      assert(eCancel.getMessage.contains("job in progress"))
+      val eMapper = intercept[IllegalArgumentException](
+        api.deleteDataMapper("m1"))
+      assert(eMapper.getMessage.contains("job in progress"))
+      // enqueue mid-run is allowed — and must survive the running
+      // job's completion cleanup (only CONSUMED items are cleared)
+      api.enqueue(Seq(DeletionQueueItem("q2", MatchId.Simple("2"))))
+    } finally {
+      release.countDown()
+      runner.join(120000)
+    }
+    assert(!runner.isAlive, "job j1 did not finish")
+    assert(!api.runningJobExists)
+    assert(result.get() != null, "j1 start threw instead of completing")
+    assert(result.get().state.status == JobStatus.Completed)
+    // j1 consumed q1; the mid-run q2 is still queued
+    assert(api.listQueue().items.map(_.id) == Seq("q2"))
+    // a rejected start must not have poisoned the flag: j3 runs now
+    assert(api.startJob("j3").state.status == JobStatus.Completed)
+  }
 }

@@ -267,20 +267,18 @@ object DistributedRewrite {
     *
     *   `.graft-staging-` (15) + uuid (36) + `-` + jobTag (16) + `-` + destName
     *
-    * The job tag identifies WHICH run staged the file: a later run can
-    * tell a crashed prior job's orphan (sweep it) from a concurrent
-    * attempt of its own task (leave it alone). Dot-prefixed names are
-    * hidden from Spark/Hadoop input listings, so an orphan is a disk
-    * leak, never reader-visible corruption — but a leak per crashed
-    * task is real storage at 100 TB, and nothing else ever reclaims
-    * it (every attempt stages under a fresh uuid). */
+    * The job tag records WHICH run staged the file — diagnostic
+    * provenance for crash debris (the reclamation itself is
+    * tag-blind: by the time the post-job pass runs, every staging
+    * file in the directory is dead). Dot-prefixed names are hidden
+    * from Spark/Hadoop input listings, so an orphan is a disk leak,
+    * never reader-visible corruption — but a leak per crashed task is
+    * real storage at 100 TB, and without the pass nothing ever
+    * reclaims it (every attempt stages under a fresh uuid). */
   private val StagingPrefix = ".graft-staging-"
-  private val StagingTagStart = StagingPrefix.length + 36 + 1 // 52
-  private val StagingNameStart = StagingTagStart + 16 + 1     // 69
+  private val StagingNameStart = StagingPrefix.length + 36 + 1 + 16 + 1 // 69
 
-  /** 16-hex job tag (two murmur passes). A tag collision between two
-    * distinct job ids only means a crashed job's orphan survives one
-    * extra run — benign. */
+  /** 16-hex job tag (two murmur passes) for staging-name provenance. */
   private[forget] def jobTag(jobId: String): String =
     f"${scala.util.hashing.MurmurHash3.stringHash(jobId)}%08x" +
       f"${scala.util.hashing.MurmurHash3.stringHash(jobId.reverse)}%08x"
@@ -289,45 +287,15 @@ object DistributedRewrite {
     new HPath(dest.getParent,
       s"$StagingPrefix${UUID.randomUUID()}-$tag-${dest.getName}")
 
-  /** Delete staging orphans for `dest` left by a CRASHED prior job — a
-    * task that died between its staging write and its swap (the
-    * reference survives the same window via SQS redelivery + version
-    * integrity, s3.py:301-357; our analog is the re-run sweeping the
-    * dead run's debris). Only OTHER jobs' orphans are touched: a
-    * sibling carrying THIS job's tag may belong to a live concurrent
-    * attempt of this very task (retry/speculation). Best-effort — a
-    * sweep failure must never fail the rewrite itself. */
-  private def sweepOrphanStaging(fs: org.apache.hadoop.fs.FileSystem,
-                                 dest: HPath, tag: String): Unit =
-    try {
-      fs.listStatus(dest.getParent).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(StagingPrefix) && n.length > StagingNameStart &&
-            n.substring(StagingNameStart) == dest.getName &&
-            n.substring(StagingTagStart, StagingTagStart + 16) != tag)
-          fs.delete(st.getPath, false)
-      }
-    } catch { case NonFatal(_) => () }
-
-  /** Delete OTHER jobs' idempotency markers for `dest` — debris of a
-    * job that ABORTED between a task's commit and the post-job marker
-    * sweep (the sweep runs after collect(), so a Spark-level abort
-    * leaks one marker per already-committed object). Safe under the
-    * one-concurrent-job invariant (GraftApi.startJob): any foreign
-    * marker seen while THIS job rewrites the object belongs to a
-    * finished or dead run. Own-job markers are never touched — the
-    * caller just checked ours doesn't exist, and a concurrent
-    * speculative attempt's marker must survive for replay. */
-  private def sweepForeignMarkers(fs: org.apache.hadoop.fs.FileSystem,
-                                  dest: HPath, jobId: String): Unit =
-    try {
-      val dir = new HPath(dest.getParent, ".graft-done")
-      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(dest.getName + ".") && !n.endsWith("." + jobId))
-          fs.delete(st.getPath, false)
-      }
-    } catch { case NonFatal(_) => () }
+  // Dead-run debris (staging orphans from a task that died between its
+  // staging write and swap; idempotency markers a job that aborted
+  // before its own sweep left behind) is reclaimed in the POST-JOB
+  // directory pass below — ONE listing per parent directory, never a
+  // per-task list: a per-object sweep re-lists the shared directory
+  // O(N²) times for N co-located objects, which at the 40,960-object
+  // soak scale is ~1.7e9 file-status calls (the exact trap the marker
+  // sweep's history documents — measured 27 s of a 34 s job at 1,024
+  // objects, and a wall the first cut of THIS feature hit at 40k).
 
   /** Per-(object, job) commit marker making the task idempotent under
     * Spark retry/speculation: a re-executed attempt whose predecessor
@@ -510,12 +478,6 @@ object DistributedRewrite {
             TaskOutcome(u.path, ok = true, p0, d0,
               System.currentTimeMillis() - t0, rollbackFailed = false, "", "")
           } else {
-          // reclaim a crashed PRIOR run's debris before staging anew
-          // (this object is being rewritten, so any old staging orphan
-          // or foreign done-marker for it is dead weight by
-          // construction)
-          sweepOrphanStaging(dest.getFileSystem(conf), dest, tag)
-          sweepForeignMarkers(dest.getFileSystem(conf), dest, jobId)
           val st = fs.getFileStatus(src)
           val (srcLen, srcMtime) = (st.getLen, st.getModificationTime)
           val staged = stagingPath(dest, tag)
@@ -590,47 +552,41 @@ object DistributedRewrite {
     // re-lists the shared marker dir O(N²) times for N co-located
     // objects (measured: 27 s of a 34 s job at 1,024 objects in one
     // prefix).
-    val markerDirs: Seq[(String, Set[String])] =
-      work.groupBy { case (_, destStr) =>
-        new HPath(new HPath(destStr).getParent, ".graft-done").toString
-      }.map { case (dirStr, ws) =>
-        dirStr -> ws.map(w => new HPath(w._2).getName).toSet
-      }.toSeq
+    val markerDirs = work.map { case (_, destStr) =>
+      new HPath(new HPath(destStr).getParent, ".graft-done").toString
+    }.distinct
     spark.sparkContext
       .parallelize(markerDirs, math.max(1, math.min(markerDirs.size, 64)))
-      .foreach { case (dirStr, destNames) =>
+      .foreach { dirStr =>
         val conf = confBc.value.value
         try {
           val dir = new HPath(dirStr)
           val dfs = dir.getFileSystem(conf)
           if (dfs.exists(dir)) {
-            // a marker for one of THIS job's objects goes regardless of
-            // which job wrote it: our own markers are consumed (all
-            // attempts finished), and a FOREIGN marker on an object we
-            // just rewrote is an aborted run's leak (its sweep never
-            // ran) — concurrent jobs never share objects, so it cannot
-            // be live. Markers for objects outside this job stay.
-            dfs.listStatus(dir).foreach { st =>
-              val n = st.getPath.getName
-              val ownedObject = n.indices.exists(i =>
-                n.charAt(i) == '.' && destNames.contains(n.substring(0, i)))
-              if (ownedObject) dfs.delete(st.getPath, false)
-            }
+            // EVERY marker in a directory this job touched goes: our
+            // own are consumed (all attempts finished once collect()
+            // returned), and a foreign one is an ABORTED run's leak —
+            // its job died between a task's commit and its own sweep.
+            // Safe under the one-concurrent-job invariant
+            // (GraftApi.startJob): no other job is live while this
+            // pass runs, so no marker here can be awaiting replay.
+            dfs.listStatus(dir).foreach(st =>
+              dfs.delete(st.getPath, false))
             // non-recursive: refuses (harmlessly) if a concurrent job
             // added markers between the list and this check
             if (dfs.listStatus(dir).isEmpty) dfs.delete(dir, false)
           }
-          // reclaim THIS job's leftover staging files in the data dir
-          // (a task attempt that failed between its staging write and
-          // swap, whose retry then committed or failed for good): all
-          // attempts are finished once collect() returned, so deleting
-          // own-tag siblings is race-free here — the in-task sweep
-          // deliberately leaves them alone
+          // reclaim ALL staging debris in the data dir (★r20 crash
+          // axis): own-tag files are a failed attempt's leftovers
+          // (every live attempt is done), foreign-tag files are a
+          // dead prior run's orphans — a task that died between its
+          // staging write and swap. Dot-prefixed names are invisible
+          // to readers, so until a job passes through this directory
+          // the orphan is a disk leak, never corruption.
           val dataDir = dir.getParent
           dfs.listStatus(dataDir).foreach { st =>
             val n = st.getPath.getName
-            if (n.startsWith(StagingPrefix) && n.length > StagingNameStart
-                && n.substring(StagingTagStart, StagingTagStart + 16) == tag)
+            if (n.startsWith(StagingPrefix) && n.length > StagingNameStart)
               dfs.delete(st.getPath, false)
           }
         } catch { case NonFatal(_) => () }

@@ -56,9 +56,12 @@ private class CrashAfterStaging(specs: Seq[DistributedRewrite.TaskGroupSpec],
   *     Find no longer matches the committed objects (no spurious
   *     ZeroDeletionError), rewrites the crashed one, and reclaims the
   *     dead run's staging orphan;
-  *   - the post-job sweep reclaims THIS job's own leftover staging
-  *     files (a same-job retry's debris) once all attempts finished,
-  *     while leaving other-object orphans for their own next rewrite.
+  *   - the post-job DIRECTORY pass (one listing per parent directory,
+  *     never per-object — O(N²) listings at 40k co-located objects is
+  *     the documented marker-sweep trap) reclaims ALL dead debris in
+  *     the directories the job touched: its own retry leftovers, dead
+  *     runs' orphans, and dead runs' leaked markers — all dead by the
+  *     one-concurrent-job invariant.
   */
 class CrashRecoverySpec extends SparkSpec {
   import spark.implicits._
@@ -167,30 +170,26 @@ class CrashRecoverySpec extends SparkSpec {
     assert(rows(lake) == Set((2L, "k1"), (3L, "k2")))
     assert(stagingSiblings(lake).isEmpty,
       s"dead run's staging orphan not reclaimed: ${listLake(lake)}")
-    // marker debris is bounded and lazily reclaimed: the only marker
-    // the dead run may have leaked is o1's (if its task committed
-    // before the abort cancelled the stage) — it goes when o1 is next
-    // rewritten. Nothing else may remain.
-    val markerDir = Paths.get(lake, ".graft-done")
-    val leaked =
-      if (Files.exists(markerDir))
-        Files.list(markerDir).iterator().asScala.toSeq
-          .map(_.getFileName.toString).toSet
-      else Set.empty[String]
-    assert(leaked.subsetOf(Set("o1.parquet.jcrash")),
-      s"unexpected marker debris after recovery: $leaked")
+    // the re-run's post-job directory pass also cleared every marker
+    // the dead run may have leaked (one list per directory — never a
+    // per-object sweep): zero commit-protocol debris of any kind
+    assert(!listLake(lake).contains(".graft-done"),
+      s"dead-job markers leaked through recovery: ${listLake(lake)}")
   }
 
-  test("post-job sweep reclaims THIS job's leftover staging (same-job " +
-    "retry debris), leaves other objects' foreign orphans for their " +
-    "own next rewrite") {
+  test("post-job directory pass reclaims ALL dead debris in one " +
+    "listing: this job's retry leftovers, a dead run's orphan for an " +
+    "object it didn't even rewrite, and a dead run's leaked marker") {
     val (lake, o1, o2) = freshLake()
     val schema = spark.read.parquet(o1).schema
     val groups = groupsFor(schema)
     // plant: (a) a leftover staged file carrying the ABOUT-TO-RUN
     // job's tag for o1 (the shape a crashed first attempt leaves when
-    // its retry then commits), (b) a foreign-tag orphan for o2, which
-    // this job does NOT rewrite
+    // its retry then commits), (b) a dead run's orphan for o2, which
+    // this job does NOT rewrite, (c) a dead run's leaked idempotency
+    // marker. All three are dead by the one-concurrent-job invariant;
+    // the pass reclaims them with ONE directory listing — never a
+    // per-object sweep (O(N²) listings at 40k co-located objects).
     val myTag = DistributedRewrite.jobTag("jsweep")
     val foreignTag = DistributedRewrite.jobTag("jdead")
     val uuid = java.util.UUID.randomUUID().toString
@@ -200,24 +199,23 @@ class CrashRecoverySpec extends SparkSpec {
       s".graft-staging-$uuid-$foreignTag-o2.parquet")
     Files.write(ownDebris, "stale attempt".getBytes("UTF-8"))
     Files.write(foreignOrphan, "dead job".getBytes("UTF-8"))
+    Files.createDirectories(Paths.get(lake, ".graft-done"))
+    val deadMarker = Paths.get(lake, ".graft-done", "o2.parquet.jdead")
+    Files.write(deadMarker, "4,2".getBytes("UTF-8"))
 
     val events = DistributedRewrite.run(spark, "jsweep",
       Seq(ObjectWorkUnit("jsweep", o1, "m", DataFormat.Parquet, false)),
       groups)
     assert(events.map(_.eventName) == Seq(JobEventName.ObjectUpdated))
     assert(!Files.exists(ownDebris),
-      "post-job sweep left this job's own staging debris")
-    assert(Files.exists(foreignOrphan),
-      "foreign orphan for an un-rewritten object must wait for that " +
-        "object's own next rewrite")
-
-    // ... and that next rewrite DOES reclaim it (in-task sweep)
-    val events2 = DistributedRewrite.run(spark, "jnext",
-      Seq(ObjectWorkUnit("jnext", o2, "m", DataFormat.Parquet, false)),
-      groups)
-    assert(events2.map(_.eventName) == Seq(JobEventName.ObjectUpdated))
+      "post-job pass left this job's own staging debris")
     assert(!Files.exists(foreignOrphan),
-      "in-task sweep did not reclaim the dead run's orphan")
+      "post-job pass left a dead run's staging orphan")
+    assert(!Files.exists(deadMarker),
+      "post-job pass left a dead run's marker")
     assert(stagingSiblings(lake).isEmpty)
+    assert(!listLake(lake).contains(".graft-done"))
+    // o2 was untouched by the sweep: its rows are intact
+    assert(spark.read.parquet(o2).count() == 2)
   }
 }

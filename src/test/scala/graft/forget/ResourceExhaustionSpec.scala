@@ -73,8 +73,8 @@ private class FatalTaskDeath(
   *     the driver maps it to ForgetPhaseFailed → FORGET_FAILED with
   *     the cause in the event log, the engine JVM survives, and a
   *     healthy RE-RUN converges to the exact clean output (fresh Find
-  *     skips committed objects; leaked markers/staging of the dead run
-  *     are reclaimed by the re-run's in-task sweeps).
+  *     skips committed objects; the dead run's leaked markers and
+  *     staging are reclaimed by the re-run's post-job directory pass).
   */
 class ResourceExhaustionSpec extends SparkSpec {
   import spark.implicits._
@@ -186,18 +186,9 @@ class ResourceExhaustionSpec extends SparkSpec {
     assert(rows == Set((2L, "k1"), (3L, "k2")))
     assert(!listLake(lake).exists(_.startsWith(".graft-staging-")),
       s"dead run's staging leaked through recovery: ${listLake(lake)}")
-    // marker debris is reclaimed LAZILY, like staging orphans: the
-    // re-run rewrote (and so swept) only the crashed object — the one
-    // marker the dead run may have leaked is o1's (if its task
-    // committed before the abort), reclaimed on o1's own next rewrite.
-    // Pinned as a bounded set, both directions: nothing else may leak.
-    val markerDir = Paths.get(lake, ".graft-done")
-    val leaked =
-      if (Files.exists(markerDir))
-        Files.list(markerDir).iterator().asScala.toSeq
-          .map(_.getFileName.toString).toSet
-      else Set.empty[String]
-    assert(leaked.subsetOf(Set("o1.parquet.jkill")),
-      s"unexpected marker debris after recovery: $leaked")
+    // the re-run's post-job directory pass cleared every marker the
+    // dead run may have leaked (its own sweep never ran): zero debris
+    assert(!listLake(lake).contains(".graft-done"),
+      s"dead-job markers leaked through recovery: ${listLake(lake)}")
   }
 }

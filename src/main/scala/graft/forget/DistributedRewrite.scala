@@ -123,6 +123,36 @@ object DistributedRewrite {
   // Task-side parquet value extraction + comparison
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // Local-filesystem fast path (★r21 optimization round)
+  // ------------------------------------------------------------------
+  //
+  // On a local warehouse every Hadoop call goes through
+  // ChecksumFileSystem: each open VERIFIES a .crc sidecar (re-reading
+  // and CRC-ing the whole file), each create WRITES one, and
+  // delete/rename double their syscalls to keep sidecars in step. The
+  // rewrite task pays that tax ~6× per object (footer open, record
+  // read, staged write, stat, swap, version copy) — pure overhead on a
+  // many-small-object forget job, and the dominant per-object cost at
+  // the 10k/40k soak rungs. Where the filesystem is local the task
+  // now uses java.nio / parquet's LocalInputFile|LocalOutputFile
+  // directly (no sidecars, no verification — integrity is the commit
+  // protocol's own capture-check-swap job, mirroring S3 where there
+  // are no sidecars either); any other FileSystem keeps the exact
+  // Hadoop path. A swap must also drop a PRE-EXISTING stale sidecar
+  // (e.g. the source object was written through ChecksumFileSystem):
+  // content changed, so a later checksummed read would fail on it.
+
+  /** The object's java.nio path when (and only when) its FileSystem is
+    * the local one — the [[VersionedStore.localPath]] rule. */
+  private def nioPath(fs: org.apache.hadoop.fs.FileSystem,
+                      p: HPath): Option[java.nio.file.Path] =
+    VersionedStore.localPath(fs, p)
+
+  /** ChecksumFileSystem sidecar sibling (`.<name>.crc`). */
+  private def crcSidecar(p: java.nio.file.Path): java.nio.file.Path =
+    p.getParent.resolve("." + p.getFileName.toString + ".crc")
+
   /** Case-insensitive field index lookup (parquet_handler.py:24-33). */
   private def fieldIndex(gt: GroupType, name: String): Int = {
     var i = 0
@@ -355,20 +385,45 @@ object DistributedRewrite {
           s"${st.getModificationTime}!=$srcMtime) — rolled back")
     }
     val captured = VersionedStore.capture(fs, dest)
-    if (fs.exists(dest) && !fs.delete(dest, false)) {
-      fs.delete(staged, false)
-      throw new IllegalStateException(s"could not replace $dest")
-    }
-    if (!fs.rename(staged, dest)) {
-      fs.delete(staged, false) // never leak the staging copy
-      val restored =
-        captured.isDefined && VersionedStore.rollback(fs, dest)
-      if (captured.isDefined && !restored)
-        throw new RollbackFailedError(
-          s"rename $staged -> $dest failed AND version restore failed",
-          null, new IllegalStateException(s"rename $staged -> $dest failed"))
-      throw new IllegalStateException(
-        s"rename $staged -> $dest failed (rolled back to prior version)")
+    (nioPath(fs, dest), nioPath(fs, staged)) match {
+      case (Some(destNio), Some(stagedNio)) =>
+        // one atomic same-directory rename replaces the delete+rename
+        // pair (no reader-visible missing-object window on local FS);
+        // a stale checksum sidecar of the OLD content goes first
+        try {
+          java.nio.file.Files.deleteIfExists(crcSidecar(destNio))
+          java.nio.file.Files.move(stagedNio, destNio,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } catch {
+          case NonFatal(e) =>
+            java.nio.file.Files.deleteIfExists(stagedNio) // never leak
+            val restored =
+              captured.isDefined && VersionedStore.rollback(fs, dest)
+            if (captured.isDefined && !restored)
+              throw new RollbackFailedError(
+                s"rename $staged -> $dest failed AND version restore failed",
+                null, e)
+            throw new IllegalStateException(
+              s"rename $staged -> $dest failed (rolled back to prior " +
+                s"version): $e")
+        }
+      case _ =>
+        if (fs.exists(dest) && !fs.delete(dest, false)) {
+          fs.delete(staged, false)
+          throw new IllegalStateException(s"could not replace $dest")
+        }
+        if (!fs.rename(staged, dest)) {
+          fs.delete(staged, false) // never leak the staging copy
+          val restored =
+            captured.isDefined && VersionedStore.rollback(fs, dest)
+          if (captured.isDefined && !restored)
+            throw new RollbackFailedError(
+              s"rename $staged -> $dest failed AND version restore failed",
+              null,
+              new IllegalStateException(s"rename $staged -> $dest failed"))
+          throw new IllegalStateException(
+            s"rename $staged -> $dest failed (rolled back to prior version)")
+        }
     }
     if (deleteOldVersions) VersionedStore.deleteOldVersions(fs, dest)
   }
@@ -460,13 +515,24 @@ object DistributedRewrite {
         val dest = new HPath(destStr)
         try {
           val fs = src.getFileSystem(conf)
-          if (!fs.exists(src) && u.ignoreObjectNotFound)
+          // ONE stat answers both "does it exist" and the later
+          // len/mtime capture (the former exists + getFileStatus pair)
+          val stOpt =
+            try Some(fs.getFileStatus(src))
+            catch { case _: java.io.FileNotFoundException => None }
+          val mfs = dest.getFileSystem(conf)
+          val marker = doneMarker(dest, jobId)
+          val markerExists = nioPath(mfs, marker) match {
+            case Some(p) => java.nio.file.Files.exists(p)
+            case None => mfs.exists(marker)
+          }
+          if (stOpt.isEmpty && u.ignoreObjectNotFound)
             // reference main.py:213-231: missing object + the mapper's
             // IgnoreObjectNotFoundExceptions flag ⇒ skip, not fail
             TaskOutcome(u.path, ok = false, 0, 0,
               System.currentTimeMillis() - t0, rollbackFailed = false,
               s"${u.path} not found (skipped)", "", skipped = true)
-          else if (dest.getFileSystem(conf).exists(doneMarker(dest, jobId))) {
+          else if (markerExists) {
             // a prior attempt of THIS job already committed this object
             // (executor lost before reporting / speculative duplicate):
             // replay its recorded counts instead of re-rewriting —
@@ -478,7 +544,9 @@ object DistributedRewrite {
             TaskOutcome(u.path, ok = true, p0, d0,
               System.currentTimeMillis() - t0, rollbackFailed = false, "", "")
           } else {
-          val st = fs.getFileStatus(src)
+          // missing object without the ignore flag: re-raise the real
+          // FileNotFoundException the former getFileStatus threw here
+          val st = stOpt.getOrElse(fs.getFileStatus(src))
           val (srcLen, srcMtime) = (st.getLen, st.getModificationTime)
           val staged = stagingPath(dest, tag)
           // CSE seam (cse.py:27-36,85-104): decode the envelope to an
@@ -616,12 +684,55 @@ object DistributedRewrite {
     }.sortBy(_.sk)
   }
 
+  /** parquet-mr reader/writer endpoints on the fastest correct IO
+    * path: java.nio-backed LocalInputFile/LocalOutputFile on a local
+    * FileSystem (no ChecksumFileSystem sidecar verify/write — see the
+    * fast-path note above), the Hadoop file abstractions anywhere
+    * else. Shared with [[graft.llm.PiiForget]]'s scrub rewrite. */
+  private[graft] def parquetInput(conf: Configuration,
+                                  src: HPath): org.apache.parquet.io.InputFile =
+    nioPath(src.getFileSystem(conf), src) match {
+      case Some(p) => new org.apache.parquet.io.LocalInputFile(p)
+      case None => HadoopInputFile.fromPath(src, conf)
+    }
+
+  private[graft] def groupReader(conf: Configuration,
+                                 src: HPath): ParquetReader[Group] =
+    (nioPath(src.getFileSystem(conf), src) match {
+      case Some(p) =>
+        new ParquetReader.Builder[Group](
+            new org.apache.parquet.io.LocalInputFile(p)) {
+          override def getReadSupport()
+              : org.apache.parquet.hadoop.api.ReadSupport[Group] =
+            new GroupReadSupport()
+        }
+      case None => ParquetReader.builder(new GroupReadSupport(), src)
+    }).withConf(conf).build()
+
+  private[graft] def groupWriterBuilder(conf: Configuration, staged: HPath)
+      : org.apache.parquet.hadoop.example.ExampleParquetWriter.Builder =
+    (nioPath(staged.getFileSystem(conf), staged) match {
+      case Some(p) =>
+        ExampleParquetWriter.builder(new org.apache.parquet.io.LocalOutputFile(p))
+      case None => ExampleParquetWriter.builder(staged)
+    }).withConf(conf)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+
+  /** Best-effort staged-file cleanup (error paths). */
+  private[graft] def deleteStaged(conf: Configuration, staged: HPath): Unit = {
+    val fs = staged.getFileSystem(conf)
+    nioPath(fs, staged) match {
+      case Some(p) => java.nio.file.Files.deleteIfExists(p); ()
+      case None => fs.delete(staged, false); ()
+    }
+  }
+
   /** Variants writing directly to a given staging path (no commit). */
   private def rewriteParquetTaskTo(conf: Configuration, src: HPath,
                                    staged: HPath,
                                    specs: Seq[TaskGroupSpec]): (Long, Long) = {
     val footer = {
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
+      val r = ParquetFileReader.open(parquetInput(conf, src))
       try r.getFooter finally r.close()
     }
     val schema = footer.getFileMetaData.getSchema
@@ -631,14 +742,11 @@ object DistributedRewrite {
       else footer.getBlocks.get(0).getColumns.get(0).getCodec
     var processed = 0L
     var deleted = 0L
-    val reader: ParquetReader[Group] =
-      ParquetReader.builder(new GroupReadSupport(), src).withConf(conf).build()
+    val reader: ParquetReader[Group] = groupReader(conf, src)
     try {
-      val writer: ParquetWriter[Group] = ExampleParquetWriter.builder(staged)
-        .withConf(conf)
+      val writer: ParquetWriter[Group] = groupWriterBuilder(conf, staged)
         .withType(schema)
         .withCompressionCodec(codec)
-        .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
         .build()
       try {
         var g = reader.read()
@@ -651,7 +759,7 @@ object DistributedRewrite {
       (processed, deleted)
     } catch {
       case NonFatal(e) =>
-        src.getFileSystem(conf).delete(staged, false) // no partial staging
+        deleteStaged(conf, staged) // no partial staging
         throw e
     } finally reader.close()
   }
@@ -661,20 +769,37 @@ object DistributedRewrite {
     * raw line bytes written through verbatim + '\n' (json_handler.py:70;
     * the final unterminated line still counts, boto_utils.py:251-256).
     * Partial staged output is deleted on failure. */
+  /** Raw byte stream endpoints on the fastest correct IO path (the
+    * [[parquetInput]] rule for line-format rewrites); the nio output
+    * is buffered because line rewrites issue many small writes. */
+  private[graft] def byteSource(conf: Configuration,
+                                src: HPath): java.io.InputStream =
+    nioPath(src.getFileSystem(conf), src) match {
+      case Some(p) => java.nio.file.Files.newInputStream(p)
+      case None => src.getFileSystem(conf).open(src)
+    }
+
+  private[graft] def byteSink(conf: Configuration,
+                              staged: HPath): java.io.OutputStream =
+    nioPath(staged.getFileSystem(conf), staged) match {
+      case Some(p) => new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(p), 1 << 16)
+      case None => staged.getFileSystem(conf).create(staged, true)
+    }
+
   private def rewriteJsonTaskTo(conf: Configuration, src: HPath,
                                 staged: HPath,
                                 ev: JsonMatch.Evaluator): (Long, Long) = {
     import java.util.zip.{GZIPInputStream, GZIPOutputStream}
-    val fs = src.getFileSystem(conf)
     val gz = src.getName.endsWith(".gz")
     var processed = 0L
     var deleted = 0L
     val in = {
-      val raw = fs.open(src)
+      val raw = byteSource(conf, src)
       if (gz) new GZIPInputStream(raw, 1 << 16) else raw
     }
     try {
-      val outRaw = fs.create(staged, true)
+      val outRaw = byteSink(conf, staged)
       val out = if (gz) new GZIPOutputStream(outRaw, 1 << 16) else outRaw
       try {
         val buf = new Array[Byte](1 << 16)
@@ -716,7 +841,7 @@ object DistributedRewrite {
       } finally out.close()
       (processed, deleted)
     } catch {
-      case NonFatal(e) => fs.delete(staged, false); throw e
+      case NonFatal(e) => deleteStaged(conf, staged); throw e
     } finally in.close()
   }
 }

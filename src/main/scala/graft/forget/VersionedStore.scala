@@ -39,21 +39,30 @@ object VersionedStore {
     * when no .crc exists, and rollback's delete-then-rename removes the
     * object's own sidecar before the version takes its place. */
   def capture(fs: FileSystem, obj: HPath): Option[HPath] = {
-    if (!fs.exists(obj)) return None
-    val st = fs.getFileStatus(obj)
-    val dir = versionsDir(obj)
-    val v = new HPath(dir,
-      f"${st.getModificationTime}%013d-${UUID.randomUUID()}")
     localPath(fs, obj) match {
       case Some(src) =>
+        // ONE stat answers existence + mtime (the former exists +
+        // getFileStatus pair, ★r21)
+        val mtime =
+          try java.nio.file.Files
+            .getLastModifiedTime(src).toMillis
+          catch { case _: java.io.IOException => return None }
+        val v = new HPath(versionsDir(obj),
+          f"$mtime%013d-${UUID.randomUUID()}")
         val dst = java.nio.file.Paths.get(v.toUri.getPath)
         java.nio.file.Files.createDirectories(dst.getParent)
         java.nio.file.Files.copy(src, dst)
+        Some(v)
       case None =>
+        if (!fs.exists(obj)) return None
+        val st = fs.getFileStatus(obj)
+        val dir = versionsDir(obj)
+        val v = new HPath(dir,
+          f"${st.getModificationTime}%013d-${UUID.randomUUID()}")
         fs.mkdirs(dir)
         FileUtil.copy(fs, obj, fs, v, false, fs.getConf)
+        Some(v)
     }
-    Some(v)
   }
 
   /** file:// (or scheme-less local) paths as java.nio paths. */
@@ -91,7 +100,13 @@ object VersionedStore {
     * rewrite when DeleteOldVersions is set). Returns how many went. */
   def deleteOldVersions(fs: FileSystem, obj: HPath): Int = {
     val versions = listVersions(fs, obj) // sorted before bulk delete (O4)
-    versions.foreach(v => fs.delete(v.path, false))
+    // version files are sidecar-free (written via java.nio on local
+    // FS), so a plain nio delete skips ChecksumFileSystem's per-delete
+    // sidecar stat (★r21)
+    versions.foreach(v => localPath(fs, v.path) match {
+      case Some(p) => java.nio.file.Files.deleteIfExists(p); ()
+      case None => fs.delete(v.path, false); ()
+    })
     val dir = versionsDir(obj)
     if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, true)
     versions.size

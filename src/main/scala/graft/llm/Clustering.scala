@@ -144,6 +144,26 @@ object Clustering {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** [[cosineSim]] of `v`'s slice `[off, off + cv.length)` against
+    * `cv`, without materializing the slice — the batched PQ fold's
+    * per-subspace kernel ([[Pq.trainPrefiltered]]). Identical
+    * arithmetic order to `cosineSim(v.slice(off, off + cv.length),
+    * cv)`; the caller guarantees `off + cv.length <= v.length` (the
+    * fold's whole-vector length gate). */
+  private[llm] def cosineSimOff(v: Array[Float], off: Int,
+                                cv: Array[Float]): Double = {
+    val m = cv.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < m) {
+      val x = v(off + i).toDouble; val y = cv(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
   /** Spark SQL's double total order (`SQLOrderingUtil`): NaN is
     * greatest and equal to itself, −0.0 equals 0.0 — what the former
     * `orderBy`/`array_max` rounds compared with, replicated so the

@@ -120,8 +120,11 @@ object PiiForget {
 
     def parquet(conf: Configuration, src: HPath,
                 staged: HPath): (Long, Long) = {
+      // reader/writer endpoints via the shared local-FS fast path
+      // (★r21 — see DistributedRewrite's fast-path note)
       val footer = {
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
+        val r = ParquetFileReader.open(
+          DistributedRewrite.parquetInput(conf, src))
         try r.getFooter finally r.close()
       }
       val schema = footer.getFileMetaData.getSchema
@@ -132,16 +135,13 @@ object PiiForget {
         else footer.getBlocks.get(0).getColumns.get(0).getCodec
       var processed = 0L
       var changed = 0L
-      val reader: ParquetReader[Group] = ParquetReader
-        .builder(new GroupReadSupport(), src).withConf(conf).build()
+      val reader: ParquetReader[Group] =
+        DistributedRewrite.groupReader(conf, src)
       try {
-        val writer: ParquetWriter[Group] = ExampleParquetWriter
-          .builder(staged)
-          .withConf(conf)
+        val writer: ParquetWriter[Group] = DistributedRewrite
+          .groupWriterBuilder(conf, staged)
           .withType(schema)
           .withCompressionCodec(codec)
-          .withWriteMode(
-            org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
           .build()
         try {
           var g = reader.read()
@@ -156,7 +156,7 @@ object PiiForget {
         (processed, changed)
       } catch {
         case NonFatal(e) =>
-          src.getFileSystem(conf).delete(staged, false)
+          DistributedRewrite.deleteStaged(conf, staged)
           throw e
       } finally reader.close()
     }
@@ -212,16 +212,15 @@ object PiiForget {
              staged: HPath): (Long, Long) = {
       import java.util.zip.{GZIPInputStream, GZIPOutputStream}
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val fs = src.getFileSystem(conf)
       val gz = src.getName.endsWith(".gz")
       var processed = 0L
       var changed = 0L
       val in = {
-        val raw = fs.open(src)
+        val raw = DistributedRewrite.byteSource(conf, src)
         if (gz) new GZIPInputStream(raw, 1 << 16) else raw
       }
       try {
-        val outRaw = fs.create(staged, true)
+        val outRaw = DistributedRewrite.byteSink(conf, staged)
         val out = if (gz) new GZIPOutputStream(outRaw, 1 << 16) else outRaw
         try {
           val buf = new Array[Byte](1 << 16)
@@ -305,7 +304,9 @@ object PiiForget {
         } finally out.close()
         (processed, changed)
       } catch {
-        case NonFatal(e) => fs.delete(staged, false); throw e
+        case NonFatal(e) =>
+          DistributedRewrite.deleteStaged(conf, staged)
+          throw e
       } finally in.close()
     }
   }

@@ -134,8 +134,33 @@ object Pq {
     * filtered its STORED source, e.g. [[IvfPq.train]] before the
     * residual projection, and passes the dimension it filtered to —
     * probing a COMPUTED frame for its dimension would re-pay its
-    * derivation). The per-slice kmeans closures retain their own
-    * non-finite/length exclusion as a backstop. */
+    * derivation). The fold closure retains a whole-vector
+    * non-finite/length exclusion as a backstop.
+    *
+    * All `m` subspace fits run in ONE set of Lloyd rounds (★r21): the
+    * subspaces are mathematically independent, so one cached pass of
+    * the FULL vectors per round folds every subspace's assignment +
+    * exact-decimal sums simultaneously — `iters` treeAggregate jobs
+    * total where the former per-subspace [[Clustering.kmeans]] loop
+    * paid `m` separate cache materializations (for the IVF-PQ caller,
+    * `m` re-derivations of the residual projection) and `m × iters`
+    * jobs. At 100 TB that is `iters` corpus scans instead of
+    * `m × iters`. Arithmetic is unchanged op-for-op — per subspace the
+    * slice values, the [[Clustering.cosineSim]] argmax (strict `>`,
+    * first max), the HALF_UP scale-12 addends, the HALF_EVEN mean and
+    * the empty-cell keep-previous rule are exactly the former fit's,
+    * and the sums are exact decimals, so the learned codebooks are
+    * bit-identical for any partitioning (PqSpec + the q79/q81 oracle
+    * literals pin this). */
+  /** Dev-probe shims ([[graft.tools.PerfProbe]] stage attribution). */
+  private[graft] def seedSampleForProbe(data: DataFrame, idCol: String,
+      vecCol: String, n: Int): Seq[Array[Float]] =
+    seedSample(data, idCol, vecCol, n)
+  private[graft] def trainPrefilteredForProbe(usable: DataFrame,
+      idCol: String, vecCol: String, m: Int, ksub: Int, iters: Int,
+      dim: Int): Seq[Seq[Array[Float]]] =
+    trainPrefiltered(usable, idCol, vecCol, m, ksub, iters, dim)
+
   private[llm] def trainPrefiltered(usable: DataFrame, idCol: String,
                                     vecCol: String, m: Int, ksub: Int,
                                     iters: Int, dim: Int)
@@ -144,12 +169,87 @@ object Pq {
       s"need ksub >= 1, iters >= 0; got $ksub, $iters")
     val dsub = subDims(dim, m)
     val seeds = seedSample(usable, idCol, vecCol, ksub)
-    (0 until m).map { j =>
-      Clustering.kmeans(
-        usable.select(col(idCol), sliceCol(vecCol, j, dsub).as(vecCol)),
-        idCol, vecCol, ksub, iters,
-        init = seeds.map(_.slice(j * dsub, (j + 1) * dsub)))._2
+    var codebooks: Array[Array[Array[Float]]] =
+      Array.tabulate(m, ksub)((j, c) =>
+        seeds(c).slice(j * dsub, (j + 1) * dsub))
+    if (iters > 0) {
+      val parts = usable.sparkSession.sparkContext.defaultParallelism
+      val raw = usable.select(col(vecCol)).rdd.flatMap { r =>
+        if (r.isNullAt(0)) Iterator.empty
+        else {
+          // boxed-view usability BEFORE toArray (the Clustering.kmeans
+          // gate, verbatim): toArray unboxes a null element to 0.0f
+          val s = r.getSeq[Float](0)
+          if (Similarity.finiteVec(s) && s.length == dim)
+            Iterator.single(s.toArray)
+          else Iterator.empty
+        }
+      }
+      val vecs = (if (raw.getNumPartitions < parts) raw.repartition(parts)
+                  else raw).persist()
+      try {
+        for (_ <- 0 until iters) {
+          val cents = codebooks.map(_.map(_.clone()))
+          val zero = (Array.fill(m, ksub, dsub)(java.math.BigDecimal.ZERO),
+            Array.fill(m, ksub, dsub)(0L))
+          val (sums, counts) = vecs.treeAggregate(zero)(
+            seqOp = { case (acc @ (s, n), v) =>
+              var j = 0
+              while (j < m) {
+                val off = j * dsub
+                // first-max cosine argmax over subspace j's centroids —
+                // Clustering.nearestCentroid on the slice, offset form
+                var best = 0
+                var bestSim = Double.NegativeInfinity
+                var c = 0
+                while (c < ksub) {
+                  val sim = Clustering.cosineSimOff(v, off, cents(j)(c))
+                  if (sim > bestSim) { bestSim = sim; best = c }
+                  c += 1
+                }
+                var d = 0
+                while (d < dsub) {
+                  s(j)(best)(d) = s(j)(best)(d).add(java.math.BigDecimal
+                    .valueOf(v(off + d).toDouble)
+                    .setScale(12, java.math.RoundingMode.HALF_UP))
+                  n(j)(best)(d) += 1L
+                  d += 1
+                }
+                j += 1
+              }
+              acc
+            },
+            combOp = { case (a @ (sa, na), (sb, nb)) =>
+              var j = 0
+              while (j < m) {
+                var c = 0
+                while (c < ksub) {
+                  var d = 0
+                  while (d < dsub) {
+                    sa(j)(c)(d) = sa(j)(c)(d).add(sb(j)(c)(d))
+                    na(j)(c)(d) += nb(j)(c)(d)
+                    d += 1
+                  }
+                  c += 1
+                }
+                j += 1
+              }
+              a
+            })
+          // an empty (subspace, cluster, dim) cell keeps its previous
+          // value — Clustering.kmeans's rule, per subspace
+          val next = codebooks.map(_.map(_.clone()))
+          for (j <- 0 until m; c <- 0 until ksub; d <- 0 until dsub
+               if counts(j)(c)(d) > 0)
+            next(j)(c)(d) = sums(j)(c)(d)
+              .divide(java.math.BigDecimal.valueOf(counts(j)(c)(d)), 12,
+                java.math.RoundingMode.HALF_EVEN)
+              .floatValue()
+          codebooks = next
+        }
+      } finally { vecs.unpersist(); () }
     }
+    codebooks.toSeq.map(_.toSeq)
   }
 
   /** The per-row PQ code array (`codes`(j) = nearest subspace-j

@@ -108,6 +108,12 @@ object Similarity {
     * multi-scan fits that call it. Loud on an empty/all-null frame
     * (the fit-class contract: an empty training frame means a
     * mis-pointed path). */
+  /** Dev-probe shims ([[graft.tools.PerfProbe]] stage attribution). */
+  private[graft] def modalDimForProbe(data: DataFrame, vecCol: String): Int =
+    modalDim(data, vecCol)
+  private[graft] def usableVecColForProbe(c: Column, dim: Int): Column =
+    usableVecCol(c, dim)
+
   private[llm] def modalDim(data: DataFrame, vecCol: String): Int =
     data.filter(col(vecCol).isNotNull)
       .groupBy(size(col(vecCol)).as("_d")).agg(count(lit(1)).as("_n"))

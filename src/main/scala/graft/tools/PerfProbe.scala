@@ -63,6 +63,28 @@ object PerfProbe {
       time("ivfpq_encode") {
         graft.llm.IvfPq.encode(emb, "vec_id", "embedding", m).count() }
     }
+    if (on("ivfpqsteps")) {
+      import graft.llm.{Clustering, IvfPq, Pq, Similarity}
+      // stage attribution INSIDE IvfPq.train (★r21): which of the
+      // driver-sequenced steps carries the cost — dimension probe,
+      // seed sample, coarse Lloyd rounds, or the residual PQ fit.
+      (1 to 2).foreach { round =>
+        val d = time(s"ivfpq_modalDim_$round") {
+          val m = Similarity.modalDimForProbe(emb, "embedding"); m }
+        val clean = emb.filter(
+          Similarity.usableVecColForProbe(col("embedding"), d))
+        val seeds = time(s"ivfpq_seedSample_$round") {
+          Pq.seedSampleForProbe(clean, "vec_id", "embedding", 4) }
+        val coarse = time(s"ivfpq_coarse_kmeans_$round") {
+          Clustering.kmeans(clean, "vec_id", "embedding", 4,
+            3, init = seeds)._2 }
+        val resid = IvfPq.residuals(clean, "vec_id", "embedding", coarse)
+          .select(col("vec_id"), col("embedding"))
+        time(s"ivfpq_pq_fit_$round") {
+          Pq.trainPrefilteredForProbe(resid, "vec_id", "embedding",
+            4, 8, 3, d) }
+      }
+    }
     if (on("bpe")) {
       val merges = time("bpe_learn_cold") {
         graft.llm.Bpe.learn(docs, "text", numMerges = 24) }

@@ -153,7 +153,37 @@ if ledger_path.exists():
     latest_path = Path("/root/repo/target/bench-latest.json")
     mins_ledger_path = Path(__file__).parent / "bench_ledger_mins.json"
     ledger_map = json.loads(ledger_path.read_text())
-    if latest_path.exists() and isinstance(ledger_map, dict):
+    if latest_path.exists() and isinstance(ledger_map, dict) and \
+            json.loads(latest_path.read_text()).get("epoch_ratio", -1) > 0:
+        # ★r21 (VERDICT r20 #6): the bench now SELF-adjudicates — it
+        # emits epoch_ratio + per-entry perf_flags (normalized median,
+        # min floor, cpu_ratio evidence) computed against the committed
+        # ledger at run time. Consume instead of recomputing; the
+        # legacy recomputation below stays for bench outputs that
+        # predate the instrument.
+        latest = json.loads(latest_path.read_text())
+        print(f"bench epoch ratio (self-adjudicated): "
+              f"{latest['epoch_ratio']:.3f}")
+        flags = latest.get("perf_flags", {})
+        for k in sorted(flags):
+            f = flags[k]
+            ev = (f"median {f['ledger']:.2f}->{f['median']:.2f} "
+                  f"(norm {f['norm']:.2f}), min {f['min_ledger']:.2f}->"
+                  f"{f['min']:.2f}, cpu_ratio {f['cpu_ratio']:.2f}, "
+                  f"gc {f['gc']:.1f}s")
+            if f.get("level") == 2:
+                fails.append(k)
+                print(f"{k}: PERF_REGRESSION {ev}")
+            else:
+                which = "median(norm)" if f.get("med_trip") else "min-floor"
+                print(f"WARN {k}: {which} tripped ({ev}) — not failing "
+                      "without the other signal")
+        min_trips = [k for k in flags if flags[k].get("min_trip")]
+        if len(min_trips) >= 5:
+            fails.append(f"SYSTEMIC_MIN_FLOOR({len(min_trips)})")
+            print(f"SYSTEMIC min-floor regression: {len(min_trips)} "
+                  f"entries' floors over threshold at once: {min_trips}")
+    elif latest_path.exists() and isinstance(ledger_map, dict):
         latest = json.loads(latest_path.read_text())
         cur = latest.get("queries", {})
         cur_mins = latest.get("query_mins", {})

@@ -731,6 +731,90 @@ object Bench {
     }
 
     def jd(d: Double): String = f"$d%.4f"
+    // ---- self-adjudication against the committed ledger (★r21,
+    // VERDICT r20 #6): three rounds running, the round-close ledger vs
+    // driver-run wobble has been adjudicated by hand with scripts/
+    // check.py's epoch-normalized instrument. The bench now carries
+    // the instrument itself, so BENCH_rN arrives pre-adjudicated:
+    // `epoch_ratio` (median of per-entry latest/ledger over non-soak
+    // entries — robust to any single regressed entry), and per-entry
+    // flags with BOTH signals (normalized median vs 1.3x/1.4x, the
+    // absolute min floor) plus the work-vs-work cpu_ratio evidence.
+    // FAIL needs both signals, the same AND-rule check.py applies.
+    def readLedger(name: String): Map[String, Double] =
+      try {
+        val f = new java.io.File(s"scripts/$name")
+        if (!f.exists()) Map.empty
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f)
+          val it = node.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      } catch { case NonFatal(_) => Map.empty }
+    val ledger = readLedger("bench_ledger.json")
+    val ledgerMins = readLedger("bench_ledger_mins.json")
+    val ledgerCpu = readLedger("bench_ledger_cpu.json")
+    val epochKeys = times.keys.toSeq.filter(k =>
+      !SoakFacets(k) && times(k) > 0 &&
+        ledger.get(k).exists(_ > 0)).sorted
+    val epochRatio: Double =
+      if (epochKeys.isEmpty) -1.0
+      else {
+        val rs = epochKeys.map(k => times(k) / ledger(k)).sorted
+        rs(rs.size / 2)
+      }
+    /** (level, detail-json) per tripped entry; level 2 = FAIL (both
+      * signals), 1 = WARN (one). */
+    val perfFlags: Seq[(String, Int, String)] =
+      if (epochRatio <= 0) Nil
+      else times.keys.toSeq.sorted.flatMap { k =>
+        ledger.get(k).filter(_ > 0).flatMap { led =>
+          val cur = times(k)
+          if (cur <= 0) None
+          else {
+            val thresh = if (led < 2.0) 1.4 else 1.3
+            val norm = cur / epochRatio
+            val medTrip = norm > led * thresh
+            val minTrip = (mins.get(k), ledgerMins.get(k)) match {
+              case (Some(cm), Some(om)) =>
+                cm > om * thresh && cm - om > 0.5
+              case _ => false
+            }
+            if (!medTrip && !minTrip) None
+            else {
+              val cpuR = (entryCpu.get(k), ledgerCpu.get(k)) match {
+                case (Some(cc), Some(oc)) if oc > 0 => cc / oc
+                case _ => -1.0
+              }
+              val detail =
+                s""""$k":{"level":${if (medTrip && minTrip) 2 else 1},""" +
+                s""""med_trip":$medTrip,"min_trip":$minTrip,""" +
+                s""""median":${jd(cur)},"ledger":${jd(led)},""" +
+                s""""norm":${jd(norm)},""" +
+                s""""min":${jd(mins.getOrElse(k, -1.0))},""" +
+                s""""min_ledger":${jd(ledgerMins.getOrElse(k, -1.0))},""" +
+                s""""cpu":${jd(entryCpu.getOrElse(k, -1.0))},""" +
+                s""""cpu_ledger":${jd(ledgerCpu.getOrElse(k, -1.0))},""" +
+                s""""cpu_ratio":${jd(cpuR)},""" +
+                s""""gc":${jd(entryGc.getOrElse(k, -1.0))}}"""
+              Some((k, if (medTrip && minTrip) 2 else 1, detail))
+            }
+          }
+        }
+      }
+    val perfFlagsJson =
+      perfFlags.map(_._3).mkString("{", ",", "}")
+    val nPerfFails = perfFlags.count(_._2 == 2)
+    val nPerfWarns = perfFlags.count(_._2 == 1)
+    val perfFailNames = perfFlags.filter(_._2 == 2).map(f =>
+      "\"" + f._1 + "\"").mkString("[", ",", "]")
+
     // throughputs derive from the MEDIAN time (the published number) and
     // the per-run-identical row/object counts; 0 when a facet was
     // filtered out by SPARK_GRAFT_ONLY
@@ -790,6 +874,9 @@ object Bench {
       s""""n_over_budget":${overBudget.size},""" +
       s""""soak_entries":$soakJson,""" +
       s""""entry_budget_sec":${jd(entryBudgetSec)},""" +
+      s""""epoch_ratio":${jd(epochRatio)},""" +
+      s""""perf_flags":$perfFlagsJson,""" +
+      s""""n_perf_fails":$nPerfFails,"n_perf_warns":$nPerfWarns,""" +
       s""""find_scan_ratio_lineitem":${jd(scanLineitem.ratio)},""" +
       s""""find_scan_ratio_customer":${jd(scanCustomer.ratio)},""" +
       s""""find_runtime_scan_ratio":${jd(findRuntimeRatio)},""" +
@@ -847,6 +934,9 @@ object Bench {
       s""""n_errors":${errors.size},"queries":$topQs,""" +
       s""""n_over_budget":${overBudget.size},""" +
       s""""entries_over_budget_cpu":$overBudgetCpuJson,""" +
+      s""""epoch_ratio":${jd(epochRatio)},""" +
+      s""""n_perf_fails":$nPerfFails,"n_perf_warns":$nPerfWarns,""" +
+      s""""perf_fails":$perfFailNames,""" +
       s""""find_runtime_scan_ratio":${jd(findRuntimeRatio)},""" +
       s""""forget_10240_objects_per_min":${jd(rate(forget10240Objects * 60.0, forget10240Sec))},""" +
       s""""forget_40960_objects_per_min":${jd(rate(forget40960Objects * 60.0, forget40960Sec))},""" +

@@ -696,18 +696,31 @@ object DistributedRewrite {
       case None => HadoopInputFile.fromPath(src, conf)
     }
 
+  /** Every ParquetReader.Builder ctor except (InputFile,
+    * ParquetConfiguration) — and ParquetFileReader.open's no-options
+    * overload — eagerly constructs a FRESH `new Configuration()`,
+    * which re-parses core-default.xml/core-site.xml out of the jars
+    * (~8 ms, measured by the PerfProbe `forgettask` sampler: the
+    * "footer open" phase was Inflater + woodstox XML frames, not
+    * parquet). On a many-small-object forget job that tax lands
+    * twice PER OBJECT; both call sites below thread the task's
+    * existing conf instead. */
   private[graft] def groupReader(conf: Configuration,
                                  src: HPath): ParquetReader[Group] =
-    (nioPath(src.getFileSystem(conf), src) match {
-      case Some(p) =>
-        new ParquetReader.Builder[Group](
-            new org.apache.parquet.io.LocalInputFile(p)) {
-          override def getReadSupport()
-              : org.apache.parquet.hadoop.api.ReadSupport[Group] =
-            new GroupReadSupport()
-        }
-      case None => ParquetReader.builder(new GroupReadSupport(), src)
-    }).withConf(conf).build()
+    new ParquetReader.Builder[Group](parquetInput(conf, src),
+        new org.apache.parquet.conf.HadoopParquetConfiguration(conf)) {
+      override def getReadSupport()
+          : org.apache.parquet.hadoop.api.ReadSupport[Group] =
+        new GroupReadSupport()
+    }.build()
+
+  /** Footer read reusing the caller's conf (see [[groupReader]]). */
+  private[graft] def readFooter(conf: Configuration, src: HPath)
+      : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val r = ParquetFileReader.open(parquetInput(conf, src),
+      org.apache.parquet.HadoopReadOptions.builder(conf).build())
+    try r.getFooter finally r.close()
+  }
 
   private[graft] def groupWriterBuilder(conf: Configuration, staged: HPath)
       : org.apache.parquet.hadoop.example.ExampleParquetWriter.Builder =
@@ -727,14 +740,59 @@ object DistributedRewrite {
     }
   }
 
+  /** Dev-probe instrumentation ([[graft.tools.PerfProbe]] `forgettask`):
+    * runs one object's task-body phases sequentially with per-phase
+    * nanosecond accumulators, so the soak rungs' per-object cpu has a
+    * phase budget. Never used by the job path. */
+  val probeTimers: scala.collection.mutable.LinkedHashMap[String, Long] =
+    scala.collection.mutable.LinkedHashMap.empty
+  private def probeTime[A](k: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    probeTimers(k) = probeTimers.getOrElse(k, 0L) + (System.nanoTime() - t0)
+    r
+  }
+  def probeParquetInput(conf: Configuration,
+                        src: HPath): org.apache.parquet.io.InputFile =
+    parquetInput(conf, src)
+  def probeTaskBody(conf: Configuration, path: String,
+                    specs: Seq[TaskGroupSpec]): Unit = {
+    val src = new HPath(path)
+    val dest = src
+    val fs = probeTime("stat") {
+      val f = src.getFileSystem(conf); f.getFileStatus(src); f
+    }
+    val st = fs.getFileStatus(src)
+    probeTime("marker_check") {
+      nioPath(fs, doneMarker(dest, "probe")) match {
+        case Some(p) => java.nio.file.Files.exists(p)
+        case None => fs.exists(doneMarker(dest, "probe"))
+      }
+    }
+    val staged = stagingPath(dest, jobTag("probe"))
+    probeTime("footer") { readFooter(conf, src) }
+    probeTime("reader_only") {
+      val r = groupReader(conf, src)
+      try { var g = r.read(); while (g != null) g = r.read() }
+      finally r.close()
+    }
+    probeTime("rewrite") {
+      rewriteParquetTaskTo(conf, src, staged, specs)
+    }
+    probeTime("commit") {
+      commitTask(conf, src, dest, staged, st.getLen,
+        st.getModificationTime, deleteOldVersions = true)
+    }
+    probeTime("marker_write") {
+      writeDoneMarker(fs, doneMarker(dest, "probe"), 1L, 1L)
+    }
+  }
+
   /** Variants writing directly to a given staging path (no commit). */
   private def rewriteParquetTaskTo(conf: Configuration, src: HPath,
                                    staged: HPath,
                                    specs: Seq[TaskGroupSpec]): (Long, Long) = {
-    val footer = {
-      val r = ParquetFileReader.open(parquetInput(conf, src))
-      try r.getFooter finally r.close()
-    }
+    val footer = readFooter(conf, src)
     val schema = footer.getFileMetaData.getSchema
     val codec =
       if (footer.getBlocks.isEmpty || footer.getBlocks.get(0).getColumns.isEmpty)

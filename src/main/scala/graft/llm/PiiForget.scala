@@ -122,11 +122,7 @@ object PiiForget {
                 staged: HPath): (Long, Long) = {
       // reader/writer endpoints via the shared local-FS fast path
       // (★r21 — see DistributedRewrite's fast-path note)
-      val footer = {
-        val r = ParquetFileReader.open(
-          DistributedRewrite.parquetInput(conf, src))
-        try r.getFooter finally r.close()
-      }
+      val footer = DistributedRewrite.readFooter(conf, src)
       val schema = footer.getFileMetaData.getSchema
       val codec =
         if (footer.getBlocks.isEmpty ||

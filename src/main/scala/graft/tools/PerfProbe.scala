@@ -85,6 +85,94 @@ object PerfProbe {
             4, 8, 3, d) }
       }
     }
+    if (on("forgettask")) {
+      // per-object cost attribution of the forget rewrite task body
+      // (★r21): stage ONE small lineitem object, then loop the task's
+      // phases sequentially (no Spark job) — footer read, record
+      // transcode, commit+marker — so the soak rungs' per-object cpu
+      // has a phase budget.
+      import graft.catalog.TableDef
+      import graft.find.Finder
+      import graft.forget.DistributedRewrite
+      import graft.model._
+      import org.apache.hadoop.fs.{Path => HPath}
+      val stage = java.nio.file.Files.createTempDirectory("graft-probe-")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val master = s"$stage/master"
+      li.limit(600000).repartition(2048).write.mode("overwrite")
+        .parquet(master)
+      val table = TableDef("li", master, DataFormat.Parquet, li.schema)
+      val mapper = DataMapper("li", "li", Seq("l_returnflag"))
+      val groups = Finder.plan(mapper, table,
+        Seq(DeletionQueueItem("q", MatchId.Simple("R"))))
+      val specs = DistributedRewrite.buildSpecs(spark, groups)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(master))
+        .iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (files.hasNext) {
+        val p = files.next().toString
+        if (p.endsWith(".parquet")) buf += p
+      }
+      val n = math.min(400, buf.size)
+      (1 to 2).foreach { round =>
+        // fresh copies (the rewrite mutates)
+        val work = buf.take(n).zipWithIndex.map { case (f, i) =>
+          val dst = java.nio.file.Paths.get(s"$stage/r$round-$i.parquet")
+          java.nio.file.Files.copy(java.nio.file.Paths.get(f), dst)
+          dst.toString
+        }
+        time(s"forgettask_${n}obj_seq_$round") {
+          work.foreach { f =>
+            DistributedRewrite.probeTaskBody(conf, f, specs)
+          }
+        }
+      }
+      DistributedRewrite.probeTimers.foreach { case (k, v) =>
+        println(f"PROBE   phase $k%-22s ${v / 1e9}%8.3f s")
+      }
+      // poor-man's sampler over the hot phase: histogram the main
+      // thread's deepest interesting frame while footer opens loop
+      val main = Thread.currentThread()
+      val hist = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val st = main.getStackTrace
+          val interesting = st.find(f =>
+            f.getClassName.startsWith("org.apache.parquet") ||
+            f.getClassName.startsWith("org.apache.hadoop") ||
+            f.getClassName.startsWith("java.util.zip") ||
+            f.getClassName.startsWith("sun.nio") ||
+            f.getClassName.startsWith("shaded"))
+          val key = interesting.map(f =>
+            f.getClassName + "." + f.getMethodName).getOrElse(
+            st.drop(2).headOption.map(f =>
+              f.getClassName + "." + f.getMethodName).getOrElse("?"))
+          hist.merge(key, 1, (a, b) => a + b)
+          Thread.sleep(2)
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+      val f0 = buf.head
+      val probeFile = java.nio.file.Paths.get(s"$stage/sampler.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f0), probeFile)
+      time("sampler_4000_footer_opens") {
+        (1 to 4000).foreach { _ =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            DistributedRewrite.probeParquetInput(conf,
+              new HPath(probeFile.toString)))
+          try r.getFooter finally r.close()
+        }
+      }
+      sampling = false
+      sampler.join(200)
+      import scala.jdk.CollectionConverters._
+      hist.asScala.toSeq.sortBy(-_._2).take(15).foreach { case (k, v) =>
+        println(f"PROBE   sample $v%5d  $k")
+      }
+    }
     if (on("bpe")) {
       val merges = time("bpe_learn_cold") {
         graft.llm.Bpe.learn(docs, "text", numMerges = 24) }

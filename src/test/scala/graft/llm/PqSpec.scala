@@ -43,6 +43,33 @@ class PqSpec extends SparkSpec {
     assert(a.map(_.map(_.toSeq)) == b.map(_.map(_.toSeq)))
   }
 
+  test("batched train (one Lloyd pass for all m subspaces, ★r21) is " +
+    "bit-identical to m independent per-slice Clustering.kmeans fits " +
+    "(the former definition)") {
+    val rnd = new scala.util.Random(47)
+    val data = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val m = 4; val ksub = 3; val iters = 3; val dsub = 2
+    val batched = Pq.train(data, "vec_id", "embedding", m, ksub, iters)
+    // the former implementation, re-expressed: one shared seed sample,
+    // then m separate kmeans fits over the slice projections
+    val d = Similarity.modalDimForProbe(data, "embedding")
+    val usable = data.filter(
+      Similarity.usableVecColForProbe(
+        org.apache.spark.sql.functions.col("embedding"), d))
+    val seeds = Pq.seedSampleForProbe(usable, "vec_id", "embedding", ksub)
+    val separate = (0 until m).map { j =>
+      Clustering.kmeans(
+        usable.select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.col("embedding"),
+            j * dsub + 1, dsub).as("embedding")),
+        "vec_id", "embedding", ksub, iters,
+        init = seeds.map(_.slice(j * dsub, (j + 1) * dsub)))._2
+    }
+    assert(batched.map(_.map(_.toSeq)) == separate.map(_.map(_.toSeq)))
+  }
+
   test("reconstructTopK equals brute force when vectors sit on the " +
     "codebook (lossless reconstruction)") {
     val data = (for {

@@ -633,19 +633,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("curation v3 (q124): the scrubbed frame's exchange is reused " +
-    "by its consumers (quality filter + novelty census + roster) " +
-    "instead of re-executing the scrub per consumer; no cartesian") {
+  test("curation v3 (q124): the scrubbed frame is computed ONCE and " +
+    "shared by its consumers (quality filter + novelty census + " +
+    "roster) instead of re-executing the scrub per consumer; no " +
+    "cartesian") {
     val df = SparkEntry.queries("q124_curation_v3")(
       spark, "/root/testdata/sf0.001")
     df.collect()
     graft.llm.Dedup.releaseCaches()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") ||
+    // ★r21: the scrub is MATERIALIZED (localCheckpoint) at the
+    // stored-intermediate seam, so consumers read the checkpointed
+    // rows (`Scan ExistingRDD`) — a strictly stronger guarantee than
+    // the former runtime exchange reuse; the scrub's own window
+    // machinery must no longer appear in the consuming plan at all
+    assert(plan.contains("ExistingRDD") ||
+        plan.contains("ReusedExchange") ||
         plan.contains("ReusedQueryStage") ||
         "ShuffleQueryStage \\d+".r.findAllIn(plan).toSeq
           .groupBy(identity).exists(_._2.size >= 2),
-      s"scrubbed-frame exchange not reused in:\n$plan")
+      s"scrubbed frame neither materialized nor reused in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"q124: cartesian in:\n$plan")
   }
 

@@ -154,13 +154,16 @@ if ledger_path.exists():
     mins_ledger_path = Path(__file__).parent / "bench_ledger_mins.json"
     ledger_map = json.loads(ledger_path.read_text())
     if latest_path.exists() and isinstance(ledger_map, dict) and \
-            json.loads(latest_path.read_text()).get("epoch_ratio", -1) > 0:
+            json.loads(latest_path.read_text()).get("epoch_ratio", -1) > 0 \
+            and latest_path.stat().st_mtime >= ledger_path.stat().st_mtime:
         # ★r21 (VERDICT r20 #6): the bench now SELF-adjudicates — it
         # emits epoch_ratio + per-entry perf_flags (normalized median,
         # min floor, cpu_ratio evidence) computed against the committed
         # ledger at run time. Consume instead of recomputing; the
         # legacy recomputation below stays for bench outputs that
-        # predate the instrument.
+        # predate the instrument — and for a bench output OLDER than
+        # the ledger (a refresh_ledger.py run since the bench means the
+        # embedded flags were computed against a superseded baseline).
         latest = json.loads(latest_path.read_text())
         print(f"bench epoch ratio (self-adjudicated): "
               f"{latest['epoch_ratio']:.3f}")

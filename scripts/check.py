@@ -153,18 +153,24 @@ if ledger_path.exists():
     latest_path = Path("/root/repo/target/bench-latest.json")
     mins_ledger_path = Path(__file__).parent / "bench_ledger_mins.json"
     ledger_map = json.loads(ledger_path.read_text())
-    if latest_path.exists() and isinstance(ledger_map, dict) and \
-            json.loads(latest_path.read_text()).get("epoch_ratio", -1) > 0 \
-            and latest_path.stat().st_mtime >= ledger_path.stat().st_mtime:
-        # ★r21 (VERDICT r20 #6): the bench now SELF-adjudicates — it
+    latest = (json.loads(latest_path.read_text())
+              if latest_path.exists() else {})
+    # ★r22 (ADVICE r21): the embedded adjudication is current iff the
+    # bench recorded the CONTENT fingerprint of the ledger it compared
+    # against and that ledger is byte-identical now — mtimes are
+    # rewritten arbitrarily by git checkouts/rebases and can both
+    # misclassify and falsely accept a reverted ledger. Outputs
+    # predating the fingerprint (or a ledger edited since the run)
+    # fall through to the legacy recomputation below.
+    import hashlib
+    ledger_fp = hashlib.sha256(ledger_path.read_bytes()).hexdigest()[:16]
+    if latest and isinstance(ledger_map, dict) and \
+            latest.get("epoch_ratio", -1) > 0 and \
+            latest.get("ledger_fingerprint") == ledger_fp:
+        # ★r21 (VERDICT r20 #6): the bench SELF-adjudicates — it
         # emits epoch_ratio + per-entry perf_flags (normalized median,
         # min floor, cpu_ratio evidence) computed against the committed
-        # ledger at run time. Consume instead of recomputing; the
-        # legacy recomputation below stays for bench outputs that
-        # predate the instrument — and for a bench output OLDER than
-        # the ledger (a refresh_ledger.py run since the bench means the
-        # embedded flags were computed against a superseded baseline).
-        latest = json.loads(latest_path.read_text())
+        # ledger at run time. Consume instead of recomputing.
         print(f"bench epoch ratio (self-adjudicated): "
               f"{latest['epoch_ratio']:.3f}")
         flags = latest.get("perf_flags", {})
@@ -186,8 +192,7 @@ if ledger_path.exists():
             fails.append(f"SYSTEMIC_MIN_FLOOR({len(min_trips)})")
             print(f"SYSTEMIC min-floor regression: {len(min_trips)} "
                   f"entries' floors over threshold at once: {min_trips}")
-    elif latest_path.exists() and isinstance(ledger_map, dict):
-        latest = json.loads(latest_path.read_text())
+    elif latest and isinstance(ledger_map, dict):
         cur = latest.get("queries", {})
         cur_mins = latest.get("query_mins", {})
         cur_cpu = latest.get("queries_cpu", {})

